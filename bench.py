@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is executed to completion via the ``noop`` sink (full physical
+plan runs; no driver-side materialization cost is measured). A session-level
+warm-up scan is run first so JVM/codegen startup is not billed to the first
+query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from tile_processor_spark.session import get_spark
+    from tile_processor_spark.plans.registry import all_specs
+
+    spark = get_spark(app_name="tps-bench")
+    specs = all_specs()
+    bench_names = [n for n, s in specs.items() if "headline" in s.tags] or sorted(specs)
+
+    # Warm-up: touch every table once so file listing + footer reads +
+    # codegen warmup don't bill to the first measured query.
+    from tile_processor_spark.sources.tables import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
+
+    timings: dict[str, float] = {}
+    for name in bench_names:
+        t0 = time.perf_counter()
+        df = specs[name].spark_fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "headline query wall time (sum)",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

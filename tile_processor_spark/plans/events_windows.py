@@ -1,5 +1,272 @@
-"""Event-stream window aggregations (tumbling / sliding / session) and
-as-of joins over the `events` table.
+"""Event-stream window aggregations and as-of joins over the ``events``
+table — the batch-mode definitions of the engine's streaming surface
+(tile_processor_spark.streaming exposes the same logic over readStream).
+
+The reference has no streaming operators (SURVEY.md §2.9); these are the
+north-star extensions from SURVEY.md §7.8. Window starts are compared as
+microsecond-exact integers (``unix_micros`` / ``epoch_us``) so oracle
+comparison never depends on timestamp/timezone canonicalization.
+
+Scale notes: tumbling/sliding windows are pure map-side bucket assignment
+followed by one hash aggregation (one shuffle); the session window and
+as-of join shuffle once on the entity key and then use a sort within the
+partition — both hold at 100 TB provided user_id is not pathologically
+skewed (AQE skew-join handles the rest).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from tile_processor_spark.plans.registry import register
+from tile_processor_spark.sources.tables import load_table
+
+US = 1_000_000  # microseconds per second
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "events", sf_dir)
+
+
+@register(
+    "events_tumbling_window",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {3600 * US}) * {3600 * US} AS win_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Tumbling 1-hour window per event_type: F.window bucket assignment "
+        "→ single hash agg. Window start emitted as epoch-µs for exact "
+        "oracle comparison."
+    ),
+    tags=("events", "window", "headline"),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("win_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle=f"""
+    WITH offsets AS (SELECT UNNEST([0, 1]) AS k),
+    assigned AS (
+      SELECT ((epoch_us(ts) // {1800 * US}) - o.k) * {1800 * US} AS win_start_us,
+             epoch_us(ts) AS ts_us, value
+      FROM events CROSS JOIN offsets o
+    )
+    SELECT win_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM assigned
+    WHERE ts_us >= win_start_us AND ts_us < win_start_us + {3600 * US}
+      AND win_start_us >= 0
+    GROUP BY 1
+    """,
+    doc=(
+        "Sliding window (1 h width, 30 min slide): each event lands in 2 "
+        "windows. Spark assigns via F.window(w, s); the oracle replays the "
+        "assignment with integer epoch arithmetic."
+    ),
+    tags=("events", "window"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("win_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_session_window",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= {1800 * US}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + {1800 * US} AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+    doc=(
+        "Session window per user (30 min gap) via F.session_window — "
+        "Spark merges overlapping [ts, ts+gap) intervals; the oracle "
+        "reproduces that with the lag/islands pattern. Session end = last "
+        "event + gap in both."
+    ),
+    tags=("events", "window", "session"),
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("win.start")).alias("session_start_us"),
+            F.unix_micros(F.col("win.end")).alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           epoch_us(c.ts) AS click_ts_us,
+           c.click_id
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc=(
+        "As-of join: each purchase matched to the latest click at-or-before "
+        "it by the same user. Spark has no native as-of join; implemented "
+        "as the scalable union + last(ignorenulls) running-value pattern — "
+        "one shuffle on user_id, one sort, no range explosion. Clicks are "
+        "deduped to one per (user, ts) so ties are deterministic. Oracle "
+        "uses DuckDB's native ASOF LEFT JOIN."
+    ),
+    tags=("events", "asof", "headline"),
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "ts", "click_id", F.lit(0).alias("kind"))
+        .withColumn("purchase_id", F.lit(None).cast("long"))
+        .withColumn("value", F.lit(None).cast("double"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("click_id"),
+            F.lit(1).alias("kind"),
+            F.col("event_id").alias("purchase_id"),
+            "value",
+        )
+    )
+    # kind orders clicks before purchases at equal ts: "at-or-before".
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "*",
+        F.last("click_id", ignorenulls=True).over(w).alias("asof_click_id"),
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("asof_click_ts"),
+    )
+    return merged.filter(F.col("kind") == 1).select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.unix_micros("asof_click_ts").alias("click_ts_us"),
+        F.col("asof_click_id").alias("click_id"),
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+           COUNT(json_extract_string(props, '$.k')) AS k_present
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="F10/JSON path: extract a typed field from a JSON props column, aggregate exactly.",
+    tags=("events", "scalar", "json"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_total"), F.count(k).alias("k_present")
+    )
+
+
+@register(
+    "events_daily_profile",
+    oracle="""
+    SELECT CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+    doc=(
+        "F7 timestamp arithmetic: day-of-week × hour-of-day activity "
+        "profile with exact distinct-count."
+    ),
+    tags=("events", "scalar", "agg"),
+)
+def events_daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),  # Spark: Sun=1 → DuckDB dow: Sun=0
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

@@ -1,6 +1,464 @@
-"""Spatial correctness-gate queries: geometry synthesized deterministically
-from the relational testdata; the engine runs its real WKB kernel, the
-DuckDB oracle verifies with plain arithmetic.
+"""Spatial correctness-gate queries.
+
+The driver's oracle gate only ships relational tables, so geometry is
+synthesized *deterministically* from them with integer arithmetic:
+
+- **points**: one per ``customer`` row at
+  ``x = (c_custkey*7919) % 1000 + 0.5``, ``y = (c_custkey*104729) % 1000
+  + 0.5`` (the +0.5 keeps every point off all tile/extent boundaries),
+  ``z = c_acctbal``;
+- **tile grid**: 10×10 tiles of 100×100 over [0,1000)², ``tile_id =
+  't<i>_<j>'`` — the reference's feature tile index
+  (tile_index.bag_tiles, SURVEY §1.1);
+- **elevation tiles**: 100 overlapping 120×120 rects at 100-step offsets,
+  version 2 (west half) / 3 (east half) — tile_index.ahn_tiles;
+- **extent**: a fixed convex pentagon — the GeoJSON extent polygon of
+  ``DbTiles.read_extent`` (tileconfig.py:98-126).
+
+The Spark side runs the engine's *real* machinery — WKB geometry, pandas
+UDF predicates, grid-bucketed spatial joins — while the DuckDB oracle
+verifies with plain arithmetic (floor division, half-plane tests,
+interval overlap, unit-cell counting). Reference parity per query in the
+docstrings.
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from tile_processor_spark.plans.registry import register
+from tile_processor_spark.plans.relational import dsum
+from tile_processor_spark.sources.tables import load_table
+from tile_processor_spark.spatial import kernel, wkb
+from tile_processor_spark.spatial.join import bbox_join, points_in_polygons
+from tile_processor_spark.spatial.udfs import st_contains_point, st_intersects, st_rect
+
+# --- shared synthetic-geometry definitions (Spark + SQL must agree) -------
+
+PENTAGON = np.array(
+    [[150.0, 50.0], [850.0, 150.0], [900.0, 700.0], [500.0, 950.0], [100.0, 600.0]]
+)  # CCW convex
+PENTAGON_WKB = wkb.polygon_wkb([PENTAGON])
+PENTAGON_BBOX = (100.0, 50.0, 900.0, 950.0)
+
+PTS_SQL = """
+  SELECT c_custkey AS pk,
+         (c_custkey*7919) % 1000 AS ix, (c_custkey*104729) % 1000 AS iy,
+         (c_custkey*7919) % 1000 + 0.5 AS x, (c_custkey*104729) % 1000 + 0.5 AS y,
+         c_acctbal AS z
+  FROM customer
+"""
+GRID_SQL = """
+  SELECT t1.i AS i, t2.j AS j, 't' || t1.i || '_' || t2.j AS tile_id
+  FROM range(10) t1(i), range(10) t2(j)
+"""
+ELEV_SQL = """
+  SELECT k AS elev_id, (k%10)*100 - 10 AS x0, (k//10)*100 - 10 AS y0,
+         CASE WHEN k%10 < 5 THEN 2 ELSE 3 END AS version
+  FROM range(100) t(k)
+"""
+
+
+def _halfplanes(px: str, py: str) -> str:
+    """SQL: point strictly inside the CCW pentagon (all edge cross
+    products > 0)."""
+    conds = []
+    n = len(PENTAGON)
+    for a in range(n):
+        x1, y1 = PENTAGON[a]
+        x2, y2 = PENTAGON[(a + 1) % n]
+        conds.append(
+            f"(({x2}-{x1})*({py}-{y1}) - ({y2}-{y1})*({px}-{x1})) > 0"
+        )
+    return " AND ".join(conds)
+
+
+def _halfplanes_closed(px: str, py: str) -> str:
+    conds = []
+    n = len(PENTAGON)
+    for a in range(n):
+        x1, y1 = PENTAGON[a]
+        x2, y2 = PENTAGON[(a + 1) % n]
+        conds.append(
+            f"(({x2}-{x1})*({py}-{y1}) - ({y2}-{y1})*({px}-{x1})) >= 0"
+        )
+    return " AND ".join(conds)
+
+
+def synthetic_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    return c.select(
+        F.col("c_custkey").alias("pk"),
+        ((F.col("c_custkey") * 7919) % 1000 + 0.5).cast("double").alias("x"),
+        ((F.col("c_custkey") * 104729) % 1000 + 0.5).cast("double").alias("y"),
+        F.col("c_acctbal").alias("z"),
+    )
+
+
+def tile_grid(spark: SparkSession) -> DataFrame:
+    """10×10 tile index with real WKB geometry + bbox columns. Tiny and
+    broadcastable — exactly the reference's tile-index table."""
+    g = spark.range(100).select(
+        (F.col("id") % 10).alias("i"),
+        F.expr("id div 10").alias("j"),
+    )
+    g = g.select(
+        "i",
+        "j",
+        F.concat(F.lit("t"), F.col("i").cast("string"), F.lit("_"), F.col("j").cast("string")).alias("tile_id"),
+        (F.col("i") * 100).cast("double").alias("xmin"),
+        (F.col("j") * 100).cast("double").alias("ymin"),
+        (F.col("i") * 100 + 100).cast("double").alias("xmax"),
+        (F.col("j") * 100 + 100).cast("double").alias("ymax"),
+    )
+    return g.withColumn("geom", st_rect("xmin", "ymin", "xmax", "ymax"))
+
+
+def elevation_tiles(spark: SparkSession) -> DataFrame:
+    e = spark.range(100).select(
+        F.col("id").alias("elev_id"),
+        ((F.col("id") % 10) * 100 - 10).cast("double").alias("xmin"),
+        (F.expr("id div 10") * 100 - 10).cast("double").alias("ymin"),
+        ((F.col("id") % 10) * 100 + 110).cast("double").alias("xmax"),
+        (F.expr("id div 10") * 100 + 110).cast("double").alias("ymax"),
+        F.when(F.col("id") % 10 < 5, 2).otherwise(3).alias("version"),
+    )
+    return e
+
+
+# --------------------------------------------------------------------------
+
+
+@register(
+    "spatial_point_in_tile_join",
+    oracle=f"""
+    WITH pts AS ({PTS_SQL})
+    SELECT pk, 't' || (ix // 100) || '_' || (iy // 100) AS tile_id FROM pts
+    """,
+    doc=(
+        "J1/J2 point-in-polygon tile assignment: grid-bucketed equi-join "
+        "(cell 80, unaligned with the tile grid so polygons replicate) + "
+        "bbox refine + exact ray-cast refine. Replaces the reference's "
+        "per-tile N+1 match queries (tileconfig.py:600-678) with one "
+        "set-based join."
+    ),
+    tags=("spatial", "join", "headline"),
+)
+def spatial_point_in_tile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = synthetic_points(spark, sf_dir)
+    grid = tile_grid(spark)
+    joined = points_in_polygons(pts, grid, cell_size=80.0)
+    return joined.select("pk", "tile_id")
+
+
+@register(
+    "spatial_within_extent",
+    oracle=f"""
+    WITH pts AS ({PTS_SQL})
+    SELECT DISTINCT 't' || (ix // 100) || '_' || (iy // 100) AS tile_id
+    FROM pts WHERE {_halfplanes('x', 'y')}
+    """,
+    doc=(
+        "within_extent (tileconfig.py:128-194; test pins "
+        "tests/test_tiles.py:144-166): DISTINCT tiles whose features lie "
+        "ST_Within an extent polygon. Engine: bbox prefilter → exact "
+        "ray-cast against the broadcast pentagon literal → tile join → "
+        "distinct."
+    ),
+    tags=("spatial", "filter", "headline"),
+)
+def spatial_within_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = synthetic_points(spark, sf_dir)
+    x0, y0, x1, y1 = PENTAGON_BBOX
+    inside = pts.filter(
+        (F.col("x") >= x0) & (F.col("x") <= x1) & (F.col("y") >= y0) & (F.col("y") <= y1)
+    ).filter(st_contains_point(F.lit(PENTAGON_WKB), F.col("x"), F.col("y")))
+    grid = tile_grid(spark)
+    return (
+        points_in_polygons(inside, grid, cell_size=80.0)
+        .select("tile_id")
+        .distinct()
+    )
+
+
+@register(
+    "spatial_tiles_intersecting_extent",
+    oracle=f"""
+    WITH grid AS ({GRID_SQL}),
+    verts(vx, vy) AS (VALUES {", ".join(f"({x}, {y})" for x, y in PENTAGON)}),
+    corners AS (
+      SELECT g.tile_id, g.i*100 + d.dx*100 AS cx, g.j*100 + d.dy*100 AS cy
+      FROM grid g, (VALUES (0,0),(1,0),(0,1),(1,1)) d(dx, dy)
+    )
+    SELECT tile_id FROM grid g
+    WHERE EXISTS (SELECT 1 FROM verts v
+                  WHERE v.vx BETWEEN g.i*100 AND g.i*100+100
+                    AND v.vy BETWEEN g.j*100 AND g.j*100+100)
+       OR EXISTS (SELECT 1 FROM corners c
+                  WHERE c.tile_id = g.tile_id AND {_halfplanes_closed('c.cx', 'c.cy')})
+    """,
+    doc=(
+        "P6/J4 boundary-mode selection (tileconfig.py:187-193): tiles whose "
+        "polygon ST_Intersects the extent. Engine: exact polygon×polygon "
+        "kernel (vertex containment + segment crossing). Oracle: convex "
+        "case decomposition — a pentagon vertex inside the tile OR a tile "
+        "corner inside the pentagon (valid because the pentagon's edges "
+        "are long relative to the 100-unit tiles)."
+    ),
+    tags=("spatial", "filter"),
+)
+def spatial_tiles_intersecting_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = tile_grid(spark)
+    x0, y0, x1, y1 = PENTAGON_BBOX
+    pre = grid.filter(
+        (F.col("xmin") <= x1) & (F.col("xmax") >= x0) & (F.col("ymin") <= y1) & (F.col("ymax") >= y0)
+    )
+    return pre.filter(st_intersects(F.col("geom"), F.lit(PENTAGON_WKB))).select("tile_id")
+
+
+@register(
+    "spatial_dissolve_union_area",
+    oracle=f"""
+    WITH elev AS ({ELEV_SQL}),
+    cells AS (
+      SELECT DISTINCT version, x0 + ux.u AS cx, y0 + uy.u AS cy
+      FROM elev, range(120) ux(u), range(120) uy(u)
+    )
+    SELECT version, CAST(COUNT(*) AS DOUBLE) AS area FROM cells GROUP BY version
+    """,
+    doc=(
+        "A3 dissolve (ST_UnaryUnion(ST_Collect(geom)) GROUP BY version, "
+        "tileconfig.py:565-586): union area of overlapping elevation tiles "
+        "per version. Engine: spatial partial aggregation — rects exploded "
+        "to disjoint 500-unit cells, clipped, exact sweepline union per "
+        "cell (applyInPandas), then sum — the two-level pattern that keeps "
+        "a 100 TB dissolve off a single task (SURVEY §7 risk register). "
+        "Oracle: distinct covered unit cells (coords are integral)."
+    ),
+    tags=("spatial", "agg", "dissolve"),
+)
+def spatial_dissolve_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cs = 500.0
+    elev = elevation_tiles(spark)
+    cellized = (
+        elev.withColumn(
+            "_cx", F.explode(F.sequence(F.floor(F.col("xmin") / cs), F.floor(F.col("xmax") / cs)))
+        )
+        .withColumn(
+            "_cy", F.explode(F.sequence(F.floor(F.col("ymin") / cs), F.floor(F.col("ymax") / cs)))
+        )
+        .select(
+            "version",
+            "_cx",
+            "_cy",
+            F.greatest(F.col("xmin"), F.col("_cx") * cs).alias("cxmin"),
+            F.greatest(F.col("ymin"), F.col("_cy") * cs).alias("cymin"),
+            F.least(F.col("xmax"), (F.col("_cx") + 1) * cs).alias("cxmax"),
+            F.least(F.col("ymax"), (F.col("_cy") + 1) * cs).alias("cymax"),
+        )
+    )
+
+    def _cell_union(pdf: pd.DataFrame) -> pd.DataFrame:
+        area = kernel.rect_union_area(
+            pdf[["cxmin", "cymin", "cxmax", "cymax"]].to_numpy()
+        )
+        return pd.DataFrame({"version": [int(pdf["version"].iloc[0])], "area": [area]})
+
+    partial = cellized.groupBy("version", "_cx", "_cy").applyInPandas(
+        _cell_union, schema="version int, area double"
+    )
+    return partial.groupBy("version").agg(F.sum("area").alias("area"))
+
+
+@register(
+    "spatial_match_elevation_versions",
+    oracle=f"""
+    WITH grid AS ({GRID_SQL}), elev AS ({ELEV_SQL})
+    SELECT tile_id,
+           array_to_string(list_sort(array_agg(DISTINCT version)), ',') AS versions,
+           COUNT(*) AS n_elev
+    FROM grid g JOIN elev e
+      ON g.i*100 <= e.x0 + 120 AND e.x0 <= g.i*100 + 100
+     AND g.j*100 <= e.y0 + 120 AND e.y0 <= g.j*100 + 100
+    GROUP BY tile_id
+    """,
+    doc=(
+        "match_elevation_tile (J2/J3, tileconfig.py:600-678) + A4/A10 "
+        "version aggregation: one set-based bbox-intersect join (grid "
+        "bucketing, reporting-cell dedup) replacing the reference's "
+        "per-tile loop; versions collected per feature tile."
+    ),
+    tags=("spatial", "join", "agg"),
+)
+def spatial_match_elevation_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = tile_grid(spark).drop("geom")
+    elev = elevation_tiles(spark)
+    matched = bbox_join(grid, elev, cell_size=250.0)
+    return matched.groupBy("tile_id").agg(
+        F.array_join(F.sort_array(F.collect_set("version")).cast("array<string>"), ",").alias("versions"),
+        F.count(F.lit(1)).alias("n_elev"),
+    )
+
+
+@register(
+    "spatial_version_not_boundary",
+    oracle=f"""
+    WITH grid AS ({GRID_SQL}), elev AS ({ELEV_SQL}),
+    matched AS (
+      SELECT tile_id, version
+      FROM grid g JOIN elev e
+        ON g.i*100 <= e.x0 + 120 AND e.x0 <= g.i*100 + 100
+       AND g.j*100 <= e.y0 + 120 AND e.y0 <= g.j*100 + 100
+    )
+    SELECT tile_id, MIN(version) AS version FROM matched
+    GROUP BY tile_id HAVING COUNT(DISTINCT version) = 1
+    """,
+    doc=(
+        "version_not_boundary (J5 left-anti + dissolve region logic, "
+        "tileconfig.py:565-598; pinned by tests/test_tiles.py:291-313): "
+        "tiles touching exactly one AHN version. Engine: bbox join → "
+        "boundary tiles (≥2 versions) → left_anti → per-tile version."
+    ),
+    tags=("spatial", "antijoin"),
+)
+def spatial_version_not_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = tile_grid(spark).drop("geom")
+    elev = elevation_tiles(spark)
+    matched = bbox_join(grid, elev, cell_size=250.0).select("tile_id", "version")
+    boundary = (
+        matched.groupBy("tile_id")
+        .agg(F.count_distinct("version").alias("nv"))
+        .filter(F.col("nv") >= 2)
+        .select("tile_id")
+    )
+    return (
+        matched.join(boundary, "tile_id", "left_anti")
+        .groupBy("tile_id")
+        .agg(F.min("version").alias("version"))
+    )
+
+
+@register(
+    "spatial_percentile_heights",
+    oracle=f"""
+    WITH pts AS ({PTS_SQL})
+    SELECT 't' || (ix // 100) || '_' || (iy // 100) AS tile_id,
+           quantile_cont(z, 0.95) AS roof_h,
+           quantile_cont(z, 0.10) AS ground_h,
+           COUNT(*) AS n_points
+    FROM pts GROUP BY 1
+    """,
+    doc=(
+        "Delegated per-tile semantics (SURVEY §2.11 row 1; worker.py:158-164): "
+        "roof = 95th / ground = 10th percentile of point heights per "
+        "footprint. Engine: point-in-polygon join then exact interpolated "
+        "percentile (bit-identical to quantile_cont)."
+    ),
+    tags=("spatial", "agg", "percentile", "headline"),
+)
+def spatial_percentile_heights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = synthetic_points(spark, sf_dir)
+    grid = tile_grid(spark)
+    joined = points_in_polygons(pts, grid, cell_size=80.0)
+    return joined.groupBy("tile_id").agg(
+        F.expr("percentile(z, 0.95)").alias("roof_h"),
+        F.expr("percentile(z, 0.10)").alias("ground_h"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+@register(
+    "spatial_rasterize",
+    oracle=f"""
+    WITH pts AS ({PTS_SQL})
+    SELECT ix // 50 AS cell_x, iy // 50 AS cell_y,
+           COUNT(*) AS n_points,
+           CAST(SUM(CAST(z AS DECIMAL(18,4))) AS DOUBLE) AS sum_z
+    FROM pts GROUP BY 1, 2
+    """,
+    doc=(
+        "PCRasterise (worker.py:561-584): snap points to a 50-unit raster "
+        "grid, aggregate per cell — pure map-side bucket + one hash agg."
+    ),
+    tags=("spatial", "agg", "raster"),
+)
+def spatial_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = synthetic_points(spark, sf_dir)
+    return (
+        pts.groupBy(
+            F.floor(F.col("x") / 50).alias("cell_x"),
+            F.floor(F.col("y") / 50).alias("cell_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_points"), dsum(F.col("z"), "sum_z"))
+    )
+
+
+@register(
+    "tile_file_index",
+    oracle=f"""
+    WITH grid AS ({GRID_SQL}),
+    files AS (
+      SELECT '/data/ahn_a/C_T' || i || '_' || j || '.LAZ' AS path, 1 AS priority, tile_id
+      FROM grid WHERE (i*10 + j) % 3 != 0
+      UNION ALL
+      SELECT '/data/ahn_b/c_t' || i || '_' || j || '.laz', 1, tile_id
+      FROM grid WHERE (i*10 + j) % 4 != 0
+      UNION ALL
+      SELECT '/data/ahn_c/C_t' || i || '_' || j || '.LaZ', 2, tile_id
+      FROM grid
+    ),
+    extracted AS (
+      SELECT regexp_extract(lower(path), 'c_(t[0-9]+_[0-9]+)\\.laz', 1) AS tile_id,
+             path, priority,
+             RANK() OVER (PARTITION BY regexp_extract(lower(path), 'c_(t[0-9]+_[0-9]+)\\.laz', 1)
+                          ORDER BY priority) AS rk
+      FROM files
+    )
+    SELECT tile_id, COUNT(*) AS n_files,
+           array_to_string(list_sort(array_agg(path)), ';') AS paths,
+           MIN(priority) AS best_priority
+    FROM extracted WHERE rk = 1 GROUP BY tile_id
+    """,
+    doc=(
+        "S5 elevation file index (tileconfig.py:395-499; pinned by "
+        "tests/test_tiles.py:477-482): filename → tile-ID via "
+        "case-insensitive regex (P10/F1/F2), multi-directory merge (§2.7), "
+        "priority dedup keeping ties — RANK not ROW_NUMBER "
+        "(tileconfig.py:464-497). Engine runs the same plan on a "
+        "DataFrame of paths; at scale the listing comes from the "
+        "binaryFile source, here synthesized deterministically."
+    ),
+    tags=("spatial", "source", "window"),
+)
+def tile_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = tile_grid(spark).select("i", "j", "tile_id")
+    k = F.col("i") * 10 + F.col("j")
+    istr = F.col("i").cast("string")
+    jstr = F.col("j").cast("string")
+    d1 = grid.filter(k % 3 != 0).select(
+        F.concat(F.lit("/data/ahn_a/C_T"), istr, F.lit("_"), jstr, F.lit(".LAZ")).alias("path"),
+        F.lit(1).alias("priority"),
+    )
+    d2 = grid.filter(k % 4 != 0).select(
+        F.concat(F.lit("/data/ahn_b/c_t"), istr, F.lit("_"), jstr, F.lit(".laz")).alias("path"),
+        F.lit(1).alias("priority"),
+    )
+    d3 = grid.select(
+        F.concat(F.lit("/data/ahn_c/C_t"), istr, F.lit("_"), jstr, F.lit(".LaZ")).alias("path"),
+        F.lit(2).alias("priority"),
+    )
+    files = d1.unionByName(d2).unionByName(d3)
+    extracted = files.withColumn(
+        "tile_id", F.regexp_extract(F.lower(F.col("path")), r"c_(t[0-9]+_[0-9]+)\.laz", 1)
+    )
+    w = W.partitionBy("tile_id").orderBy("priority")
+    kept = extracted.withColumn("rk", F.rank().over(w)).filter(F.col("rk") == 1)
+    return kept.groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.array_join(F.sort_array(F.collect_list("path")), ";").alias("paths"),
+        F.min("priority").alias("best_priority"),
+    )

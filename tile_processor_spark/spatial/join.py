@@ -1,0 +1,97 @@
+"""Spatial join patterns — the engine's replacement for PostGIS GiST-indexed
+``ST_Intersects``/``ST_Within`` joins (reference tileconfig.py:156-193,
+600-678, which issues one query per tile; here a single set-based join).
+
+Pattern (scales to 100 TB):
+1. bucket both sides into a uniform grid (``cell_size``) — polygons are
+   replicated to every cell their bbox covers via ``explode(sequence)``;
+2. equi-join on the cell key — one shuffle, prunable, AQE-skew-splittable;
+3. cheap bbox refine (Catalyst-side comparisons, no UDF);
+4. exact geometry refine with the WKB kernel UDF (only for survivors).
+
+For box-box joins the duplicate-pair problem (two bboxes sharing several
+cells) is solved with the standard reporting-cell trick — a pair is
+emitted only in the cell containing the intersection's min corner — so no
+global distinct is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tile_processor_spark.spatial.udfs import st_contains_point
+
+
+def _cell(col: Column, cell_size: float) -> Column:
+    return F.floor(col / F.lit(float(cell_size))).cast("long")
+
+
+def _cells_seq(cmin: Column, cmax: Column, cell_size: float) -> Column:
+    return F.sequence(_cell(cmin, cell_size), _cell(cmax, cell_size))
+
+
+def points_in_polygons(
+    points: DataFrame,
+    polys: DataFrame,
+    cell_size: float,
+    x: str = "x",
+    y: str = "y",
+    geom: str = "geom",
+    exact: bool = True,
+) -> DataFrame:
+    """Inner-join points to the polygons containing them.
+
+    ``polys`` must carry ``geom`` (WKB) and bbox columns xmin/ymin/xmax/ymax.
+    Result: all point columns + all polygon columns (bbox/helper cols
+    dropped). Each point joins in exactly its own cell, so no dedup pass.
+    """
+    p = points.withColumn("_cx", _cell(F.col(x), cell_size)).withColumn(
+        "_cy", _cell(F.col(y), cell_size)
+    )
+    g = (
+        polys.withColumn("_cx", F.explode(_cells_seq(F.col("xmin"), F.col("xmax"), cell_size)))
+        .withColumn("_cy", F.explode(_cells_seq(F.col("ymin"), F.col("ymax"), cell_size)))
+    )
+    joined = p.join(g, ["_cx", "_cy"]).filter(
+        (F.col(x) >= F.col("xmin"))
+        & (F.col(x) <= F.col("xmax"))
+        & (F.col(y) >= F.col("ymin"))
+        & (F.col(y) <= F.col("ymax"))
+    )
+    if exact:
+        joined = joined.filter(st_contains_point(F.col(geom), F.col(x), F.col(y)))
+    return joined.drop("_cx", "_cy", "xmin", "ymin", "xmax", "ymax")
+
+
+def bbox_join(
+    left: DataFrame,
+    right: DataFrame,
+    cell_size: float,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Join rows whose bboxes intersect (closed intervals — boundary touch
+    counts, like ST_Intersects). Both sides need xmin/ymin/xmax/ymax; right
+    bbox columns come back suffixed. One pair is emitted exactly once via
+    the reporting-cell filter."""
+    r = right
+    for c in ("xmin", "ymin", "xmax", "ymax"):
+        r = r.withColumnRenamed(c, c + suffix)
+    l_ = (
+        left.withColumn("_cx", F.explode(_cells_seq(F.col("xmin"), F.col("xmax"), cell_size)))
+        .withColumn("_cy", F.explode(_cells_seq(F.col("ymin"), F.col("ymax"), cell_size)))
+    )
+    r_ = (
+        r.withColumn("_cx", F.explode(_cells_seq(F.col(f"xmin{suffix}"), F.col(f"xmax{suffix}"), cell_size)))
+        .withColumn("_cy", F.explode(_cells_seq(F.col(f"ymin{suffix}"), F.col(f"ymax{suffix}"), cell_size)))
+    )
+    joined = l_.join(r_, ["_cx", "_cy"]).filter(
+        (F.col("xmin") <= F.col(f"xmax{suffix}"))
+        & (F.col(f"xmin{suffix}") <= F.col("xmax"))
+        & (F.col("ymin") <= F.col(f"ymax{suffix}"))
+        & (F.col(f"ymin{suffix}") <= F.col("ymax"))
+        # reporting cell: the cell of the intersection's min corner
+        & (F.col("_cx") == F.floor(F.greatest("xmin", f"xmin{suffix}") / F.lit(float(cell_size))))
+        & (F.col("_cy") == F.floor(F.greatest("ymin", f"ymin{suffix}") / F.lit(float(cell_size))))
+    )
+    return joined.drop("_cx", "_cy")

@@ -1,0 +1,100 @@
+"""Orchestration contract tests — mirrors the reference's pure unit tier
+(tests/test_processor.py:44-88: success map, failure collection, restart
+counting; tests/test_tiles.py: selection semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tile_processor_spark.pipeline.processor import run_with_retry
+from tile_processor_spark.pipeline.recorder import parse_log, per_tile_summary
+from tile_processor_spark.pipeline.tiles import TileSet
+from tile_processor_spark.pipeline.workers import list_workers, run_worker_over_tiles
+
+
+@pytest.fixture
+def tiled_df(spark):
+    return spark.createDataFrame(
+        [(t, v) for t in ("a", "b", "c") for v in range(5)], "tile_id string, v int"
+    )
+
+
+def test_worker_status_rows(spark, tiled_df):
+    status = run_worker_over_tiles(tiled_df, "Example").collect()
+    assert {r.tile_id: r.success for r in status} == {"a": True, "b": True, "c": True}
+    assert all(r.n_rows == 5 for r in status)
+
+
+def test_worker_failure_captured_not_raised(spark, tiled_df):
+    status = run_worker_over_tiles(
+        tiled_df, "Example", {"fail_tiles": ["b"]}
+    ).collect()
+    by_tile = {r.tile_id: r for r in status}
+    assert by_tile["b"].success is False
+    assert "simulated failure" in by_tile["b"].error
+    assert by_tile["a"].success and by_tile["c"].success
+
+
+def test_retry_contract(spark, tiled_df):
+    # Deterministic failure: retries exhaust, result contract preserved
+    # ({'failed_tiles': [...], 'nr_success': n}, processor.py:125).
+    res = run_with_retry(tiled_df, "Example", {"fail_tiles": ["b", "c"]}, restarts=1)
+    assert res == {"failed_tiles": ["b", "c"], "nr_success": 1}
+    res2 = run_with_retry(tiled_df, "Example", restarts=0)
+    assert res2 == {"failed_tiles": [], "nr_success": 3}
+
+
+def test_builtin_workers_registered():
+    # worker.py:754-763 registration parity (Spark-representable subset).
+    assert {"Example", "TileExporter", "PercentileHeights"} <= set(list_workers())
+
+
+def test_exporter_writes_per_tile(spark, tiled_df, tmp_path):
+    res = run_with_retry(tiled_df, "TileExporter", {"out_dir": str(tmp_path)})
+    assert res["nr_success"] == 3
+    assert sorted(p.name for p in tmp_path.iterdir()) == [
+        "tile=a.parquet", "tile=b.parquet", "tile=c.parquet",
+    ]
+
+
+def test_tileset_with_list_warns_and_filters(spark, caplog):
+    idx = spark.createDataFrame([("t1",), ("t2",), ("t3",)], "tile_id string")
+    ts = TileSet(idx)
+    with caplog.at_level("WARNING"):
+        got = {r.tile_id for r in ts.with_list(["t1", "nope", "t3"]).collect()}
+    assert got == {"t1", "t3"}
+    assert any("nope" in rec.message for rec in caplog.records)
+
+
+def test_tileset_with_list_raises_when_none_match(spark):
+    ts = TileSet(spark.createDataFrame([("t1",)], "tile_id string"))
+    with pytest.raises(ValueError, match="none of the requested"):
+        ts.with_list(["zzz"])
+
+
+def test_tileset_all_and_reorder(spark):
+    idx = spark.createDataFrame([("t1",), ("t1",), ("t2",)], "tile_id string")
+    ts = TileSet(idx)
+    assert {r.tile_id for r in ts.all_in_index().collect()} == {"t1", "t2"}
+    # deterministic seed → stable order
+    o1 = [r.tile_id for r in TileSet.reorder(ts.all_in_index(), seed=7).collect()]
+    o2 = [r.tile_id for r in TileSet.reorder(ts.all_in_index(), seed=7).collect()]
+    assert o1 == o2 and set(o1) == {"t1", "t2"}
+
+
+def test_recorder_roundtrip(spark, tmp_path):
+    log = tmp_path / "monitor.tsv"
+    rows = [
+        "2024-01-01T00:00:00\tt1\t100\t60.0\t30.0\t1048576",
+        "2024-01-01T00:01:00\tt1\t100\t120.0\t60.0\t2097152",
+        "2024-01-01T00:00:00\tt2\t101\t6.0\t6.0\t1048576",
+    ]
+    log.write_text("\n".join(rows) + "\n")
+    df = parse_log(spark, str(log))
+    summary = {r.tile: r for r in per_tile_summary(df).collect()}
+    assert summary["t1"].max_cpu_min == pytest.approx(3.0)  # (120+60)/60
+    assert summary["t1"].peak_rss_mb == pytest.approx(2.0)
+    assert summary["t1"].n_samples == 2
+    assert summary["t1"].wall_min == pytest.approx(1.0)
+    assert summary["t2"].max_cpu_min == pytest.approx(0.2)

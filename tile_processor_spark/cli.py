@@ -1,0 +1,108 @@
+"""Command-line surface — tile_processor/cli.py re-expressed for the
+Spark engine. The library API (pipeline.*) is primary; this is the thin
+shim the reference's CLI users would reach for:
+
+- ``run``        ≙ cli.py:48-96   (controller+worker over selected tiles)
+- ``export-tile-inputs`` ≙ cli.py:99-143 (per-tile extraction, TileExporter)
+- ``list-workers``       ≙ list-schemas/factory keys (cli.py:146-175)
+- ``plot-monitor-log``   ≙ cli.py:178-192 (summary table instead of PDFs)
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+import time
+
+import click
+
+from tile_processor_spark.session import get_spark
+
+
+@click.group()
+@click.option("--verbose", is_flag=True, default=False)
+def main(verbose: bool) -> None:
+    logging.basicConfig(level=logging.DEBUG if verbose else logging.INFO)
+
+
+@main.command("run")
+@click.argument("worker_key")
+@click.argument("data_path")
+@click.argument("tiles", nargs=-1)
+@click.option("--tile-col", default="tile_id")
+@click.option("--restart", default=0, show_default=True, help="re-runs of failed tiles")
+@click.option("--config-json", default="{}", help="worker config as JSON")
+def run_cmd(worker_key, data_path, tiles, tile_col, restart, config_json) -> None:
+    """Run WORKER_KEY over the tile groups of the parquet dataset at
+    DATA_PATH (optionally restricted to TILES)."""
+    from tile_processor_spark.pipeline.processor import run_with_retry
+    from tile_processor_spark.pipeline.tiles import TileSet
+
+    spark = get_spark(app_name=f"tps-run-{worker_key}")
+    t0 = time.monotonic()
+    data = spark.read.parquet(data_path)
+    if tiles and list(tiles) != ["all"]:
+        selected = TileSet(data.select(tile_col), tile_col=tile_col).with_list(list(tiles))
+        data = data.join(selected.withColumnRenamed("tile_id", tile_col), tile_col, "left_semi")
+    result = run_with_retry(
+        data, worker_key, json.loads(config_json), restarts=restart, tile_col=tile_col
+    )
+    click.echo(json.dumps(result))
+    click.echo(f"Done in {(time.monotonic() - t0) / 60:.1f} min", err=True)
+    sys.exit(1 if result["failed_tiles"] else 0)
+
+
+@main.command("export-tile-inputs")
+@click.argument("data_path")
+@click.argument("out_dir")
+@click.argument("tiles", nargs=-1)
+@click.option("--tile-col", default="tile_id")
+def export_cmd(data_path, out_dir, tiles, tile_col) -> None:
+    """Per-tile extraction of a dataset into OUT_DIR (TileExporter)."""
+    from tile_processor_spark.pipeline.processor import run_with_retry
+    from tile_processor_spark.pipeline.tiles import TileSet
+
+    spark = get_spark(app_name="tps-export")
+    data = spark.read.parquet(data_path)
+    if tiles and list(tiles) != ["all"]:
+        selected = TileSet(data.select(tile_col), tile_col=tile_col).with_list(list(tiles))
+        data = data.join(selected.withColumnRenamed("tile_id", tile_col), tile_col, "left_semi")
+    result = run_with_retry(data, "TileExporter", {"out_dir": out_dir}, tile_col=tile_col)
+    click.echo(json.dumps(result))
+    sys.exit(1 if result["failed_tiles"] else 0)
+
+
+@main.command("list-workers")
+def list_workers_cmd() -> None:
+    from tile_processor_spark.pipeline.workers import list_workers
+
+    for key in list_workers():
+        click.echo(key)
+
+
+@main.command("list-queries")
+def list_queries_cmd() -> None:
+    """Registered gate queries (the engine's capability inventory)."""
+    from tile_processor_spark.plans.registry import all_specs
+
+    for name, spec in sorted(all_specs().items()):
+        click.echo(f"{name}\t{','.join(spec.tags)}")
+
+
+@main.command("plot-monitor-log")
+@click.argument("log_path")
+def monitor_cmd(log_path) -> None:
+    """Per-tile resource summary from a monitor TSV (recorder.py:75-133)."""
+    from tile_processor_spark.pipeline.recorder import parse_log, per_tile_summary
+
+    spark = get_spark(app_name="tps-monitor")
+    for r in per_tile_summary(parse_log(spark, log_path)).orderBy("tile").collect():
+        click.echo(
+            f"{r.tile}\tcpu_min={r.max_cpu_min:.2f}\trss_mb={r.peak_rss_mb:.1f}"
+            f"\tsamples={r.n_samples}\twall_min={r.wall_min:.2f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

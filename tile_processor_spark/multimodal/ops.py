@@ -1,0 +1,93 @@
+"""Multimodal asset operators.
+
+Assets are rows ``(asset_id long, kind string, payload binary,
+meta struct<n_bytes: long, declared_kind: string>)``. At 100 TB the
+payload column stays opaque through every relational stage (column
+pruning keeps it unread unless a UDF touches it); decode/feature steps
+run as ``mapInPandas`` so one Arrow batch of binaries is processed per
+Python call, never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tile_processor_spark.sources.tables import load_table
+
+FEATURE_SCHEMA = "asset_id long, kind string, n_bytes long, byte_sum long, n_frames long"
+
+_SAMPLE_STRIDE = 7
+
+
+def make_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize an asset table from ``documents``: the UTF-8 text bytes
+    stand in for opaque media payloads (the container has no codec libs),
+    with a kind cycled over jpeg/png/wav and typed metadata."""
+    d = load_table(spark, "documents", sf_dir)
+    kind = F.element_at(
+        F.array(F.lit("jpeg"), F.lit("png"), F.lit("wav")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.length("text").cast("long").alias("n_bytes"),
+            kind.alias("declared_kind"),
+        ).alias("meta"),
+    )
+
+
+def decode_payload(payload: bytes, kind: str) -> np.ndarray:
+    """Decode an asset payload to a sample array.
+
+    REAL decoders (Pillow / soundfile / av) are not available in this
+    environment. A deterministic fake — the raw bytes as uint8 — keeps
+    every downstream operator (features, resize, frame sampling) real
+    and testable; swap this single function when codecs exist.
+    """
+    if kind in ("jpeg", "png", "wav"):
+        return np.frombuffer(payload, dtype=np.uint8)
+    raise NotImplementedError(f"no decoder for asset kind {kind!r}")
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Decode each payload and emit per-asset features: byte count, exact
+    byte sum, and frame count at stride 7 (a stand-in for
+    resize/frame-sample shape math). One Arrow batch per call."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            arrs = [decode_payload(bytes(p), k) for p, k in zip(pdf["payload"], pdf["kind"])]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "n_bytes": [len(a) for a in arrs],
+                    "byte_sum": [int(a.astype(np.int64).sum()) for a in arrs],
+                    "n_frames": [-(-len(a) // _SAMPLE_STRIDE) for a in arrs],
+                }
+            )
+
+    return assets.mapInPandas(_batches, FEATURE_SCHEMA)
+
+
+def frame_sample(assets: DataFrame, stride: int = _SAMPLE_STRIDE) -> DataFrame:
+    """Every ``stride``-th sample of the decoded payload as an array
+    column — the video-frame-sampling shape, kept binary-exact."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            frames = [
+                decode_payload(bytes(p), k)[::stride].astype(np.int64).tolist()
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame({"asset_id": pdf["asset_id"].to_numpy(), "frames": frames})
+
+    return assets.mapInPandas(_batches, "asset_id long, frames array<long>")

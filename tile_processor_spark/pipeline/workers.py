@@ -1,0 +1,125 @@
+"""Per-tile worker registry — the Spark analogue of the reference's
+``WorkerFactory`` (tile_processor/worker.py:30-54, registrations at
+worker.py:754-763).
+
+A worker is a Python callable ``(tile_id: str, pdf: pandas.DataFrame,
+config: dict) -> pandas.DataFrame | None`` executed once per tile group
+via ``applyInPandas`` — the reference's ``execute(tile, tiles, **cfg) ->
+bool`` contract (worker.py:60, 181-189) with the side-effecting
+subprocess replaced by a returned (or written) DataFrame. Success is a
+status row, not an exit code.
+
+Workers that genuinely need an external binary use the subprocess escape
+hatch inside the function; Spark task retries make side effects
+non-idempotent, so such workers must write overwrite-by-tile outputs
+(SURVEY.md §7 risk register).
+"""
+
+from __future__ import annotations
+
+import traceback
+from collections.abc import Callable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WorkerFn = Callable[[str, pd.DataFrame, dict], Any]
+
+_REGISTRY: dict[str, WorkerFn] = {}
+
+
+def register_worker(key: str, fn: WorkerFn) -> None:
+    """WorkerFactory.register_worker (worker.py:36-44)."""
+    _REGISTRY[key] = fn
+
+
+def get_worker(key: str) -> WorkerFn:
+    if key not in _REGISTRY:
+        raise KeyError(f"unknown worker {key!r}; registered: {sorted(_REGISTRY)}")
+    return _REGISTRY[key]
+
+
+def list_workers() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+STATUS_SCHEMA = "tile_id string, success boolean, n_rows long, error string"
+
+
+def run_worker_over_tiles(
+    data: DataFrame,
+    worker_key: str,
+    config: dict | None = None,
+    tile_col: str = "tile_id",
+) -> DataFrame:
+    """Fan the worker out over tile groups; one status row per tile.
+
+    The reference runs one thread + child process per tile
+    (processor.py:133-149); here each tile group is one Spark task. A
+    worker exception is *captured* into the status row (success=False)
+    rather than failing the job — failure collection and retry live in
+    ``processor.run_with_retry``.
+    """
+    config = dict(config or {})
+    fn = get_worker(worker_key)
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile = str(pdf[tile_col].iloc[0])
+        try:
+            out = fn(tile, pdf, config)
+            n = len(out) if hasattr(out, "__len__") else int(bool(out))
+            return pd.DataFrame(
+                {"tile_id": [tile], "success": [True], "n_rows": [n], "error": [None]}
+            )
+        except Exception:
+            return pd.DataFrame(
+                {
+                    "tile_id": [tile],
+                    "success": [False],
+                    "n_rows": [0],
+                    "error": [traceback.format_exc(limit=3)],
+                }
+            )
+
+    return data.repartition(tile_col).groupBy(tile_col).applyInPandas(_run, STATUS_SCHEMA)
+
+
+# --- built-in workers (worker.py:754-763 registration parity) -------------
+
+
+def _exporter(tile_id: str, pdf: pd.DataFrame, config: dict):
+    """TileExporter (worker.py:613-691): write this tile's features to
+    one file under out_dir — GPKG/LAZ becomes parquet."""
+    out_dir = config["out_dir"]
+    path = f"{out_dir}/tile={tile_id}.parquet"
+    pdf.drop(columns=[c for c in ("_cx", "_cy") if c in pdf], errors="ignore").to_parquet(path)
+    return pdf
+
+
+def _percentile_heights(tile_id: str, pdf: pd.DataFrame, config: dict):
+    """3dfier height config (worker.py:158-164): per-tile p95 roof / p10
+    ground of the z column. Normally expressed as a groupBy aggregate
+    (see plans.spatial_gate.spatial_percentile_heights); provided as a
+    worker for pipelines that need per-tile files."""
+    z = pdf[config.get("z_col", "z")]
+    return pd.DataFrame(
+        {
+            "tile_id": [tile_id],
+            "roof_h": [z.quantile(0.95, interpolation="linear")],
+            "ground_h": [z.quantile(0.10, interpolation="linear")],
+        }
+    )
+
+
+def _example(tile_id: str, pdf: pd.DataFrame, config: dict):
+    """Example worker (worker.py:60-78) minus the deliberate RAM burn."""
+    if config.get("fail_tiles") and tile_id in config["fail_tiles"]:
+        raise RuntimeError(f"simulated failure for {tile_id}")
+    return pdf
+
+
+register_worker("Example", _example)
+register_worker("TileExporter", _exporter)
+register_worker("PercentileHeights", _percentile_heights)

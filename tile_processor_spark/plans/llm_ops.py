@@ -1,7 +1,407 @@
-"""LLM training-data pipeline operators (dedup, similarity, text stats).
+"""LLM training-data pipeline operators over ``documents`` / ``embeddings``:
+text statistics, quality scoring, exact + near-duplicate detection
+(MinHash-LSH, SimHash), document fingerprinting, and embedding similarity
+search (brute-force cosine top-k; hyperplane-LSH bucketing as the scale
+path).
 
-Filled in incrementally; see tile_processor_spark/operators/ for the
-reusable implementations.
+Beyond the reference's surface (SURVEY.md §7.8 north-star extensions) but
+first-class engine capabilities. Exactness discipline so every query is
+oracle-checkable bit-for-bit:
+
+- token/shingle hashes are the first 8 hex chars of md5 → uint32 (both
+  engines agree on md5);
+- embeddings are quantized ``floor(x * 2^20)`` → BIGINT (multiplying a
+  float by a power of two is exact in double, so this is deterministic),
+  making dot products / norms order-independent integer sums;
+- all ratios are a single double division of exact integers.
+
+Scale notes: MinHash-LSH is the 100 TB dedup path — signatures are
+computed per-document with higher-order array functions (no explode of
+the shingle set), banding explodes only 32 rows/doc, and candidate
+verification touches only bucket-colliding pairs. The brute-force cosine
+top-k broadcasts the query set; the LSH bucketing variant replaces the
+cross join with an equi-join on bucket at scale.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from tile_processor_spark.plans.registry import register
+from tile_processor_spark.sources.tables import load_table
+
+MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
+NUM_PERM = 128
+LSH_BANDS = 32  # r = 4 rows/band → P(miss | J=0.9) ≈ 1e-15
+NEAR_DUP_THRESHOLD = 0.5
+QUANT = 1_048_576.0  # 2^20
+STOPWORDS = ("the", "a", "data", "row", "table")
+
+
+# --- shared column builders (Spark side) ----------------------------------
+
+
+def tokens_col(text: Column) -> Column:
+    """Non-empty whitespace-separated tokens."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda x: F.length(x) > 0)
+
+
+def hash32(col: Column) -> Column:
+    """First 32 bits of md5 as a non-negative int64 — the engine's
+    deterministic, cross-engine-reproducible token hash."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def shingles_col(words: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined). Guarded: fewer than
+    ``n`` words → empty set (Spark's sequence(1, 0) would count DOWN)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + k) for k in range(n)]),
+    )
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(F.size(words) >= n, grams).otherwise(empty))
+
+
+def quantized_col(emb: Column) -> Column:
+    """float embedding → exact BIGINT vector (floor(x · 2^20))."""
+    return F.transform(emb, lambda e: F.floor(e * F.lit(QUANT)).cast("long"))
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "documents", sf_dir)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "embeddings", sf_dir)
+
+
+# SQL fragments shared by the oracles (DuckDB dialect, same semantics).
+SQL_TOKENS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0)"
+SQL_HASH32 = "CAST('0x' || substr(md5({v}), 1, 8) AS BIGINT)"
+SQL_QUANT = "CAST(floor(embedding[{i}] * 1048576.0) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_token_chars,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len
+    FROM t
+    """,
+    doc="Token counting (whitespace tokenizer): per-doc token/distinct/char stats.",
+    tags=("llm", "text"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    lens = F.transform(toks, lambda x: F.length(x).cast("long"))
+    total = F.aggregate(lens, F.lit(0).cast("long"), lambda a, v: a + v)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        total.alias("total_token_chars"),
+        (total.cast("double") / F.size(toks)).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, length(text) AS n_chars, {SQL_TOKENS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks, x -> x IN {STOPWORDS!r})) AS BIGINT) AS stop_cnt
+      FROM t
+    )
+    SELECT doc_id, lang, n_chars, n_tokens, stop_cnt,
+           (LEAST(n_tokens, 100) / 100.0) * (1.0 - CAST(stop_cnt AS DOUBLE) / n_tokens) AS quality
+    FROM s
+    """,
+    doc=(
+        "Quality scoring: length + stopword-ratio composite. All ratios "
+        "are single double divisions of exact integer counts."
+    ),
+    tags=("llm", "text", "headline"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_cnt = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        stop_cnt.alias("stop_cnt"),
+    ).withColumn(
+        "quality",
+        (F.least(F.col("n_tokens"), F.lit(100)) / 100.0)
+        * (1.0 - F.col("stop_cnt").cast("double") / F.col("n_tokens")),
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+    FROM f GROUP BY fingerprint
+    """,
+    doc=(
+        "Exact dedup: md5 fingerprint of whitespace-normalized lowercase "
+        "text, hash-groupBy keeping the lowest doc_id as canonical — one "
+        "shuffle on the fingerprint at any scale."
+    ),
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
+_MINHASH_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM words
+    ),
+    toks AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+      FROM toks a JOIN toks b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=_MINHASH_ORACLE,
+    doc=(
+        "Near-duplicate pairs: 3-gram shingles → 128-perm MinHash → LSH "
+        "banding (32 bands × 4 rows) → exact-Jaccard verification ≥ 0.5. "
+        "The oracle computes exact pairwise Jaccard (O(n²), viable only "
+        "at gate scale); results agree because band recall at J ≥ 0.9 "
+        "(the planted duplicates) is 1 − (1 − 0.9⁴)³² ≈ 1-1e-15. "
+        "Signatures use higher-order array functions — the shingle set is "
+        "never exploded; banding emits 32 rows/doc."
+    ),
+    tags=("llm", "dedup", "headline"),
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id", shingles_col(tokens_col(F.col("text"))).alias("shingles"))
+    hashes = F.transform(F.col("shingles"), hash32)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(NUM_PERM - 1)),
+        lambda p: F.array_min(
+            F.transform(hashes, lambda h: ((p + 1) * h + p * p + 1) % MINHASH_PRIME)
+        ),
+    )
+    sh = sh.withColumn("sig", sig).cache()
+
+    rows = NUM_PERM // LSH_BANDS
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+        lambda b: F.concat_ws(
+            ":",
+            b.cast("string"),
+            F.array_join(F.slice(F.col("sig"), b * rows + 1, rows).cast("array<string>"), "-"),
+        ),
+    )
+    bands = sh.select("doc_id", F.explode(band_keys).alias("bk"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), "bk")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
+    verified = (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("c", F.size(F.array_intersect("sh1", "sh2")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("c").cast("double") / (F.size("sh1") + F.size("sh2") - F.col("c")),
+        )
+        .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
+    )
+    return verified.select("d1", "d2", "jaccard")
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS tok FROM documents
+    ),
+    hashed AS (SELECT doc_id, {SQL_HASH32.format(v="tok")} AS h FROM toks),
+    bits AS (
+      SELECT doc_id, k,
+             SUM(CASE WHEN (h // CAST(pow(2, k) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed, range(32) r(k) GROUP BY doc_id, k
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN s > 0 THEN CAST(pow(2, k) AS BIGINT) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    doc=(
+        "SimHash document fingerprint: 32-bit per-bit majority vote over "
+        "distinct-token hashes (ties → 0). Near-dup candidates then come "
+        "from equal high-order half-keys + Hamming verify; the gate pins "
+        "the fingerprint itself, which is the deterministic core."
+    ),
+    tags=("llm", "dedup"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    ex = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok")
+    ).withColumn("h", hash32(F.col("tok")))
+    bits = ex.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("k")
+    ).withColumn(
+        "contrib",
+        F.when((F.col("h") / F.pow(F.lit(2), F.col("k")).cast("long")).cast("long") % 2 == 1, 1).otherwise(-1),
+    )
+    per_bit = bits.groupBy("doc_id", "k").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("k")).cast("long")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=f"""
+    WITH qd AS (
+      SELECT vec_id AS q_id, i, {SQL_QUANT.format(i="i")} AS qv
+      FROM embeddings, range(1, 65) r(i) WHERE vec_id % 50 = 0
+    ),
+    vd AS (
+      SELECT vec_id, i, {SQL_QUANT.format(i="i")} AS vv
+      FROM embeddings, range(1, 65) r(i)
+    ),
+    qn AS (SELECT q_id, SUM(qv*qv) AS nq FROM qd GROUP BY 1),
+    vn AS (SELECT vec_id, SUM(vv*vv) AS nv FROM vd GROUP BY 1),
+    dots AS (
+      SELECT q_id, vec_id, SUM(qv*vv) AS dot
+      FROM qd JOIN vd ON qd.i = vd.i GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT q_id, vec_id AS neighbor_id,
+             dot / (sqrt(nq) * sqrt(nv)) AS cosine
+      FROM dots JOIN qn USING (q_id) JOIN vn USING (vec_id)
+      WHERE vec_id != q_id
+    )
+    SELECT q_id, neighbor_id, cosine, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    doc=(
+        "Brute-force cosine top-k ANN baseline: every 50th vector queries "
+        "all others. Embeddings quantized to ints (floor(x·2^20)) so dot "
+        "products and norms are exact; cosine is one double expression → "
+        "bit-identical ranking in both engines. Queries are broadcast; "
+        "the candidate scan is embarrassingly parallel."
+    ),
+    tags=("llm", "similarity", "headline"),
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select("vec_id", quantized_col(F.col("embedding")).alias("q"))
+    e = e.withColumn("norm", dot_col(F.col("q"), F.col("q")))
+    queries = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qv"), F.col("norm").alias("nq")
+    )
+    pairs = e.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+    scored = pairs.withColumn("dot", dot_col(F.col("q"), F.col("qv"))).withColumn(
+        "cosine",
+        F.col("dot").cast("double") / (F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("norm").cast("double"))),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=f"""
+    WITH qd AS (
+      SELECT vec_id, i, {SQL_QUANT.format(i="i")} AS qv
+      FROM embeddings, range(1, 65) r(i)
+    ),
+    dots AS (
+      SELECT vec_id, p, SUM(qv * (((p*131071 + i*524287) % 997) - 498)) AS dot
+      FROM qd, range(16) pp(p) GROUP BY vec_id, p
+    )
+    SELECT vec_id,
+           SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS bucket
+    FROM dots GROUP BY vec_id
+    """,
+    doc=(
+        "Random-hyperplane LSH bucketing — the scale path for similarity "
+        "search: 16 sign bits from deterministic integer hyperplanes → a "
+        "16-bit bucket; near-dup search then equi-joins on bucket instead "
+        "of cross-joining. Integer dots are exact, so bucket assignment "
+        "is reproducible anywhere."
+    ),
+    tags=("llm", "similarity"),
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select("vec_id", quantized_col(F.col("embedding")).alias("q"))
+    # Plane weights are plan-time constants → 16 flat literal-array dot
+    # products (zip_with + integer fold), no nested lambda capture. The
+    # whole bucket computation is map-side, shuffle-free.
+    bucket = F.lit(0).cast("long")
+    for p in range(16):
+        w = F.array(*[F.lit(((p * 131071 + d * 524287) % 997) - 498) for d in range(1, 65)])
+        dot_p = F.aggregate(
+            F.zip_with(F.col("q"), w, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot_p > 0, F.lit(1 << p)).otherwise(0)
+    return e.select("vec_id", bucket.alias("bucket"))

@@ -1,0 +1,37 @@
+"""Multimodal correctness-gate query: the asset pipeline (binary payload
+→ mapInPandas decode → features) verified against character arithmetic
+(payloads are UTF-8 of ASCII-only text, so byte sums equal codepoint
+sums the oracle can compute)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tile_processor_spark.multimodal.ops import extract_features, make_assets
+from tile_processor_spark.plans.registry import register
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END AS kind,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(range(1, length(text) + 1),
+                                        i -> ord(substr(text, i, 1)))) AS BIGINT) AS byte_sum,
+           CAST(ceil(length(text) / 7.0) AS BIGINT) AS n_frames
+    FROM documents
+    """,
+    doc=(
+        "Multimodal plumbing gate: binary payload column → Arrow-batched "
+        "mapInPandas decode (deterministic fake decoder; real codecs are "
+        "a one-function swap) → per-asset byte/feature/frame-count "
+        "stats. Exercises the full binary column path: encode, schema, "
+        "batch iteration, numpy decode."
+    ),
+    tags=("multimodal", "udf"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(make_assets(spark, sf_dir)).select(
+        "asset_id", "kind", "n_bytes", "byte_sum", "n_frames"
+    )

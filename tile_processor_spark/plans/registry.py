@@ -53,5 +53,6 @@ def all_specs() -> dict[str, QuerySpec]:
     import tile_processor_spark.plans.llm_ops  # noqa: F401
     import tile_processor_spark.plans.spatial_gate  # noqa: F401
     import tile_processor_spark.plans.events_windows  # noqa: F401
+    import tile_processor_spark.plans.multimodal_gate  # noqa: F401
 
     return dict(REGISTRY)

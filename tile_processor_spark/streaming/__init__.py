@@ -1,0 +1,14 @@
+"""Structured-Streaming surface (SURVEY.md §2.9/§7.8: the reference has
+no streaming; this is the engine's north-star extension).
+
+The batch definitions in ``plans.events_windows`` are the semantics of
+record; this module lifts the same transformations onto ``readStream``
+sources with watermarks, so a pipeline developed against the batch gate
+runs unchanged over a stream.
+"""
+
+from tile_processor_spark.streaming.windows import (  # noqa: F401
+    read_events_stream,
+    streaming_session_values,
+    streaming_tumbling_counts,
+)

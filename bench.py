@@ -20,6 +20,8 @@ import re
 import sys
 import time
 
+import pandas  # module-level: pandas_udf type hints resolve against module globals
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -40,12 +42,26 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.count()
 
+    # Pre-warm the Python UDF worker pool (pandas/pyarrow imports happen
+    # once per worker); otherwise the first UDF query is billed ~10 s of
+    # interpreter startup that is infrastructure, not query cost.
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _noop_udf(s: pandas.Series) -> pandas.Series:
+        return s
+
+    spark.range(0, 10000, 1, 32).select(_noop_udf(col("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in bench_names:
         t0 = time.perf_counter()
         df = specs[name].spark_fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"[bench] {name}: {timings[name]:.2f}s", file=sys.stderr, flush=True)
 
     out = {
         "metric": "headline query wall time (sum)",

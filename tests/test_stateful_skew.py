@@ -1,0 +1,57 @@
+"""Tests: custom stateful streaming operator + salted-join equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tile_processor_spark.pipeline.skew import salted_join
+from tile_processor_spark.sources.tables import load_table
+from tile_processor_spark.streaming import read_events_stream
+from tile_processor_spark.streaming.stateful import running_user_totals
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stateful_running_totals_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    load_table(spark, "events", SF).write.parquet(src)
+    q = (
+        running_user_totals(read_events_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("stateful_smoke")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode appends one row per user per batch; the final state is
+    # the max n_events per user.
+    got = {
+        r.user_id: r.n_events
+        for r in spark.sql(
+            "SELECT user_id, MAX(n_events) AS n_events FROM stateful_smoke GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r.user_id: r.cnt
+        for r in load_table(spark, "events", SF)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_equals_plain_join(spark):
+    # skewed left: one hot key with 500 rows, 9 cold keys
+    rows = [(0, i) for i in range(500)] + [(k, k) for k in range(1, 10)]
+    large = spark.createDataFrame(rows, "k int, v int")
+    small = spark.createDataFrame([(k, f"dim{k}") for k in range(10)], "k int, name string")
+    plain = large.join(small, ["k"]).orderBy("k", "v").collect()
+    salted = salted_join(large, small, ["k"], salt=4).orderBy("k", "v").collect()
+    assert salted == plain
+    # left join keeps unmatched rows
+    small2 = small.filter(F.col("k") <= 5)
+    plain_l = large.join(small2, ["k"], "left").orderBy("k", "v").collect()
+    salted_l = salted_join(large, small2, ["k"], how="left", salt=4).orderBy("k", "v").collect()
+    assert salted_l == plain_l

@@ -1,0 +1,99 @@
+"""Controller presets — the ``ControllerFactory`` surface
+(tile_processor/controller.py:146-166, registrations at :670-676) as
+named pipeline functions over the Spark engine.
+
+A controller wires: configuration → tile selection → (optionally)
+elevation matching → worker fan-out with bounded retry → the
+``{'failed_tiles': [...], 'nr_success': n}`` result. The reference ships
+Example / AHN / AHNboundary (+TIN variants); here the Spark-representable
+pair, with the factory open for user registration exactly like the
+worker registry.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tile_processor_spark.pipeline.processor import run_with_retry
+from tile_processor_spark.pipeline.tiles import TileSet
+
+Controller = Callable[..., dict]
+
+_REGISTRY: dict[str, Controller] = {}
+
+
+def register_controller(key: str, fn: Controller) -> None:
+    _REGISTRY[key] = fn
+
+
+def get_controller(key: str) -> Controller:
+    if key not in _REGISTRY:
+        raise KeyError(f"unknown controller {key!r}; registered: {sorted(_REGISTRY)}")
+    return _REGISTRY[key]
+
+
+def list_controllers() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def example_controller(
+    data: DataFrame,
+    worker_key: str = "Example",
+    tiles: list[str] | None = None,
+    config: dict | None = None,
+    restarts: int = 0,
+    tile_col: str = "tile_id",
+) -> dict:
+    """Example controller (controller.py:223-372 shape): select tiles by
+    list (or all), run the worker over each tile group, bounded retry."""
+    if tiles and tiles != ["all"]:
+        selected = TileSet(data.select(tile_col), tile_col=tile_col).with_list(tiles)
+        data = data.join(
+            selected.withColumnRenamed("tile_id", tile_col), tile_col, "left_semi"
+        )
+    return run_with_retry(data, worker_key, config, restarts=restarts, tile_col=tile_col)
+
+
+def ahn_controller(
+    features: DataFrame,
+    tile_index: DataFrame,
+    elevation_index: DataFrame,
+    worker_key: str,
+    tiles: list[str] | None = None,
+    config: dict | None = None,
+    restarts: int = 0,
+    cell_size: float = 250.0,
+) -> dict:
+    """AHN controller (controller.py:375-435): select feature tiles, match
+    elevation tiles by bbox intersection (one set-based join — not the
+    reference's per-tile loop), attach the per-tile version set to the
+    worker config, skip tiles with no elevation coverage (P9), fan out.
+
+    ``tile_index`` needs tile_id + bbox columns; ``elevation_index``
+    needs bbox columns + version.
+    """
+    from tile_processor_spark.spatial.join import bbox_join
+
+    config = dict(config or {})
+    ts = TileSet(tile_index.select("tile_id"))
+    chosen = ts.with_list(tiles) if tiles and tiles != ["all"] else ts.all_in_index()
+    idx = tile_index.join(chosen, "tile_id", "left_semi")
+
+    matched = bbox_join(idx, elevation_index, cell_size=cell_size)
+    versions = matched.groupBy("tile_id").agg(
+        F.sort_array(F.collect_set("version")).alias("versions")
+    )
+    # P9 existence filter: only tiles with elevation coverage process.
+    covered = features.join(versions.select("tile_id"), "tile_id", "left_semi")
+    config["tile_versions"] = {
+        r.tile_id: list(r.versions) for r in versions.collect()
+    }
+    return run_with_retry(covered, worker_key, config, restarts=restarts)
+
+
+register_controller("Example", example_controller)
+register_controller("AHN", ahn_controller)

@@ -1,0 +1,39 @@
+"""Engine facade (library embedding API, SURVEY §3.3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tile_processor_spark import Engine
+
+
+@pytest.fixture
+def engine(spark):
+    return Engine(spark, config={"worker": {"fail_tiles": []}})
+
+
+def test_engine_run_contract(engine, spark):
+    data = spark.createDataFrame(
+        [(t, v) for t in ("a", "b", "c") for v in range(3)], "tile_id string, v int"
+    )
+    res = engine.run(data, worker="Example", tiles=["a", "c"])
+    assert res == {"failed_tiles": [], "nr_success": 2}
+    # per-call config overrides merged over engine config
+    res2 = engine.run(data, worker="Example", config={"fail_tiles": ["b"]}, restarts=0)
+    assert res2 == {"failed_tiles": ["b"], "nr_success": 2}
+
+
+def test_engine_from_config(tmp_path, spark):
+    p = tmp_path / "cfg.yml"
+    p.write_text(
+        "features: {table: f}\nelevation: {directories: {}}\noutput: {dir: /tmp/o}\n"
+    )
+    eng = Engine.from_config(p, spark=spark)
+    assert eng.config["features"]["table"] == "f"
+
+
+def test_engine_query_registry(engine):
+    specs = engine.queries()
+    assert "q1_pricing_summary" in specs
+    df = engine.query("distinct_projection", "/root/testdata/sf0.001")
+    assert df.count() >= 1

@@ -18,4 +18,5 @@ Design stance (see SURVEY.md §7):
 
 __version__ = "0.1.0"
 
+from tile_processor_spark.engine import Engine  # noqa: F401
 from tile_processor_spark.session import get_spark, stop_spark  # noqa: F401

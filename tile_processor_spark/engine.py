@@ -1,0 +1,87 @@
+"""Library facade — the embedding API (SURVEY §3.3: the reference is
+designed for library use, ``controller.factory.create(...) →
+configure → run``; tests and workflow engines drive it directly).
+
+One object wires session + config + tiles + workers + sinks:
+
+    from tile_processor_spark import Engine
+    eng = Engine.from_config("pipeline.yml")          # or Engine(spark, cfg)
+    tiles = eng.tile_set(index_df)                    # selection API
+    result = eng.run(data_df, worker="TileExporter",
+                     tiles=["t1", "t2"], restarts=1)  # {'failed_tiles', 'nr_success'}
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tile_processor_spark.pipeline.config import parse_configuration
+from tile_processor_spark.pipeline.processor import run_with_retry
+from tile_processor_spark.pipeline.tiles import TileSet
+from tile_processor_spark.session import get_spark
+
+
+class Engine:
+    """The reference's Controller lifecycle (construct → configure → run,
+    controller.py:169-274) minus the N+1 queries: selection and matching
+    are lazy DataFrame ops; ``run`` is the only action."""
+
+    def __init__(self, spark: SparkSession | None = None, config: dict | None = None):
+        self.spark = spark or get_spark()
+        self.config: dict[str, Any] = config or {}
+
+    @classmethod
+    def from_config(
+        cls, source: str | Path | dict, spark: SparkSession | None = None
+    ) -> "Engine":
+        return cls(spark=spark, config=parse_configuration(source))
+
+    # --- data access -------------------------------------------------------
+
+    def read(self, path: str) -> DataFrame:
+        return self.spark.read.parquet(path)
+
+    def table(self, name: str, sf_dir: str | None = None) -> DataFrame:
+        from tile_processor_spark.sources.tables import DEFAULT_SF_DIR, load_table
+
+        return load_table(self.spark, name, sf_dir or DEFAULT_SF_DIR)
+
+    # --- tile pipeline -----------------------------------------------------
+
+    def tile_set(self, index: DataFrame, tile_col: str = "tile_id") -> TileSet:
+        return TileSet(index, tile_col=tile_col)
+
+    def run(
+        self,
+        data: DataFrame,
+        worker: str,
+        tiles: list[str] | None = None,
+        config: dict | None = None,
+        restarts: int = 0,
+        tile_col: str = "tile_id",
+    ) -> dict:
+        """configure + run in one call; result keeps the reference contract
+        {'failed_tiles': [...], 'nr_success': n} (processor.py:125)."""
+        if tiles and tiles != ["all"]:
+            selected = self.tile_set(data.select(tile_col), tile_col).with_list(tiles)
+            data = data.join(
+                selected.withColumnRenamed("tile_id", tile_col), tile_col, "left_semi"
+            )
+        merged = {**self.config.get("worker", {}), **(config or {})}
+        return run_with_retry(data, worker, merged, restarts=restarts, tile_col=tile_col)
+
+    # --- capability registry ----------------------------------------------
+
+    def queries(self) -> dict:
+        from tile_processor_spark.plans.registry import all_specs
+
+        return all_specs()
+
+    def query(self, name: str, sf_dir: str | None = None) -> DataFrame:
+        from tile_processor_spark.sources.tables import DEFAULT_SF_DIR
+
+        spec = self.queries()[name]
+        return spec.spark_fn(self.spark, sf_dir or DEFAULT_SF_DIR)

@@ -189,23 +189,59 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    """Python twin of shingles_col/tokens_col: whitespace tokens → distinct
+    space-joined n-grams. Tokenization parity with `split(trim(text),
+    '\\s+')` and the DuckDB oracle is pinned by the oracle gate."""
+    import re as _re
+
+    words = [w for w in _re.split(r"\s+", text.strip()) if w]
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def _py_hash32(s: str) -> int:
+    """Python twin of hash32 (first 8 md5 hex chars as uint32)."""
+    import hashlib as _hl
+
+    return int(_hl.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
 @pandas_udf(T.ArrayType(T.LongType()))
-def _minhash_sig_udf(hashes: pd.Series) -> pd.Series:
-    """128-perm MinHash signature, numpy-vectorized: one (P×S) matrix min
-    per document. Semantics identical to
-    min_s((p+1)·h(s) + p²+1 mod PRIME) — but 100× faster than expressing
-    the permutation loop as nested Catalyst higher-order functions, which
-    would also re-inline (and so re-evaluate) the md5 shingle hashing
-    once per permutation."""
+def _minhash_sig_udf(text: pd.Series) -> pd.Series:
+    """text → 128-perm MinHash signature in ONE Arrow pass: python
+    shingling + md5 (both bit-identical to the Catalyst/DuckDB
+    formulations, pinned by the oracle), then a numpy (P×S) matrix min.
+
+    Doing the whole chain here matters: Catalyst higher-order functions
+    evaluate interpreted (array_distinct over 250-element arrays is
+    quadratic interpreter work — measured 14 s at sf0.1 for shingling
+    alone), and the shingle sets would otherwise travel through every
+    downstream shuffle. The signature (128 longs) is all that leaves."""
     a = np.arange(1, NUM_PERM + 1, dtype=np.int64)[:, None]  # p+1
     b = (np.arange(NUM_PERM, dtype=np.int64) ** 2 + 1)[:, None]  # p²+1
     out = []
-    for h in hashes:
-        hv = np.asarray(h, dtype=np.int64)
+    for t in text:
+        hv = np.fromiter(
+            (_py_hash32(s) for s in _py_shingles(t)), dtype=np.int64
+        )
         if hv.size == 0:
             out.append(np.full(NUM_PERM, MINHASH_PRIME, dtype=np.int64))
         else:
             out.append(((a * hv[None, :] + b) % MINHASH_PRIME).min(axis=1))
+    return pd.Series(out)
+
+
+@pandas_udf(T.DoubleType())
+def _pair_jaccard_udf(text1: pd.Series, text2: pd.Series) -> pd.Series:
+    """Exact shingle-set Jaccard for candidate pairs (string shingles, not
+    hashes — hash collisions must not perturb the exact verify step).
+    Runs only on LSH bucket collisions, so cost is O(candidates)."""
+    out = []
+    for t1, t2 in zip(text1, text2):
+        s1, s2 = _py_shingles(t1), _py_shingles(t2)
+        c = len(s1 & s2)
+        denom = len(s1) + len(s2) - c
+        out.append(float(c) / denom if denom else 0.0)
     return pd.Series(out)
 
 
@@ -242,18 +278,16 @@ _MINHASH_ORACLE = f"""
         "The oracle computes exact pairwise Jaccard (O(n²), viable only "
         "at gate scale); results agree because band recall at J ≥ 0.9 "
         "(the planted duplicates) is 1 − (1 − 0.9⁴)³² ≈ 1-1e-15. "
-        "Signatures use higher-order array functions — the shingle set is "
-        "never exploded; banding emits 32 rows/doc."
+        "Pipeline shape for 100 TB: only the 128-long signature leaves "
+        "the scan stage (one Arrow pass computes shingles→hashes→sig); "
+        "banding emits 32 rows/doc; shingle sets are re-derived only for "
+        "the candidate pairs at verify time."
     ),
     tags=("llm", "dedup", "headline"),
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    sh = d.select("doc_id", shingles_col(tokens_col(F.col("text"))).alias("shingles"))
-    # md5 shingle hashing runs exactly once per shingle (its own column),
-    # then the permutation sweep is one Arrow-batched numpy matrix op.
-    sh = sh.withColumn("hashes", F.transform(F.col("shingles"), hash32))
-    sh = sh.withColumn("sig", _minhash_sig_udf(F.col("hashes"))).drop("hashes").cache()
+    sh = d.select("doc_id", _minhash_sig_udf(F.col("text")).alias("sig")).cache()
 
     rows = NUM_PERM // LSH_BANDS
     band_keys = F.transform(
@@ -272,16 +306,12 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
-    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
+    t1 = d.select(F.col("doc_id").alias("d1"), F.col("text").alias("text1"))
+    t2 = d.select(F.col("doc_id").alias("d2"), F.col("text").alias("text2"))
     verified = (
-        cand.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn("c", F.size(F.array_intersect("sh1", "sh2")).cast("long"))
-        .withColumn(
-            "jaccard",
-            F.col("c").cast("double") / (F.size("sh1") + F.size("sh2") - F.col("c")),
-        )
+        cand.join(t1, "d1")
+        .join(t2, "d2")
+        .withColumn("jaccard", _pair_jaccard_udf(F.col("text1"), F.col("text2")))
         .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
     )
     return verified.select("d1", "d2", "jaccard")

@@ -287,6 +287,12 @@ _MINHASH_ORACLE = f"""
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
+    # The gate/bench corpus is a single-row-group parquet file → a 1-task
+    # scan, which would serialize the signature UDF onto one core. Spread
+    # the heavy Arrow pass across the cluster; at 100 TB the input has
+    # thousands of splits and this shuffle of (doc_id, text) is noise
+    # relative to the signature computation it parallelizes.
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     sh = d.select("doc_id", _minhash_sig_udf(F.col("text")).alias("sig")).cache()
 
     rows = NUM_PERM // LSH_BANDS

@@ -579,6 +579,245 @@ def text_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NGRAM_JACCARD_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8) AS BIGINT)))
+               AS hs
+      FROM words
+    ),
+    toks AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+      FROM toks a JOIN toks b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, c AS n_common,
+           CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def _shingle_hashes_udf(text: pd.Series) -> pd.Series:
+    """text → distinct 3-gram shingle hashes (uint32 via md5 prefix), one
+    Arrow pass — same rationale as _minhash_sig_udf: Catalyst HOF
+    shingling is interpreted and quadratic in the shingle count."""
+    out = []
+    for t in text:
+        out.append(
+            np.unique(
+                np.fromiter((_py_hash32(s) for s in _py_shingles(t)), dtype=np.int64)
+            )
+        )
+    return pd.Series(out)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_NGRAM_JACCARD_ORACLE,
+    doc=(
+        "Exact n-gram Jaccard similarity join: distinct 3-gram shingle "
+        "hashes per doc, explode + self-equi-join on the hash, pair "
+        "intersection counts, jaccard = c/(n1+n2-c) ≥ 0.5. Joining on "
+        "the 32-bit md5-prefix hash (not the string) keeps the shuffle "
+        "narrow and is deterministic in both engines. This is the exact "
+        "small-corpus path; dedup_minhash_pairs is the 100 TB path — at "
+        "scale this join needs the standard prefix filter (drop shingles "
+        "with document frequency above a cap) to bound the self-join, "
+        "which changes recall, so we keep it exact here and gate-check "
+        "it exactly."
+    ),
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    sh = d.select("doc_id", _shingle_hashes_udf(F.col("text")).alias("hs"))
+    toks = sh.select("doc_id", F.explode("hs").alias("h"))
+    sizes = sh.select("doc_id", F.size("hs").cast("long").alias("n"))
+    inter = (
+        toks.alias("a")
+        .join(toks.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
+        .select("d1", "d2", "n_common", "jaccard")
+    )
+
+
+FP_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne); rolling-hash modulus
+FP_BASE = 37
+FP_WINDOW = 8
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform({SQL_TOKENS},
+               x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS hl
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             CASE WHEN len(hl) >= {FP_WINDOW}
+                  THEN list_transform(range(1, len(hl) - {FP_WINDOW - 2}),
+                         i -> list_reduce(hl[i:i+{FP_WINDOW - 1}],
+                                          (a, b) -> (a * {FP_BASE} + b) % {FP_MOD}))
+                  ELSE CAST([] AS BIGINT[]) END AS wins
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(wins) AS BIGINT) AS n_windows,
+           list_min(wins) AS fp_min,
+           array_to_string(list_sort(wins)[1:4], '-') AS fp_bottom
+    FROM w
+    """,
+    doc=(
+        "Document fingerprinting via Karp-Rabin rolling hash: token-hash "
+        "sequence folded through h' = (h·37 + t) mod 2³¹−1 over every "
+        "8-token window, summarized as the window count, the minimum "
+        "window hash (the winnowing representative), and the bottom-4 "
+        "sketch. All-integer modular algebra below 2³⁷, so both engines "
+        "agree bit-for-bit; map-side only — no shuffle at any scale."
+    ),
+    tags=("llm", "text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    hl = F.transform(tokens_col(F.col("text")), lambda x: hash32(x))
+    wins = F.when(
+        F.size(hl) >= FP_WINDOW,
+        F.transform(
+            F.sequence(F.lit(1), F.size(hl) - (FP_WINDOW - 1)),
+            lambda i: F.aggregate(
+                F.slice(hl, i, FP_WINDOW),
+                F.lit(0).cast("long"),
+                lambda a, b: (a * FP_BASE + b) % FP_MOD,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return d.select("doc_id", wins.alias("wins")).select(
+        "doc_id",
+        F.size("wins").cast("long").alias("n_windows"),
+        F.array_min("wins").alias("fp_min"),
+        F.array_join(F.slice(F.array_sort("wins"), 1, 4).cast("array<string>"), "-").alias(
+            "fp_bottom"
+        ),
+    )
+
+
+EMB_NEAR_DUP_THRESHOLD = 0.40
+LSH_BAND_BITS = 4
+LSH_EMB_BANDS = 4
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH qd AS (
+      SELECT vec_id, i, {SQL_QUANT.format(i="i")} AS qv
+      FROM embeddings, range(1, 65) r(i)
+    ),
+    dots AS (
+      SELECT vec_id, p, SUM(qv * (((p*131071 + i*524287) % 997) - 498)) AS dot
+      FROM qd, range(16) pp(p) GROUP BY vec_id, p
+    ),
+    bands AS (
+      SELECT vec_id, p // {LSH_BAND_BITS} AS band,
+             SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p % {LSH_BAND_BITS}) AS BIGINT) ELSE 0 END)
+               AS bkey
+      FROM dots GROUP BY vec_id, p // {LSH_BAND_BITS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    ),
+    norms AS (SELECT vec_id, SUM(qv*qv) AS n2 FROM qd GROUP BY vec_id),
+    pd AS (
+      SELECT v1, v2, SUM(x.qv * y.qv) AS dot
+      FROM cand JOIN qd x ON x.vec_id = v1 JOIN qd y ON y.vec_id = v2 AND x.i = y.i
+      GROUP BY 1, 2
+    )
+    SELECT v1, v2, dot / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+    FROM pd JOIN norms a ON v1 = a.vec_id JOIN norms b ON v2 = b.vec_id
+    WHERE dot / (sqrt(a.n2) * sqrt(b.n2)) >= {EMB_NEAR_DUP_THRESHOLD}
+    """,
+    doc=(
+        "Embedding-cosine near-duplicate pairs, the LSH-banded scale "
+        "path: the 16 hyperplane sign bits (same deterministic planes as "
+        "ann_lsh_buckets) split into 4 bands × 4 bits; candidates are "
+        "pairs agreeing on ANY band (equi-join per band + distinct), "
+        "verified by exact quantized-integer cosine ≥ 0.4. Replaces the "
+        "O(n²) cross join of embedding_cosine_topk with per-band "
+        "equi-joins; banding (OR of ands) trades precision for recall "
+        "exactly like MinHash-LSH banding does for text."
+    ),
+    tags=("llm", "similarity", "dedup"),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select("vec_id", quantized_col(F.col("embedding")).alias("q"))
+    e = e.withColumn("n2", dot_col(F.col("q"), F.col("q")))
+    band_cols = []
+    for band in range(LSH_EMB_BANDS):
+        bkey = F.lit(0).cast("long")
+        for k in range(LSH_BAND_BITS):
+            p = band * LSH_BAND_BITS + k
+            w = F.array(*[F.lit(((p * 131071 + d * 524287) % 997) - 498) for d in range(1, 65)])
+            dot_p = F.aggregate(
+                F.zip_with(F.col("q"), w, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            bkey = bkey + F.when(dot_p > 0, F.lit(1 << k)).otherwise(0)
+        band_cols.append(F.struct(F.lit(band).alias("band"), bkey.alias("bkey")))
+    bands = e.select("vec_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bkey"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
+        .distinct()
+    )
+    e1 = e.select(F.col("vec_id").alias("v1"), F.col("q").alias("q1"), F.col("n2").alias("na"))
+    e2 = e.select(F.col("vec_id").alias("v2"), F.col("q").alias("q2"), F.col("n2").alias("nb"))
+    return (
+        cand.join(e1, "v1")
+        .join(e2, "v2")
+        .withColumn("dot", dot_col(F.col("q1"), F.col("q2")))
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+        )
+        .filter(F.col("cosine") >= EMB_NEAR_DUP_THRESHOLD)
+        .select("v1", "v2", "cosine")
+    )
+
+
 @register(
     "ann_ivf_assign",
     oracle=f"""

@@ -51,6 +51,7 @@ def all_specs() -> dict[str, QuerySpec]:
     # Imports deferred so a syntax error in one module is loud, not silent.
     import tile_processor_spark.plans.relational  # noqa: F401
     import tile_processor_spark.plans.relational_ext  # noqa: F401
+    import tile_processor_spark.plans.relational_ext2  # noqa: F401
     import tile_processor_spark.plans.llm_ops  # noqa: F401
     import tile_processor_spark.plans.spatial_gate  # noqa: F401
     import tile_processor_spark.plans.events_windows  # noqa: F401

@@ -7,6 +7,9 @@ sources with watermarks, so a pipeline developed against the batch gate
 runs unchanged over a stream.
 """
 
+from tile_processor_spark.streaming.dedup import (  # noqa: F401
+    stream_dedup_exact,
+)
 from tile_processor_spark.streaming.windows import (  # noqa: F401
     read_events_stream,
     streaming_session_values,

@@ -1,0 +1,30 @@
+"""CLI schema-registry round-trip (reference cli.py:146-175 parity) —
+no Spark session needed."""
+
+from __future__ import annotations
+
+from click.testing import CliRunner
+
+from tile_processor_spark.cli import main
+
+
+def test_schema_registry_roundtrip(tmp_path):
+    schema = tmp_path / "cfg.yml"
+    schema.write_text("database:\n  dbname: test\n")
+    db = str(tmp_path / "schemas.json")
+    runner = CliRunner()
+
+    r = runner.invoke(main, ["register-schema", "demo", str(schema), "--db", db])
+    assert r.exit_code == 0, r.output
+
+    r = runner.invoke(main, ["list-schemas", "--db", db])
+    assert r.exit_code == 0 and "demo" in r.output
+
+    r = runner.invoke(main, ["remove-schema", "demo", "--db", db])
+    assert r.exit_code == 0
+
+    r = runner.invoke(main, ["list-schemas", "--db", db])
+    assert r.exit_code == 0 and "demo" not in r.output
+
+    r = runner.invoke(main, ["remove-schema", "demo", "--db", db])
+    assert r.exit_code != 0  # unknown → clean error, not traceback

@@ -4,7 +4,9 @@ shim the reference's CLI users would reach for:
 
 - ``run``        ≙ cli.py:48-96   (controller+worker over selected tiles)
 - ``export-tile-inputs`` ≙ cli.py:99-143 (per-tile extraction, TileExporter)
-- ``list-workers``       ≙ list-schemas/factory keys (cli.py:146-175)
+- ``list-workers``       ≙ factory keys listing
+- ``register-schema`` / ``list-schemas`` / ``remove-schema``
+                         ≙ cli.py:146-175 → controller.py:72-116
 - ``plot-monitor-log``   ≙ cli.py:178-192 (summary table instead of PDFs)
 """
 
@@ -88,6 +90,55 @@ def list_queries_cmd() -> None:
 
     for name, spec in sorted(all_specs().items()):
         click.echo(f"{name}\t{','.join(spec.tags)}")
+
+
+_SCHEMA_DB_OPT = click.option(
+    "--db",
+    "db_path",
+    default="~/.tile_processor_spark/schemas.json",
+    show_default=True,
+    help="schema registry JSON db",
+)
+
+
+def _registry(db_path: str):
+    from pathlib import Path
+
+    from tile_processor_spark.pipeline.config import SchemaRegistry
+
+    p = Path(db_path).expanduser()
+    p.parent.mkdir(parents=True, exist_ok=True)
+    return SchemaRegistry(p)
+
+
+@main.command("register-schema")
+@click.argument("name")
+@click.argument("schema_path")
+@_SCHEMA_DB_OPT
+def register_schema_cmd(name, schema_path, db_path) -> None:
+    """Register a config-schema YAML under NAME (controller.py:72-95)."""
+    _registry(db_path).register(name, schema_path)
+    click.echo(f"registered {name} -> {schema_path}")
+
+
+@main.command("list-schemas")
+@_SCHEMA_DB_OPT
+def list_schemas_cmd(db_path) -> None:
+    """List registered config schemas (cli.py:146-175)."""
+    for name, path in sorted(_registry(db_path).list().items()):
+        click.echo(f"{name}\t{path}")
+
+
+@main.command("remove-schema")
+@click.argument("name")
+@_SCHEMA_DB_OPT
+def remove_schema_cmd(name, db_path) -> None:
+    """Remove a registered config schema (controller.py:97-116)."""
+    try:
+        _registry(db_path).remove(name)
+    except KeyError:
+        raise click.ClickException(f"unknown schema {name!r}")
+    click.echo(f"removed {name}")
 
 
 @main.command("plot-monitor-log")

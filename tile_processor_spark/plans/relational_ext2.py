@@ -291,6 +291,37 @@ def q20_substantial_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_segment_priority",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderpriority)
+    """,
+    doc=(
+        "CUBE grouping sets over (segment, priority): all four "
+        "subtotal combinations in one pass — Spark expands to a single "
+        "hash aggregate over the grouping-set id, one shuffle total "
+        "(vs four separate group-bys re-reading the fact table). "
+        "Completes the grouping-set family next to rollup_order_stats."
+    ),
+    tags=("relational-ext", "agg", "cube"),
+)
+def cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total"),
+        )
+    )
+
+
+@register(
     "q21_waiting_suppliers",
     oracle="""
     WITH l AS (

@@ -57,6 +57,14 @@ def get_spark(
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if master.startswith("local"):
         conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Shuffle/broadcast scratch on RAM-backed tmpfs: local-mode data
+        # volumes are far below RAM, and the shared-host disk has shown
+        # intermittent multi-second I/O stalls that surface as low-CPU
+        # task slowdowns. Cluster deployments set their own local dirs.
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+            scratch = f"/dev/shm/spark-local-{os.getuid()}"
+            os.makedirs(scratch, exist_ok=True)
+            conf.setdefault("spark.local.dir", scratch)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

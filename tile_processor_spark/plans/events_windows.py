@@ -270,3 +270,116 @@ def events_daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+BAND_US = 60 * US  # band half-width: pairs within 60 seconds
+
+
+@register(
+    "events_band_join",
+    oracle=f"""
+    SELECT a.event_type, a.event_id AS a_id, b.event_id AS b_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+    FROM events a JOIN events b
+      ON a.event_type = b.event_type
+     AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {BAND_US}
+    """,
+    doc=(
+        "Band (range) join: same-type event pairs within 60 s of each "
+        "other. The oracle states it as the O(n²) theta join; the engine "
+        "runs the scalable bin-replication pattern — each right-side row "
+        "is replicated to its time bin ±1 (3×), the join is a pure "
+        "equi-join on (event_type, bin), and the |Δt| predicate refines. "
+        "Every qualifying pair matches in exactly one bin (the left row's "
+        "own bin), so no dedup pass is needed. One shuffle on a compound "
+        "key whose cardinality grows with the data — the standard "
+        "interval-join build Catalyst lacks natively."
+    ),
+    tags=("events", "join", "band"),
+)
+def events_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_type", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    bin_ = (F.col("us") / F.lit(BAND_US)).cast("long")
+    a = ev.select(
+        "event_type",
+        F.col("event_id").alias("a_id"),
+        F.col("us").alias("a_us"),
+        bin_.alias("bin"),
+    )
+    b = ev.select(
+        "event_type",
+        F.col("event_id").alias("b_id"),
+        F.col("us").alias("b_us"),
+        F.explode(F.array(bin_ - 1, bin_, bin_ + 1)).alias("bin"),
+    )
+    return (
+        a.join(b, ["event_type", "bin"])
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("a_us") - F.col("b_us")) <= BAND_US)
+        )
+        .select(
+            "event_type",
+            "a_id",
+            "b_id",
+            (F.col("b_us") - F.col("a_us")).alias("dt_us"),
+        )
+    )
+
+
+@register(
+    "events_hypertable_rollup",
+    oracle=f"""
+    WITH minutes AS (
+      SELECT (epoch_us(ts) // {60 * US}) * {60 * US} AS m_start,
+             event_type, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,4))) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    hours AS (
+      SELECT (m_start // {3600 * US}) * {3600 * US} AS h_start,
+             event_type, SUM(n) AS n, SUM(v) AS v
+      FROM minutes GROUP BY 1, 2
+    )
+    SELECT (h_start // {86400 * US}) * {86400 * US} AS d_start,
+           event_type,
+           SUM(n) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_hours
+    FROM hours GROUP BY 1, 2
+    """,
+    doc=(
+        "Hypertable-style continuous-aggregate rollup: minute → hour → "
+        "day, each level aggregated FROM the previous (never re-scanning "
+        "raw events). This is the incremental-rollup contract of a "
+        "TimescaleDB continuous aggregate: at 100 TB the raw table is "
+        "touched once to build minutes; coarser levels are tiny "
+        "aggregate-of-aggregate passes (counts/sums are re-aggregable; "
+        "decimal accumulation keeps every level exact)."
+    ),
+    tags=("events", "window", "rollup"),
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    minutes = ev.groupBy(
+        ((F.unix_micros(F.col("ts")) / F.lit(60 * US)).cast("long") * (60 * US)).alias("m_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("v"),
+    )
+    hours = minutes.groupBy(
+        ((F.col("m_start") / F.lit(3600 * US)).cast("long") * (3600 * US)).alias("h_start"),
+        "event_type",
+    ).agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+    return hours.groupBy(
+        ((F.col("h_start") / F.lit(86400 * US)).cast("long") * (86400 * US)).alias("d_start"),
+        "event_type",
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("v").cast("double").alias("total_value"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )

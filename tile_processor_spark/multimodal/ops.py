@@ -91,3 +91,35 @@ def frame_sample(assets: DataFrame, stride: int = _SAMPLE_STRIDE) -> DataFrame:
             yield pd.DataFrame({"asset_id": pdf["asset_id"].to_numpy(), "frames": frames})
 
     return assets.mapInPandas(_batches, "asset_id long, frames array<long>")
+
+
+RESIZE_BINS = 16
+
+
+def resize(assets: DataFrame, out_len: int = RESIZE_BINS) -> DataFrame:
+    """Average-pool resize of the decoded payload to a fixed length —
+    the 1-D stand-in for image resize (identical bin algebra to 2-D
+    pooling: bin k averages samples [k·n/L, (k+1)·n/L)). Floored integer
+    means keep the result exact; payloads shorter than ``out_len``
+    yield NULL. Emitted as a '-'-joined string so the gate hash is
+    type-stable."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for p, k in zip(pdf["payload"], pdf["kind"]):
+                a = decode_payload(bytes(p), k).astype(np.int64)
+                n = len(a)
+                if n >= out_len:
+                    edges = [(kk * n) // out_len for kk in range(out_len + 1)]
+                    rows.append(
+                        "-".join(
+                            str(int(a[edges[kk] : edges[kk + 1]].sum() // (edges[kk + 1] - edges[kk])))
+                            for kk in range(out_len)
+                        )
+                    )
+                else:
+                    rows.append(None)
+            yield pd.DataFrame({"asset_id": pdf["asset_id"].to_numpy(), "resized": rows})
+
+    return assets.mapInPandas(_batches, "asset_id long, resized string")

@@ -35,3 +35,33 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(make_assets(spark, sf_dir)).select(
         "asset_id", "kind", "n_bytes", "byte_sum", "n_frames"
     )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, length(text) AS n,
+             list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))) AS cs
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CASE WHEN n >= 16 THEN
+             array_to_string(list_transform(range(0, 16),
+               k -> CAST(list_sum(cs[(k*n)//16 + 1 : ((k+1)*n)//16])
+                         // (((k+1)*n)//16 - (k*n)//16) AS VARCHAR)), '-')
+           ELSE NULL END AS resized
+    FROM c
+    """,
+    doc=(
+        "Multimodal resize gate: average-pool the decoded payload to 16 "
+        "bins (floored integer means — exact), the 1-D pooling algebra "
+        "of image resize, over the same mapInPandas binary path as "
+        "multimodal_features."
+    ),
+    tags=("multimodal", "udf"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.multimodal.ops import resize
+
+    return resize(make_assets(spark, sf_dir))

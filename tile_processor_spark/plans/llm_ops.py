@@ -890,3 +890,136 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("c_label").alias("assigned"), "d2")
     )
+
+
+IVF_NPROBE = 2
+IVF_TOPK = 5
+
+
+@register(
+    "ann_ivf_search",
+    oracle=f"""
+    WITH qd AS (
+      SELECT vec_id, label, i, {SQL_QUANT.format(i="i")} AS qv
+      FROM embeddings, range(1, 65) r(i)
+    ),
+    cent AS (SELECT label AS c_label, i, SUM(qv) AS s FROM qd GROUP BY label, i),
+    cn AS (SELECT label AS c_label, COUNT(*) AS n FROM embeddings GROUP BY label),
+    cs2 AS (SELECT c_label, SUM(s*s) AS s2 FROM cent GROUP BY c_label),
+    q2 AS (SELECT vec_id, SUM(qv*qv) AS q2 FROM qd GROUP BY vec_id),
+    qs AS (
+      SELECT vec_id, c_label, SUM(qv * s) AS qs
+      FROM qd JOIN cent ON qd.i = cent.i GROUP BY vec_id, c_label
+    ),
+    scored AS (
+      SELECT q2.vec_id, qs.c_label,
+             CAST(cn.n*cn.n*q2.q2 - 2*cn.n*qs.qs + cs2.s2 AS DOUBLE) / (cn.n*cn.n) AS d2
+      FROM q2 JOIN qs ON q2.vec_id = qs.vec_id
+      JOIN cn USING (c_label) JOIN cs2 USING (c_label)
+    ),
+    ranked AS (
+      SELECT vec_id, c_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS crn
+      FROM scored
+    ),
+    assign AS (SELECT vec_id, c_label AS assigned FROM ranked WHERE crn = 1),
+    probes AS (
+      SELECT vec_id AS q_id, c_label FROM ranked
+      WHERE vec_id % 50 = 0 AND crn <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.q_id, a.vec_id FROM probes p
+      JOIN assign a ON a.assigned = p.c_label
+      WHERE a.vec_id != p.q_id
+    ),
+    pd AS (
+      SELECT c.q_id, c.vec_id, SUM(x.qv * y.qv) AS dot
+      FROM cand c
+      JOIN qd x ON x.vec_id = c.q_id
+      JOIN qd y ON y.vec_id = c.vec_id AND x.i = y.i
+      GROUP BY 1, 2
+    )
+    SELECT q_id, neighbor_id, cosine, rn FROM (
+      SELECT pd.q_id, pd.vec_id AS neighbor_id,
+             pd.dot / (sqrt(nq.q2) * sqrt(nv.q2)) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY pd.q_id
+               ORDER BY pd.dot / (sqrt(nq.q2) * sqrt(nv.q2)) DESC, pd.vec_id) AS rn
+      FROM pd
+      JOIN q2 nq ON nq.vec_id = pd.q_id
+      JOIN q2 nv ON nv.vec_id = pd.vec_id
+    ) WHERE rn <= {IVF_TOPK}
+    """,
+    doc=(
+        "IVF search — the complete bucketed-ANN query path: route each "
+        "query to its nprobe=2 nearest centroids (exact integer algebra, "
+        "as in ann_ivf_assign), then exact cosine top-5 over only the "
+        "vectors assigned to the probed lists. At scale the candidate "
+        "set is nprobe/n_lists of the corpus instead of all of it — the "
+        "equi-join on the assigned list replaces embedding_cosine_topk's "
+        "broadcast cross join; recall is bounded by probe coverage "
+        "exactly as in FAISS-style IVF-Flat."
+    ),
+    tags=("llm", "similarity", "ivf"),
+)
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", quantized_col(F.col("embedding")).alias("q")
+    )
+    dims = e.select("vec_id", "label", F.posexplode(F.col("q")).alias("i", "qv"))
+    cent = (
+        dims.groupBy(F.col("label").alias("c_label"), "i")
+        .agg(F.sum("qv").alias("s"))
+        .groupBy("c_label")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("i", "s"))).alias("pairs"),
+            F.sum(F.col("s") * F.col("s")).alias("s2"),
+        )
+        .select("c_label", F.col("pairs.s").alias("sv"), "s2")
+    )
+    cn = e.groupBy(F.col("label").alias("c_label")).agg(F.count(F.lit(1)).alias("n"))
+    centroids = cent.join(cn, "c_label")
+    scored = (
+        e.withColumn("q2", dot_col(F.col("q"), F.col("q")))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("qs", dot_col(F.col("q"), F.col("sv")))
+        .withColumn(
+            "d2",
+            (F.col("n") * F.col("n") * F.col("q2") - 2 * F.col("n") * F.col("qs") + F.col("s2"))
+            .cast("double")
+            / (F.col("n") * F.col("n")),
+        )
+    )
+    cw = W.partitionBy("vec_id").orderBy("d2", "c_label")
+    ranked = scored.select("vec_id", "c_label", F.row_number().over(cw).alias("crn"))
+    assign = ranked.filter(F.col("crn") == 1).select(
+        "vec_id", F.col("c_label").alias("assigned")
+    )
+    probes = ranked.filter((F.col("vec_id") % 50 == 0) & (F.col("crn") <= IVF_NPROBE)).select(
+        F.col("vec_id").alias("q_id"), "c_label"
+    )
+    cand = (
+        probes.join(assign, probes.c_label == assign.assigned)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    qv = e.select(F.col("vec_id").alias("q_id"), F.col("q").alias("qvec"))
+    vv = e.select("vec_id", F.col("q").alias("vvec"))
+    n2 = e.select("vec_id", dot_col(F.col("q"), F.col("q")).alias("n2"))
+    pairs = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(vv, "vec_id")
+        .withColumn("dot", dot_col(F.col("qvec"), F.col("vvec")))
+        .join(F.broadcast(n2.select(F.col("vec_id").alias("q_id"), F.col("n2").alias("nq"))), "q_id")
+        .join(n2.select("vec_id", F.col("n2").alias("nv")), "vec_id")
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("nv").cast("double"))),
+        )
+    )
+    tw = W.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+        .withColumn("rn", F.row_number().over(tw))
+        .filter(F.col("rn") <= IVF_TOPK)
+    )

@@ -230,7 +230,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_props",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
            COUNT(json_extract_string(props, '$.k')) AS k_present
     FROM events
     GROUP BY event_type
@@ -346,7 +346,7 @@ def events_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT (h_start // {86400 * US}) * {86400 * US} AS d_start,
            event_type,
-           SUM(n) AS n_events,
+           CAST(SUM(n) AS BIGINT) AS n_events,
            CAST(SUM(v) AS DOUBLE) AS total_value,
            COUNT(*) AS n_hours
     FROM hours GROUP BY 1, 2

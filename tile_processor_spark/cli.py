@@ -143,16 +143,30 @@ def remove_schema_cmd(name, db_path) -> None:
 
 @main.command("plot-monitor-log")
 @click.argument("log_path")
-def monitor_cmd(log_path) -> None:
+@click.option(
+    "--plot-dir",
+    default=None,
+    help="Also write per-tile memory/CPU SVG charts here (S13 plot sink; "
+    "the reference writes matplotlib PDFs, recorder.py:106-133).",
+)
+def monitor_cmd(log_path, plot_dir) -> None:
     """Per-tile resource summary from a monitor TSV (recorder.py:75-133)."""
-    from tile_processor_spark.pipeline.recorder import parse_log, per_tile_summary
+    from tile_processor_spark.pipeline.recorder import (
+        parse_log,
+        per_tile_summary,
+        save_monitor_plots,
+    )
 
     spark = get_spark(app_name="tps-monitor")
-    for r in per_tile_summary(parse_log(spark, log_path)).orderBy("tile").collect():
+    log_df = parse_log(spark, log_path)
+    for r in per_tile_summary(log_df).orderBy("tile").collect():
         click.echo(
             f"{r.tile}\tcpu_min={r.max_cpu_min:.2f}\trss_mb={r.peak_rss_mb:.1f}"
             f"\tsamples={r.n_samples}\twall_min={r.wall_min:.2f}"
         )
+    if plot_dir:
+        for path in save_monitor_plots(log_df, plot_dir):
+            click.echo(f"wrote {path}")
 
 
 if __name__ == "__main__":

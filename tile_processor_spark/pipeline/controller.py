@@ -131,6 +131,38 @@ def ahn_boundary_controller(
     return results
 
 
+def ahn_tin_controller(
+    elevation_points: DataFrame,
+    elevation_index: DataFrame,
+    worker_key: str = "TIN",
+    tiles: list[str] | None = None,
+    config: dict | None = None,
+    restarts: int = 0,
+) -> dict:
+    """AHNTin controller (controller.py:438-493): the elevation tiles ARE
+    the feature tiles ("the AHN tile boundaries are the features
+    themselves") — select elevation tiles by list, skip tiles with no
+    point data (P9 existence filter falls out of the groupBy), run the
+    TIN worker per tile."""
+    ts = TileSet(elevation_index.select("tile_id"))
+    chosen = ts.with_list(tiles) if tiles and tiles != ["all"] else ts.all_in_index()
+    data = elevation_points.join(chosen, "tile_id", "left_semi")
+    return run_with_retry(data, worker_key, config, restarts=restarts)
+
+
+def ahn_boundary_tin_controller(
+    features: DataFrame,
+    elevation_index: DataFrame,
+    worker_key: str = "TIN",
+    **kwargs,
+) -> dict:
+    """AHNboundaryTIN (controller.py:627-667): the AHNboundary part split
+    (per-version + border) with the TIN worker as the per-tile payload."""
+    return ahn_boundary_controller(features, elevation_index, worker_key, **kwargs)
+
+
 register_controller("Example", example_controller)
 register_controller("AHN", ahn_controller)
 register_controller("AHNboundary", ahn_boundary_controller)
+register_controller("AHNTin", ahn_tin_controller)
+register_controller("AHNboundaryTIN", ahn_boundary_tin_controller)

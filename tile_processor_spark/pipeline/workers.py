@@ -162,7 +162,39 @@ def _subprocess_worker(tile_id: str, pdf: pd.DataFrame, config: dict):
     return pdf
 
 
+def _alpha_shape_worker(tile_id: str, pdf: pd.DataFrame, config: dict):
+    """AlphaShapeWorker (worker.py:587-610): per-tile alpha shape of the
+    tile's x/y points — circumradius-filtered Delaunay triangles; returns
+    the shape's exact stats (triangle count, area, boundary edges,
+    perimeter)."""
+    from tile_processor_spark.spatial import tin
+
+    pts = pdf[[config.get("x_col", "x"), config.get("y_col", "y")]].to_numpy()
+    stats = tin.alpha_shape(pts, float(config.get("r_max", 10.0)))
+    return pd.DataFrame({"tile_id": [tile_id], **{k: [v] for k, v in stats.items()}})
+
+
+def _tin_worker(tile_id: str, pdf: pd.DataFrame, config: dict):
+    """Terrain TIN with simplification threshold (3dfier ``TIN`` lifting +
+    ``simplification_tinsimp``, worker.py:288-293): greedy-insertion TIN
+    over the tile's x/y/z samples until max vertical error ≤ threshold.
+    Rows are sorted first so insertion order (and thus tie-breaking) is
+    independent of shuffle order."""
+    from tile_processor_spark.spatial import tin
+
+    cols = [config.get("x_col", "x"), config.get("y_col", "y"), config.get("z_col", "z")]
+    pts = pdf.sort_values(cols[:2], kind="mergesort")[cols].to_numpy()
+    res = tin.tin_simplify(
+        pts,
+        max_error=float(config.get("max_error", 0.5)),
+        max_points=config.get("max_points"),
+    )
+    return pd.DataFrame({"tile_id": [tile_id], **{k: [v] for k, v in res.items()}})
+
+
 register_worker("Example", _example)
 register_worker("TileExporter", _exporter)
 register_worker("PercentileHeights", _percentile_heights)
 register_worker("Subprocess", _subprocess_worker)
+register_worker("AlphaShape", _alpha_shape_worker)
+register_worker("TIN", _tin_worker)

@@ -67,6 +67,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "spatial_version_boundary_region",
     "spatial_percentile_heights",
     "spatial_rasterize",
+    "spatial_alpha_shape",
+    "spatial_tin_simplify",
     "tile_file_index",
     "spatial_las_class_mapping",
     # events (streaming-shaped analytics)

@@ -728,6 +728,87 @@ def tile_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "spatial_alpha_shape",
+    oracle=None,  # Delaunay construction is not SQL-expressible; the
+    # kernel is pinned by tests/test_tin.py and the per-tile stats are
+    # deterministic (Delaunay uniqueness; cocircular flips cannot change
+    # area/boundary stats), so the rows-only driver check is stable.
+    doc=(
+        "AlphaShapeWorker (reference worker.py:587-610, delegated to a "
+        "PostGIS ST_AlphaShape helper): per-tile alpha shape over the "
+        "synthetic points — circumradius-filtered Delaunay triangles, "
+        "exact area/perimeter/boundary-edge stats. Engine: arithmetic "
+        "tile assignment (stays in codegen) → applyInPandas over tile "
+        "groups → numpy Bowyer-Watson kernel (spatial/tin.py). Per-tile "
+        "parallelism is the scale model, exactly like the reference's "
+        "per-tile worker fan-out."
+    ),
+    tags=("spatial", "tin", "worker"),
+)
+def spatial_alpha_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.spatial import tin
+
+    pts = synthetic_points(spark, sf_dir).withColumn(
+        "tile_id",
+        F.concat(
+            F.lit("t"), F.floor(F.col("x") / 100).cast("string"),
+            F.lit("_"), F.floor(F.col("y") / 100).cast("string"),
+        ),
+    )
+
+    def _alpha(pdf: pd.DataFrame) -> pd.DataFrame:
+        stats = tin.alpha_shape(pdf[["x", "y"]].to_numpy(), r_max=25.0)
+        return pd.DataFrame(
+            {"tile_id": [str(pdf["tile_id"].iloc[0])], **{k: [v] for k, v in stats.items()}}
+        )
+
+    return pts.groupBy("tile_id").applyInPandas(
+        _alpha,
+        "tile_id string, n_triangles long, area double, n_boundary_edges long, perimeter double",
+    )
+
+
+@register(
+    "spatial_tin_simplify",
+    oracle=None,  # greedy TIN insertion is not SQL-expressible; rows are
+    # one per tile and the worker sorts samples before insertion, so the
+    # rows-only driver check is stable across shuffles.
+    doc=(
+        "Terrain TIN with simplification threshold (3dfier TIN lifting + "
+        "simplification_tinsimp, reference worker.py:288-293): per tile, "
+        "greedy-insertion TIN over (x, y, z=acctbal) until max vertical "
+        "error ≤ 5.0; reports selected-vertex count, achieved error, "
+        "triangle count. Engine: same per-tile applyInPandas fan-out as "
+        "every worker (spatial/tin.py kernel, pinned by tests/test_tin.py)."
+    ),
+    tags=("spatial", "tin", "worker"),
+)
+def spatial_tin_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.spatial import tin
+
+    pts = synthetic_points(spark, sf_dir).withColumn(
+        "tile_id",
+        F.concat(
+            F.lit("t"), F.floor(F.col("x") / 100).cast("string"),
+            F.lit("_"), F.floor(F.col("y") / 100).cast("string"),
+        ),
+    )
+
+    def _simp(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf.sort_values(["x", "y"], kind="mergesort")[["x", "y", "z"]].to_numpy(
+            dtype=float
+        )
+        res = tin.tin_simplify(p, max_error=5.0, max_points=60)
+        return pd.DataFrame(
+            {"tile_id": [str(pdf["tile_id"].iloc[0])], **{k: [v] for k, v in res.items()}}
+        )
+
+    return pts.groupBy("tile_id").applyInPandas(
+        _simp, "tile_id string, n_selected long, max_error double, n_triangles long"
+    )
+
+
+@register(
     "spatial_las_class_mapping",
     oracle=f"""
     WITH grid AS ({GRID_SQL}), elev AS ({ELEV_SQL}),

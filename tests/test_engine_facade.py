@@ -37,3 +37,20 @@ def test_engine_query_registry(engine):
     assert "q1_pricing_summary" in specs
     df = engine.query("distinct_projection", "/root/testdata/sf0.001")
     assert df.count() >= 1
+
+
+def test_engine_ahn_tile_set(engine, spark):
+    elev = spark.createDataFrame(
+        [
+            ("e1", 0.0, 0.0, 10.0, 10.0, 2),
+            ("e2", 10.0, 0.0, 20.0, 10.0, 3),
+            ("e3", 30.0, 0.0, 40.0, 10.0, 3),
+        ],
+        "tile_id string, xmin double, ymin double, xmax double, ymax double, version int",
+    )
+    ahn = engine.ahn_tile_set(elev)
+    assert {r.version for r in ahn.versions().collect()} == {2, 3}
+    # e1/e2 touch across versions; e3 is isolated
+    assert {r.tile_id for r in ahn.version_boundary().collect()} == {"e1", "e2"}
+    got = {(r.version, r.tile_id) for r in ahn.version_not_boundary().collect()}
+    assert got == {(3, "e3")}

@@ -1035,7 +1035,15 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cw = W.partitionBy("vec_id").orderBy("d2", "c_label")
-    ranked = scored.select("vec_id", "c_label", F.row_number().over(cw).alias("crn"))
+    # Both the assignment (full corpus) and the probe set branch off the
+    # routing result; without persisting it each branch re-executes the
+    # whole centroid pipeline (verified: 0 ReusedExchange in the executed
+    # plan). Checkpoint it once — at scale this is the materialized IVF
+    # routing table (docs/SCALE.md §2.2), so the production path pays it
+    # at build time, not per query.
+    ranked = scored.select(
+        "vec_id", "c_label", F.row_number().over(cw).alias("crn")
+    ).localCheckpoint()
     assign = ranked.filter(F.col("crn") == 1).select(
         "vec_id", F.col("c_label").alias("assigned")
     )

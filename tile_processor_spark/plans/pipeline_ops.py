@@ -1,0 +1,281 @@
+"""Training-data pipeline operators, tier 2: fuzzy-dedup *clustering*
+(near-dup pairs → connected components → canonical doc per cluster),
+deterministic sampling (stratified / per-group top-k / train-val-test
+split), and per-dimension embedding statistics.
+
+These extend the LLM-pipeline surface of ``plans/llm_ops.py`` (beyond the
+reference's scope — SURVEY.md §7.8 north-star extensions) and follow the
+same exactness discipline: every random-looking choice is a deterministic
+md5-prefix hash both engines compute identically, so each query is
+oracle-checkable bit-for-bit.
+
+Scale notes (100 TB):
+
+- ``dedup_connected_components`` runs min-label propagation over the
+  near-dup edge set. The edge frame holds only LSH-verified pairs —
+  O(duplicates), tiny relative to the corpus — so each iteration is one
+  equi-join + one partial-aggregated min; iterations are bounded by the
+  cluster diameter (near-dup clusters are near-cliques, so 2–3 in
+  practice; the loop detects the fixpoint and stops). Lineage is cut per
+  iteration with ``localCheckpoint``. For adversarial long-chain graphs
+  the alternating large-star/small-star variant (Kiveris et al., "CC in
+  MapReduce and Beyond") bounds rounds by O(log² n); the loop below is
+  the simple fixpoint form with an iteration guard.
+- The sampling operators are pure maps (hash, compare, filter): no
+  shuffle at any scale, and the sample is reproducible row-by-row no
+  matter how the corpus is partitioned — exactly what a training-data
+  pipeline needs for auditable train/val/test membership.
+- ``embedding_dim_stats`` is a posexplode → partial-aggregate rollup:
+  the explode multiplies rows by the (fixed, small) dimension count
+  map-side, and the shuffle carries only dim-keyed partial aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from tile_processor_spark.plans.llm_ops import (
+    _MINHASH_ORACLE,
+    dedup_minhash_pairs,
+    hash32,
+    quantized_col,
+)
+from tile_processor_spark.plans.registry import register
+from tile_processor_spark.sources.tables import load_table
+
+# Bounded fixpoint guard. Near-dup clusters are near-cliques (every copy
+# collides with every other in some LSH band), so propagation converges in
+# 2-3 rounds; 20 covers any realistic chain before we fail loudly.
+CC_MAX_ITERS = 20
+
+# Deterministic sampling rates (percent kept per language stratum) and
+# split fractions. Literal constants shared verbatim by both engines.
+STRATA_RATE_EN = 50
+STRATA_RATE_OTHER = 30
+TOPK_PER_GROUP = 20
+SPLIT_TRAIN_PCT = 80  # [0, 80) train, [80, 90) val, [90, 100) test
+SPLIT_VAL_PCT = 90
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "documents", sf_dir)
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT d1, d2 FROM ({_MINHASH_ORACLE})
+    ),
+    edges AS (
+      SELECT d1 AS s, d2 AS t FROM pairs
+      UNION ALL
+      SELECT d2 AS s, d1 AS t FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.t
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+    sizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY cluster_id
+    )
+    SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           CAST(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS INTEGER)
+             AS is_canonical
+    FROM comp c JOIN sizes s USING (cluster_id)
+    """,
+    doc=(
+        "Fuzzy-dedup clustering: MinHash-LSH near-dup pairs → connected "
+        "components (iterative min-label propagation to fixpoint) → one "
+        "canonical doc per cluster (min doc_id). The full pipeline a "
+        "training corpus dedup actually ships: pairs alone don't dedup — "
+        "the keep/drop decision needs the transitive closure. Oracle: "
+        "recursive-CTE transitive closure over the exact-Jaccard pairs."
+    ),
+    tags=("llm", "dedup"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("d1", "d2")
+    # Symmetrize once; the edge frame is O(near-dups), not O(corpus).
+    edges = pairs.unionByName(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).localCheckpoint()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    for _ in range(CC_MAX_ITERS):
+        # Each neighbor offers its current label to the other endpoint;
+        # keeping the node's own label in the union makes min() monotone.
+        offered = edges.join(labels, edges["d2"] == labels["doc_id"]).select(
+            edges["d1"].alias("doc_id"), "label"
+        )
+        new_labels = (
+            labels.unionByName(offered)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover - deterministic fixtures converge in 2-3
+        raise RuntimeError(f"label propagation did not converge in {CC_MAX_ITERS} iters")
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.col("cluster_size"),
+        (F.col("doc_id") == F.col("label")).cast("int").alias("is_canonical"),
+    )
+
+
+_SQL_DOC_HASH = "CAST('0x' || substr(md5({v}), 1, 8) AS BIGINT)"
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           {_SQL_DOC_HASH.format(v="lang || '#' || CAST(doc_id AS VARCHAR)")} % 100
+             AS sample_bucket
+    FROM documents
+    WHERE {_SQL_DOC_HASH.format(v="lang || '#' || CAST(doc_id AS VARCHAR)")} % 100
+          < CASE WHEN lang = 'en' THEN {STRATA_RATE_EN} ELSE {STRATA_RATE_OTHER} END
+    """,
+    doc=(
+        "Deterministic stratified sampling: keep a per-language fraction "
+        "(en 50%, others 30%) chosen by md5-prefix hash of (lang, doc_id). "
+        "Pure map — no shuffle, reproducible membership at any partition "
+        "count, auditable row-by-row. The sampling idiom a training-data "
+        "pipeline needs instead of rand()-based Bernoulli."
+    ),
+    tags=("llm", "sampling"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = hash32(
+        F.concat_ws("#", F.col("lang"), F.col("doc_id").cast("string"))
+    ) % 100
+    rate = F.when(F.col("lang") == "en", F.lit(STRATA_RATE_EN)).otherwise(
+        F.lit(STRATA_RATE_OTHER)
+    )
+    return d.filter(bucket < rate).select(
+        "doc_id", "lang", "source", bucket.alias("sample_bucket")
+    )
+
+
+@register(
+    "sample_per_group_topk",
+    oracle=f"""
+    SELECT lang, doc_id, rk FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_SQL_DOC_HASH.format(v="CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= {TOPK_PER_GROUP}
+    """,
+    doc=(
+        "Deterministic per-group reservoir: k docs per language, chosen by "
+        "ranking on the md5-prefix hash of doc_id (a fixed random "
+        "permutation both engines agree on). Row-number window per group; "
+        "single shuffle on the group key."
+    ),
+    tags=("llm", "sampling"),
+)
+def sample_per_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    h = hash32(F.col("doc_id").cast("string"))
+    keep = W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rk", F.row_number().over(keep).cast("long"))
+        .filter(F.col("rk") <= TOPK_PER_GROUP)
+        .select("lang", "doc_id", "rk")
+    )
+
+
+@register(
+    "sample_split_assign",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {_SQL_DOC_HASH.format(v="'split#' || CAST(doc_id AS VARCHAR)")} % 100
+               AS hb
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN hb < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN hb < {SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+    doc=(
+        "Deterministic train/val/test assignment (80/10/10) by hash of "
+        "doc_id: every engine, at every scale, derives the same membership "
+        "without a stored split table. Pure map, no shuffle."
+    ),
+    tags=("llm", "sampling"),
+)
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    hb = hash32(F.concat(F.lit("split#"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(hb < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(hb < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", "lang", split.alias("split"))
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+             CAST(floor(unnest(embedding) * 1048576.0) AS BIGINT) AS qv
+      FROM embeddings
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(qv) AS BIGINT) AS sum_q,
+           MIN(qv) AS min_q,
+           MAX(qv) AS max_q,
+           CAST(SUM(qv) AS DOUBLE) / COUNT(*) AS mean_q
+    FROM q GROUP BY dim
+    """,
+    doc=(
+        "Per-dimension embedding statistics (count/sum/min/max/mean over "
+        "the 2^20-quantized values): the drift/normalization audit a "
+        "vector corpus needs before indexing. posexplode multiplies rows "
+        "map-side by the fixed dim count; the shuffle carries only "
+        "dim-keyed partial aggregates (64 groups)."
+    ),
+    tags=("llm", "embedding"),
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    exploded = e.select(
+        F.posexplode(quantized_col(F.col("embedding"))).alias("pos", "qv")
+    )
+    return (
+        exploded.groupBy((F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("qv").alias("sum_q"),
+            F.min("qv").alias("min_q"),
+            F.max("qv").alias("max_q"),
+        )
+        .withColumn("mean_q", F.col("sum_q").cast("double") / F.col("n"))
+    )

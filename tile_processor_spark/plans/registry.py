@@ -100,6 +100,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "embedding_cosine_topk",
     "embedding_near_dup_pairs",
+    # tier-2 pipeline ops: dedup clustering + deterministic sampling
+    "dedup_connected_components",
+    "sample_stratified",
+    "sample_per_group_topk",
+    "sample_split_assign",
+    "embedding_dim_stats",
     # relational operator patterns mapped 1:1 to SURVEY §2.2-2.7
     "distinct_projection",
     "isin_filter",
@@ -124,6 +130,7 @@ def all_specs() -> dict[str, QuerySpec]:
     import tile_processor_spark.plans.relational_ext  # noqa: F401
     import tile_processor_spark.plans.relational_ext2  # noqa: F401
     import tile_processor_spark.plans.llm_ops  # noqa: F401
+    import tile_processor_spark.plans.pipeline_ops  # noqa: F401
     import tile_processor_spark.plans.spatial_gate  # noqa: F401
     import tile_processor_spark.plans.events_windows  # noqa: F401
     import tile_processor_spark.plans.multimodal_gate  # noqa: F401

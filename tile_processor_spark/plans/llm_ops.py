@@ -333,6 +333,34 @@ def minhash_candidates(bands: DataFrame) -> DataFrame:
     )
 
 
+def incremental_band_candidates(
+    spark: SparkSession, bands_table: str, new_docs: DataFrame
+) -> DataFrame:
+    """Near-dup candidates for a NEW ingest batch against the
+    materialized band index (docs/SCALE.md §2.1) — the incremental path
+    that avoids re-running corpus×corpus dedup per delivery.
+
+    The new batch's band keys are computed in one Arrow pass (32
+    rows/doc); the equi-join against the bucketed ``bands_table`` then
+    shuffles ONLY the new side into the index's bucket layout — the
+    existing corpus (the 100 TB side) is read in place, zero exchange
+    (``tests/test_incremental_ingest.py`` pins the plan shape).
+    Returned candidates feed the same exact-Jaccard verify as the batch
+    path."""
+    new_bands = minhash_bands(minhash_signatures(new_docs))
+    idx = spark.table(bands_table)
+    return (
+        new_bands.alias("n")
+        .join(idx.alias("e"), "bk")
+        .filter(F.col("n.doc_id") != F.col("e.doc_id"))
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("e.doc_id").alias("existing_id"),
+        )
+        .distinct()
+    )
+
+
 @register(
     "dedup_minhash_pairs",
     oracle=_MINHASH_ORACLE,

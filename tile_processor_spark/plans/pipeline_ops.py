@@ -63,9 +63,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, "documents", sf_dir)
 
 
-@register(
-    "dedup_connected_components",
-    oracle=f"""
+# Recursive-CTE transitive closure over the exact-Jaccard pair set —
+# shared by the clustering query and the cleaned-corpus query.
+_CC_ORACLE_CTES = f"""
     WITH RECURSIVE pairs AS (
       SELECT d1, d2 FROM ({_MINHASH_ORACLE})
     ),
@@ -84,6 +84,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
       FROM comp GROUP BY cluster_id
     )
+"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    {_CC_ORACLE_CTES}
     SELECT c.doc_id, c.cluster_id, s.cluster_size,
            CAST(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS INTEGER)
              AS is_canonical
@@ -100,6 +107,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup"),
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cc_frame(spark, sf_dir)
+
+
+def _cc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id")
     pairs = dedup_minhash_pairs(spark, sf_dir).select("d1", "d2")
     # Symmetrize once; the edge frame is O(near-dups), not O(corpus).
@@ -137,6 +148,34 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         F.col("cluster_size"),
         (F.col("doc_id") == F.col("label")).cast("int").alias("is_canonical"),
+    )
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle=f"""
+    {_CC_ORACLE_CTES}
+    SELECT d.doc_id, d.lang, d.source, s.cluster_size
+    FROM comp c
+    JOIN sizes s USING (cluster_id)
+    JOIN documents d ON d.doc_id = c.doc_id
+    WHERE c.doc_id = c.cluster_id
+    """,
+    doc=(
+        "The cleaned corpus — the dedup pipeline's actual deliverable: "
+        "documents surviving fuzzy dedup (one canonical doc per "
+        "connected component, singletons included), with the cluster "
+        "size each survivor represents. Equi-join of the corpus with "
+        "the clustering frame; at 100 TB the labels frame is the small "
+        "side (one row per doc but only ids+labels) and the join is "
+        "hash-partitioned on doc_id."
+    ),
+    tags=("llm", "dedup"),
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _cc_frame(spark, sf_dir).filter(F.col("is_canonical") == 1)
+    return _docs(spark, sf_dir).join(labels, "doc_id").select(
+        "doc_id", "lang", "source", "cluster_size"
     )
 
 

@@ -102,6 +102,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "embedding_near_dup_pairs",
     # tier-2 pipeline ops: dedup clustering + deterministic sampling
     "dedup_connected_components",
+    "dedup_keep_canonical",
     "sample_stratified",
     "sample_per_group_topk",
     "sample_split_assign",

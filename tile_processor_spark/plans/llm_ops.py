@@ -1083,15 +1083,22 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id")
     )
-    qv = e.select(F.col("vec_id").alias("q_id"), F.col("q").alias("qvec"))
-    vv = e.select("vec_id", F.col("q").alias("vvec"))
-    n2 = e.select("vec_id", dot_col(F.col("q"), F.col("q")).alias("n2"))
+    # Norms ride the vector projections (one scan each side) instead of
+    # separate n2 scans joined back — 2 fewer FileScans + 2 fewer joins.
+    qv = e.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("q").alias("qvec"),
+        dot_col(F.col("q"), F.col("q")).alias("nq"),
+    )
+    vv = e.select(
+        "vec_id",
+        F.col("q").alias("vvec"),
+        dot_col(F.col("q"), F.col("q")).alias("nv"),
+    )
     pairs = (
         cand.join(F.broadcast(qv), "q_id")
         .join(vv, "vec_id")
         .withColumn("dot", dot_col(F.col("qvec"), F.col("vvec")))
-        .join(F.broadcast(n2.select(F.col("vec_id").alias("q_id"), F.col("n2").alias("nq"))), "q_id")
-        .join(n2.select("vec_id", F.col("n2").alias("nv")), "vec_id")
         .withColumn(
             "cosine",
             F.col("dot").cast("double")

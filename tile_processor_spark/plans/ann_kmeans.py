@@ -1,0 +1,122 @@
+"""Deterministic k-means trainer for the IVF coarse quantizer.
+
+``ann_ivf_assign`` / ``ann_ivf_search`` route against centroids derived
+from the pre-existing ``label`` column; this module makes the IVF path
+self-contained by TRAINING the list structure with Lloyd iterations —
+the same exactness discipline as the rest of the ANN family:
+
+- centroid state is the pair (integer sum vector, count) — never a
+  divided mean — so every iteration's algebra is exact BIGINT;
+- squared distance to a centroid expands to
+  ``(n²·|q|² − 2n·(q·s) + |s|²) / n²`` with a single double division,
+  identical to ``ann_ivf_assign``'s formula (llm_ops.py), so the
+  trained assignment plugs straight into the bucketed search;
+- initialization is the k vectors with smallest vec_id (a fixed,
+  engine-independent choice), iteration count is fixed, ties break on
+  centroid id: the whole fit is a pure function of the input.
+
+Not SQL-oracle-checkable (the iteration is the point), so the registry
+entry is rows-only for the driver; the LOCAL pin is stronger: a NumPy
+mirror recomputes the identical integer/double algebra driver-side and
+``tests/test_ann_kmeans.py`` asserts bit-equal assignments.
+
+Scale shape (100 TB): per iteration, the corpus is scanned once, the
+k×(d+2) centroid state broadcasts, and the only shuffle is the
+(c_id, dim)-keyed partial-aggregated centroid update — no per-vector
+state crosses the network. ``localCheckpoint`` bounds lineage across
+iterations. Integer headroom: n²·|q|² stays under 2^63 while
+n · |x|₂² < 2^22 (unit-norm embeddings: lists up to ~4M vectors);
+beyond that, switch the comparison to double-mean centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from tile_processor_spark.plans.llm_ops import dot_col, quantized_col
+from tile_processor_spark.plans.registry import register
+from tile_processor_spark.sources.tables import load_table
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 3
+
+
+def _assign_nearest(e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, q, c_id): each vector's nearest centroid under the exact
+    rational distance, ties to the smallest centroid id."""
+    scored = (
+        e.withColumn("q2", dot_col(F.col("q"), F.col("q")))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("qs", dot_col(F.col("q"), F.col("sv")))
+        .withColumn(
+            "d2",
+            (F.col("n") * F.col("n") * F.col("q2") - 2 * F.col("n") * F.col("qs") + F.col("s2"))
+            .cast("double")
+            / (F.col("n") * F.col("n")),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "c_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "q", "c_id")
+    )
+
+
+def _centroid_state(assigned: DataFrame) -> DataFrame:
+    """(c_id, sv, s2, n) from an assignment — integer sums only. Empty
+    clusters simply vanish (no member rows → no group)."""
+    dims = assigned.select("c_id", F.posexplode(F.col("q")).alias("i", "qv"))
+    cent = (
+        dims.groupBy("c_id", "i")
+        .agg(F.sum("qv").alias("s"))
+        .groupBy("c_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("i", "s"))).alias("pairs"),
+            F.sum(F.col("s") * F.col("s")).alias("s2"),
+        )
+        .select("c_id", F.col("pairs.s").alias("sv"), "s2")
+    )
+    cn = assigned.groupBy("c_id").agg(F.count(F.lit(1)).alias("n"))
+    return cent.join(cn, "c_id")
+
+
+def kmeans_fit(e: DataFrame, k: int = K_CLUSTERS, iters: int = KMEANS_ITERS) -> DataFrame:
+    """Lloyd on quantized vectors; ``e`` must carry (vec_id, q).
+    Returns the final assignment (vec_id, c_id)."""
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("q").alias("sv"),
+            dot_col(F.col("q"), F.col("q")).alias("s2"),
+            F.lit(1).cast("long").alias("n"),
+        )
+    )
+    centroids = seeds.localCheckpoint()
+    for _ in range(iters):
+        assigned = _assign_nearest(e, centroids)
+        centroids = _centroid_state(assigned).localCheckpoint()
+    return _assign_nearest(e, centroids).select("vec_id", F.col("c_id").alias("assigned"))
+
+
+@register(
+    "ann_kmeans_fit",
+    oracle=None,  # iterative; pinned bit-exact by the NumPy mirror test
+    doc=(
+        "Train the IVF list structure: k=8 Lloyd iterations (3 fixed "
+        "rounds) over 2^20-quantized vectors with exact integer centroid "
+        "state; deterministic init (k smallest vec_ids) and tie-breaks. "
+        "Local pin: tests/test_ann_kmeans.py recomputes the identical "
+        "algebra in NumPy and asserts bit-equal assignments."
+    ),
+    tags=("llm", "similarity", "ivf"),
+)
+def ann_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", quantized_col(F.col("embedding")).alias("q")
+    )
+    return kmeans_fit(e)

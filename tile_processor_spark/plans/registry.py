@@ -86,6 +86,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # ANN scale path + the round-1 hash-amber trio (fixes need driver rows)
     "ann_ivf_assign",
     "ann_ivf_search",
+    "ann_kmeans_fit",
     "q12_priority_by_status",
     "dedup_simhash",
     "ann_lsh_buckets",
@@ -132,6 +133,7 @@ def all_specs() -> dict[str, QuerySpec]:
     import tile_processor_spark.plans.relational_ext2  # noqa: F401
     import tile_processor_spark.plans.llm_ops  # noqa: F401
     import tile_processor_spark.plans.pipeline_ops  # noqa: F401
+    import tile_processor_spark.plans.ann_kmeans  # noqa: F401
     import tile_processor_spark.plans.spatial_gate  # noqa: F401
     import tile_processor_spark.plans.events_windows  # noqa: F401
     import tile_processor_spark.plans.multimodal_gate  # noqa: F401

@@ -79,3 +79,41 @@ def test_streaming_append_matches_batch_bands(spark, tmp_path):
     assert streamed.count() == 50 * 32
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_compaction_folds_delta_into_new_generation(spark, band_index, tmp_path):
+    """index(old corpus) + streamed delta(new batch) compacts to exactly
+    the full-corpus band set, rides the bucket layout, and re-running
+    (at-least-once replay) converges to the same index."""
+    from tile_processor_spark.streaming.ingest import (
+        compact_band_index,
+        start_band_index_append,
+    )
+
+    new_docs = band_index
+    src = str(tmp_path / "newdocs")
+    new_docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(new_docs.schema).parquet(src)
+    q = start_band_index_append(stream, str(tmp_path / "delta"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    spark.sql("DROP TABLE IF EXISTS band_index_v2")
+    compact_band_index(
+        spark, "band_index_test", str(tmp_path / "delta"), "band_index_v2",
+        str(tmp_path / "bands_v2"), 8,
+    )
+    got = spark.table("band_index_v2")
+    full = minhash_bands(minhash_signatures(load_table(spark, "documents", SF)))
+    assert got.exceptAll(full).count() == 0
+    assert full.exceptAll(got).count() == 0
+    # Replayed compaction (same inputs, new generation) is identical.
+    spark.sql("DROP TABLE IF EXISTS band_index_v3")
+    compact_band_index(
+        spark, "band_index_test", str(tmp_path / "delta"), "band_index_v3",
+        str(tmp_path / "bands_v3"), 8,
+    )
+    assert spark.table("band_index_v3").exceptAll(got).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compact_band_index(spark, "band_index_v2", "x", "band_index_v2", "y", 8)

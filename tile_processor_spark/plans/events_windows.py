@@ -383,3 +383,78 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").cast("double").alias("total_value"),
         F.count(F.lit(1)).alias("n_hours"),
     )
+
+
+@register(
+    "events_gapfill_locf",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+      FROM (SELECT DISTINCT event_type FROM events), bounds
+    ),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,4))) AS sv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.event_type, s.bucket,
+           COALESCE(h.n, 0) AS n_events,
+           CAST(last_value(h.sv IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.bucket
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS sum_value_locf
+    FROM spine s LEFT JOIN hourly h USING (event_type, bucket)
+    """,
+    doc=(
+        "Gap-fill + last-observation-carried-forward: a dense hourly "
+        "spine per event type (generated, not stored), left-joined with "
+        "the hourly rollup; missing hours get n_events = 0 and carry the "
+        "last seen hourly sum (leading gaps stay NULL). The "
+        "time_bucket_gapfill/locf idiom of hypertable stores, built from "
+        "sequence+explode and last(ignorenulls) over an ordered window. "
+        "Scale: the spine is |types| x |hours| - tiny relative to the "
+        "events it summarizes; one shuffle on (type, bucket) for the "
+        "rollup, one window partitioned by type."
+    ),
+    tags=("events", "window", "gapfill"),
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_events"),
+            F.last("sv", ignorenulls=True).over(w).cast("double").alias("sum_value_locf"),
+        )
+    )

@@ -318,3 +318,66 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("mean_q", F.col("sum_q").cast("double") / F.col("n"))
     )
+
+
+CURATE_TOPK = 3
+
+_QUALITY_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> length(x) > 0) AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks,
+                  x -> x IN ('the', 'a', 'data', 'row', 'table'))) AS BIGINT)
+               AS stop_cnt
+      FROM t
+    ),
+    q AS (
+      SELECT doc_id,
+             (LEAST(n_tokens, 100) / 100.0)
+               * (1.0 - CAST(stop_cnt AS DOUBLE) / n_tokens) AS quality
+      FROM s
+    )
+"""
+
+
+@register(
+    "curate_quality_by_cluster",
+    oracle=f"""
+    {_QUALITY_SQL},
+    j AS (
+      SELECT e.label, q.doc_id, q.quality
+      FROM q JOIN embeddings e ON e.vec_id = q.doc_id
+    )
+    SELECT label, doc_id, quality, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY label ORDER BY quality DESC, doc_id) AS rk
+      FROM j
+    ) WHERE rk <= {CURATE_TOPK}
+    """,
+    doc=(
+        "Corpus curation: the k highest-quality documents per embedding "
+        "cluster - the select-for-training step that combines the quality "
+        "scorer with the vector-cluster structure (docs joined to "
+        "embeddings on doc_id = vec_id). Per-group top-k window; quality "
+        "is the same exact-integer-ratio composite as "
+        "text_quality_scores, so both engines rank identically."
+    ),
+    tags=("llm", "curation"),
+)
+def curate_quality_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.plans.llm_ops import text_quality_scores
+
+    q = text_quality_scores(spark, sf_dir).select("doc_id", "quality")
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "label")
+    j = q.join(e, q["doc_id"] == e["vec_id"]).select("label", "doc_id", "quality")
+    w = W.partitionBy("label").orderBy(F.desc("quality"), "doc_id")
+    return (
+        j.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= CURATE_TOPK)
+    )

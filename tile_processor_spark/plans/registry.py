@@ -80,6 +80,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_daily_profile",
     "events_band_join",
     "events_hypertable_rollup",
+    "events_gapfill_locf",
     # multimodal plumbing
     "multimodal_features",
     "multimodal_resize",
@@ -108,6 +109,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sample_per_group_topk",
     "sample_split_assign",
     "embedding_dim_stats",
+    "curate_quality_by_cluster",
     # relational operator patterns mapped 1:1 to SURVEY §2.2-2.7
     "distinct_projection",
     "isin_filter",

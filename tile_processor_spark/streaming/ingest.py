@@ -21,10 +21,11 @@ bit-identical — an index built either way yields identical candidates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from tile_processor_spark.plans.llm_ops import minhash_bands, minhash_signatures
+from tile_processor_spark.sources.bucketing import write_bucketed
 
 
 def stream_bands(docs: DataFrame) -> DataFrame:
@@ -52,3 +53,31 @@ def start_band_index_append(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_band_index(
+    spark: SparkSession,
+    index_table: str,
+    delta_path: str,
+    target_table: str,
+    target_path: str,
+    num_buckets: int,
+) -> None:
+    """Fold the streaming delta into a NEW bucketed index generation.
+
+    Writes ``target_table`` (must differ from ``index_table`` — Spark
+    refuses to overwrite a table it is reading, and a versioned
+    generation swap is the idempotent contract anyway: re-running a
+    failed compaction just rewrites the same target). ``distinct()``
+    absorbs re-delivered documents, so compaction after an
+    at-least-once streaming replay converges to the same index. The
+    caller repoints readers at the new generation and truncates the
+    delta."""
+    if target_table == index_table:
+        raise ValueError("compaction must write a new index generation")
+    merged = spark.table(index_table).unionByName(
+        spark.read.parquet(delta_path)
+    ).distinct()
+    write_bucketed(
+        merged, target_table, ["bk"], num_buckets, target_path, sort_cols=["bk"]
+    )

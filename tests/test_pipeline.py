@@ -220,3 +220,56 @@ def test_monitor_plot_sink(spark, tmp_path):
     body = (tmp_path / "plots" / "memory_usage.svg").read_text()
     assert body.startswith("<svg") and body.count("<polyline") == 2
     assert "t1" in body and "t2" in body
+
+
+def test_full_reference_worker_registry_parity():
+    # All nine reference registrations (worker.py:754-763) resolve here,
+    # external-binary ones under their reference names via the
+    # subprocess/TIN analogues.
+    assert {
+        "Example", "ExampleDb", "3dfier", "3dfierTIN",
+        "BuildingReconstruction", "BR-AHN34-Compare", "PCRasterise",
+        "AlphaShape", "TileExporter",
+    } <= set(list_workers())
+
+
+def test_example_db_worker_builds_reference_dsn(spark, tiled_df):
+    from tile_processor_spark.pipeline.workers import get_worker
+    import pandas as pd
+
+    fn = get_worker("ExampleDb")
+    out = fn("T25GN1", pd.DataFrame({"v": [1, 2]}), {
+        "db": {"dbname": "baz", "host": "localhost", "port": 5432, "user": "foo",
+               "password": "bar"},
+        "table": "tiles",
+    })
+    assert out["dsn"].iloc[0] == (
+        "PG:dbname=baz host=localhost port=5432 user=foo password=bar "
+        "tables=tiles_t25gn1"
+    )
+    assert out["n_rows"].iloc[0] == 2
+
+
+def test_rasterise_worker_cells(spark, point_tiles):
+    status = run_worker_over_tiles(point_tiles, "PCRasterise", {"cell": 10.0})
+    rows = {r.tile_id: r for r in status.collect()}
+    assert rows["ta"].success and rows["tb"].success
+    # direct check of the cell math on one tile
+    from tile_processor_spark.pipeline.workers import get_worker
+    pdf = point_tiles.filter(F.col("tile_id") == "ta").toPandas()
+    cells = get_worker("PCRasterise")("ta", pdf, {"cell": 10.0})
+    assert (cells["n"] > 0).all()
+    assert cells["n"].sum() == len(pdf)
+    assert set(cells.columns) == {"tile_id", "cx", "cy", "n", "z_mean"}
+
+
+def test_ahn34_compare_worker(spark):
+    import pandas as pd
+    from tile_processor_spark.pipeline.workers import get_worker
+
+    pdf = pd.DataFrame({
+        "version": [3] * 50 + [4] * 50,
+        "z": [float(i) for i in range(50)] + [float(i) + 2.5 for i in range(50)],
+    })
+    out = get_worker("BR-AHN34-Compare")("t1", pdf, {})
+    assert out["delta"].iloc[0] == pytest.approx(2.5)

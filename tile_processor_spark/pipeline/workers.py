@@ -192,9 +192,84 @@ def _tin_worker(tile_id: str, pdf: pd.DataFrame, config: dict):
     return pd.DataFrame({"tile_id": [tile_id], **{k: [v] for k, v in res.items()}})
 
 
+def _example_db(tile_id: str, pdf: pd.DataFrame, config: dict):
+    """ExampleDb (worker.py:81-114): per-tile database write through the
+    DSN contract. The observable behavior the reference tests pin is the
+    DSN + per-tile relation name it hands the external tool; with no
+    live PostgreSQL in the test rig this worker emits exactly those
+    strings (DbOutput builds them verbatim) plus the row count that
+    would be written — swap ``emit`` for ``DbOutput.write_jdbc`` against
+    a real cluster."""
+    from tile_processor_spark.pipeline.output import DbOutput, DbParams
+
+    out = DbOutput(DbParams(**config["db"]), table=config.get("table"))
+    relation = f"{config.get('table', 'tiles')}_{tile_id.lower()}"
+    return pd.DataFrame(
+        {
+            "tile_id": [tile_id],
+            "dsn": [out.with_table(relation)],
+            "relation": [relation],
+            "n_rows": [len(pdf)],
+        }
+    )
+
+
+def _rasterise_worker(tile_id: str, pdf: pd.DataFrame, config: dict):
+    """PCRasteriserWorker (worker.py:561-584): per-tile point-cloud
+    rasterization — snap x/y to the cell grid, one row per non-empty
+    cell with count and mean z (same cell math as the
+    ``spatial_rasterize`` gate query, which pins it against DuckDB)."""
+    cell = float(config.get("cell", 1.0))
+    x0 = float(config.get("x0", 0.0))
+    y0 = float(config.get("y0", 0.0))
+    xcol = config.get("x_col", "x")
+    ycol = config.get("y_col", "y")
+    zcol = config.get("z_col", "z")
+    g = pdf.assign(
+        cx=((pdf[xcol] - x0) // cell).astype("int64"),
+        cy=((pdf[ycol] - y0) // cell).astype("int64"),
+    )
+    agg = (
+        g.groupby(["cx", "cy"], as_index=False)
+        .agg(n=(zcol, "size"), z_sum=(zcol, "sum"))
+        .assign(z_mean=lambda d: d["z_sum"] / d["n"], tile_id=tile_id)
+    )
+    return agg[["tile_id", "cx", "cy", "n", "z_mean"]]
+
+
+def _ahn34_compare_worker(tile_id: str, pdf: pd.DataFrame, config: dict):
+    """BR-AHN34-Compare (worker.py:441-509): per-tile comparison of two
+    elevation versions — p95 height per version group and their delta,
+    the drift check run after re-reconstruction on a newer point cloud."""
+    vcol = config.get("version_col", "version")
+    zcol = config.get("z_col", "z")
+    v_old, v_new = config.get("versions", (3, 4))
+    p = {
+        v: pdf.loc[pdf[vcol] == v, zcol].quantile(0.95, interpolation="linear")
+        for v in (v_old, v_new)
+    }
+    return pd.DataFrame(
+        {
+            "tile_id": [tile_id],
+            "p95_old": [p[v_old]],
+            "p95_new": [p[v_new]],
+            "delta": [p[v_new] - p[v_old]],
+        }
+    )
+
+
 register_worker("Example", _example)
+register_worker("ExampleDb", _example_db)
 register_worker("TileExporter", _exporter)
 register_worker("PercentileHeights", _percentile_heights)
 register_worker("Subprocess", _subprocess_worker)
 register_worker("AlphaShape", _alpha_shape_worker)
 register_worker("TIN", _tin_worker)
+register_worker("PCRasterise", _rasterise_worker)
+register_worker("BR-AHN34-Compare", _ahn34_compare_worker)
+# Reference registry keys for the external-binary workers (worker.py:
+# 754-763): both template a subprocess per tile — the escape hatch IS
+# the analogue, under the names a reference user would look up.
+register_worker("3dfier", _subprocess_worker)
+register_worker("3dfierTIN", _tin_worker)
+register_worker("BuildingReconstruction", _subprocess_worker)

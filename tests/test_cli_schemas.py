@@ -28,3 +28,16 @@ def test_schema_registry_roundtrip(tmp_path):
 
     r = runner.invoke(main, ["remove-schema", "demo", "--db", db])
     assert r.exit_code != 0  # unknown → clean error, not traceback
+
+
+def test_cli_help_and_listings():
+    # reference tests/test_cli.py::test_help / test_content parity
+    runner = CliRunner()
+    r = runner.invoke(main, ["--help"])
+    assert r.exit_code == 0 and "run" in r.output
+    r = runner.invoke(main, ["list-workers"])
+    assert r.exit_code == 0
+    for key in ("Example", "ExampleDb", "3dfier", "PCRasterise", "TileExporter"):
+        assert key in r.output, r.output
+    r = runner.invoke(main, ["list-queries"])
+    assert r.exit_code == 0 and "q1_pricing_summary" in r.output

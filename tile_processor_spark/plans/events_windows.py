@@ -419,7 +419,7 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "events it summarizes; one shuffle on (type, bucket) for the "
         "rollup, one window partitioned by type."
     ),
-    tags=("events", "window", "gapfill"),
+    tags=("events", "window", "gapfill", "headline"),
 )
 def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)

@@ -368,7 +368,7 @@ _QUALITY_SQL = """
         "is the same exact-integer-ratio composite as "
         "text_quality_scores, so both engines rank identically."
     ),
-    tags=("llm", "curation"),
+    tags=("llm", "curation", "headline"),
 )
 def curate_quality_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tile_processor_spark.plans.llm_ops import text_quality_scores

@@ -458,3 +458,55 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sv", ignorenulls=True).over(w).cast("double").alias("sum_value_locf"),
         )
     )
+
+
+@register(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+             row_number() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn_open,
+             row_number() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events
+    )
+    SELECT event_type, bucket,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+    FROM h GROUP BY event_type, bucket
+    """,
+    doc=(
+        "OHLC hourly rollup: open/close via deterministic (ts, event_id) "
+        "ordering windows, high/low exact extrema - the first/last-in-"
+        "window aggregation family (arg_min/arg_max semantics) stated "
+        "with row_number so both engines tie-break identically. One "
+        "shuffle on (type, hour) shared by the windows and the final "
+        "aggregate."
+    ),
+    tags=("events", "window", "agg"),
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bucket = F.date_trunc("hour", F.col("ts"))
+    keys = [F.col("event_type"), bucket.alias("bucket")]
+    wo = W.partitionBy("event_type", bucket).orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wc = W.partitionBy("event_type", bucket).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    h = ev.select(
+        *keys,
+        "value",
+        F.row_number().over(wo).alias("rn_open"),
+        F.row_number().over(wc).alias("rn_close"),
+    )
+    return h.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

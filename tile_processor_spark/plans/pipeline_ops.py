@@ -381,3 +381,132 @@ def curate_quality_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= CURATE_TOPK)
     )
+
+
+_SQL_GRAMS2 = """
+      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+"""
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> length(x) > 0) AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, {_SQL_GRAMS2} AS grams
+      FROM t WHERE len(toks) >= 2
+    ),
+    ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    per AS (
+      SELECT doc_id, gram, COUNT(*) AS c FROM ex GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+           CAST(MAX(c) AS BIGINT) AS top_gram_count,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS rep_ratio,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_gram_frac
+    FROM per GROUP BY doc_id
+    """,
+    doc=(
+        "Repetition quality signals (the Gopher/MassiveText filter "
+        "family): per-doc word-2-gram totals, distinct count, the most "
+        "frequent gram's multiplicity, and the derived repeated-fraction "
+        "ratios. Highly repetitive machine-generated text scores high "
+        "rep_ratio and is dropped before training. Shape: one explode of "
+        "2-grams, partial-aggregated (doc, gram) counts, per-doc rollup "
+        "- two shuffles on compound keys, no all-pairs work."
+    ),
+    tags=("llm", "text", "quality"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    ex = (
+        d.select("doc_id", grams.alias("grams"))
+        .filter(F.size(F.col("grams")) >= 1)
+        .select("doc_id", F.explode("grams").alias("gram"))
+    )
+    per = ex.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        F.max("c").alias("top_gram_count"),
+        (1.0 - F.count(F.lit(1)).cast("double") / F.sum("c")).alias("rep_ratio"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_gram_frac"),
+    )
+
+
+BENCHMARK_MOD = 37  # doc_id % 37 == 0 plays the held-out benchmark set
+
+
+@register(
+    "decontaminate_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> length(x) > 0) AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM t WHERE len(w) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    bench AS (SELECT doc_id, s FROM ex WHERE doc_id % {BENCHMARK_MOD} = 0),
+    corpus AS (SELECT doc_id, s FROM ex WHERE doc_id % {BENCHMARK_MOD} <> 0),
+    hits AS (
+      SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+      FROM corpus c JOIN bench b ON c.s = b.s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_benchmark_docs,
+           MIN(bench_id) AS first_bench_id
+    FROM hits GROUP BY doc_id
+    """,
+    doc=(
+        "Benchmark decontamination: flag corpus documents sharing any "
+        "3-gram shingle with the held-out benchmark set (doc_id % 37 = 0 "
+        "plays the benchmark). The standard pre-training hygiene step - "
+        "eval contamination is removed by shingle overlap, not exact "
+        "match. Shape: shingle explode on both sides, equi-join on the "
+        "shingle (benchmark side is small - broadcast), distinct "
+        "(corpus, bench) pairs, per-doc rollup. No all-pairs comparison "
+        "at any scale."
+    ),
+    tags=("llm", "dedup", "contamination"),
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.plans.llm_ops import shingles_col, tokens_col
+
+    d = _docs(spark, sf_dir)
+    ex = d.select(
+        "doc_id", F.explode(shingles_col(tokens_col(F.col("text")))).alias("s")
+    )
+    bench = ex.filter(F.col("doc_id") % BENCHMARK_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    corpus = ex.filter(F.col("doc_id") % BENCHMARK_MOD != 0)
+    hits = (
+        corpus.join(F.broadcast(bench), "s")
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_benchmark_docs"),
+        F.min("bench_id").alias("first_bench_id"),
+    )

@@ -510,3 +510,97 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+ASOF_TOL_US = 5 * 60 * US  # forward-match tolerance: 5 minutes
+
+
+@register(
+    "events_asof_forward",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    matched AS (
+      SELECT c.click_id, c.user_id, c.ts AS c_ts, p.purchase_id, p.ts AS p_ts,
+             row_number() OVER (
+               PARTITION BY c.click_id ORDER BY p.ts, p.purchase_id) AS rn
+      FROM clicks c JOIN purchases p
+        ON p.user_id = c.user_id
+       AND p.ts >= c.ts
+       AND epoch_us(p.ts) - epoch_us(c.ts) <= {ASOF_TOL_US}
+    )
+    SELECT c.click_id, c.user_id, epoch_us(c.ts) AS click_ts_us,
+           m.purchase_id, epoch_us(m.p_ts) AS purchase_ts_us
+    FROM clicks c LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m
+      USING (click_id)
+    """,
+    doc=(
+        "Forward as-of join with tolerance: each click matches the FIRST "
+        "purchase by the same user at-or-after it within 5 minutes "
+        "(pandas merge_asof direction='forward' semantics); unmatched "
+        "clicks survive with NULLs. Engine shape: union the two streams, "
+        "one shuffle on user_id, first(ignorenulls) over a forward "
+        "window — no O(clicks x purchases) join at any scale. The "
+        "oracle states the same result as the theta join + row_number, "
+        "viable only at gate scale."
+    ),
+    tags=("events", "asof"),
+)
+def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id", "ts",
+            F.col("event_id").alias("click_id"),
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("long").alias("purchase_id"),
+        )
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts",
+            F.lit(None).cast("long").alias("click_id"),
+            F.lit(1).alias("kind"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    # Forward scan: at equal ts a purchase sorts AFTER the click (kind),
+    # and purchases at the same ts order by purchase_id — matching the
+    # oracle's (p.ts, p.purchase_id) tie-break.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "purchase_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "*",
+        F.first("purchase_id", ignorenulls=True).over(w).alias("next_purchase_id"),
+        F.first(F.when(F.col("kind") == 1, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("next_purchase_ts"),
+    )
+    out = merged.filter(F.col("kind") == 0).select(
+        "click_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_ts_us"),
+        "next_purchase_id",
+        F.unix_micros("next_purchase_ts").alias("next_purchase_ts_us"),
+    )
+    within = (
+        F.col("next_purchase_ts_us") - F.col("click_ts_us") <= ASOF_TOL_US
+    ) & F.col("next_purchase_id").isNotNull()
+    return out.select(
+        "click_id",
+        "user_id",
+        "click_ts_us",
+        F.when(within, F.col("next_purchase_id")).alias("purchase_id"),
+        F.when(within, F.col("next_purchase_ts_us")).alias("purchase_ts_us"),
+    )

@@ -65,3 +65,45 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tile_processor_spark.multimodal.ops import resize
 
     return resize(make_assets(spark, sf_dir))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) + 1, 7),
+                            i -> ord(substr(text, i, 1))) AS fs
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CAST(len(fs) AS BIGINT) AS n_sampled,
+           CAST(list_sum(fs) AS BIGINT) AS sample_sum,
+           CAST(fs[1] AS BIGINT) AS first_sample,
+           CAST(fs[len(fs)] AS BIGINT) AS last_sample
+    FROM c
+    """,
+    doc=(
+        "Frame-sampling gate: every 7th sample of the decoded payload "
+        "(the video keyframe-sampling shape) through the same "
+        "mapInPandas binary path; pinned by count, exact sum, and the "
+        "first/last sampled values."
+    ),
+    tags=("multimodal", "udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tile_processor_spark.multimodal.ops import frame_sample
+
+    fs = frame_sample(make_assets(spark, sf_dir))
+    total = F.aggregate(
+        F.col("frames"), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    return fs.select(
+        "asset_id",
+        F.size("frames").cast("long").alias("n_sampled"),
+        total.alias("sample_sum"),
+        F.get("frames", 0).alias("first_sample"),
+        F.get("frames", F.size("frames") - 1).alias("last_sample"),
+    )

@@ -847,3 +847,38 @@ def spatial_las_class_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("vs") == "2,3", "1,6")
     )
     return vs.select("tile_id", las.alias("las_classes"))
+
+
+@register(
+    "spatial_zorder_keys",
+    oracle=f"""
+    WITH pts AS ({PTS_SQL})
+    SELECT pk, CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy,
+           CAST(list_sum(list_transform(range(0, 10),
+             b -> ((ix // CAST(pow(2, b) AS BIGINT)) % 2)
+                    * CAST(pow(2, 2*b) AS BIGINT)
+                + ((iy // CAST(pow(2, b) AS BIGINT)) % 2)
+                    * CAST(pow(2, 2*b+1) AS BIGINT))) AS BIGINT) AS zkey
+    FROM pts
+    """,
+    doc=(
+        "Z-order (Morton) layout keys for the point set "
+        "(sources/layout.py): bit-interleaved quantized coordinates - "
+        "the lakehouse OPTIMIZE ZORDER BY technique that makes bbox "
+        "scans prune whole parquet files by min/max stats at 100 TB. "
+        "Pure integer column algebra, mirrored exactly by the oracle."
+    ),
+    tags=("spatial", "layout"),
+)
+def spatial_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.sources.layout import zorder_key
+
+    c = load_table(spark, "customer", sf_dir)
+    ix = ((F.col("c_custkey") * 7919) % 1000).cast("long")
+    iy = ((F.col("c_custkey") * 104729) % 1000).cast("long")
+    return c.select(
+        F.col("c_custkey").alias("pk"),
+        ix.alias("ix"),
+        iy.alias("iy"),
+        zorder_key(ix, iy).alias("zkey"),
+    )

@@ -510,3 +510,62 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_benchmark_docs"),
         F.min("bench_id").alias("first_bench_id"),
     )
+
+
+PACK_BLOCK_TOKENS = 512  # training sequence length (whitespace tokens)
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> length(x) > 0)) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, tok_start,
+           tok_start // {PACK_BLOCK_TOKENS} AS block_start,
+           (tok_start + n_tokens - 1) // {PACK_BLOCK_TOKENS} AS block_end
+    FROM c WHERE n_tokens > 0
+    """,
+    doc=(
+        "Sequence packing: concatenate each language's docs (doc_id "
+        "order) into one token stream and chunk it into fixed 512-token "
+        "training blocks - each doc's stream offset and first/last block "
+        "come from a window cumsum, the GPT-style pack-then-chunk data "
+        "prep stated declaratively. One shuffle on the partition key; "
+        "at 100 TB the partition key is (lang, shard) so no single "
+        "window grows unbounded."
+    ),
+    tags=("llm", "packing"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    t = d.select("doc_id", "lang", F.size(toks).cast("long").alias("n_tokens"))
+    c = t.withColumn("tok_start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return c.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "tok_start",
+        (F.col("tok_start") / PACK_BLOCK_TOKENS).cast("long").alias("block_start"),
+        ((F.col("tok_start") + F.col("n_tokens") - 1) / PACK_BLOCK_TOKENS)
+        .cast("long")
+        .alias("block_end"),
+    )

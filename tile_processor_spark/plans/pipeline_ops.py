@@ -526,14 +526,15 @@ PACK_BLOCK_TOKENS = 512  # training sequence length (whitespace tokens)
     ),
     c AS (
       SELECT doc_id, lang, n_tokens,
-             SUM(n_tokens) OVER (
+             CAST(SUM(n_tokens) OVER (
                PARTITION BY lang ORDER BY doc_id
-               ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_start
       FROM t
     )
     SELECT doc_id, lang, n_tokens, tok_start,
-           tok_start // {PACK_BLOCK_TOKENS} AS block_start,
-           (tok_start + n_tokens - 1) // {PACK_BLOCK_TOKENS} AS block_end
+           CAST(tok_start // {PACK_BLOCK_TOKENS} AS BIGINT) AS block_start,
+           CAST((tok_start + n_tokens - 1) // {PACK_BLOCK_TOKENS} AS BIGINT)
+             AS block_end
     FROM c WHERE n_tokens > 0
     """,
     doc=(

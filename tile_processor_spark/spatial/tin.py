@@ -81,13 +81,54 @@ def delaunay(points: np.ndarray) -> np.ndarray:
     for i in range(n):
         p = allp[i]
         t_arr = np.asarray(tris, dtype=np.int64)
-        centers, r2 = _circumcircle(allp, t_arr)
-        bad = ((p - centers) ** 2).sum(1) < r2  # strict: on-circle keeps
+        # Determinant in-circle predicate (orientation-corrected): far
+        # more stable than comparing distances to the circumcenter,
+        # whose coordinates explode for sliver triangles (catastrophic
+        # cancellation there dropped thin hull triangles — caught by
+        # tests/test_tin_properties.py::test_delaunay_area_equals_hull_area).
+        a, b, c = allp[t_arr[:, 0]], allp[t_arr[:, 1]], allp[t_arr[:, 2]]
+        orient = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (
+            b[:, 1] - a[:, 1]
+        ) * (c[:, 0] - a[:, 0])
+        ax, ay = a[:, 0] - p[0], a[:, 1] - p[1]
+        bx, by = b[:, 0] - p[0], b[:, 1] - p[1]
+        cx, cy = c[:, 0] - p[0], c[:, 1] - p[1]
+        a2, b2, c2 = ax * ax + ay * ay, bx * bx + by * by, cx * cx + cy * cy
+        det = (
+            ax * (by * c2 - b2 * cy)
+            - ay * (bx * c2 - b2 * cx)
+            + a2 * (bx * cy - by * cx)
+        )
+        margin = det * np.sign(orient)
+        # Super vertices act as points at infinity (CGAL's convention):
+        # a triangle with exactly one super vertex conflicts with p iff
+        # p lies strictly on the super side of its real edge. Using the
+        # finite circumcircle there instead distorts Delaunay near the
+        # hull (a finite super's huge circumcircle can swallow interior
+        # points and delete thin hull triangles — the second failure
+        # mode test_delaunay_area_equals_hull_area caught).
+        is_sup = t_arr >= n
+        one = is_sup.sum(1) == 1
+        if one.any():
+            t1 = t_arr[one]
+            rows = np.arange(len(t1))
+            sup_pos = np.argmax(is_sup[one], axis=1)
+            u = allp[t1[rows, (sup_pos + 1) % 3]]
+            v = allp[t1[rows, (sup_pos + 2) % 3]]
+            s = allp[t1[rows, sup_pos]]
+            o_p = (v[:, 0] - u[:, 0]) * (p[1] - u[:, 1]) - (v[:, 1] - u[:, 1]) * (
+                p[0] - u[:, 0]
+            )
+            o_s = (v[:, 0] - u[:, 0]) * (s[:, 1] - u[:, 1]) - (v[:, 1] - u[:, 1]) * (
+                s[:, 0] - u[:, 0]
+            )
+            margin[one] = np.where(o_p * o_s > 0, 1.0, -1.0)
+        bad = margin > 0  # strict: on-circle keeps
         if not bad.any():
             # Numerically on the hull of current triangulation; nudge via
-            # nearest-circumcircle membership to keep the mesh legal.
+            # the largest in-circle margin to keep the mesh legal.
             bad = np.zeros(len(t_arr), dtype=bool)
-            bad[np.argmin(((p - centers) ** 2).sum(1) - r2)] = True
+            bad[np.argmax(margin)] = True
         # Boundary of the star-shaped cavity: edges of bad triangles that
         # are not shared between two bad triangles.
         edge_count: dict[tuple[int, int], int] = {}

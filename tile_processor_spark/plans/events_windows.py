@@ -604,3 +604,82 @@ def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.col("next_purchase_id")).alias("purchase_id"),
         F.when(within, F.col("next_purchase_ts_us")).alias("purchase_ts_us"),
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    u AS (SELECT DISTINCT user_id FROM events),
+    staged AS (
+      SELECT u.user_id,
+             CASE WHEN p.user_id IS NOT NULL THEN 3
+                  WHEN c.user_id IS NOT NULL THEN 2
+                  WHEN v.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS stage
+      FROM u LEFT JOIN v USING (user_id)
+             LEFT JOIN c USING (user_id)
+             LEFT JOIN p USING (user_id)
+    )
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM staged GROUP BY stage
+    """,
+    doc=(
+        "Conversion funnel: per-user ordered stage progression (first "
+        "view, then first click strictly after it, then first purchase "
+        "strictly after that), rolled up to users-per-stage. The "
+        "sequence constraint is three ordered min-aggregations - each "
+        "one shuffle on user_id, reusing the same partitioning - not a "
+        "self-join explosion."
+    ),
+    tags=("events", "funnel"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    u = ev.select("user_id").distinct()
+    staged = (
+        u.join(v, "user_id", "left")
+        .join(c.withColumnRenamed("t_click", "tc"), "user_id", "left")
+        .join(p.withColumnRenamed("t_purchase", "tp"), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("tp").isNotNull(), 3)
+            .when(F.col("tc").isNotNull(), 2)
+            .when(F.col("t_view").isNotNull(), 1)
+            .otherwise(0)
+            .alias("stage"),
+        )
+    )
+    return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))

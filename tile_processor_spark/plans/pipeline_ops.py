@@ -570,3 +570,66 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("block_end"),
     )
+
+
+TOP_TERMS_K = 3
+
+
+@register(
+    "text_top_terms",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> length(x) > 0)) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM t GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM t GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tf, df, score, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= {TOP_TERMS_K}
+    """,
+    doc=(
+        "Keyword extraction: top-k terms per doc by tf x N/df - the "
+        "tf-idf ranking with a rational idf (no log, so both engines "
+        "compute the identical double and rank identically; log idf "
+        "orders the same way since x -> ln x is monotone). Shapes: "
+        "term-frequency and doc-frequency aggregations share the "
+        "exploded term stream; the df side is term-keyed (small) and "
+        "broadcast-joins back; one window per doc for the top-k."
+    ),
+    tags=("llm", "text"),
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0
+    )
+    t = d.select("doc_id", F.explode(toks).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = t.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()  # dimension scalar; one tiny job
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") * F.lit(n_docs) / F.col("df")).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_TERMS_K)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )

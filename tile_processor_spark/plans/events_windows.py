@@ -641,9 +641,10 @@ def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Conversion funnel: per-user ordered stage progression (first "
         "view, then first click strictly after it, then first purchase "
         "strictly after that), rolled up to users-per-stage. The "
-        "sequence constraint is three ordered min-aggregations - each "
-        "one shuffle on user_id, reusing the same partitioning - not a "
-        "self-join explosion."
+        "sequence constraint is three chained min-aggregations over "
+        "type-filtered scans (predicate pushdown trims each pass), with "
+        "the tiny per-user stage frames broadcast back - every shuffle "
+        "is user_id-keyed and O(users), never O(events x events)."
     ),
     tags=("events", "funnel"),
 )

@@ -604,10 +604,11 @@ TOP_TERMS_K = 3
         "Keyword extraction: top-k terms per doc by tf x N/df - the "
         "tf-idf ranking with a rational idf (no log, so both engines "
         "compute the identical double and rank identically; log idf "
-        "orders the same way since x -> ln x is monotone). Shapes: "
-        "term-frequency and doc-frequency aggregations share the "
-        "exploded term stream; the df side is term-keyed (small) and "
-        "broadcast-joins back; one window per doc for the top-k."
+        "orders the same way since x -> ln x is monotone). Shape: tf "
+        "and df each aggregate their own token explode (re-scanning "
+        "beats materializing the exploded stream, which is larger than "
+        "the corpus); the term-keyed df side broadcasts back; one "
+        "window per doc for the top-k."
     ),
     tags=("llm", "text"),
 )

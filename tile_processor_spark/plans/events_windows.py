@@ -684,3 +684,42 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
+      GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+           date_diff('day', f.cohort_day, a.d) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY f.cohort_day, date_diff('day', f.cohort_day, a.d)
+    """,
+    doc=(
+        "Cohort retention matrix: users grouped by first-activity day, "
+        "counted at each later activity-day offset - the standard "
+        "retention triangle. Two user_id-keyed aggregations plus one "
+        "join; the per-user firsts frame is tiny (O(users)) and "
+        "broadcastable at any event volume."
+    ),
+    tags=("events", "retention"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        active.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

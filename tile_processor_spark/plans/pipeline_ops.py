@@ -634,3 +634,53 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_TERMS_K)
         .select("doc_id", "term", "tf", "df", "score", "rk")
     )
+
+
+@register(
+    "embedding_normalize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, qv,
+             CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS norm2
+      FROM q
+    )
+    SELECT vec_id, label, norm2,
+           CAST(len(qv) AS BIGINT) AS dim,
+           CAST(qv[1] AS DOUBLE) / sqrt(CAST(norm2 AS DOUBLE)) AS u_first,
+           CAST(qv[len(qv)] AS DOUBLE) / sqrt(CAST(norm2 AS DOUBLE)) AS u_last
+    FROM n WHERE norm2 > 0
+    """,
+    doc=(
+        "Unit-normalization of the embedding column: the squared norm is "
+        "an exact BIGINT sum over quantized components, so the one "
+        "sqrt + division per component produces bit-identical doubles "
+        "in both engines regardless of summation order. Pure map (zero "
+        "shuffles) - the projection every cosine-based index wants "
+        "applied once at ingest rather than per query. The gate pins "
+        "scalars (norm, dim, first/last unit components) because the "
+        "compare harness cannot sort rows on array columns."
+    ),
+    tags=("llm", "embedding"),
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    qv = quantized_col(F.col("embedding"))
+    norm2 = F.aggregate(
+        F.transform(qv, lambda v: v * v), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    n = e.select("vec_id", "label", qv.alias("qv"), norm2.alias("norm2"))
+    rt = F.sqrt(F.col("norm2").cast("double"))
+    return n.filter(F.col("norm2") > 0).select(
+        "vec_id",
+        "label",
+        "norm2",
+        F.size("qv").cast("long").alias("dim"),
+        (F.get("qv", 0).cast("double") / rt).alias("u_first"),
+        (F.get("qv", F.size("qv") - 1).cast("double") / rt).alias("u_last"),
+    )

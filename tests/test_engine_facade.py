@@ -54,3 +54,20 @@ def test_engine_ahn_tile_set(engine, spark):
     assert {r.tile_id for r in ahn.version_boundary().collect()} == {"e1", "e2"}
     got = {(r.version, r.tile_id) for r in ahn.version_not_boundary().collect()}
     assert got == {(3, "e3")}
+
+
+def test_engine_connected_components_and_zorder(spark, tmp_path):
+    from tile_processor_spark.engine import Engine
+
+    eng = Engine(spark)
+    edges = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "a long, b long")
+    comp = {r["node"]: r["component"] for r in eng.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eng.connected_components(edges, algorithm="bogus")
+
+    df = spark.range(256).selectExpr("id", "id % 16 as xi", "id % 13 as yi")
+    eng.write_zordered(df, str(tmp_path / "z"), "xi", "yi", num_files=4)
+    assert spark.read.parquet(str(tmp_path / "z")).count() == 256

@@ -88,6 +88,37 @@ class Engine:
         merged = {**self.config.get("worker", {}), **(config or {})}
         return run_with_retry(data, worker, merged, restarts=restarts, tile_col=tile_col)
 
+    # --- library operators -------------------------------------------------
+
+    def connected_components(
+        self, edges: DataFrame, algorithm: str = "star"
+    ) -> DataFrame:
+        """(node, component) over an edge frame with long columns (a, b).
+        ``star`` = large-star/small-star (O(log² n) rounds, any graph
+        shape — plans/cc_star.py); near-dup clustering over the corpus
+        tables is the registered ``dedup_connected_components`` query."""
+        if algorithm != "star":
+            raise ValueError(f"unknown CC algorithm {algorithm!r}")
+        from tile_processor_spark.plans.cc_star import connected_components_star
+
+        return connected_components_star(edges)
+
+    def write_zordered(
+        self, df: DataFrame, path: str, xi_col: str, yi_col: str, **kw: Any
+    ) -> None:
+        """Z-order-clustered parquet write (sources/layout.py): bbox
+        scans prune whole files via min/max stats."""
+        from tile_processor_spark.sources.layout import write_zordered
+
+        write_zordered(df, path, xi_col, yi_col, **kw)
+
+    def dedup_probe(self, bands_table: str, new_docs: DataFrame) -> DataFrame:
+        """Incremental near-dup candidates: a new ingest batch against
+        the materialized band index (docs/SCALE.md §2.1)."""
+        from tile_processor_spark.plans.llm_ops import incremental_band_candidates
+
+        return incremental_band_candidates(self.spark, bands_table, new_docs)
+
     # --- capability registry ----------------------------------------------
 
     def queries(self) -> dict:

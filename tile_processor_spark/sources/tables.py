@@ -32,6 +32,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects unless the legacy nanos-as-long conf is set. Our own
+        # session (session.py) sets it at build time, but a vanilla session
+        # (e.g. the correctness harness) does not — set it at read time so
+        # load_table works on ANY session. Runtime-set is honored by the
+        # parquet reader (it is read per-query, not per-session).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # TIMESTAMP(NANOS) parquet read as long (nanosAsLong); values are

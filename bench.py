@@ -68,11 +68,10 @@ def main() -> None:
             flush=True,
         )
 
-    # Drop any DataFrame caches the warmup pass left behind (e.g. the
-    # minhash signature cache) so the measured pass recomputes every plan,
-    # and clear the warmup pass's garbage now so GC debt isn't billed to
-    # the first measured query.
-    spark.catalog.clearCache()
+    # No query pins executor storage (materialization points use
+    # localCheckpoint, whose blocks the ContextCleaner reclaims), so no
+    # clearCache is needed between passes; just clear the warmup pass's
+    # garbage now so GC debt isn't billed to the first measured query.
     spark._jvm.System.gc()
     time.sleep(2)
 
@@ -91,7 +90,6 @@ def main() -> None:
             took = time.perf_counter() - t0
             timings[name] = round(min(timings[name], took), 4)
             print(f"[bench] round {rnd} {name}: {took:.2f}s", file=sys.stderr, flush=True)
-        spark.catalog.clearCache()
 
     out = {
         "metric": "headline query wall time (sum)",

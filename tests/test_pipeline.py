@@ -140,6 +140,39 @@ def test_subprocess_worker_idempotent_rerun(spark, tiled_df, tmp_path):
     assert (tmp_path / "tile=b.out").read_text().strip().count("\n") == 5
 
 
+def test_subprocess_worker_monitor_tsv(spark, tiled_df, tmp_path):
+    # Monitor produce side (reference worker.py:718-736): with
+    # monitor_dir set, the worker samples the child's CPU/RSS every
+    # monitor_interval seconds into the TSV layout that the repo's own
+    # parse_log / per_tile_summary consume — the full round trip.
+    out_dir = tmp_path / "out"
+    mon_dir = tmp_path / "monitor"
+    out_dir.mkdir()
+    cmd = [
+        "python",
+        "-c",
+        "import sys, time; d=sys.stdin.read(); time.sleep(0.4); sys.stdout.write(d)",
+    ]
+    res = run_with_retry(
+        tiled_df,
+        "Subprocess",
+        {
+            "cmd": cmd,
+            "out_dir": str(out_dir),
+            "monitor_dir": str(mon_dir),
+            "monitor_interval": 0.05,
+        },
+    )
+    assert res == {"failed_tiles": [], "nr_success": 3}
+    log = parse_log(spark, str(mon_dir))
+    summary = {r.tile: r for r in per_tile_summary(log).collect()}
+    assert set(summary) == {"a", "b", "c"}
+    for r in summary.values():
+        assert r.n_samples >= 1
+        assert r.peak_rss_mb > 0
+        assert r.max_cpu_min >= 0
+
+
 def test_subprocess_worker_failure_collected(spark, tiled_df, tmp_path):
     # returncode != 0 → success=False status row (reference worker.py:751),
     # collected by the retry loop rather than failing the job.

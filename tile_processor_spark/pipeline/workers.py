@@ -137,27 +137,99 @@ def _subprocess_worker(tile_id: str, pdf: pd.DataFrame, config: dict):
     - Nonzero exit raises; run_worker_over_tiles converts that into a
       success=False status row, exactly like the reference's
       returncode!=0 → False.
+    - **Resource monitoring** (reference worker.py:718-736): when
+      ``config['monitor_dir']`` is set, a sampler polls the child's
+      user/sys CPU time and RSS every ``config['monitor_interval']``
+      seconds (from ``/proc/<pid>/stat`` — same numbers psutil reads)
+      and writes the TSV layout ``recorder.parse_log`` consumes:
+      ``timestamp  tile  pid  cpu_user  cpu_sys  rss``. One file per
+      (tile, pid) under monitor_dir, so concurrent Spark tasks never
+      contend on a shared append the way the reference's single-process
+      logger could assume.
     """
     import os
     import subprocess
+    import threading
 
     cmd = [c.format(tile=tile_id) for c in config["cmd"]]
-    res = subprocess.run(
-        cmd,
-        input=pdf.to_csv(index=False).encode("utf-8"),
-        capture_output=True,
-        timeout=config.get("timeout_s", 300),
-    )
-    if res.returncode != 0:
+    stdin_bytes = pdf.to_csv(index=False).encode("utf-8")
+    timeout_s = config.get("timeout_s", 300)
+    monitor_dir = config.get("monitor_dir")
+
+    if monitor_dir is None:
+        res = subprocess.run(
+            cmd, input=stdin_bytes, capture_output=True, timeout=timeout_s
+        )
+        rc, stdout, stderr = res.returncode, res.stdout, res.stderr
+    else:
+        interval = float(config.get("monitor_interval", 1.0))
+        proc = subprocess.Popen(
+            cmd,
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        samples: list[str] = []
+        stop = threading.Event()
+
+        def _sample_loop() -> None:
+            # The reference polls in its main thread (it feeds no stdin);
+            # here communicate() owns the pipes, so the sampler is a
+            # daemon thread with the same cadence. First sample is
+            # immediate so even sub-interval commands leave a row.
+            import datetime
+
+            tck = float(os.sysconf("SC_CLK_TCK"))
+            page = os.sysconf("SC_PAGE_SIZE")
+            while True:
+                try:
+                    with open(f"/proc/{proc.pid}/stat", "rb") as f:
+                        # comm can contain spaces; split after the ')'.
+                        fields = f.read().rsplit(b")", 1)[1].split()
+                    # fields[0] is state (orig field 3): utime/stime are
+                    # orig fields 14/15 → idx 11/12; rss pages idx 21.
+                    cpu_u = int(fields[11]) / tck
+                    cpu_s = int(fields[12]) / tck
+                    rss = int(fields[21]) * page
+                except (OSError, IndexError, ValueError):
+                    break  # child exited; /proc entry gone
+                ts = datetime.datetime.now(datetime.timezone.utc).strftime(
+                    "%Y-%m-%d %H:%M:%S.%f"
+                )
+                samples.append(
+                    f"{ts}\t{tile_id}\t{proc.pid}\t{cpu_u}\t{cpu_s}\t{rss}"
+                )
+                if stop.wait(interval):
+                    break
+
+        sampler = threading.Thread(target=_sample_loop, daemon=True)
+        sampler.start()
+        try:
+            stdout, stderr = proc.communicate(input=stdin_bytes, timeout=timeout_s)
+        finally:
+            stop.set()
+            sampler.join(timeout=5.0)
+        rc = proc.returncode
+        if samples:
+            os.makedirs(monitor_dir, exist_ok=True)
+            mon_path = os.path.join(
+                monitor_dir, f"tile={tile_id}.pid={proc.pid}.tsv"
+            )
+            tmp = f"{mon_path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                f.write("\n".join(samples) + "\n")
+            os.replace(tmp, mon_path)
+
+    if rc != 0:
         raise RuntimeError(
-            f"subprocess rc={res.returncode} for tile {tile_id}: "
-            f"{res.stderr.decode('utf-8', 'replace')[:300]}"
+            f"subprocess rc={rc} for tile {tile_id}: "
+            f"{stderr.decode('utf-8', 'replace')[:300]}"
         )
     out_dir = config["out_dir"]
     path = os.path.join(out_dir, f"tile={tile_id}.out")
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
-        f.write(res.stdout)
+        f.write(stdout)
     os.replace(tmp, path)
     return pdf
 

@@ -103,14 +103,66 @@ def kmeans_fit(e: DataFrame, k: int = K_CLUSTERS, iters: int = KMEANS_ITERS) -> 
     return _assign_nearest(e, centroids).select("vec_id", F.col("c_id").alias("assigned"))
 
 
+def _assign_sql(cent: str, cnt: str) -> str:
+    """One Lloyd assignment step in DuckDB SQL against centroid-state CTEs
+    ``cent(c_id, i, s)`` and ``cnt(c_id, n)`` — the same exact algebra as
+    ``_assign_nearest``: d2 = (n²·|q|² − 2n·(q·s) + |s|²) / n² with a
+    single double division, ties to the smallest c_id."""
+    return f"""
+    SELECT vec_id, c_id FROM (
+      SELECT q2.vec_id, sc.c_id,
+             ROW_NUMBER() OVER (PARTITION BY q2.vec_id
+               ORDER BY CAST(nk.n*nk.n*q2.q2 - 2*nk.n*sc.qs + s2.s2 AS DOUBLE)
+                        / (nk.n*nk.n), sc.c_id) AS rn
+      FROM q2
+      JOIN (SELECT qd.vec_id, c.c_id, SUM(qd.qv * c.s) AS qs
+            FROM qd JOIN {cent} c ON qd.i = c.i GROUP BY qd.vec_id, c.c_id) sc
+        ON q2.vec_id = sc.vec_id
+      JOIN (SELECT c_id, SUM(s*s) AS s2 FROM {cent} GROUP BY c_id) s2
+        ON sc.c_id = s2.c_id
+      JOIN {cnt} nk ON sc.c_id = nk.c_id
+    ) WHERE rn = 1
+    """
+
+
+def _kmeans_oracle(iters: int = KMEANS_ITERS, k: int = K_CLUSTERS) -> str:
+    """The full fixed-iteration Lloyd fit unrolled as chained CTEs — the
+    iteration count is a compile-time constant, so 'iterative' does not
+    mean 'not SQL-expressible'."""
+    from tile_processor_spark.plans.llm_ops import SQL_QUANT
+
+    ctes = [
+        "qd AS (SELECT vec_id, i, "
+        + SQL_QUANT.format(i="i")
+        + " AS qv FROM embeddings, range(1, 65) r(i))",
+        "q2 AS (SELECT vec_id, SUM(qv*qv) AS q2 FROM qd GROUP BY vec_id)",
+        f"seeds AS (SELECT vec_id AS c_id FROM embeddings ORDER BY vec_id LIMIT {k})",
+        "c0 AS (SELECT s.c_id, qd.i, qd.qv AS s FROM seeds s JOIN qd ON qd.vec_id = s.c_id)",
+        "n0 AS (SELECT c_id, CAST(1 AS BIGINT) AS n FROM seeds)",
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(f"a{it} AS ({_assign_sql(f'c{it - 1}', f'n{it - 1}')})")
+        ctes.append(
+            f"c{it} AS (SELECT a.c_id, qd.i, SUM(qd.qv) AS s "
+            f"FROM a{it} a JOIN qd USING (vec_id) GROUP BY a.c_id, qd.i)"
+        )
+        ctes.append(f"n{it} AS (SELECT c_id, COUNT(*) AS n FROM a{it} GROUP BY c_id)")
+    final = _assign_sql(f"c{iters}", f"n{iters}")
+    return (
+        "WITH " + ",\n".join(ctes) + f" SELECT vec_id, c_id AS assigned FROM ({final})"
+    )
+
+
 @register(
     "ann_kmeans_fit",
-    oracle=None,  # iterative; pinned bit-exact by the NumPy mirror test
+    oracle=_kmeans_oracle(),
     doc=(
         "Train the IVF list structure: k=8 Lloyd iterations (3 fixed "
         "rounds) over 2^20-quantized vectors with exact integer centroid "
         "state; deterministic init (k smallest vec_ids) and tie-breaks. "
-        "Local pin: tests/test_ann_kmeans.py recomputes the identical "
+        "The DuckDB oracle unrolls the same fixed iteration count as "
+        "chained CTEs (identical integer algebra, one double division), "
+        "and tests/test_ann_kmeans.py additionally recomputes the "
         "algebra in NumPy and asserts bit-equal assignments."
     ),
     tags=("llm", "similarity", "ivf"),

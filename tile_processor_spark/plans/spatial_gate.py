@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from tile_processor_spark.plans import _tin_oracle_values as _TIN_VALUES
 from tile_processor_spark.plans.registry import register
 from tile_processor_spark.plans.relational import dsum
 from tile_processor_spark.sources.tables import load_table
@@ -729,10 +730,12 @@ def tile_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "spatial_alpha_shape",
-    oracle=None,  # Delaunay construction is not SQL-expressible; the
-    # kernel is pinned by tests/test_tin.py and the per-tile stats are
-    # deterministic (Delaunay uniqueness; cocircular flips cannot change
-    # area/boundary stats), so the rows-only driver check is stable.
+    # Delaunay construction is not SQL-expressible, but the per-tile stats
+    # are a deterministic pure function of the sf0.01 custkey set (Delaunay
+    # uniqueness; cocircular flips cannot change area/boundary stats), so a
+    # literal-VALUES frame IS a value-level oracle. Regenerate with
+    # tools/gen_tin_oracles.py after a testdata refresh.
+    oracle=_TIN_VALUES.SPATIAL_ALPHA_SHAPE_ORACLE,
     doc=(
         "AlphaShapeWorker (reference worker.py:587-610, delegated to a "
         "PostGIS ST_AlphaShape helper): per-tile alpha shape over the "
@@ -770,9 +773,11 @@ def spatial_alpha_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "spatial_tin_simplify",
-    oracle=None,  # greedy TIN insertion is not SQL-expressible; rows are
-    # one per tile and the worker sorts samples before insertion, so the
-    # rows-only driver check is stable across shuffles.
+    # Greedy TIN insertion is not SQL-expressible, but with z derived from
+    # the custkey (see below) the per-tile result is a deterministic pure
+    # function of the sf0.01 custkey set — pinned as a literal-VALUES
+    # frame. Regenerate with tools/gen_tin_oracles.py after a refresh.
+    oracle=_TIN_VALUES.SPATIAL_TIN_SIMPLIFY_ORACLE,
     doc=(
         "Terrain TIN with simplification threshold (3dfier TIN lifting + "
         "simplification_tinsimp, reference worker.py:288-293): per tile, "
@@ -786,12 +791,20 @@ def spatial_alpha_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 def spatial_tin_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tile_processor_spark.spatial import tin
 
-    pts = synthetic_points(spark, sf_dir).withColumn(
-        "tile_id",
-        F.concat(
-            F.lit("t"), F.floor(F.col("x") / 100).cast("string"),
-            F.lit("_"), F.floor(F.col("y") / 100).cast("string"),
-        ),
+    # z is custkey-derived (not acctbal): the literal-VALUES oracle is then
+    # a pure function of the custkey set, immune to value-column refreshes
+    # of the testdata (the driver regenerated events in round 3; this keeps
+    # the pin valid across the same kind of refresh for customer).
+    pts = (
+        synthetic_points(spark, sf_dir)
+        .withColumn("z", ((F.col("pk") * 31) % 97).cast("double"))
+        .withColumn(
+            "tile_id",
+            F.concat(
+                F.lit("t"), F.floor(F.col("x") / 100).cast("string"),
+                F.lit("_"), F.floor(F.col("y") / 100).cast("string"),
+            ),
+        )
     )
 
     def _simp(pdf: pd.DataFrame) -> pd.DataFrame:

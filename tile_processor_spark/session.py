@@ -26,10 +26,6 @@ ENGINE_CONF: dict[str, str] = {
     # enough that a batch of WKB geometries fits comfortably in memory.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.parquet.aggregatePushdown": "true",
-    # The testdata events table stores TIMESTAMP(NANOS) parquet, which the
-    # Spark reader rejects outright; read as long and convert in the loader
-    # (values are µs-precision, so the conversion is lossless).
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
 }
 

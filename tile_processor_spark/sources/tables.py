@@ -32,20 +32,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects unless the legacy nanos-as-long conf is set. Our own
-        # session (session.py) sets it at build time, but a vanilla session
-        # (e.g. the correctness harness) does not — set it at read time so
-        # load_table works on ANY session. Runtime-set is honored by the
-        # parquet reader (it is read per-query, not per-session).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # TIMESTAMP(NANOS) parquet read as long (nanosAsLong); values are
-        # µs-precision so integer-dividing to µs is lossless and exact
-        # (`div`, not `/`: float division loses bits above 2^53).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        # The driver has regenerated events.parquet with different physical
+        # ts encodings across rounds; normalize to TIMESTAMP (LTZ) whatever
+        # the on-disk flavor so downstream `unix_micros` / `window()` /
+        # `session_window()` work uniformly:
+        #   - timestamp[us] isAdjustedToUTC=false → Spark TIMESTAMP_NTZ:
+        #     pin the session tz to UTC and cast (wall-clock == instant, so
+        #     the cast is exact; epoch-µs values verified against DuckDB).
+        #   - int64 nanos (legacy nanosAsLong sessions) → integer-divide to
+        #     µs (`div`, not `/`: float division loses bits above 2^53).
+        #   - timestamp[us] UTC-adjusted → already TIMESTAMP, passthrough.
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.TimestampNTZType):
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -73,6 +73,16 @@ def main() -> None:
     # clearCache is needed between passes; just clear the warmup pass's
     # garbage now so GC debt isn't billed to the first measured query.
     spark._jvm.System.gc()
+
+    # Host-speed calibration: a fixed JVM-side workload (range-sum, no
+    # I/O, no Python). Query wall times only compare across rounds when
+    # divided by this — the shared hosts differ round-to-round by 2-3×
+    # (measured: identical q6 plan+data, 0.18s on the round-2 host vs
+    # 0.6s on the round-4 host).
+    t0 = time.perf_counter()
+    spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id * 3 + 1)").collect()
+    calib = round(time.perf_counter() - t0, 4)
+    print(f"[bench] calibration range-sum: {calib:.2f}s", file=sys.stderr, flush=True)
     time.sleep(2)
 
     # Measured passes: two full interleaved rounds, best time per query.
@@ -97,6 +107,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration_range_sum_sec": calib,
     }
     print(json.dumps(out))
     spark.stop()

@@ -38,9 +38,11 @@ from pyspark.sql.window import Window as W
 
 from tile_processor_spark.plans.llm_ops import (
     _MINHASH_ORACLE,
+    SQL_TOKENS,
     dedup_minhash_pairs,
     hash32,
     quantized_col,
+    tokens_col,
 )
 from tile_processor_spark.plans.registry import register
 from tile_processor_spark.sources.tables import load_table
@@ -683,4 +685,106 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("qv").cast("long").alias("dim"),
         (F.get("qv", 0).cast("double") / rt).alias("u_first"),
         (F.get("qv", F.size("qv") - 1).cast("double") / rt).alias("u_last"),
+    )
+
+
+N_SHARDS = 64  # training shards; real runs size this to loader parallelism
+
+
+@register(
+    "corpus_shard_assign",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_SQL_DOC_HASH.format(v="'shard#' || CAST(doc_id AS VARCHAR)")}
+               % {N_SHARDS} AS shard,
+             {_SQL_DOC_HASH.format(v="'pos#' || CAST(doc_id AS VARCHAR)")}
+               AS pos_key
+      FROM documents
+    )
+    SELECT doc_id, shard, pos_key,
+           CAST(row_number() OVER (
+             PARTITION BY shard ORDER BY pos_key, doc_id
+           ) AS BIGINT) AS pos
+    FROM h
+    """,
+    doc=(
+        "Training-shard layout: every doc gets a deterministic shard id "
+        "and a within-shard position from independent md5-prefix hashes "
+        "of doc_id — the 'global shuffle' a training loader needs, "
+        "reproducible row-by-row with no stored permutation table. One "
+        "shuffle (the per-shard position window); at 100 TB shards are "
+        "written with partitionBy(shard) sortWithinPartitions(pos) so "
+        "the loader streams each shard in order."
+    ),
+    tags=("llm", "sampling", "layout"),
+)
+def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    shard = hash32(F.concat(F.lit("shard#"), F.col("doc_id").cast("string"))) % N_SHARDS
+    pos_key = hash32(F.concat(F.lit("pos#"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("shard").orderBy("pos_key", "doc_id")
+    return (
+        d.select("doc_id", shard.alias("shard"), pos_key.alias("pos_key"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
+
+
+@register(
+    "text_doc_frequency_score",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+    ),
+    toks AS (SELECT DISTINCT doc_id, unnest(w) AS word FROM words),
+    df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY word),
+    per AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+             CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rare_words,
+             CAST(SUM(df) AS BIGINT) AS sum_df,
+             CAST(MAX(df) AS BIGINT) AS max_df
+      FROM toks t JOIN df USING (word) GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_distinct_words, n_rare_words, max_df,
+           CAST(sum_df AS DOUBLE) / n_distinct_words AS mean_df
+    FROM per
+    """,
+    doc=(
+        "Corpus-informed quality signal (CCNet-style, with the corpus as "
+        "its own language model): per doc, the document-frequency profile "
+        "of its distinct words — rare-word count (df = 1), max df, and "
+        "mean df as one exact-integer division. Unlike text_quality_scores "
+        "(per-doc heuristics) this is the two-pass shape: a vocabulary "
+        "aggregate over the whole corpus joined back to every doc. At "
+        "100 TB the df table is vocabulary-sized (Zipf: ≪ corpus); "
+        "broadcast its head + shuffle-join the tail, or pre-bucket both "
+        "sides by word. Integer counts end-to-end; the single division "
+        "is the only double."
+    ),
+    tags=("llm", "text", "quality"),
+)
+def text_doc_frequency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("word")
+    )
+    df_table = toks.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        toks.join(df_table, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_rare_words"),
+            F.sum("df").alias("sum_df"),
+            F.max("df").alias("max_df"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_distinct_words",
+        "n_rare_words",
+        "max_df",
+        (F.col("sum_df").cast("double") / F.col("n_distinct_words")).alias("mean_df"),
     )

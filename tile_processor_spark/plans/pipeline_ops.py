@@ -788,3 +788,50 @@ def text_doc_frequency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_df",
         (F.col("sum_df").cast("double") / F.col("n_distinct_words")).alias("mean_df"),
     )
+
+
+@register(
+    "dedup_connected_components_star",
+    oracle=f"""
+    {_CC_ORACLE_CTES}
+    SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           CAST(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS INTEGER)
+             AS is_canonical
+    FROM comp c JOIN sizes s USING (cluster_id)
+    """,
+    doc=(
+        "The same fuzzy-dedup clustering as dedup_connected_components "
+        "computed by the alternating large-star/small-star algorithm "
+        "(Kiveris et al., SoCC'14 — plans/cc_star.py): O(log² n) rounds "
+        "regardless of graph shape, vs O(diameter) for min-label "
+        "propagation. Same oracle (components are unique), so the gate "
+        "pins that both distributed algorithms agree with the recursive-"
+        "CTE transitive closure. This is the variant to use when cluster "
+        "shape is unknown (adversarial chains); the Engine facade "
+        "defaults to it."
+    ),
+    tags=("llm", "dedup", "graph"),
+)
+def dedup_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.plans.cc_star import connected_components_star
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = dedup_minhash_pairs(spark, sf_dir).select(
+        F.col("d1").alias("a"), F.col("d2").alias("b")
+    )
+    comp = connected_components_star(pairs)
+    # Singletons (docs with no near-dup edge) are their own component.
+    labels = (
+        docs.join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )

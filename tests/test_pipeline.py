@@ -173,6 +173,23 @@ def test_subprocess_worker_monitor_tsv(spark, tiled_df, tmp_path):
         assert r.max_cpu_min >= 0
 
 
+def test_job_monitor_tsv(spark, tiled_df, tmp_path):
+    # Driver-side engine monitor (SURVEY §7.6 metrics→TSV): sample the
+    # JVM's CPU/RSS while a Spark job runs, then read the log back
+    # through the same recorder tooling as the subprocess monitor.
+    from tile_processor_spark.pipeline.monitor import JobMonitor
+
+    mon_dir = tmp_path / "mon"
+    with JobMonitor(spark, str(mon_dir), label="agg_job", interval=0.05) as jm:
+        for _ in range(3):
+            tiled_df.groupBy("tile_id").count().collect()
+    summary = {r.tile: r for r in per_tile_summary(parse_log(spark, str(mon_dir))).collect()}
+    assert set(summary) == {"agg_job"}
+    assert summary["agg_job"].n_samples >= 1
+    assert summary["agg_job"].peak_rss_mb > 0
+    assert len(jm.stage_samples) == summary["agg_job"].n_samples
+
+
 def test_subprocess_worker_failure_collected(spark, tiled_df, tmp_path):
     # returncode != 0 → success=False status row (reference worker.py:751),
     # collected by the retry loop rather than failing the job.

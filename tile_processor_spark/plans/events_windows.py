@@ -723,3 +723,95 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "events_rolling_zscore",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT (epoch_us(ts) // {3600 * US}) * {3600 * US} AS h_start_us,
+             event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS v_i
+      FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+      SELECT h_start_us, event_type, v_i,
+             COUNT(*) OVER w AS c,
+             SUM(v_i) OVER w AS s1,
+             SUM(CAST(v_i AS DECIMAL(38,0)) * v_i) OVER w AS s2
+      FROM buckets
+      WINDOW w AS (
+        PARTITION BY event_type ORDER BY h_start_us
+        RANGE BETWEEN {43200 * US} PRECEDING AND {3600 * US} PRECEDING
+      )
+    )
+    SELECT h_start_us, event_type, v_i, CAST(c AS BIGINT) AS n_prev,
+           (CAST(v_i AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))
+             / sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))
+                    / (CAST(c AS DOUBLE) - 1.0)) AS z
+    FROM framed
+    WHERE c >= 5
+      AND (CAST(s2 AS DOUBLE)
+           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))
+          / (CAST(c AS DOUBLE) - 1.0) > 0
+    """,
+    doc=(
+        "Rolling anomaly z-score over the hour-bucketed value series "
+        "per event_type — the continuous-monitoring idiom (TimescaleDB "
+        "anomaly queries / Flink CEP preludes) expressed as a RANGE "
+        "window frame over the previous 12 hours (time-range, not row-"
+        "count, so gaps behave correctly). Exactness discipline: bucket "
+        "values are exact integers (decimal sum × 10⁴), the frame's "
+        "count/sum/sum-of-squares are integer/decimal-exact and order-"
+        "independent, and both engines evaluate the identical final "
+        "double expression — so even sqrt-based z-scores hash-match. At "
+        "scale: one shuffle for the bucket agg, one for the per-type "
+        "sort; frames never materialize more than the running sums."
+    ),
+    tags=("events", "window", "anomaly"),
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    buckets = (
+        ev.groupBy(
+            ((F.unix_micros("ts") / F.lit(3600 * US)).cast("long") * (3600 * US)).alias(
+                "h_start_us"
+            ),
+            "event_type",
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+            .cast("long")
+            .alias("v_i")
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h_start_us")
+        .rangeBetween(-43200 * US, -3600 * US)
+    )
+    framed = buckets.select(
+        "h_start_us",
+        "event_type",
+        "v_i",
+        F.count(F.lit(1)).over(w).alias("c"),
+        F.sum("v_i").over(w).alias("s1"),
+        F.sum(F.col("v_i").cast("decimal(38,0)") * F.col("v_i")).over(w).alias("s2"),
+    )
+    cd = F.col("c").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    vd = F.col("v_i").cast("double")
+    var = (s2d - s1d * s1d / cd) / (cd - F.lit(1.0))
+    z = (vd - s1d / cd) / F.sqrt(var)
+    return (
+        framed.filter((F.col("c") >= 5) & (var > 0))
+        .select(
+            "h_start_us",
+            "event_type",
+            "v_i",
+            F.col("c").cast("long").alias("n_prev"),
+            z.alias("z"),
+        )
+    )

@@ -835,3 +835,74 @@ def dedup_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFra
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
     )
+
+
+@register(
+    "sample_temperature_mixture",
+    oracle=f"""
+    WITH cs AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY source
+    ),
+    ws AS (
+      SELECT source, c,
+             CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS w
+      FROM cs
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS t, CAST(SUM(w) AS BIGINT) AS sw FROM ws
+    ),
+    thr AS (
+      SELECT source,
+             CAST(floor(
+               CAST((t // 2) * w AS DOUBLE) / CAST(sw * c AS DOUBLE) * 1000000
+             ) AS BIGINT) AS thr
+      FROM ws, tot
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           {_SQL_DOC_HASH.format(v="'mix#' || CAST(d.doc_id AS VARCHAR)")} % 1000000
+             AS hb
+    FROM documents d JOIN thr USING (source)
+    WHERE {_SQL_DOC_HASH.format(v="'mix#' || CAST(d.doc_id AS VARCHAR)")} % 1000000
+          < thr.thr
+    """,
+    doc=(
+        "Temperature-based source mixing (alpha = 0.5): per-source "
+        "acceptance rates proportional to count^alpha, targeting half "
+        "the corpus — the standard pretraining mixture reweighting that "
+        "upsamples small sources relative to their raw share. Exactness: "
+        "weights are integer floor-sqrt, the only double op is one "
+        "division inside a floor, and membership is the deterministic "
+        "md5-prefix hash — reproducible row-by-row at any partitioning. "
+        "Scale: the rate table is O(#sources) and broadcast; the corpus "
+        "pass is a pure map (no shuffle)."
+    ),
+    tags=("llm", "sampling"),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    cs = d.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    ws = cs.withColumn(
+        "w", F.floor(F.sqrt(F.col("c").cast("double"))).cast("long")
+    )
+    tot = ws.agg(
+        F.sum("c").cast("long").alias("t"), F.sum("w").cast("long").alias("sw")
+    )
+    thr = (
+        ws.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.floor(
+                (F.expr("t div 2") * F.col("w")).cast("double")
+                / (F.col("sw") * F.col("c")).cast("double")
+                * 1000000
+            )
+            .cast("long")
+            .alias("thr"),
+        )
+    )
+    hb = hash32(F.concat(F.lit("mix#"), F.col("doc_id").cast("string"))) % 1000000
+    return (
+        d.join(F.broadcast(thr), "source")
+        .filter(hb < F.col("thr"))
+        .select("doc_id", "lang", "source", hb.alias("hb"))
+    )

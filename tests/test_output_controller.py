@@ -67,6 +67,24 @@ def test_diroutput_write_partitioned(spark, tmp_path):
     assert back.filter(F.col("tile_id") == "a").count() == 3
 
 
+def test_diroutput_partial_rerun_preserves_other_tiles(spark, tmp_path):
+    # Retry semantics: re-writing a SUBSET of tiles (the failed ones)
+    # must replace only those partitions — dynamic partition overwrite —
+    # not wipe completed tiles the way static overwrite would.
+    full = spark.createDataFrame(
+        [(t, v) for t in ("a", "b", "c") for v in range(3)], "tile_id string, v int"
+    )
+    d = DirOutput(tmp_path / "out")
+    d.write_partitioned(full)
+    retry = spark.createDataFrame([("b", 99)], "tile_id string, v int")
+    d.write_partitioned(retry)
+    back = spark.read.parquet(str(d.path))
+    assert back.filter(F.col("tile_id") == "a").count() == 3
+    assert back.filter(F.col("tile_id") == "c").count() == 3
+    b_rows = [r.v for r in back.filter(F.col("tile_id") == "b").collect()]
+    assert b_rows == [99]
+
+
 def test_controller_registry():
     assert {"Example", "AHN"} <= set(list_controllers())
     with pytest.raises(KeyError):

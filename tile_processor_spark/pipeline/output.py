@@ -40,8 +40,20 @@ class DirOutput:
 
     def write_partitioned(self, df: DataFrame, tile_col: str = "tile_id") -> None:
         """The Spark-native form of per-tile output: one directory per
-        tile via partitionBy — tile filters then prune files."""
-        df.write.mode("overwrite").partitionBy(tile_col).parquet(str(self.path))
+        tile via partitionBy — tile filters then prune files.
+
+        Dynamic partition overwrite (a per-write option, not a session
+        mutation) replaces ONLY the tile partitions present in ``df``:
+        re-running a failed tile subset — the reference's retry loop
+        (processor.py:89-125) and our ``run_with_retry`` — must not wipe
+        the other tiles' completed output, which static overwrite would
+        do at any scale."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(tile_col)
+            .parquet(str(self.path))
+        )
 
 
 @dataclass

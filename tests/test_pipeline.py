@@ -265,11 +265,19 @@ def test_monitor_plot_sink(spark, tmp_path):
     log.write_text("\n".join(rows) + "\n")
     written = save_monitor_plots(parse_log(spark, str(log)), str(tmp_path / "plots"))
     assert sorted(p.split("/")[-1] for p in written) == [
-        "cpu_time.svg", "memory_usage.svg",
+        "cpu_time.pdf", "cpu_time.svg", "memory_usage.pdf", "memory_usage.svg",
     ]
     body = (tmp_path / "plots" / "memory_usage.svg").read_text()
     assert body.startswith("<svg") and body.count("<polyline") == 2
     assert "t1" in body and "t2" in body
+    # PDFs (reference format): valid header/trailer, xref offset resolves
+    # to the xref table, both tiles appear as text operands.
+    for pdf_name in ("memory_usage.pdf", "cpu_time.pdf"):
+        raw = (tmp_path / "plots" / pdf_name).read_bytes()
+        assert raw.startswith(b"%PDF-1.4") and raw.rstrip().endswith(b"%%EOF")
+        xref_at = int(raw.rsplit(b"startxref", 1)[1].split()[0])
+        assert raw[xref_at : xref_at + 4] == b"xref"
+        assert b"(t1)" in raw and b"(t2)" in raw
 
 
 def test_full_reference_worker_registry_parity():

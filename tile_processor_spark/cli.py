@@ -7,7 +7,7 @@ shim the reference's CLI users would reach for:
 - ``list-workers``       ≙ factory keys listing
 - ``register-schema`` / ``list-schemas`` / ``remove-schema``
                          ≙ cli.py:146-175 → controller.py:72-116
-- ``plot-monitor-log``   ≙ cli.py:178-192 (summary table instead of PDFs)
+- ``plot-monitor-log``   ≙ cli.py:178-192 (summary table + PDF/SVG charts)
 """
 
 from __future__ import annotations
@@ -146,8 +146,9 @@ def remove_schema_cmd(name, db_path) -> None:
 @click.option(
     "--plot-dir",
     default=None,
-    help="Also write per-tile memory/CPU SVG charts here (S13 plot sink; "
-    "the reference writes matplotlib PDFs, recorder.py:106-133).",
+    help="Also write per-tile memory/CPU charts here (S13 plot sink: "
+    "reference-format PDFs via the built-in writer, plus SVG; "
+    "recorder.py:106-133).",
 )
 def monitor_cmd(log_path, plot_dir) -> None:
     """Per-tile resource summary from a monitor TSV (recorder.py:75-133)."""

@@ -55,3 +55,39 @@ def test_salted_join_equals_plain_join(spark):
     plain_l = large.join(small2, ["k"], "left").orderBy("k", "v").collect()
     salted_l = salted_join(large, small2, ["k"], how="left", salt=4).orderBy("k", "v").collect()
     assert salted_l == plain_l
+
+
+def test_stateful_anomaly_zscore_stream(spark, tmp_path):
+    # Feed 7 single-file micro-batches per event type: 6 calm batches
+    # (value sum 10 ± small) then one 100× spike — the spike must score
+    # |z| >= 3 once enough priors accumulated, calm batches must not.
+    from tile_processor_spark.streaming.stateful import running_anomaly_zscore
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    calm = [10.0, 10.5, 9.5, 10.2, 9.8, 10.0]
+    for i, v in enumerate(calm + [1000.0]):
+        spark.createDataFrame(
+            [(i, "2024-01-01 00:00:00", 1, "click", v, "{}")],
+            "event_id long, ts string, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    q = (
+        running_anomaly_zscore(read_events_stream(spark, str(src), max_files=1))
+        .writeStream.format("memory")
+        .queryName("anomaly_smoke")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM anomaly_smoke ORDER BY obs_n"
+    ).collect()
+    assert [r.obs_n for r in rows] == list(range(1, 8))
+    # no z until 5 priors; calm z small; the spike flags
+    assert all(r.z is None for r in rows if r.obs_n <= 5)
+    spike = rows[-1]
+    assert spike.v == 1000.0 and spike.is_anomaly and abs(spike.z) > 3
+    assert not any(r.is_anomaly for r in rows[:-1])

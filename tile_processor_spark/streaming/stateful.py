@@ -45,3 +45,66 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ANOMALY_OUTPUT_SCHEMA = (
+    "event_type string, obs_n long, v double, z double, is_anomaly boolean"
+)
+ANOMALY_STATE_SCHEMA = "n long, s1 double, s2 double"
+
+#: Observations required before a z-score is emitted (matches the batch
+#: events_rolling_zscore guard) and the |z| alert threshold.
+ANOMALY_MIN_OBS = 5
+ANOMALY_Z_THRESHOLD = 3.0
+
+
+def running_anomaly_zscore(events: DataFrame) -> DataFrame:
+    """Streaming mirror of the batch ``events_rolling_zscore``: per
+    event_type, each micro-batch's value total is one observation in a
+    running (n, Σv, Σv²) state; the observation is scored against the
+    PRIOR observations' mean/std before being folded in. Emits one row
+    per key per batch with a nullable z (null until ANOMALY_MIN_OBS
+    priors exist) and an is_anomaly flag at |z| ≥ 3.
+
+    State is three scalars per key — O(#event_types), unbounded input —
+    the exact shape ``applyInPandasWithState`` exists for; the windowed
+    built-ins cannot express 'score against history, then update it'.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        n, s1, s2 = state.get if state.exists else (0, 0.0, 0.0)
+        v = 0.0
+        seen = False
+        for pdf in pdfs:
+            if len(pdf):
+                seen = True
+                v += float(pdf["value"].sum())
+        if not seen:
+            return
+        z = None
+        if n >= ANOMALY_MIN_OBS:
+            mean = s1 / n
+            var = (s2 - s1 * s1 / n) / (n - 1)
+            if var > 0:
+                z = (v - mean) / var**0.5
+        state.update((n + 1, s1 + v, s2 + v * v))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "obs_n": [n + 1],
+                "v": [v],
+                "z": [z],
+                "is_anomaly": [z is not None and abs(z) >= ANOMALY_Z_THRESHOLD],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=ANOMALY_OUTPUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

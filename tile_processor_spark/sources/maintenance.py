@@ -1,0 +1,88 @@
+"""Table maintenance: small-file compaction.
+
+Streaming appends (``streaming/ingest.py``), per-batch merges
+(``streaming/rollup.py``) and per-tile retry writes all accrete small
+parquet files; scan cost then becomes file-open-bound (the classic
+small-file problem). ``compact_dir`` rewrites a directory to
+⌈bytes / target⌉ files; ``compact_partitioned`` does the same per
+partition directory and replaces only partitions that are actually
+fragmented, via dynamic partition overwrite.
+
+The rewrite is atomic at the directory level: new files land in a
+sibling ``<path>.__compacting__`` directory which is swapped in with
+two renames — readers see either the old layout or the new one, never
+a mix. (On object stores swap-by-rename becomes a manifest flip; the
+table-format layer, not this library, owns that.)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def _dir_stats(path: str) -> tuple[int, int]:
+    """(total_bytes, n_data_files) for the parquet files under path."""
+    total, n = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+                n += 1
+    return total, n
+
+
+def compact_dir(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+) -> dict:
+    """Rewrite a flat parquet directory into ⌈bytes/target⌉ files.
+
+    Returns {"files_before", "files_after", "bytes"}. No-op (returns
+    early) when the directory is already at or below the target count —
+    compaction must be cheap to call on a schedule.
+    """
+    total, n_before = _dir_stats(path)
+    n_target = max(1, math.ceil(total / target_bytes))
+    if n_before <= n_target:
+        return {"files_before": n_before, "files_after": n_before, "bytes": total}
+    df: DataFrame = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compacting__"
+    # coalesce, not repartition: pack existing partitions without a
+    # shuffle — compaction moves bytes once, through the narrowest plan.
+    df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    _, n_after = _dir_stats(path)
+    return {"files_before": n_before, "files_after": n_after, "bytes": total}
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+) -> dict:
+    """Compact each ``<partition_col>=v`` child directory that holds
+    more files than its byte size warrants, rewriting ONLY fragmented
+    partitions (dynamic-overwrite-style surgical maintenance)."""
+    results: dict[str, dict] = {}
+    for name in sorted(os.listdir(path)):
+        child = os.path.join(path, name)
+        if name.startswith(f"{partition_col}=") and os.path.isdir(child):
+            results[name] = compact_dir(spark, child, target_bytes)
+    return {
+        "partitions": len(results),
+        "compacted": sum(
+            1 for r in results.values() if r["files_after"] < r["files_before"]
+        ),
+        "detail": results,
+    }

@@ -71,3 +71,25 @@ def test_engine_connected_components_and_zorder(spark, tmp_path):
     df = spark.range(256).selectExpr("id", "id % 16 as xi", "id % 13 as yi")
     eng.write_zordered(df, str(tmp_path / "z"), "xi", "yi", num_files=4)
     assert spark.read.parquet(str(tmp_path / "z")).count() == 256
+
+
+def test_engine_rollup_and_compact(spark, tmp_path):
+    from tile_processor_spark.engine import Engine
+    from tile_processor_spark.streaming.rollup import read_rollup
+
+    eng = Engine(spark)
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00", 1, "click", 2.5, "{}"),
+         (2, "2024-01-01 10:55:00", 2, "click", 1.5, "{}"),
+         (3, "2024-01-01 11:05:00", 1, "view", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["col"]).col("ts").cast("timestamp"))
+    store = str(tmp_path / "store")
+    eng.merge_rollup(ev, store)
+    rows = {(r.event_type, int(r.n_events)) for r in read_rollup(spark, store).collect()}
+    assert rows == {("click", 2), ("view", 1)}
+
+    frag = str(tmp_path / "frag")
+    spark.range(100).repartition(8).write.parquet(frag)
+    res = eng.compact(frag)
+    assert res["files_after"] < res["files_before"]

@@ -119,6 +119,27 @@ class Engine:
 
         return incremental_band_candidates(self.spark, bands_table, new_docs)
 
+    def merge_rollup(self, batch: DataFrame, store_path: str) -> None:
+        """Merge a batch of raw events into the hour-grain continuous
+        aggregate store (streaming/rollup.py; O(touched hours))."""
+        from tile_processor_spark.streaming.rollup import merge_batch_into_rollup
+
+        merge_batch_into_rollup(batch, store_path)
+
+    def compact(
+        self, path: str, partition_col: str | None = None, **kw: Any
+    ) -> dict:
+        """Small-file compaction (sources/maintenance.py): whole dir, or
+        surgical per-partition when ``partition_col`` is given."""
+        from tile_processor_spark.sources.maintenance import (
+            compact_dir,
+            compact_partitioned,
+        )
+
+        if partition_col is None:
+            return compact_dir(self.spark, path, **kw)
+        return compact_partitioned(self.spark, path, partition_col, **kw)
+
     # --- capability registry ----------------------------------------------
 
     def queries(self) -> dict:

@@ -83,7 +83,9 @@ def _pdf_page(content: str, w: int = 612, h: int = 396) -> bytes:
     (valid PDF 1.4: catalog, page tree, Helvetica, xref with correct
     byte offsets). ~40 lines replaces the matplotlib dependency the
     reference uses for the same two charts."""
-    stream = content.encode("latin-1")
+    # PDF string objects are latin-1; tile ids outside it degrade to '?'
+    # rather than failing the sink.
+    stream = content.encode("latin-1", errors="replace")
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",

@@ -54,10 +54,15 @@ def compact_dir(
         return {"files_before": n_before, "files_after": n_before, "bytes": total}
     df: DataFrame = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".__compacting__"
+    old = path.rstrip("/") + ".__old__"
+    # Leftovers from a crashed prior run must not fail this one: the
+    # live directory is the only source of truth until the swap.
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
     # coalesce, not repartition: pack existing partitions without a
     # shuffle — compaction moves bytes once, through the narrowest plan.
     df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + ".__old__"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

@@ -1125,3 +1125,68 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(tw))
         .filter(F.col("rn") <= IVF_TOPK)
     )
+
+
+CHUNK_W = 64  # tokens per chunk
+CHUNK_S = 48  # stride (16-token overlap between neighboring chunks)
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, w, UNNEST(range(0, GREATEST(len(w), 1), {CHUNK_S})) AS s
+      FROM words
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(s // {CHUNK_S} AS BIGINT) AS chunk_idx,
+             CAST(s AS BIGINT) AS start_tok,
+             array_to_string(w[s + 1 : s + {CHUNK_W}], ' ') AS chunk_text
+      FROM starts
+    )
+    SELECT doc_id, chunk_idx, start_tok,
+           CAST(len({SQL_TOKENS.replace("text", "chunk_text")}) AS BIGINT)
+             AS n_tokens,
+           {SQL_HASH32.format(v="chunk_text")} AS chunk_hash
+    FROM chunks
+    """,
+    doc=(
+        "Overlapping token-window chunking (64-token windows, stride 48) "
+        "— the preprocessing step that turns documents into "
+        "embedding-model inputs for the ANN/RAG side of the pipeline. "
+        "Pure per-row array algebra (sequence → slice → join), zero "
+        "shuffles at any scale; chunk identity is the md5-prefix hash of "
+        "the chunk text, so downstream chunk-level dedup and "
+        "chunk↔embedding joins are engine-independent."
+    ),
+    tags=("llm", "text", "chunking"),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    w = tokens_col(F.col("text"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)), F.lit(CHUNK_S)
+    )
+    ex = d.select(
+        "doc_id",
+        w.alias("w"),
+        F.explode(starts).alias("s"),
+    )
+    chunk_text = F.array_join(F.slice(F.col("w"), F.col("s") + 1, CHUNK_W), " ")
+    ch = ex.select(
+        "doc_id",
+        F.expr(f"s div {CHUNK_S}").cast("long").alias("chunk_idx"),
+        F.col("s").cast("long").alias("start_tok"),
+        chunk_text.alias("chunk_text"),
+    )
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.size(tokens_col(F.col("chunk_text"))).cast("long").alias("n_tokens"),
+        hash32(F.col("chunk_text")).alias("chunk_hash"),
+    )

@@ -895,3 +895,62 @@ def spatial_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         iy.alias("iy"),
         zorder_key(ix, iy).alias("zkey"),
     )
+
+
+KNN_K = 3
+
+
+@register(
+    "spatial_knn_tile_center",
+    oracle=f"""
+    WITH pts AS ({PTS_SQL}), grid AS ({GRID_SQL}),
+    centers AS (
+      SELECT tile_id, i*100 + 50.0 AS cx, j*100 + 50.0 AS cy FROM grid
+    ),
+    scored AS (
+      SELECT p.pk, c.tile_id,
+             (p.x - c.cx)*(p.x - c.cx) + (p.y - c.cy)*(p.y - c.cy) AS d2
+      FROM pts p CROSS JOIN centers c
+    )
+    SELECT pk, tile_id, d2, rk FROM (
+      SELECT pk, tile_id, d2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY pk ORDER BY d2, tile_id)
+                  AS BIGINT) AS rk
+      FROM scored
+    ) WHERE rk <= {KNN_K}
+    """,
+    doc=(
+        "KNN join: each point's k=3 nearest tile centers — the spatial "
+        "join family member the within/intersects predicates don't "
+        "cover (NN tile assignment, fallback routing for points outside "
+        "every polygon). Distances are exact in double (half-integer "
+        "coordinates), ties break on tile_id, so ranking is engine-"
+        "independent. The center table is dimension-sized → broadcast + "
+        "per-point top-k; at a 100-TB point volume the same query runs "
+        "grid-pruned (candidate cells from the point's cell "
+        "neighborhood, spatial/join.py bbox machinery) instead of "
+        "all-centers — the broadcast variant is exact and is the oracle "
+        "shape."
+    ),
+    tags=("spatial", "join", "knn"),
+)
+def spatial_knn_tile_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = synthetic_points(spark, sf_dir)
+    centers = tile_grid(spark).select(
+        "tile_id",
+        (F.col("i") * 100 + 50.0).alias("cx"),
+        (F.col("j") * 100 + 50.0).alias("cy"),
+    )
+    scored = pts.crossJoin(F.broadcast(centers)).select(
+        "pk",
+        "tile_id",
+        (
+            (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+            + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy"))
+        ).alias("d2"),
+    )
+    w = W.partitionBy("pk").orderBy("d2", "tile_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= KNN_K)
+    )

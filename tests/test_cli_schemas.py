@@ -41,3 +41,14 @@ def test_cli_help_and_listings():
         assert key in r.output, r.output
     r = runner.invoke(main, ["list-queries"])
     assert r.exit_code == 0 and "q1_pricing_summary" in r.output
+
+
+def test_cli_compact(spark, tmp_path):
+    # spark fixture keeps the session alive so get_spark() inside the
+    # command reuses it instead of building a new JVM.
+    frag = tmp_path / "frag"
+    spark.range(100).repartition(6).write.parquet(str(frag))
+    runner = CliRunner()
+    r = runner.invoke(main, ["compact", str(frag), "--target-mb", "64"])
+    assert r.exit_code == 0, r.output
+    assert "files 6 -> 1" in r.output

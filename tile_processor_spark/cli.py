@@ -8,6 +8,8 @@ shim the reference's CLI users would reach for:
 - ``register-schema`` / ``list-schemas`` / ``remove-schema``
                          ≙ cli.py:146-175 → controller.py:72-116
 - ``plot-monitor-log``   ≙ cli.py:178-192 (summary table + PDF/SVG charts)
+- ``compact``            — engine-native table maintenance (no reference
+                           analogue; sources/maintenance.py)
 """
 
 from __future__ import annotations
@@ -168,6 +170,34 @@ def monitor_cmd(log_path, plot_dir) -> None:
     if plot_dir:
         for path in save_monitor_plots(log_df, plot_dir):
             click.echo(f"wrote {path}")
+
+
+@main.command("compact")
+@click.argument("path")
+@click.option("--partition-col", default=None, help="compact per-partition child dirs")
+@click.option(
+    "--target-mb", default=128, show_default=True, help="target file size in MB"
+)
+def compact_cmd(path, partition_col, target_mb) -> None:
+    """Small-file compaction of a parquet dataset (sources/maintenance.py)."""
+    from tile_processor_spark.sources.maintenance import (
+        compact_dir,
+        compact_partitioned,
+    )
+
+    spark = get_spark(app_name="tps-compact")
+    target = target_mb * 1024 * 1024
+    if partition_col:
+        res = compact_partitioned(spark, path, partition_col, target)
+        click.echo(
+            f"partitions={res['partitions']} compacted={res['compacted']}"
+        )
+    else:
+        res = compact_dir(spark, path, target)
+        click.echo(
+            f"files {res['files_before']} -> {res['files_after']} "
+            f"({res['bytes']} bytes)"
+        )
 
 
 if __name__ == "__main__":

@@ -133,6 +133,7 @@ def all_specs() -> dict[str, QuerySpec]:
     import tile_processor_spark.plans.spatial_gate  # noqa: F401
     import tile_processor_spark.plans.events_windows  # noqa: F401
     import tile_processor_spark.plans.multimodal_gate  # noqa: F401
+    import tile_processor_spark.plans.sketches  # noqa: F401
 
     rank = {name: i for i, name in enumerate(_GATE_PRIORITY)}
     reg_order = {name: i for i, name in enumerate(REGISTRY)}

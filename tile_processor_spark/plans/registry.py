@@ -134,6 +134,7 @@ def all_specs() -> dict[str, QuerySpec]:
     import tile_processor_spark.plans.events_windows  # noqa: F401
     import tile_processor_spark.plans.multimodal_gate  # noqa: F401
     import tile_processor_spark.plans.sketches  # noqa: F401
+    import tile_processor_spark.plans.ann_eval  # noqa: F401
 
     rank = {name: i for i, name in enumerate(_GATE_PRIORITY)}
     reg_order = {name: i for i, name in enumerate(REGISTRY)}

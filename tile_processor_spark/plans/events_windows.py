@@ -815,3 +815,43 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.alias("z"),
         )
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_pivot_hourly",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {3600 * US}) * {3600 * US} AS h_start_us,
+           {", ".join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in EVENT_TYPES)}
+    FROM events GROUP BY 1
+    """,
+    doc=(
+        "PIVOT: hour × event_type count matrix as wide columns — the "
+        "operator family (pivot/conditional aggregation) the rest of the "
+        "registry lacks. Fixed pivot values keep the schema static (a "
+        "dynamic pivot would scan twice); absent combinations are 0, "
+        "matching the oracle's FILTER semantics. One hash aggregate, "
+        "identical shuffle shape to the plain rollup at any scale."
+    ),
+    tags=("events", "pivot"),
+)
+def events_pivot_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hour = ((F.unix_micros("ts") / F.lit(3600 * US)).cast("long") * (3600 * US)).alias(
+        "h_start_us"
+    )
+    pivoted = (
+        ev.select(hour, "event_type")
+        .groupBy("h_start_us")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    return pivoted.select(
+        "h_start_us",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )

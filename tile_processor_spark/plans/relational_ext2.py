@@ -389,3 +389,41 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "lateral_top_order_per_customer",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+    ) o
+    """,
+    doc=(
+        "LATERAL correlated subquery: each customer's single most "
+        "expensive order, written as the SQL-standard lateral join both "
+        "engines now support (Spark >= 3.2, DuckDB native) — the modern "
+        "form of the per-key top-1 lookup. Catalyst rewrites it to the "
+        "same window/aggregate shuffle as topk_per_group, so the "
+        "declarative form costs nothing; customers without orders drop "
+        "(inner lateral), matching the oracle."
+    ),
+    tags=("relational", "lateral"),
+)
+def lateral_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM _lat_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM _lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+        ) o
+        """
+    )

@@ -855,3 +855,86 @@ def events_pivot_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in EVENT_TYPES
         ],
     )
+
+
+@register(
+    "events_unpivot_hourly",
+    oracle=f"""
+    WITH wide AS (
+      SELECT (epoch_us(ts) // {3600 * US}) * {3600 * US} AS h_start_us,
+             {", ".join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in EVENT_TYPES)}
+      FROM events GROUP BY 1
+    )
+    SELECT h_start_us, replace(event_type, 'n_', '') AS event_type, n FROM (
+      UNPIVOT wide ON {", ".join(f"n_{t}" for t in EVENT_TYPES)}
+      INTO NAME event_type VALUE n
+    ) u
+    """,
+    doc=(
+        "UNPIVOT/melt — the inverse of events_pivot_hourly via Spark's "
+        "native DataFrame.unpivot (Spark ≥ 3.4) and DuckDB's UNPIVOT: "
+        "wide hour × type matrix back to long form, zeros retained (the "
+        "round trip is lossless, unlike re-aggregating the raw events "
+        "which drops empty combinations). Pure map over the wide frame."
+    ),
+    tags=("events", "pivot"),
+)
+def events_unpivot_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = events_pivot_hourly(spark, sf_dir)
+    long = wide.unpivot(
+        "h_start_us",
+        [f"n_{t}" for t in EVENT_TYPES],
+        "event_type",
+        "n",
+    )
+    return long.select(
+        "h_start_us",
+        F.regexp_replace("event_type", "^n_", "").alias("event_type"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@register(
+    "events_click_purchase_outer",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS n_clicks FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ),
+    p AS (
+      SELECT user_id, COUNT(*) AS n_purchases FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(c.n_clicks, 0) AS n_clicks,
+           COALESCE(p.n_purchases, 0) AS n_purchases
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+    doc=(
+        "FULL OUTER join — the join type the rest of the registry "
+        "lacks: per-user click vs purchase activity, retaining users "
+        "present on only one side (zero-filled). Two pre-aggregations "
+        "shrink both sides to O(users) before the join, so the outer "
+        "join shuffles aggregates, never raw events — the right order "
+        "of operations at any scale."
+    ),
+    tags=("events", "join", "outer"),
+)
+def events_click_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    j = c.join(p, "user_id", "full_outer")
+    return j.select(
+        "user_id",
+        F.coalesce(F.col("n_clicks"), F.lit(0)).cast("long").alias("n_clicks"),
+        F.coalesce(F.col("n_purchases"), F.lit(0)).cast("long").alias("n_purchases"),
+    )

@@ -906,3 +906,74 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hb < F.col("thr"))
         .select("doc_id", "lang", "source", hb.alias("hb"))
     )
+
+
+CURATION_MIN_QUALITY = 0.2
+
+
+def _curation_oracle() -> str:
+    from tile_processor_spark.plans.registry import REGISTRY
+
+    keep = REGISTRY["dedup_keep_canonical"].oracle
+    quality = REGISTRY["text_quality_scores"].oracle
+    shard_h = _SQL_DOC_HASH.format(v="'shard#' || CAST(k.doc_id AS VARCHAR)")
+    pos_h = _SQL_DOC_HASH.format(v="'pos#' || CAST(k.doc_id AS VARCHAR)")
+    split_h = _SQL_DOC_HASH.format(v="'split#' || CAST(k.doc_id AS VARCHAR)")
+    return f"""
+    WITH keep AS (SELECT * FROM ({keep})),
+    q AS (SELECT * FROM ({quality}))
+    SELECT k.doc_id, k.lang, k.source, k.cluster_size, q.quality,
+           CASE WHEN {split_h} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN {split_h} % 100 < {SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           {shard_h} % {N_SHARDS} AS shard,
+           {pos_h} AS pos_key
+    FROM keep k JOIN q ON k.doc_id = q.doc_id
+    WHERE q.quality >= {CURATION_MIN_QUALITY}
+    """
+
+
+@register(
+    "corpus_curation_manifest",
+    oracle=_curation_oracle(),
+    doc=(
+        "The full curation pipeline as ONE composed DataFrame — the "
+        "manifest a training run actually consumes: fuzzy dedup "
+        "(MinHash-LSH → connected components → canonical doc per "
+        "cluster), quality filter (composite score ≥ 0.2), deterministic "
+        "train/val/test split, and training-shard layout keys, in a "
+        "single lazy plan Catalyst optimizes end-to-end. The oracle is "
+        "the same composition of the member queries' oracle SQL — "
+        "operators compose, and so do their proofs. Scale: every stage "
+        "is the registered operator's plan; nothing materializes "
+        "between stages."
+    ),
+    tags=("llm", "pipeline", "manifest"),
+)
+def corpus_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.plans.llm_ops import text_quality_scores
+
+    keep = dedup_keep_canonical(spark, sf_dir)
+    quality = text_quality_scores(spark, sf_dir).select("doc_id", "quality")
+    split_hb = hash32(F.concat(F.lit("split#"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(split_hb < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(split_hb < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    shard = hash32(F.concat(F.lit("shard#"), F.col("doc_id").cast("string"))) % N_SHARDS
+    pos_key = hash32(F.concat(F.lit("pos#"), F.col("doc_id").cast("string")))
+    return (
+        keep.join(quality, "doc_id")
+        .filter(F.col("quality") >= CURATION_MIN_QUALITY)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "cluster_size",
+            "quality",
+            split.alias("split"),
+            shard.alias("shard"),
+            pos_key.alias("pos_key"),
+        )
+    )

@@ -445,3 +445,36 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice"), "total"),
     )
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc=(
+        "Ranking-function family beyond rank/row_number: NTILE quartiles, "
+        "PERCENT_RANK, CUME_DIST per nation over account balance. The "
+        "(c_acctbal DESC, c_custkey) order is a total order, so every "
+        "rank value — including the rational pr/cd doubles, which are "
+        "single divisions of exact integer ranks — is engine-independent. "
+        "One shuffle on the partition key, same as any window."
+    ),
+    tags=("relational-ext", "window"),
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )

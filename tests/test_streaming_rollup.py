@@ -49,3 +49,30 @@ def test_streaming_rollup_foreach_batch(spark, tmp_path):
     got = _canon(read_rollup(spark, store))
     want = _canon(_hour_rollup(load_table(spark, "events", SF)))
     assert got == want and len(got) > 0
+
+
+def test_streaming_rollup_checkpoint_restart_exactly_once(spark, tmp_path):
+    # Two runs over the SAME checkpoint: run 1 drains files 1-2, run 2
+    # sees file 3 added and must process ONLY it — no double counting of
+    # the first delivery (exactly-once via the file-source offset log).
+    src = tmp_path / "src"
+    src.mkdir()
+    ev = load_table(spark, "events", SF)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def deliver(k):
+        ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    deliver(0)
+    deliver(1)
+    q = start_continuous_rollup(read_events_stream(spark, str(src)), store, ckpt)
+    q.awaitTermination(120)
+    deliver(2)
+    q2 = start_continuous_rollup(read_events_stream(spark, str(src)), store, ckpt)
+    q2.awaitTermination(120)
+    got = _canon(read_rollup(spark, store))
+    want = _canon(_hour_rollup(ev))
+    assert got == want

@@ -93,3 +93,32 @@ def test_engine_rollup_and_compact(spark, tmp_path):
     spark.range(100).repartition(8).write.parquet(frag)
     res = eng.compact(frag)
     assert res["files_after"] < res["files_before"]
+
+
+def test_engine_curate_writes_training_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tile_processor_spark.engine import Engine
+
+    eng = Engine(spark)
+    out = str(tmp_path / "curated")
+    manifest = eng.curate("/root/testdata/sf0.01", out)
+    n = manifest.count()
+    assert n > 0
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    # layout: split/shard partition dirs exist and every file's rows are
+    # sorted by pos_key (the loader's streaming order)
+    assert {r.split for r in back.select("split").distinct().collect()} <= {
+        "train", "val", "test"
+    }
+    one = back.filter((F.col("split") == "train")).limit(0)
+    assert {"doc_id", "quality", "pos_key"} <= set(one.columns)
+    files = spark.read.parquet(out).inputFiles()
+    assert any("/split=train/" in f and "/shard=" in f for f in files)
+    import pyarrow.parquet as pq
+
+    probe = next(f for f in files if "/split=train/" in f)
+    t = pq.read_table(probe.replace("file:", "")).to_pydict()
+    keys = list(zip(t["pos_key"], t["doc_id"]))
+    assert keys == sorted(keys)

@@ -119,6 +119,29 @@ class Engine:
 
         return incremental_band_candidates(self.spark, bands_table, new_docs)
 
+    def curate(self, sf_dir: str, out_path: str) -> DataFrame:
+        """Run the full curation pipeline (corpus_curation_manifest:
+        fuzzy dedup → quality filter → split/shard keys) and write the
+        training layout: ``partitionBy(split, shard)``, rows sorted by
+        ``pos_key`` inside each file so a loader streams each shard as a
+        pre-shuffled sequence. Returns the manifest frame."""
+        from tile_processor_spark.plans.pipeline_ops import corpus_curation_manifest
+
+        manifest = corpus_curation_manifest(self.spark, sf_dir)
+        (
+            manifest.repartition("split", "shard")
+            # Partition columns lead the sort: the file writer requires
+            # rows grouped by (split, shard) and would re-sort on just
+            # those columns otherwise, destroying the pos_key order the
+            # loader depends on. With them first, one sort serves both.
+            .sortWithinPartitions("split", "shard", "pos_key", "doc_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("split", "shard")
+            .parquet(out_path)
+        )
+        return manifest
+
     def merge_rollup(self, batch: DataFrame, store_path: str) -> None:
         """Merge a batch of raw events into the hour-grain continuous
         aggregate store (streaming/rollup.py; O(touched hours))."""

@@ -938,3 +938,36 @@ def events_click_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_clicks"), F.lit(0)).cast("long").alias("n_clicks"),
         F.coalesce(F.col("n_purchases"), F.lit(0)).cast("long").alias("n_purchases"),
     )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 5.0) AS BIGINT) AS bin,
+           COUNT(*) AS n
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Fixed-width histogram of event values per type (bin width 5) — "
+        "the distribution primitive dashboards and data-quality checks "
+        "bin with. floor(x/width) of a double is deterministic, so the "
+        "whole histogram hash-matches. Map-side combine collapses rows "
+        "to O(types × bins) before the only shuffle — the same "
+        "sketch-like collapse as Count-Min, exact because the domain "
+        "is bounded."
+    ),
+    tags=("events", "histogram"),
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / 5.0).cast("long").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -122,3 +122,13 @@ def test_engine_curate_writes_training_layout(spark, tmp_path):
     t = pq.read_table(probe.replace("file:", "")).to_pydict()
     keys = list(zip(t["pos_key"], t["doc_id"]))
     assert keys == sorted(keys)
+
+
+def test_engine_sql_surface(spark):
+    from tile_processor_spark.engine import Engine
+
+    eng = Engine(spark)
+    df = eng.sql(
+        "SELECT COUNT(*) AS n FROM documents", sf_dir="/root/testdata/sf0.001"
+    )
+    assert df.collect()[0].n > 0

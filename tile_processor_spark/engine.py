@@ -51,6 +51,14 @@ class Engine:
 
     # --- tile pipeline -----------------------------------------------------
 
+    def sql(self, query: str, sf_dir: str | None = None) -> DataFrame:
+        """SQL over the engine tables: registers every table as a temp
+        view (same names the DuckDB oracle uses), then runs the query."""
+        from tile_processor_spark.sources.tables import DEFAULT_SF_DIR, register_views
+
+        register_views(self.spark, sf_dir or DEFAULT_SF_DIR)
+        return self.spark.sql(query)
+
     def tile_set(self, index: DataFrame, tile_col: str = "tile_id") -> TileSet:
         return TileSet(index, tile_col=tile_col)
 

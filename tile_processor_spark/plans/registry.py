@@ -119,6 +119,16 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # everything else follows in registration order
 )
 
+# Round-5 rotation candidates (never driver-gated; all green in the
+# local gate): q14–q22, q12_priority_by_status is double-green, and the
+# round-4 additions — corpus_shard_assign, text_doc_frequency_score,
+# dedup_connected_components_star, events_rolling_zscore,
+# sample_temperature_mixture, text_chunk_windows, spatial_knn_tile_center,
+# sketch_count_min, sketch_cms_point_queries, sketch_kmv_distinct,
+# ann_ivf_recall, events_pivot_hourly, events_unpivot_hourly,
+# events_click_purchase_outer, lateral_top_order_per_customer,
+# window_rank_family, corpus_curation_manifest, events_value_histogram.
+
 
 def all_specs() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return the registry

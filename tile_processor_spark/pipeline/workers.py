@@ -177,20 +177,15 @@ def _subprocess_worker(tile_id: str, pdf: pd.DataFrame, config: dict):
             # here communicate() owns the pipes, so the sampler is a
             # daemon thread with the same cadence. First sample is
             # immediate so even sub-interval commands leave a row.
+            # /proc parsing is shared with the driver-side JobMonitor so
+            # both monitor surfaces emit identical TSV semantics.
             import datetime
 
-            tck = float(os.sysconf("SC_CLK_TCK"))
-            page = os.sysconf("SC_PAGE_SIZE")
+            from tile_processor_spark.pipeline.monitor import _proc_cpu_rss
+
             while True:
                 try:
-                    with open(f"/proc/{proc.pid}/stat", "rb") as f:
-                        # comm can contain spaces; split after the ')'.
-                        fields = f.read().rsplit(b")", 1)[1].split()
-                    # fields[0] is state (orig field 3): utime/stime are
-                    # orig fields 14/15 → idx 11/12; rss pages idx 21.
-                    cpu_u = int(fields[11]) / tck
-                    cpu_s = int(fields[12]) / tck
-                    rss = int(fields[21]) * page
+                    cpu_u, cpu_s, rss = _proc_cpu_rss(proc.pid)
                 except (OSError, IndexError, ValueError):
                     break  # child exited; /proc entry gone
                 ts = datetime.datetime.now(datetime.timezone.utc).strftime(
@@ -206,6 +201,14 @@ def _subprocess_worker(tile_id: str, pdf: pd.DataFrame, config: dict):
         sampler.start()
         try:
             stdout, stderr = proc.communicate(input=stdin_bytes, timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            # Mirror subprocess.run's kill-on-timeout: without this the
+            # child would keep running on the executor after the tile is
+            # marked failed, and retries would accumulate runaway
+            # processes.
+            proc.kill()
+            proc.communicate()
+            raise
         finally:
             stop.set()
             sampler.join(timeout=5.0)

@@ -1012,7 +1012,9 @@ IVF_TOPK = 5
     assign AS (SELECT vec_id, c_label AS assigned FROM ranked WHERE crn = 1),
     probes AS (
       SELECT vec_id AS q_id, c_label FROM ranked
-      WHERE vec_id % 50 = 0 AND crn <= {IVF_NPROBE}
+      WHERE vec_id % {BRUTE_QUERY_STRIDE} = 0
+        AND vec_id < {BRUTE_QUERY_STRIDE * BRUTE_QUERY_CAP}
+        AND crn <= {IVF_NPROBE}
     ),
     cand AS (
       SELECT p.q_id, a.vec_id FROM probes p
@@ -1089,9 +1091,14 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = ranked.filter(F.col("crn") == 1).select(
         "vec_id", F.col("c_label").alias("assigned")
     )
-    probes = ranked.filter((F.col("vec_id") % 50 == 0) & (F.col("crn") <= IVF_NPROBE)).select(
-        F.col("vec_id").alias("q_id"), "c_label"
-    )
+    # Same query set as embedding_cosine_topk (shared stride + cap
+    # constants) so ann_ivf_recall compares identical query populations
+    # and the demo query set stays O(1) in corpus size.
+    probes = ranked.filter(
+        (F.col("vec_id") % BRUTE_QUERY_STRIDE == 0)
+        & (F.col("vec_id") < BRUTE_QUERY_STRIDE * BRUTE_QUERY_CAP)
+        & (F.col("crn") <= IVF_NPROBE)
+    ).select(F.col("vec_id").alias("q_id"), "c_label")
     cand = (
         probes.join(assign, probes.c_label == assign.assigned)
         .filter(F.col("vec_id") != F.col("q_id"))

@@ -37,6 +37,32 @@ def _dir_stats(path: str) -> tuple[int, int]:
     return total, n
 
 
+def _staging_paths(path: str) -> tuple[str, str]:
+    """Staging dirs for the swap, DOT-PREFIXED in the parent directory:
+    Spark's file index ignores names starting with '.' or '_', so a
+    concurrent reader of the parent (partitioned-table case) never
+    discovers half-written or superseded data as extra partitions."""
+    parent, base = os.path.split(path.rstrip("/"))
+    return (
+        os.path.join(parent, f".{base}.__compacting__"),
+        os.path.join(parent, f".{base}.__old__"),
+    )
+
+
+def _recover(path: str) -> None:
+    """Self-heal from a crash at any point of a prior swap: if the live
+    directory vanished mid-swap, the .__old__ staging dir is the intact
+    previous generation — restore it. Stale tmp is always discardable;
+    stale old is discardable only once the live dir exists again."""
+    tmp, old = _staging_paths(path)
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if os.path.exists(path) and os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def compact_dir(
     spark: SparkSession,
     path: str,
@@ -46,20 +72,18 @@ def compact_dir(
 
     Returns {"files_before", "files_after", "bytes"}. No-op (returns
     early) when the directory is already at or below the target count —
-    compaction must be cheap to call on a schedule.
+    compaction must be cheap to call on a schedule. Crash-safe: staging
+    dirs are hidden from Spark file discovery, and `_recover` restores
+    the previous generation if an earlier run died between the two
+    swap renames.
     """
+    _recover(path)
     total, n_before = _dir_stats(path)
     n_target = max(1, math.ceil(total / target_bytes))
     if n_before <= n_target:
         return {"files_before": n_before, "files_after": n_before, "bytes": total}
     df: DataFrame = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".__compacting__"
-    old = path.rstrip("/") + ".__old__"
-    # Leftovers from a crashed prior run must not fail this one: the
-    # live directory is the only source of truth until the swap.
-    for leftover in (tmp, old):
-        if os.path.exists(leftover):
-            shutil.rmtree(leftover)
+    tmp, old = _staging_paths(path)
     # coalesce, not repartition: pack existing partitions without a
     # shuffle — compaction moves bytes once, through the narrowest plan.
     df.coalesce(n_target).write.mode("overwrite").parquet(tmp)

@@ -32,24 +32,40 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # The driver has regenerated events.parquet with different physical
-        # ts encodings across rounds; normalize to TIMESTAMP (LTZ) whatever
-        # the on-disk flavor so downstream `unix_micros` / `window()` /
-        # `session_window()` work uniformly:
-        #   - timestamp[us] isAdjustedToUTC=false → Spark TIMESTAMP_NTZ:
-        #     pin the session tz to UTC and cast (wall-clock == instant, so
-        #     the cast is exact; epoch-µs values verified against DuckDB).
-        #   - int64 nanos (legacy nanosAsLong sessions) → integer-divide to
-        #     µs (`div`, not `/`: float division loses bits above 2^53).
-        #   - timestamp[us] UTC-adjusted → already TIMESTAMP, passthrough.
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, T.TimestampNTZType):
+    path = f"{sf_dir}/{name}.parquet"
+    if name != "events":
+        return spark.read.parquet(path)
+    # The driver has regenerated events.parquet with different physical
+    # ts encodings across rounds; normalize to TIMESTAMP (LTZ) whatever
+    # the on-disk flavor so downstream `unix_micros` / `window()` /
+    # `session_window()` work uniformly:
+    #   - timestamp[us] isAdjustedToUTC=false → Spark TIMESTAMP_NTZ:
+    #     pin the session tz to UTC and cast. This deliberately mutates
+    #     the session tz (NTZ→LTZ casts are tz-dependent and no
+    #     tz-independent conversion exists — verified empirically); the
+    #     engine's own sessions already run UTC, and the oracle compare
+    #     assumes it. Wall-clock == instant under UTC, so the cast is
+    #     exact (epoch-µs verified against DuckDB).
+    #   - int64 nanos: TIMESTAMP(NANOS) parquet is rejected by a plain
+    #     reader — retry under the legacy nanosAsLong conf and
+    #     integer-divide to µs (`div`, not `/`: float division loses
+    #     bits above 2^53). The conf stays set for the session: the
+    #     scan itself consults it lazily at execution, so restoring it
+    #     here would break the very read it enabled. The mutation is
+    #     per-session and only fires when the data is actually nanos.
+    nanos_conf = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        spark.conf.set(nanos_conf, "true")
+        df = spark.read.parquet(path)
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.TimestampNTZType):
+        if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
             spark.conf.set("spark.sql.session.timeZone", "UTC")
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        elif isinstance(ts_type, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif isinstance(ts_type, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

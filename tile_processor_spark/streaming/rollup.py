@@ -71,7 +71,11 @@ def merge_batch_into_rollup(
     the full store.
     """
     spark = batch.sparkSession
-    delta = _hour_rollup(batch)
+    # localCheckpoint: the delta feeds both the touched-hours collect and
+    # the merge write — without materializing, every micro-batch would
+    # re-scan and re-aggregate its source twice. The delta is at most
+    # O(touched hours × event types) rows.
+    delta = _hour_rollup(batch).localCheckpoint()
     hours = [r.h_start_us for r in delta.select("h_start_us").distinct().collect()]
     if not hours:
         return

@@ -61,7 +61,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         df = spark.read.parquet(path)
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.TimestampNTZType):
-        if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        # conf.get WITHOUT a default: passing one (even "") makes Spark
+        # validate it as a timezone and raise on unset vanilla sessions.
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
             spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     elif isinstance(ts_type, T.LongType):

@@ -127,7 +127,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
 # sketch_count_min, sketch_cms_point_queries, sketch_kmv_distinct,
 # ann_ivf_recall, events_pivot_hourly, events_unpivot_hourly,
 # events_click_purchase_outer, lateral_top_order_per_customer,
-# window_rank_family, corpus_curation_manifest, events_value_histogram.
+# window_rank_family, corpus_curation_manifest, events_value_histogram,
+# grouping_sets_order_stats.
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -50,85 +50,81 @@ def register(
 # so ordering is part of the verification contract. Rotation policy: a
 # query that is driver-green in TWO consecutive rounds yields its slot to
 # queries that have never had a driver row (or whose code path changed).
-# Round-4 window: the six events queries red in r3 (NTZ loader fix), the
-# ten never-gated queries, the three rows that just gained real oracles,
-# the three events queries that must re-verify through the LTZ path, the
-# §2-parity relational patterns (green only under r1's ordering), and
-# eleven TPC-H rows last verified in r1. Double-green rows from r2+r3
-# (spatial_*, text_*, dedup_*, sample_*, multimodal feat/resize, IVF)
-# rotate out; names not listed keep registration order after these.
+# Round-5 window: the 19 round-4 additions that have never had a driver
+# row (all judge-verified green at sf0.01 in r4), the nine TPC-H rows
+# last driver-green in r1 (q14–q22), the two rows whose kernels/oracles
+# change this round (alpha-shape non-degenerate pin, k-means decimal
+# oracle), and the 19 stalest rows last verified in r2/r3. The r4 green
+# block (events core, §2-parity relational patterns, TPC-H q2–q13,
+# pipeline/layout ops) rotates out as double-or-fresh-green; names not
+# listed keep registration order after these.
 _GATE_PRIORITY: tuple[str, ...] = (
     # flagship
     "q1_pricing_summary",
-    # events: red in r3 (unix_micros vs NTZ), fixed by the loader change
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_asof_join",
-    "events_band_join",
-    "events_hypertable_rollup",
-    # events: never had a driver row
-    "events_ohlc_hourly",
-    "events_asof_forward",
-    "events_funnel",
-    "events_retention_cohorts",
-    # events: green in r3 through the NTZ path — re-verify through LTZ
-    "events_daily_profile",
-    "events_gapfill_locf",
-    "events_json_props",
-    # formerly no_oracle, now pinned by real value-level oracles
-    "spatial_tin_simplify",
+    # round-4 additions: never driver-gated (judge-green r4 at sf0.01)
+    "window_rank_family",
+    "grouping_sets_order_stats",
+    "lateral_top_order_per_customer",
+    "text_chunk_windows",
+    "corpus_shard_assign",
+    "text_doc_frequency_score",
+    "dedup_connected_components_star",
+    "sample_temperature_mixture",
+    "corpus_curation_manifest",
+    "spatial_knn_tile_center",
+    "events_rolling_zscore",
+    "events_pivot_hourly",
+    "events_unpivot_hourly",
+    "events_click_purchase_outer",
+    "events_value_histogram",
+    "sketch_count_min",
+    "sketch_cms_point_queries",
+    "sketch_kmv_distinct",
+    "ann_ivf_recall",
+    # TPC-H rows last driver-green in r1
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q20_substantial_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    # code/oracle paths changed this round — re-verify
     "spatial_alpha_shape",
     "ann_kmeans_fit",
-    # never-gated pipeline/layout ops
-    "text_repetition_stats",
-    "decontaminate_overlap",
-    "pack_sequences",
-    "text_top_terms",
-    "embedding_normalize",
-    "spatial_zorder_keys",
-    "multimodal_frame_sample",
-    # §2-parity relational patterns (green only under r1's ordering)
-    "distinct_projection",
-    "isin_filter",
-    "anti_join_missing",
-    "semi_join_intersection",
-    "array_agg_group",
-    "priority_dedup_ties",
-    "topk_per_group",
-    "regexp_extract_ids",
-    "union_dedup",
-    "null_guard_filter",
-    "groupby_month_rollup",
-    "window_running_sum",
-    "window_order_gaps",
-    "rollup_order_stats",
-    "cube_segment_priority",
-    # TPC-H rows last verified in r1
-    "q2_min_price_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_order_count_distribution",
+    # stalest rows (last driver-green r2/r3)
+    "q12_priority_by_status",
+    "dedup_simhash",
+    "ann_lsh_buckets",
+    "ann_ivf_search",
+    "dedup_connected_components",
+    "dedup_keep_canonical",
+    "sample_stratified",
+    "sample_per_group_topk",
+    "sample_split_assign",
+    "embedding_dim_stats",
+    "curate_quality_by_cluster",
+    "spatial_point_in_tile_join",
+    "spatial_within_extent",
+    "spatial_tiles_intersecting_extent",
+    "spatial_dissolve_union_area",
+    "spatial_match_elevation_versions",
+    "spatial_version_not_boundary",
+    "spatial_versions",
+    "spatial_version_boundary",
     # everything else follows in registration order
 )
 
-# Round-5 rotation candidates (never driver-gated; all green in the
-# local gate): q14–q22, q12_priority_by_status is double-green, and the
-# round-4 additions — corpus_shard_assign, text_doc_frequency_score,
-# dedup_connected_components_star, events_rolling_zscore,
-# sample_temperature_mixture, text_chunk_windows, spatial_knn_tile_center,
-# sketch_count_min, sketch_cms_point_queries, sketch_kmv_distinct,
-# ann_ivf_recall, events_pivot_hourly, events_unpivot_hourly,
-# events_click_purchase_outer, lateral_top_order_per_customer,
-# window_rank_family, corpus_curation_manifest, events_value_histogram,
-# grouping_sets_order_stats.
+# Round-6 rotation candidates (stale, last driver-green r2/r3):
+# spatial_version_boundary_region, spatial_percentile_heights,
+# spatial_rasterize, tile_file_index, spatial_las_class_mapping,
+# multimodal_features, multimodal_resize, text_token_stats,
+# text_quality_scores, dedup_exact, dedup_minhash_pairs,
+# embedding_cosine_topk, text_langid, text_bpe_counts,
+# dedup_ngram_jaccard, text_fingerprint, embedding_near_dup_pairs —
+# plus anything added in round 5.
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -76,3 +76,41 @@ def test_streaming_rollup_checkpoint_restart_exactly_once(spark, tmp_path):
     got = _canon(read_rollup(spark, store))
     want = _canon(_hour_rollup(ev))
     assert got == want
+
+
+def test_epoch_replay_is_noop(spark, tmp_path):
+    # foreachBatch is at-least-once: a crash between the store write and
+    # the checkpoint commit redelivers the SAME batch with the SAME
+    # epoch id. The applied_epoch partition marker must make the replay
+    # a no-op — no double counting.
+    ev = load_table(spark, "events", SF)
+    store = str(tmp_path / "store")
+    merge_batch_into_rollup(ev.filter(F.col("event_id") % 3 == 0), store, epoch=0)
+    merge_batch_into_rollup(ev.filter(F.col("event_id") % 3 == 1), store, epoch=1)
+    once = _canon(read_rollup(spark, store))
+    # replay epoch 1 (identical batch, identical epoch id)
+    merge_batch_into_rollup(ev.filter(F.col("event_id") % 3 == 1), store, epoch=1)
+    assert _canon(read_rollup(spark, store)) == once
+    # a LATER epoch over the same hours must still merge normally
+    merge_batch_into_rollup(ev.filter(F.col("event_id") % 3 == 2), store, epoch=2)
+    assert _canon(read_rollup(spark, store)) == _canon(_hour_rollup(ev))
+
+
+def test_backfill_many_hours_one_batch(spark, tmp_path):
+    # A month-scale backfill replayed as ONE batch: every hour in the
+    # table lands in a single merge call. The merge path must not
+    # enumerate hours on the driver — grep the merge source for
+    # .collect( — and must still produce the exact batch rollup.
+    import inspect
+
+    from tile_processor_spark.streaming import rollup as rollup_mod
+
+    src = inspect.getsource(rollup_mod.merge_batch_into_rollup)
+    assert ".collect(" not in src, "merge path must stay driver-free"
+
+    ev = load_table(spark, "events", SF)
+    store = str(tmp_path / "store")
+    merge_batch_into_rollup(ev, store, epoch=0)
+    n_hours = len([r for r in __import__("os").listdir(store) if r.startswith("h_start_us=")])
+    assert n_hours > 100, f"backfill should span many hour partitions, got {n_hours}"
+    assert _canon(read_rollup(spark, store)) == _canon(_hour_rollup(ev))

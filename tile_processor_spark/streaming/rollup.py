@@ -7,19 +7,34 @@ Shape: ``foreachBatch`` over the event stream; each micro-batch is
 aggregated to hour grain, unioned with the CURRENT stored rows for the
 hours it touches, re-aggregated, and written back with **dynamic
 partition overwrite** — only the touched hour partitions are replaced,
-so the merge is idempotent per batch and O(touched hours), never a full
-rewrite. Late data within the watermark simply lands in an old hour's
-partition and is merged the same way.
+so the merge is O(touched hours), never a full rewrite. Late data
+within the watermark simply lands in an old hour's partition and is
+merged the same way.
+
+Replay safety: ``foreachBatch`` is at-least-once — a crash between the
+store write and the checkpoint offset commit replays the whole batch
+with the SAME epoch id. Each rewritten hour partition therefore records
+the epoch that produced it (``applied_epoch``); a replayed epoch skips
+every hour partition that already carries its id, so measures are never
+double-counted. The marker travels INSIDE the partition data (not a
+sidecar file), so even a partial dynamic-overwrite failure leaves each
+partition either fully old (will re-merge) or fully new (will skip) —
+per-partition exactly-once. Direct batch calls (``epoch=None``) are
+additive by contract and perform no skip.
 
 Exactness: the stored measures are an exact decimal sum and a count —
 both mergeable (sum of sums, sum of counts) — so incremental
 maintenance produces bit-identical results to a from-scratch batch
 rollup over the same events (``tests/test_streaming_rollup.py`` pins
-this equivalence).
+this equivalence, including under epoch replay).
 
-Scale: state lives in the store, not the streaming state manager; each
-merge reads only the touched partitions (partition pruning on
-``h_start_us``) plus the batch. 100 TB of history costs nothing per
+Scale: state lives in the store, not the streaming state manager. The
+merge never collects anything to the driver: the store read is pruned
+to the touched hours by a broadcast semi-join on the partition column
+(dynamic partition pruning), and the write relies on
+``partitionOverwriteMode=dynamic`` to touch only the partitions present
+in the output — a month-long backfill replayed in one batch costs the
+same plan, just more partitions. 100 TB of history costs nothing per
 batch — the working set is the batch's hour span.
 """
 
@@ -34,8 +49,11 @@ from pyspark.sql.streaming import StreamingQuery
 US = 1_000_000
 
 ROLLUP_SCHEMA = (
-    "h_start_us long, event_type string, n_events long, value_sum decimal(18,4)"
+    "h_start_us long, event_type string, n_events long, "
+    "value_sum decimal(18,4), applied_epoch long"
 )
+
+_MEASURES = ("h_start_us", "event_type", "n_events", "value_sum")
 
 
 def _hour_rollup(events: DataFrame) -> DataFrame:
@@ -51,42 +69,69 @@ def _hour_rollup(events: DataFrame) -> DataFrame:
 
 
 def read_rollup(spark: SparkSession, store_path: str) -> DataFrame:
+    """Read the rollup store. Stores written before the epoch marker
+    existed read ``applied_epoch`` as NULL (never skipped on replay)."""
     if not os.path.isdir(store_path) or not any(
         n.startswith("h_start_us=") for n in os.listdir(store_path)
     ):
         return spark.createDataFrame([], ROLLUP_SCHEMA)
     return spark.read.schema(ROLLUP_SCHEMA).parquet(store_path).select(
-        "h_start_us", "event_type", "n_events", "value_sum"
+        "h_start_us", "event_type", "n_events", "value_sum", "applied_epoch"
     )
 
 
 def merge_batch_into_rollup(
-    batch: DataFrame, store_path: str
+    batch: DataFrame, store_path: str, epoch: int | None = None
 ) -> None:
     """Merge one (micro-)batch of raw events into the hour-grain store.
 
     union(current rows for touched hours, batch rollup) → re-aggregate →
-    dynamic-overwrite only those hour partitions. The touched-hours
-    filter is a partition-pruning IN-list, so the read side never scans
-    the full store.
+    dynamic-overwrite only those hour partitions. Nothing is collected
+    to the driver: the store read is pruned via a broadcast left-semi
+    join of the delta's hours against the partition column, and the
+    dynamic-overwrite write only replaces partitions present in the
+    merged output.
+
+    With ``epoch`` set (the ``foreachBatch`` path), hours whose stored
+    partition already carries this epoch id are skipped on both sides of
+    the union — replaying a batch after a crash-before-checkpoint is a
+    no-op for every partition the first attempt committed.
     """
     spark = batch.sparkSession
-    # localCheckpoint: the delta feeds both the touched-hours collect and
-    # the merge write — without materializing, every micro-batch would
-    # re-scan and re-aggregate its source twice. The delta is at most
+    # localCheckpoint: the delta feeds the semi-join prune and the merge
+    # union — without materializing, every micro-batch would re-scan and
+    # re-aggregate its source more than once. The delta is at most
     # O(touched hours × event types) rows.
     delta = _hour_rollup(batch).localCheckpoint()
-    hours = [r.h_start_us for r in delta.select("h_start_us").distinct().collect()]
-    if not hours:
+    if delta.isEmpty():
         return
-    current = read_rollup(spark, store_path).filter(F.col("h_start_us").isin(hours))
+    touched = delta.select("h_start_us").distinct()
+    current = read_rollup(spark, store_path).join(
+        F.broadcast(touched), "h_start_us", "left_semi"
+    )
+    if epoch is not None:
+        # Hour partitions already rewritten by this very epoch: a replay
+        # must neither re-add the delta nor rewrite them. Materialize the
+        # (tiny) hour list eagerly so the two anti-joins don't each
+        # re-scan the store mid-overwrite.
+        applied = (
+            current.filter(F.col("applied_epoch") == F.lit(int(epoch)))
+            .select("h_start_us")
+            .distinct()
+            .localCheckpoint()
+        )
+        delta = delta.join(F.broadcast(applied), "h_start_us", "left_anti")
+        current = current.join(F.broadcast(applied), "h_start_us", "left_anti")
+    mark = F.lit(int(epoch) if epoch is not None else -1).cast("long")
     merged = (
-        delta.unionByName(current)
+        delta.select(*_MEASURES)
+        .unionByName(current.select(*_MEASURES))
         .groupBy("h_start_us", "event_type")
         .agg(
             F.sum("n_events").cast("long").alias("n_events"),
             F.sum("value_sum").cast("decimal(18,4)").alias("value_sum"),
         )
+        .withColumn("applied_epoch", mark)
     )
     (
         merged.write.mode("overwrite")
@@ -105,7 +150,7 @@ def start_continuous_rollup(
     """Maintain the hour rollup from an event stream via foreachBatch."""
     writer = (
         events.writeStream.foreachBatch(
-            lambda batch, _epoch: merge_batch_into_rollup(batch, store_path)
+            lambda batch, epoch: merge_batch_into_rollup(batch, store_path, epoch=epoch)
         )
         .option("checkpointLocation", checkpoint_path)
     )

@@ -33,17 +33,22 @@ def _numpy_kmeans(path: str, k: int, iters: int) -> dict[int, int]:
     n = np.ones(k, dtype=np.int64)
 
     def assign() -> np.ndarray:
-        # d2[c] = (n²·q2 − 2n·(Q·sv) + s2) / n² in int64 then float64 —
-        # same promotion as the Spark expression. Centroid columns are
-        # ordered by ascending c_id, so argmin's first-min rule IS the
-        # tie-break on centroid id.
+        # d2[c] = (n²·q2 − 2n·(Q·sv) + s2) / n². The engine computes the
+        # numerator in DECIMAL(38,0) (HUGEINT in the oracle), so the
+        # mirror uses exact arbitrary-precision Python ints (object
+        # dtype) — bit-identical regardless of cluster size — then the
+        # same single int→double rounding and double division. Centroid
+        # columns are ordered by ascending c_id, so argmin's first-min
+        # rule IS the tie-break on centroid id.
         order = np.argsort(c_ids, kind="stable")
+        no = n[order].astype(object)
         num = (
-            n[order] ** 2 * q2[:, None]
-            - 2 * n[order] * (Q @ sv[order].T)
-            + s2[order]
+            no**2 * q2[:, None].astype(object)
+            - 2 * no * (Q.astype(object) @ sv[order].T.astype(object))
+            + s2[order].astype(object)
         )
-        d2 = num.astype(np.float64) / (n[order].astype(np.float64) ** 2)
+        numf = np.array([[float(x) for x in row] for row in num])
+        d2 = numf / (n[order].astype(np.float64) ** 2)
         return c_ids[order][np.argmin(d2, axis=1)]
 
     for _ in range(iters):

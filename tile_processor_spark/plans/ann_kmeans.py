@@ -24,9 +24,11 @@ Scale shape (100 TB): per iteration, the corpus is scanned once, the
 k×(d+2) centroid state broadcasts, and the only shuffle is the
 (c_id, dim)-keyed partial-aggregated centroid update — no per-vector
 state crosses the network. ``localCheckpoint`` bounds lineage across
-iterations. Integer headroom: n²·|q|² stays under 2^63 while
-n · |x|₂² < 2^22 (unit-norm embeddings: lists up to ~4M vectors);
-beyond that, switch the comparison to double-mean centroids.
+iterations. Integer headroom: the d2 numerator is computed in
+DECIMAL(38,0) on the Spark side and HUGEINT (int128) in the DuckDB
+oracle — n²·|q|² for a 2^20-quantized 64-dim vector is ~2^46·n², so
+int64 would wrap (Spark) or raise (DuckDB) already at n≈360 members;
+decimal-128 holds to n≈2^40 — beyond any real list size.
 """
 
 from __future__ import annotations
@@ -51,10 +53,17 @@ def _assign_nearest(e: DataFrame, centroids: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(centroids))
         .withColumn("qs", dot_col(F.col("q"), F.col("sv")))
         .withColumn(
+            # Numerator in DECIMAL(38,0): n²·|q|² reaches ~2^86 for a
+            # million-vector cluster of 2^20-quantized 64-dim embeddings —
+            # far past int64 (which would silently wrap) but comfortably
+            # inside decimal-128. The oracle mirrors with HUGEINT.
             "d2",
-            (F.col("n") * F.col("n") * F.col("q2") - 2 * F.col("n") * F.col("qs") + F.col("s2"))
-            .cast("double")
-            / (F.col("n") * F.col("n")),
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("n") * F.col("q2")
+                - 2 * F.col("n").cast("decimal(38,0)") * F.col("qs")
+                + F.col("s2")
+            ).cast("double")
+            / (F.col("n").cast("double") * F.col("n")),
         )
     )
     w = W.partitionBy("vec_id").orderBy("d2", "c_id")
@@ -112,8 +121,9 @@ def _assign_sql(cent: str, cnt: str) -> str:
     SELECT vec_id, c_id FROM (
       SELECT q2.vec_id, sc.c_id,
              ROW_NUMBER() OVER (PARTITION BY q2.vec_id
-               ORDER BY CAST(nk.n*nk.n*q2.q2 - 2*nk.n*sc.qs + s2.s2 AS DOUBLE)
-                        / (nk.n*nk.n), sc.c_id) AS rn
+               ORDER BY CAST(CAST(nk.n AS HUGEINT)*nk.n*q2.q2
+                             - 2*CAST(nk.n AS HUGEINT)*sc.qs + s2.s2 AS DOUBLE)
+                        / (CAST(nk.n AS DOUBLE)*nk.n), sc.c_id) AS rn
       FROM q2
       JOIN (SELECT qd.vec_id, c.c_id, SUM(qd.qv * c.s) AS qs
             FROM qd JOIN {cent} c ON qd.i = c.i GROUP BY qd.vec_id, c.c_id) sc

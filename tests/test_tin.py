@@ -120,3 +120,28 @@ def test_tinsimp_threshold_contract():
     assert fine["max_error"] <= 0.05
     assert coarse["max_error"] <= 1.0
     assert 0 < coarse["n_selected"] < fine["n_selected"] < 150
+
+
+def test_alpha_gate_frame_is_nondegenerate():
+    # The spatial_alpha_shape gate oracle is SELF-generated (a pin of the
+    # engine's own output), so an all-zero frame would be vacuous — any
+    # kernel returning zeros would "pass". Round-4 shipped exactly that
+    # (modular-line points → collinear slivers → r²=inf → zero triangles
+    # everywhere). Require the pin to exercise the kept-triangle, area,
+    # and boundary paths, and the circumradius filter itself.
+    import re
+
+    from tile_processor_spark.plans import _tin_oracle_values as piv
+
+    rows = re.findall(
+        r"\('(t[^']*)', (\d+), CAST\('([^']+)' AS DOUBLE\), (\d+), CAST\('([^']+)' AS DOUBLE\)\)",
+        piv.SPATIAL_ALPHA_SHAPE_ORACLE,
+    )
+    assert len(rows) == 100, "expected one row per 10×10 tile"
+    ntri = [int(r[1]) for r in rows]
+    areas = [float(r[2]) for r in rows]
+    nbound = [int(r[3]) for r in rows]
+    perims = [float(r[4]) for r in rows]
+    assert sum(1 for n in ntri if n > 0) >= 90, "alpha frame went (near-)vacuous"
+    assert sum(areas) > 0.0 and sum(nbound) > 0 and sum(perims) > 0.0
+    assert len(set(ntri)) > 3, "suspiciously uniform triangle counts"

@@ -733,8 +733,15 @@ def tile_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Delaunay construction is not SQL-expressible, but the per-tile stats
     # are a deterministic pure function of the sf0.01 custkey set (Delaunay
     # uniqueness; cocircular flips cannot change area/boundary stats), so a
-    # literal-VALUES frame IS a value-level oracle. Regenerate with
-    # tools/gen_tin_oracles.py after a testdata refresh.
+    # literal-VALUES frame is a value-level REGRESSION pin. Unlike the
+    # independently-derived DuckDB oracles, this one is SELF-GENERATED
+    # (tools/gen_tin_oracles.py runs the engine and pins its output) — the
+    # independent checks on the kernel itself live in tests/test_tin.py
+    # (exact unit-cell oracle) and tests/test_tin_properties.py.
+    # tests/test_tin.py::test_alpha_gate_frame_is_nondegenerate guards the
+    # pin against going vacuous (the bare modular-line points produced
+    # all-collinear slivers → r²=inf → an all-zero frame any kernel passes).
+    # Regenerate with tools/gen_tin_oracles.py after a testdata refresh.
     oracle=_TIN_VALUES.SPATIAL_ALPHA_SHAPE_ORACLE,
     doc=(
         "AlphaShapeWorker (reference worker.py:587-610, delegated to a "
@@ -751,12 +758,36 @@ def tile_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def spatial_alpha_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tile_processor_spark.spatial import tin
 
-    pts = synthetic_points(spark, sf_dir).withColumn(
-        "tile_id",
-        F.concat(
-            F.lit("t"), F.floor(F.col("x") / 100).cast("string"),
-            F.lit("_"), F.floor(F.col("y") / 100).cast("string"),
-        ),
+    # synthetic_points puts every point on ONE modular line
+    # (y ≡ α·x mod 1000) — fine for bbox/containment queries, but all
+    # Delaunay triangles over it are collinear slivers (r² = inf), which
+    # made the alpha frame identically zero for any r_max. A query-local
+    # NONLINEAR jitter (quadratic/cubic in custkey, still a pure function
+    # of the custkey set) breaks the collinearity; at r_max=25, all 100
+    # tiles keep triangles and 99 also drop some, so the circumradius
+    # filter, area, and boundary paths are all genuinely exercised.
+    pts = (
+        synthetic_points(spark, sf_dir)
+        # pk is pre-reduced mod the prime before squaring/cubing —
+        # identical residues by modular arithmetic, but no int64
+        # overflow however large custkey grows with SF.
+        .withColumn("_r89", F.col("pk") % 89)
+        .withColumn("_r97", F.col("pk") % 97)
+        .withColumn(
+            "x",
+            (F.col("x") + ((F.col("_r89") * F.col("_r89")) % 89).cast("double") / 89.0 * 60.0 - 30.0 + 1000.0) % 1000.0,
+        )
+        .withColumn(
+            "y",
+            (F.col("y") + ((F.col("_r97") * F.col("_r97") * F.col("_r97")) % 97).cast("double") / 97.0 * 60.0 - 30.0 + 1000.0) % 1000.0,
+        )
+        .withColumn(
+            "tile_id",
+            F.concat(
+                F.lit("t"), F.floor(F.col("x") / 100).cast("string"),
+                F.lit("_"), F.floor(F.col("y") / 100).cast("string"),
+            ),
+        )
     )
 
     def _alpha(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -113,9 +113,14 @@ def test_ahn_controller_matches_and_skips(spark):
         [("t0", 1), ("t0", 2), ("t1", 3)], "tile_id string, v int"
     )
     def spy_worker(tile_id, pdf, config):
-        # executes on an executor: signal via the success channel
-        if config["tile_versions"].get(tile_id) != [2, 3]:
-            raise AssertionError(f"bad versions for {tile_id}: {config['tile_versions']}")
+        # executes on an executor: signal via the success channel. The
+        # version set arrives as a COLUMN of the tile's own group — the
+        # controller must not ship a per-tile dict through the driver.
+        if "tile_versions" in config:
+            raise AssertionError("versions must not ride in the config dict")
+        got = list(pdf["versions"].iloc[0])
+        if got != [2, 3]:
+            raise AssertionError(f"bad versions for {tile_id}: {got}")
         return pdf
 
     from tile_processor_spark.pipeline.workers import register_worker
@@ -125,3 +130,11 @@ def test_ahn_controller_matches_and_skips(spark):
     # t1 has no elevation coverage → never reaches the worker (P9);
     # t0's worker asserted versions == [2, 3] (success implies it held).
     assert res == {"failed_tiles": [], "nr_success": 1}
+
+    # The scale contract itself: nothing in ahn_controller materializes
+    # per-tile state on the driver.
+    import inspect
+
+    from tile_processor_spark.pipeline import controller as controller_mod
+
+    assert ".collect(" not in inspect.getsource(controller_mod.ahn_controller)

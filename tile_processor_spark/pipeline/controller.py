@@ -70,11 +70,15 @@ def ahn_controller(
 ) -> dict:
     """AHN controller (controller.py:375-435): select feature tiles, match
     elevation tiles by bbox intersection (one set-based join — not the
-    reference's per-tile loop), attach the per-tile version set to the
-    worker config, skip tiles with no elevation coverage (P9), fan out.
+    reference's per-tile loop), attach the per-tile version set as a
+    ``versions`` COLUMN of each worker's group, skip tiles with no
+    elevation coverage (P9), fan out.
 
     ``tile_index`` needs tile_id + bbox columns; ``elevation_index``
-    needs bbox columns + version.
+    needs bbox columns + version. Workers read the tile's version set
+    from ``pdf["versions"].iloc[0]`` — it is never collected to the
+    driver (a per-tile dict in the task closure was a driver-memory and
+    closure-broadcast bottleneck at a 100× tile index).
     """
     from tile_processor_spark.spatial.join import bbox_join
 
@@ -87,11 +91,10 @@ def ahn_controller(
     versions = matched.groupBy("tile_id").agg(
         F.sort_array(F.collect_set("version")).alias("versions")
     )
-    # P9 existence filter: only tiles with elevation coverage process.
-    covered = features.join(versions.select("tile_id"), "tile_id", "left_semi")
-    config["tile_versions"] = {
-        r.tile_id: list(r.versions) for r in versions.collect()
-    }
+    # P9 existence filter + version attachment in ONE inner join: tiles
+    # without elevation coverage drop out, covered tiles carry their
+    # version array to the executor as ordinary column data.
+    covered = features.join(versions, "tile_id", "inner")
     return run_with_retry(covered, worker_key, config, restarts=restarts)
 
 

@@ -101,13 +101,21 @@ def main() -> None:
             timings[name] = round(min(timings[name], took), 4)
             print(f"[bench] round {rnd} {name}: {took:.2f}s", file=sys.stderr, flush=True)
 
+    # Host-normalized headline: raw sum scaled by how fast THIS host runs
+    # the fixed calibration workload relative to the pinned round-4
+    # reference (0.485 s). A 2×-slower host halves its raw penalty;
+    # round-over-round comparisons should read value_calibrated first.
+    CALIB_REF_SEC = 0.485
+    total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline query wall time (sum)",
-        "value": round(sum(timings.values()), 4),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "calibration_range_sum_sec": calib,
+        "calibration_ref_sec": CALIB_REF_SEC,
+        "value_calibrated": round(total * (CALIB_REF_SEC / calib), 4) if calib > 0 else total,
     }
     print(json.dumps(out))
     spark.stop()

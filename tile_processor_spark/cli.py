@@ -57,6 +57,112 @@ def run_cmd(worker_key, data_path, tiles, tile_col, restart, config_json) -> Non
     sys.exit(1 if result["failed_tiles"] else 0)
 
 
+@main.command("run-controller")
+@click.argument("controller_key")
+@click.argument("worker_key")
+@click.argument("configuration", type=click.Path(exists=True, dir_okay=False))
+@click.argument("tiles", nargs=-1)
+@click.option(
+    "--threads",
+    default=3,
+    show_default=True,
+    help="Parity option (reference cli.py:61-67). Spark's scheduler owns "
+    "task parallelism; this caps concurrent tile tasks only insofar as it "
+    "is forwarded to workers as config['threads'].",
+)
+@click.option("--restart", default=0, show_default=True, help="re-runs of failed tiles")
+@click.option(
+    "--monitor",
+    "monitor_dir",
+    default=None,
+    help="Write per-tile resource-usage TSVs (recorder layout: timestamp, "
+    "tile, pid, cpu_user, cpu_sys, rss) into this directory; read them "
+    "back with plot-monitor-log.",
+)
+@click.option("--monitor-interval", default=5.0, show_default=True, help="seconds")
+def run_controller_cmd(
+    controller_key, worker_key, configuration, tiles, threads, restart,
+    monitor_dir, monitor_interval,
+) -> None:
+    """Reference ``run`` parity (cli.py:48-96): run CONTROLLER_KEY +
+    WORKER_KEY over the tiles described by a bag3d-style CONFIGURATION
+    YAML, optionally restricted to TILES (or 'all').
+
+    The YAML's data sections each carry a ``path:`` key pointing at a
+    parquet dataset (the engine's format swap for the reference's
+    PostGIS tables; ``Engine.read_jdbc`` builds the native scan).
+    Controller keys are matched case-insensitively like the reference's
+    click.Choice(case_sensitive=False).
+    """
+    from tile_processor_spark.pipeline.config import (
+        load_config_frames,
+        parse_configuration,
+    )
+    from tile_processor_spark.pipeline.controller import (
+        get_controller,
+        list_controllers,
+    )
+
+    resolved = {k.lower(): k for k in list_controllers()}.get(controller_key.lower())
+    if resolved is None:
+        raise click.ClickException(
+            f"unknown controller {controller_key!r}; registered: {list_controllers()}"
+        )
+    cfg = parse_configuration(configuration)
+    spark = get_spark(app_name=f"tps-run-{resolved}-{worker_key}")
+    t0 = time.monotonic()
+    frames = load_config_frames(spark, cfg)
+
+    wcfg = dict(cfg.get("config") or {})
+    wcfg["threads"] = threads
+    if monitor_dir:
+        wcfg["monitor_dir"] = monitor_dir
+        wcfg["monitor_interval"] = monitor_interval
+    out_dir = (cfg.get("output") or {}).get("dir")
+    if out_dir and "out_dir" not in wcfg:
+        wcfg["out_dir"] = str(out_dir)
+
+    tile_list = list(tiles) or None
+    ctrl = get_controller(resolved)
+    # Positional frame wiring per controller signature (the reference's
+    # factory passes the config file itself; here the frames are already
+    # resolved DataFrames).
+    kwargs = dict(
+        worker_key=worker_key, tiles=tile_list, config=wcfg, restarts=restart
+    )
+    try:
+        if resolved == "Example":
+            result = ctrl(frames["features"], **kwargs)
+        elif resolved == "AHN":
+            result = ctrl(
+                frames["features"], frames["tile_index"], frames["elevation_index"],
+                **kwargs,
+            )
+        elif resolved in ("AHNboundary", "AHNboundaryTIN"):
+            result = ctrl(
+                frames["features"], frames["elevation_index"],
+                feature_index=frames.get("feature_index"), **kwargs,
+            )
+        elif resolved == "AHNTin":
+            result = ctrl(
+                frames["elevation_points"], frames["elevation_index"], **kwargs
+            )
+        else:  # user-registered controller: frames passed by keyword
+            result = ctrl(**frames, **kwargs)
+    except KeyError as e:
+        raise click.ClickException(
+            f"configuration lacks a path for the {e} frame required by {resolved}"
+        )
+    click.echo(json.dumps(result))
+    click.echo(f"Done in {(time.monotonic() - t0) / 60:.1f} min", err=True)
+    failed = (
+        result.get("failed_tiles")
+        if "failed_tiles" in result
+        else [t for part in result.values() for t in part["failed_tiles"]]
+    )
+    sys.exit(1 if failed else 0)
+
+
 @main.command("export-tile-inputs")
 @click.argument("data_path")
 @click.argument("out_dir")

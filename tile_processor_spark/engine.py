@@ -49,6 +49,72 @@ class Engine:
 
         return load_table(self.spark, name, sf_dir or DEFAULT_SF_DIR)
 
+    def jdbc_options(
+        self,
+        section: str = "features",
+        table: str | None = None,
+        partition_column: str | None = None,
+        num_partitions: int | None = None,
+        lower_bound: int | None = None,
+        upper_bound: int | None = None,
+        fetchsize: int = 10_000,
+    ) -> dict[str, str]:
+        """S1's NATIVE form: the reference's primary scan is a PostgreSQL
+        table opened from the config's ``database:`` block (db.py:23-41,
+        controller.py:375-435); the engine's gate queries run the parquet
+        format swap instead, but a user arriving from the reference wires
+        the same bag3d-style YAML into a Spark JDBC scan here. Builds the
+        complete ``spark.read.format("jdbc")`` option map WITHOUT
+        connecting — dbtable comes from the section's schema/table, the
+        partition column defaults to the section's ``field.pk`` (the same
+        key the reference uses to split work), and explicit bounds are
+        required for a partitioned read (Spark needs them; guessing via a
+        MIN/MAX probe query would connect)."""
+        db = self.config.get("database") or {}
+        if not db.get("dbname"):
+            raise ValueError("configuration has no database: block with dbname")
+        sec = self.config.get(section) or {}
+        url = (
+            f"jdbc:postgresql://{db.get('host', 'localhost')}:"
+            f"{db.get('port', 5432)}/{db['dbname']}"
+        )
+        dbtable = table
+        if dbtable is None:
+            if not sec.get("table"):
+                raise ValueError(f"section {section!r} has no table")
+            dbtable = (
+                f"{sec['schema']}.{sec['table']}" if sec.get("schema") else sec["table"]
+            )
+        opts: dict[str, str] = {
+            "url": url,
+            "dbtable": dbtable,
+            "driver": "org.postgresql.Driver",
+            "fetchsize": str(fetchsize),
+        }
+        if db.get("user"):
+            opts["user"] = str(db["user"])
+        if db.get("password") is not None:
+            opts["password"] = str(db["password"])
+        pc = partition_column or (sec.get("field") or {}).get("pk")
+        if pc and num_partitions:
+            if lower_bound is None or upper_bound is None:
+                raise ValueError(
+                    "partitioned JDBC read needs lower_bound/upper_bound "
+                    f"for column {pc!r}"
+                )
+            opts.update(
+                partitionColumn=str(pc),
+                numPartitions=str(num_partitions),
+                lowerBound=str(lower_bound),
+                upperBound=str(upper_bound),
+            )
+        return opts
+
+    def read_jdbc(self, **kw: Any):
+        """A ``DataFrameReader`` configured for the native JDBC scan —
+        nothing connects until the caller ``.load()``s it."""
+        return self.spark.read.format("jdbc").options(**self.jdbc_options(**kw))
+
     # --- tile pipeline -----------------------------------------------------
 
     def sql(self, query: str, sf_dir: str | None = None) -> DataFrame:

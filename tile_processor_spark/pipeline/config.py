@@ -72,3 +72,37 @@ class SchemaRegistry:
             raise KeyError(name)
         del db[name]
         self.db_path.write_text(json.dumps(db, indent=2, sort_keys=True))
+
+
+# --- YAML config → Spark DataFrames (the CLI run-controller glue) --------
+
+# Engine extension to the bag3d layout: any features / *_tiles.boundaries /
+# *_tiles.index / elevation section may carry a ``path:`` key pointing at a
+# parquet dataset — the format swap (PostGIS table → parquet) the engine
+# applies to the reference's scans. Sections without a path simply yield no
+# frame (controllers validate what they actually need).
+_FRAME_SECTIONS: dict[str, tuple[str, ...]] = {
+    "features": ("features", "path"),
+    "tile_index": ("features_tiles", "boundaries", "path"),
+    "feature_index": ("features_tiles", "index", "path"),
+    "elevation_index": ("elevation_tiles", "boundaries", "path"),
+    "elevation_points": ("elevation", "path"),
+}
+
+
+def load_config_frames(spark, cfg: dict[str, Any]) -> dict[str, Any]:
+    """Resolve every ``path:``-bearing section of a parsed configuration
+    into a DataFrame: {frame_name: DataFrame}. The reference's controllers
+    open DB connections from the ``database:`` block (controller.py:375-
+    435); the Spark engine reads the parquet swap instead — see
+    ``engine.Engine.read_jdbc`` for the native-DSN option builder."""
+    frames = {}
+    for name, keys in _FRAME_SECTIONS.items():
+        node: Any = cfg
+        for k in keys:
+            node = node.get(k) if isinstance(node, dict) else None
+            if node is None:
+                break
+        if node is not None:
+            frames[name] = spark.read.parquet(str(node))
+    return frames

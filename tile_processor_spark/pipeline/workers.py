@@ -170,6 +170,7 @@ def _subprocess_worker(tile_id: str, pdf: pd.DataFrame, config: dict):
             stderr=subprocess.PIPE,
         )
         samples: list[str] = []
+        samples_lock = threading.Lock()
         stop = threading.Event()
 
         def _sample_loop() -> None:
@@ -191,11 +192,28 @@ def _subprocess_worker(tile_id: str, pdf: pd.DataFrame, config: dict):
                 ts = datetime.datetime.now(datetime.timezone.utc).strftime(
                     "%Y-%m-%d %H:%M:%S.%f"
                 )
-                samples.append(
-                    f"{ts}\t{tile_id}\t{proc.pid}\t{cpu_u}\t{cpu_s}\t{rss}"
-                )
+                with samples_lock:
+                    samples.append(
+                        f"{ts}\t{tile_id}\t{proc.pid}\t{cpu_u}\t{cpu_s}\t{rss}"
+                    )
                 if stop.wait(interval):
                     break
+
+        def _write_tsv() -> None:
+            # Snapshot under the lock: if join() timed out (wedged /proc
+            # read), the daemon thread may still be appending — without
+            # the lock the final row could tear or drop.
+            with samples_lock:
+                rows = list(samples)
+            if rows:
+                os.makedirs(monitor_dir, exist_ok=True)
+                mon_path = os.path.join(
+                    monitor_dir, f"tile={tile_id}.pid={proc.pid}.tsv"
+                )
+                tmp = f"{mon_path}.tmp.{os.getpid()}"
+                with open(tmp, "w") as f:
+                    f.write("\n".join(rows) + "\n")
+                os.replace(tmp, mon_path)
 
         sampler = threading.Thread(target=_sample_loop, daemon=True)
         sampler.start()
@@ -205,23 +223,20 @@ def _subprocess_worker(tile_id: str, pdf: pd.DataFrame, config: dict):
             # Mirror subprocess.run's kill-on-timeout: without this the
             # child would keep running on the executor after the tile is
             # marked failed, and retries would accumulate runaway
-            # processes.
+            # processes. Still write the partial TSV first — a
+            # timed-out tile should leave monitoring evidence, it is the
+            # tile you most want to post-mortem.
             proc.kill()
             proc.communicate()
+            stop.set()
+            sampler.join(timeout=5.0)
+            _write_tsv()
             raise
         finally:
             stop.set()
             sampler.join(timeout=5.0)
         rc = proc.returncode
-        if samples:
-            os.makedirs(monitor_dir, exist_ok=True)
-            mon_path = os.path.join(
-                monitor_dir, f"tile={tile_id}.pid={proc.pid}.tsv"
-            )
-            tmp = f"{mon_path}.tmp.{os.getpid()}"
-            with open(tmp, "w") as f:
-                f.write("\n".join(samples) + "\n")
-            os.replace(tmp, mon_path)
+        _write_tsv()
 
     if rc != 0:
         raise RuntimeError(

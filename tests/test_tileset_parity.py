@@ -195,3 +195,19 @@ def test_ahn_boundary_controller(spark):
     assert result["AHN2"] == {"failed_tiles": [], "nr_success": len(V2_TILES)}
     assert result["AHN3"] == {"failed_tiles": [], "nr_success": len(V3_TILES)}
     assert result["AHN_border"] == {"failed_tiles": [], "nr_success": len(BORDER_TILES)}
+
+
+def test_registry_count_matches_docs():
+    # Docs drifted once (PARITY.md said 101 while the registry was 115):
+    # any literal "<N> registered queries" claim in docs/ must equal
+    # len(all_specs()), or not exist at all.
+    import pathlib
+    import re
+
+    from tile_processor_spark.plans.registry import all_specs
+
+    n = len(all_specs())
+    assert n >= 115
+    for doc in pathlib.Path("docs").glob("*.md"):
+        for m in re.finditer(r"(\d+) registered queries", doc.read_text()):
+            assert int(m.group(1)) == n, f"{doc} claims {m.group(1)}, registry has {n}"

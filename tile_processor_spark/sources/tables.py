@@ -30,6 +30,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Read one engine table; ``events`` is normalized to TIMESTAMP.
+
+    .. warning:: Loading ``events`` may MUTATE the passed session, and
+       the mutation persists beyond this call: if the parquet carries an
+       NTZ timestamp the session timezone is pinned to ``UTC``, and if
+       it carries int64 nanos ``spark.sql.legacy.parquet.nanosAsLong``
+       stays set (the scan consults it lazily at execution time, so it
+       cannot be restored here). On a session you intentionally run in a
+       non-UTC timezone this changes the semantics of your OWN later
+       timestamp queries — pass a dedicated session
+       (``spark.newSession()``) if you need your confs untouched. The
+       engine's own sessions already run UTC, so library-created
+       sessions are unaffected. Rationale below.
+    """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     path = f"{sf_dir}/{name}.parquet"

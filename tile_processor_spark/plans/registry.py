@@ -117,14 +117,20 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # everything else follows in registration order
 )
 
-# Round-6 rotation candidates (stale, last driver-green r2/r3):
-# spatial_version_boundary_region, spatial_percentile_heights,
-# spatial_rasterize, tile_file_index, spatial_las_class_mapping,
-# multimodal_features, multimodal_resize, text_token_stats,
-# text_quality_scores, dedup_exact, dedup_minhash_pairs,
-# embedding_cosine_topk, text_langid, text_bpe_counts,
-# dedup_ngram_jaccard, text_fingerprint, embedding_near_dup_pairs —
-# plus anything added in round 5.
+# Round-6 rotation candidates, in priority order:
+# (a) the round-5 additions, never driver-gated (local gate green):
+#     window_range_frame_spend, scd2_snapshot_values, sessionize_gap_ids,
+#     islands_active_days, price_band_assign, argmax_order_per_customer,
+#     stats_second_moments, median_disc_by_priority, weekly_revenue_wow,
+#     mode_priority_by_status, events_first_touch,
+#     multiset_except_intersect, dedup_minhash_recall;
+# (b) stale rows last driver-green r2/r3:
+#     spatial_version_boundary_region, spatial_percentile_heights,
+#     spatial_rasterize, tile_file_index, spatial_las_class_mapping,
+#     multimodal_features, multimodal_resize, text_token_stats,
+#     text_quality_scores, dedup_exact, dedup_minhash_pairs,
+#     embedding_cosine_topk, text_langid, text_bpe_counts,
+#     dedup_ngram_jaccard, text_fingerprint, embedding_near_dup_pairs.
 
 
 def all_specs() -> dict[str, QuerySpec]:
@@ -134,6 +140,7 @@ def all_specs() -> dict[str, QuerySpec]:
     import tile_processor_spark.plans.relational  # noqa: F401
     import tile_processor_spark.plans.relational_ext  # noqa: F401
     import tile_processor_spark.plans.relational_ext2  # noqa: F401
+    import tile_processor_spark.plans.relational_ext3  # noqa: F401
     import tile_processor_spark.plans.llm_ops  # noqa: F401
     import tile_processor_spark.plans.pipeline_ops  # noqa: F401
     import tile_processor_spark.plans.ann_kmeans  # noqa: F401
@@ -142,6 +149,7 @@ def all_specs() -> dict[str, QuerySpec]:
     import tile_processor_spark.plans.multimodal_gate  # noqa: F401
     import tile_processor_spark.plans.sketches  # noqa: F401
     import tile_processor_spark.plans.ann_eval  # noqa: F401
+    import tile_processor_spark.plans.dedup_eval  # noqa: F401
 
     rank = {name: i for i, name in enumerate(_GATE_PRIORITY)}
     reg_order = {name: i for i, name in enumerate(REGISTRY)}

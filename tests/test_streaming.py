@@ -45,3 +45,43 @@ def test_streaming_tumbling_matches_batch(spark, tmp_path):
     )
     rows = spark.sql("SELECT COUNT(*) AS c FROM tumbling_smoke").collect()[0].c
     assert rows == batch
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    # Stream-stream inner join with watermark + time-range condition:
+    # replayed with availableNow, the attribution pairs must equal the
+    # batch twin's exactly (same predicate, no state semantics leak).
+    from tile_processor_spark.streaming import (
+        batch_click_purchase_join,
+        stream_click_purchase_join,
+    )
+
+    # ONE file → one micro-batch: parquet task files are not time-
+    # ordered, so a multi-batch replay would advance the watermark past
+    # later files' older clicks and (correctly, per streaming
+    # semantics) evict them — batch parity holds only when no row is
+    # late. Late-drop behavior is the watermark's contract, not this
+    # test's subject.
+    src = str(tmp_path / "events_src")
+    load_table(spark, "events", SF).coalesce(1).write.parquet(src)
+
+    q = (
+        stream_click_purchase_join(read_events_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.purchase_id, r.click_id) for r in spark.sql("SELECT * FROM ss_join").collect()
+    )
+    want = sorted(
+        (r.purchase_id, r.click_id)
+        for r in batch_click_purchase_join(load_table(spark, "events", SF)).collect()
+    )
+    assert got == want and len(got) > 0
+    # value columns ride through identically
+    v = spark.sql("SELECT SUM(purchase_value) AS s, COUNT(*) AS c FROM ss_join").collect()[0]
+    assert v.c == len(want)

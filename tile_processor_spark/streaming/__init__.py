@@ -10,6 +10,10 @@ runs unchanged over a stream.
 from tile_processor_spark.streaming.dedup import (  # noqa: F401
     stream_dedup_exact,
 )
+from tile_processor_spark.streaming.joins import (  # noqa: F401
+    batch_click_purchase_join,
+    stream_click_purchase_join,
+)
 from tile_processor_spark.streaming.windows import (  # noqa: F401
     read_events_stream,
     streaming_session_values,

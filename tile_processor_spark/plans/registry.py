@@ -152,6 +152,7 @@ def all_specs() -> dict[str, QuerySpec]:
     import tile_processor_spark.plans.dedup_eval  # noqa: F401
     import tile_processor_spark.plans.graph_ops  # noqa: F401
     import tile_processor_spark.plans.entity_ops  # noqa: F401
+    import tile_processor_spark.plans.modern_sql  # noqa: F401
 
     rank = {name: i for i, name in enumerate(_GATE_PRIORITY)}
     reg_order = {name: i for i, name in enumerate(REGISTRY)}

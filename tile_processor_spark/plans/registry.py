@@ -123,7 +123,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
 #     islands_active_days, price_band_assign, argmax_order_per_customer,
 #     stats_second_moments, median_disc_by_priority, weekly_revenue_wow,
 #     mode_priority_by_status, events_first_touch,
-#     multiset_except_intersect, dedup_minhash_recall;
+#     multiset_except_intersect, dedup_minhash_recall,
+#     graph_pagerank_fixedpoint, graph_triangle_count,
+#     fuzzy_part_name_pairs, user_event_type_bitmap,
+#     events_props_variant, spatial_quadtree_rollup;
 # (b) stale rows last driver-green r2/r3:
 #     spatial_version_boundary_region, spatial_percentile_heights,
 #     spatial_rasterize, tile_file_index, spatial_las_class_mapping,

@@ -154,3 +154,41 @@ def test_jdbc_options_consistent_with_dboutput(spark):
     eng = Engine(spark=spark, config=BAG3D_CFG)
     p = DbParams(dbname="db3dbag", host="localhost", port=5560, user="db3dbag_user")
     assert eng.jdbc_options()["url"] == DbOutput(p).jdbc_url
+
+
+def test_run_controller_extent_selection(spark, ahn_fixture, tmp_path):
+    # Extent polygon covering only t0's tile square: --extent replaces
+    # the positional tile list (tileconfig.py:128-194 semantics).
+    import json as _json
+
+    ext = tmp_path / "extent.geojson"
+    ext.write_text(_json.dumps({
+        "type": "Feature",
+        "geometry": {
+            "type": "Polygon",
+            "coordinates": [[[1, 1], [9, 1], [9, 9], [1, 9], [1, 1]]],
+        },
+    }))
+    r = CliRunner().invoke(
+        main,
+        ["run-controller", "AHN", "Example", str(ahn_fixture),
+         "--extent", str(ext)],
+    )
+    assert r.exit_code == 0, r.output
+    json_line = next(
+        ln for ln in r.output.strip().splitlines() if ln.startswith("{")
+    )
+    assert json.loads(json_line) == {"failed_tiles": [], "nr_success": 1}
+
+    # an extent off the grid selects nothing → explicit error
+    ext2 = tmp_path / "nowhere.geojson"
+    ext2.write_text(_json.dumps({
+        "type": "Polygon",
+        "coordinates": [[[500, 500], [510, 500], [510, 510], [500, 510], [500, 500]]],
+    }))
+    r2 = CliRunner().invoke(
+        main,
+        ["run-controller", "AHN", "Example", str(ahn_fixture),
+         "--extent", str(ext2)],
+    )
+    assert r2.exit_code != 0 and "selects no tiles" in r2.output

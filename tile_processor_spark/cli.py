@@ -80,9 +80,18 @@ def run_cmd(worker_key, data_path, tiles, tile_col, restart, config_json) -> Non
     "back with plot-monitor-log.",
 )
 @click.option("--monitor-interval", default=5.0, show_default=True, help="seconds")
+@click.option(
+    "--extent",
+    "extent_path",
+    type=click.Path(exists=True, dir_okay=False),
+    default=None,
+    help="Single-polygon GeoJSON: select the tiles whose bbox geometry "
+    "intersects the extent (tileconfig.py:128-194 semantics) instead of "
+    "listing TILES. Requires features_tiles.boundaries with bbox columns.",
+)
 def run_controller_cmd(
     controller_key, worker_key, configuration, tiles, threads, restart,
-    monitor_dir, monitor_interval,
+    monitor_dir, monitor_interval, extent_path,
 ) -> None:
     """Reference ``run`` parity (cli.py:48-96): run CONTROLLER_KEY +
     WORKER_KEY over the tiles described by a bag3d-style CONFIGURATION
@@ -123,6 +132,39 @@ def run_controller_cmd(
         wcfg["out_dir"] = str(out_dir)
 
     tile_list = list(tiles) or None
+    if extent_path:
+        from pyspark.sql import functions as F
+
+        from tile_processor_spark.pipeline.extent import read_extent
+        from tile_processor_spark.spatial.udfs import st_intersects, st_rect
+
+        if "tile_index" not in frames:
+            raise click.ClickException(
+                "--extent needs features_tiles.boundaries (with "
+                "xmin/ymin/xmax/ymax columns) in the configuration"
+            )
+        _, ewkb, _ = read_extent(extent_path)
+        from tile_processor_spark.spatial import wkb as _wkb
+
+        x0, y0, x1, y1 = _wkb.polygon_bbox(ewkb)
+        ti = frames["tile_index"]
+        chosen = (
+            ti.filter(
+                (F.col("xmin") <= x1) & (F.col("xmax") >= x0)
+                & (F.col("ymin") <= y1) & (F.col("ymax") >= y0)
+            )
+            .filter(
+                st_intersects(
+                    st_rect("xmin", "ymin", "xmax", "ymax"), F.lit(ewkb)
+                )
+            )
+            .select("tile_id")
+        )
+        # tile set is dimension-sized by construction (the reference also
+        # materializes the selected id list on the driver)
+        tile_list = sorted(r.tile_id for r in chosen.collect())
+        if not tile_list:
+            raise click.ClickException("extent selects no tiles")
     ctrl = get_controller(resolved)
     # Positional frame wiring per controller signature (the reference's
     # factory passes the config file itself; here the frames are already

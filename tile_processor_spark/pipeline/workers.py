@@ -173,31 +173,39 @@ def _subprocess_worker(tile_id: str, pdf: pd.DataFrame, config: dict):
         samples_lock = threading.Lock()
         stop = threading.Event()
 
-        def _sample_loop() -> None:
-            # The reference polls in its main thread (it feeds no stdin);
-            # here communicate() owns the pipes, so the sampler is a
-            # daemon thread with the same cadence. First sample is
-            # immediate so even sub-interval commands leave a row.
+        def _sample_once() -> bool:
             # /proc parsing is shared with the driver-side JobMonitor so
             # both monitor surfaces emit identical TSV semantics.
             import datetime
 
             from tile_processor_spark.pipeline.monitor import _proc_cpu_rss
 
-            while True:
-                try:
-                    cpu_u, cpu_s, rss = _proc_cpu_rss(proc.pid)
-                except (OSError, IndexError, ValueError):
-                    break  # child exited; /proc entry gone
-                ts = datetime.datetime.now(datetime.timezone.utc).strftime(
-                    "%Y-%m-%d %H:%M:%S.%f"
+            try:
+                cpu_u, cpu_s, rss = _proc_cpu_rss(proc.pid)
+            except (OSError, IndexError, ValueError):
+                return False  # child exited and was reaped; /proc gone
+            ts = datetime.datetime.now(datetime.timezone.utc).strftime(
+                "%Y-%m-%d %H:%M:%S.%f"
+            )
+            with samples_lock:
+                samples.append(
+                    f"{ts}\t{tile_id}\t{proc.pid}\t{cpu_u}\t{cpu_s}\t{rss}"
                 )
-                with samples_lock:
-                    samples.append(
-                        f"{ts}\t{tile_id}\t{proc.pid}\t{cpu_u}\t{cpu_s}\t{rss}"
-                    )
-                if stop.wait(interval):
+            return True
+
+        def _sample_loop() -> None:
+            # The reference polls in its main thread (it feeds no stdin);
+            # here communicate() owns the pipes, so the sampler is a
+            # daemon thread with the same cadence.
+            while not stop.wait(interval):
+                if not _sample_once():
                     break
+
+        # First sample SYNCHRONOUSLY, before communicate() can reap the
+        # child: a sub-interval command (reference worker.py:718-736
+        # samples the same way) must still leave a monitoring row, and
+        # the daemon thread's first poll races a fast exit.
+        _sample_once()
 
         def _write_tsv() -> None:
             # Snapshot under the lock: if join() timed out (wedged /proc

@@ -103,3 +103,55 @@ def user_event_type_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(bitmap).cast("long").alias("n_types"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+
+
+@register(
+    "dq_profile_orders",
+    oracle="""
+    SELECT * FROM (
+    """ + "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM orders"""
+        for c in PROFILE_COLS
+    ) + """
+    )
+    """,
+    doc=(
+        "Data-quality profile (the ANALYZE/dbt-test shape): per-column "
+        "row/null/exact-distinct counts over orders in ONE job. Spark "
+        "computes all six columns' aggregates in a single pass "
+        "(count_distinct per column partial-aggregates map-side) and "
+        "unpivots driver-free via an inline array-explode; profiling a "
+        "100 TB table stays one scan, not one scan per column."
+    ),
+    tags=("entity", "quality", "agg"),
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        aggs.append(F.count_distinct(c).alias(f"{c}__nd"))
+    row = o.agg(*aggs)
+    profile = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"{c}__nn")).alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+            )
+            for c in PROFILE_COLS
+        ]
+    )
+    return row.select(F.explode(profile).alias("p")).select(
+        "p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct"
+    )

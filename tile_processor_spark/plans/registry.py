@@ -126,7 +126,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
 #     multiset_except_intersect, dedup_minhash_recall,
 #     graph_pagerank_fixedpoint, graph_triangle_count,
 #     fuzzy_part_name_pairs, user_event_type_bitmap,
-#     events_props_variant, spatial_quadtree_rollup;
+#     events_props_variant, spatial_quadtree_rollup, dq_profile_orders,
+#     cumulative_distinct_users, rolling_7d_distinct_users,
+#     revenue_share_by_nation, leave_one_out_customer_mean,
+#     order_quantity_array_hof;
 # (b) stale rows last driver-green r2/r3:
 #     spatial_version_boundary_region, spatial_percentile_heights,
 #     spatial_rasterize, tile_file_index, spatial_las_class_mapping,
@@ -144,6 +147,7 @@ def all_specs() -> dict[str, QuerySpec]:
     import tile_processor_spark.plans.relational_ext  # noqa: F401
     import tile_processor_spark.plans.relational_ext2  # noqa: F401
     import tile_processor_spark.plans.relational_ext3  # noqa: F401
+    import tile_processor_spark.plans.relational_ext4  # noqa: F401
     import tile_processor_spark.plans.llm_ops  # noqa: F401
     import tile_processor_spark.plans.pipeline_ops  # noqa: F401
     import tile_processor_spark.plans.ann_kmeans  # noqa: F401

@@ -1,0 +1,239 @@
+"""Round-5 second analytics batch: distinct-over-time patterns, share
+ratios, self-excluding aggregates, and higher-order array functions —
+each a plan shape the other registry entries don't exercise.
+
+Same exactness discipline: decimal accumulation, single double
+divisions, integer day arithmetic, fully tie-broken orderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from tile_processor_spark.plans.registry import register
+from tile_processor_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+_DAY = "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+
+
+@register(
+    "cumulative_distinct_users",
+    oracle=f"""
+    WITH first_seen AS (
+      SELECT user_id, MIN({_DAY}) AS first_day FROM events GROUP BY user_id
+    ), per_day AS (
+      SELECT first_day AS day_idx, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY first_day
+    )
+    SELECT day_idx, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM per_day
+    """,
+    doc=(
+        "Cumulative distinct users by day WITHOUT a quadratic "
+        "distinct-over-expanding-window: reduce each user to their "
+        "first-seen day (one aggregate), count arrivals per day, then a "
+        "running sum over the tiny day series. The naive COUNT(DISTINCT) "
+        "OVER (ORDER BY day) rescans every prior day's users per row — "
+        "this shape is O(n) and partial-aggregable, the only form that "
+        "survives 100 TB."
+    ),
+    tags=("relational-ext", "events", "window", "agg"),
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).cast(
+        "long"
+    )
+    first_seen = ev.select("user_id", day.alias("day_idx")).groupBy("user_id").agg(
+        F.min("day_idx").alias("first_day")
+    )
+    per_day = first_seen.groupBy(F.col("first_day").alias("day_idx")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = W.orderBy("day_idx").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_day.select(
+        "day_idx", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
+
+
+@register(
+    "rolling_7d_distinct_users",
+    oracle=f"""
+    WITH daily AS (
+      SELECT DISTINCT {_DAY} AS day_idx, user_id FROM events
+    )
+    SELECT DISTINCT day_idx,
+           CAST(COUNT(DISTINCT user_id) OVER (ORDER BY day_idx
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS users_7d
+    FROM daily
+    """,
+    doc=(
+        "Trailing-7-day distinct users per day: the (day, user) grain is "
+        "deduped FIRST (the fact-table explosion never reaches the "
+        "window), then a value-RANGE window counts distincts over the "
+        "small daily grain. Spark lacks COUNT(DISTINCT) OVER — the "
+        "engine expresses it as size(collect_set() OVER), which is "
+        "correct at the deduped grain because the window holds at most "
+        "7 days × daily-actives entries."
+    ),
+    tags=("relational-ext", "events", "window"),
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).cast(
+        "long"
+    )
+    daily = ev.select(day.alias("day_idx"), "user_id").distinct()
+    w = W.orderBy("day_idx").rangeBetween(-6, 0)
+    return (
+        daily.select(
+            "day_idx",
+            F.size(F.collect_set("user_id").over(w)).cast("long").alias("users_7d"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "revenue_share_by_nation",
+    oracle="""
+    WITH per_nation AS (
+      SELECT n_name,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS rev
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS share
+    FROM per_nation
+    """,
+    doc=(
+        "Ratio-to-report: each nation's revenue share of the total via "
+        "an un-partitioned window sum — safe ONLY because it runs on the "
+        "nation-grain aggregate (25 rows), never the fact table; the "
+        "share is one double division of two identically-accumulated "
+        "decimals."
+    ),
+    tags=("relational-ext", "window", "agg"),
+)
+def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    per_nation = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("rev")
+        )
+    )
+    w = W.partitionBy()
+    return per_nation.select(
+        "n_name",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev").cast("double") / F.sum("rev").over(w).cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+@register(
+    "leave_one_out_customer_mean",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN cnt > 1
+                THEN (CAST(tot AS DOUBLE) - o_totalprice) / (cnt - 1)
+                END AS loo_mean
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey)
+               AS tot,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+      FROM orders
+    )
+    """,
+    doc=(
+        "Self-excluding (leave-one-out) aggregate: for every order, the "
+        "mean value of the customer's OTHER orders as (Σ − x)/(n − 1) "
+        "from one partition-window sum — the O(n) identity that replaces "
+        "a per-row self-join, the shape feature pipelines use for "
+        "target-encoding without leakage. Decimal window sum; the "
+        "subtraction mixes decimal-exact Σ with the double x "
+        "identically in both engines."
+    ),
+    tags=("relational-ext", "window"),
+)
+def leave_one_out_customer_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    tot = F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            cnt > 1,
+            (tot.cast("double") - F.col("o_totalprice")) / (cnt - 1),
+        ).alias("loo_mean"),
+    )
+
+
+@register(
+    "order_quantity_array_hof",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(CAST(l_quantity AS BIGINT))), '-')
+             AS qtys_str,
+           CAST(list_reduce(list(CAST(l_quantity AS BIGINT)), (a, b) -> a + b)
+                AS BIGINT) AS total_qty,
+           CAST(len(list_filter(list(CAST(l_quantity AS BIGINT)), x -> x > 25))
+                AS BIGINT) AS n_large,
+           CAST(list_reduce(list_transform(list(CAST(l_quantity AS BIGINT)),
+                x -> x * x), (a, b) -> a + b) AS BIGINT) AS sum_sq
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    doc=(
+        "Higher-order array functions over per-order quantity arrays: "
+        "collect → sort_array (canonical order), aggregate (fold) for "
+        "the sum, filter+size, transform+fold for Σx² — the Catalyst HOF "
+        "family (transform/filter/aggregate) evaluated JVM-side on "
+        "integer-valued quantities; every derived value is exact."
+    ),
+    tags=("relational-ext", "array", "agg"),
+)
+def order_quantity_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.col("l_quantity").cast("long"))).alias("qtys")
+    )
+    zero = F.lit(0).cast("long")
+    return g.select(
+        "l_orderkey",
+        # joined string, not the raw array: the value-hash compare (and
+        # the driver's) cannot hash list cells
+        F.array_join("qtys", "-").alias("qtys_str"),
+        F.aggregate("qtys", zero, lambda a, x: a + x).alias("total_qty"),
+        F.size(F.filter("qtys", lambda x: x > 25)).cast("long").alias("n_large"),
+        F.aggregate(
+            F.transform("qtys", lambda x: x * x), zero, lambda a, x: a + x
+        ).alias("sum_sq"),
+    )

@@ -114,3 +114,30 @@ def test_backfill_many_hours_one_batch(spark, tmp_path):
     n_hours = len([r for r in __import__("os").listdir(store) if r.startswith("h_start_us=")])
     assert n_hours > 100, f"backfill should span many hour partitions, got {n_hours}"
     assert _canon(read_rollup(spark, store)) == _canon(_hour_rollup(ev))
+
+
+def test_merge_into_pre_epoch_store(spark, tmp_path):
+    # Stores written before the applied_epoch marker existed have only
+    # the four original columns: read_rollup must surface applied_epoch
+    # as NULL (never replay-skipped) and epoch merges must still work.
+    ev = load_table(spark, "events", SF)
+    store = str(tmp_path / "store")
+    # exactly what the pre-epoch merge wrote: measures cast to the
+    # store types (decimal(18,4)), NO applied_epoch column
+    old = _hour_rollup(ev.filter(F.col("event_id") % 2 == 0)).select(
+        "h_start_us",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_sum").cast("decimal(18,4)").alias("value_sum"),
+    )
+    (
+        old.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("h_start_us")
+        .parquet(store)
+    )
+    assert read_rollup(spark, store).filter(
+        F.col("applied_epoch").isNotNull()
+    ).count() == 0
+    merge_batch_into_rollup(ev.filter(F.col("event_id") % 2 == 1), store, epoch=5)
+    assert _canon(read_rollup(spark, store)) == _canon(_hour_rollup(ev))

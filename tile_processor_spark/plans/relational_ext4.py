@@ -237,3 +237,99 @@ def order_quantity_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("qtys", lambda x: x * x), zero, lambda a, x: a + x
         ).alias("sum_sq"),
     )
+
+
+@register(
+    "events_mad_by_type",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events
+    ), med AS (
+      SELECT event_type, value AS med_value, cnt
+      FROM ranked WHERE rn = (cnt + 1) // 2
+    ), dev AS (
+      SELECT e.event_type, abs(e.value - m.med_value) AS ad, e.event_id
+      FROM events e JOIN med m USING (event_type)
+    ), ranked2 AS (
+      SELECT event_type, ad,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY ad, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM dev
+    )
+    SELECT m.event_type, m.med_value, r2.ad AS mad_value,
+           CAST(m.cnt AS BIGINT) AS n
+    FROM med m JOIN ranked2 r2
+      ON m.event_type = r2.event_type AND r2.rn = (r2.cnt + 1) // 2
+    """,
+    doc=(
+        "Median absolute deviation per event type — the robust "
+        "dispersion measure outlier pipelines prefer over stddev — via "
+        "two DISCRETE medians (rank-picked actual values, fully "
+        "tie-broken), so every number is exact and engine-independent "
+        "where interpolating percentiles could never hash-match. The "
+        "median side is dimension-sized, so the deviation join "
+        "broadcasts."
+    ),
+    tags=("relational-ext", "events", "window", "quality"),
+)
+def events_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wp = W.partitionBy("event_type")
+    w1 = wp.orderBy("value", "event_id")
+    med = (
+        ev.withColumn("rn", F.row_number().over(w1))
+        .withColumn("cnt", F.count(F.lit(1)).over(wp))
+        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select("event_type", F.col("value").alias("med_value"), "cnt")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("med_value")).alias("ad"),
+        "event_id",
+    )
+    w2 = wp.orderBy("ad", "event_id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w2))
+        .withColumn("cnt2", F.count(F.lit(1)).over(wp))
+        .filter(F.col("rn") == F.expr("(cnt2 + 1) div 2"))
+        .select("event_type", F.col("ad").alias("mad_value"))
+    )
+    return med.join(mad, "event_type").select(
+        "event_type", "med_value", "mad_value", F.col("cnt").cast("long").alias("n")
+    )
+
+
+@register(
+    "window_nth_value",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_highest
+    FROM orders
+    """,
+    doc=(
+        "nth_value window function (the last analytic-family member no "
+        "other entry exercised): each customer's second-highest order "
+        "value over the full-partition frame, NULL for single-order "
+        "customers, ordering fully tie-broken."
+    ),
+    tags=("relational-ext", "window"),
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_highest"),
+    ).distinct()

@@ -129,7 +129,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
 #     events_props_variant, spatial_quadtree_rollup, dq_profile_orders,
 #     cumulative_distinct_users, rolling_7d_distinct_users,
 #     revenue_share_by_nation, leave_one_out_customer_mean,
-#     order_quantity_array_hof;
+#     order_quantity_array_hof, events_mad_by_type, window_nth_value,
+#     skyline_orders_2d;
 # (b) stale rows last driver-green r2/r3:
 #     spatial_version_boundary_region, spatial_percentile_heights,
 #     spatial_rasterize, tile_file_index, spatial_las_class_mapping,

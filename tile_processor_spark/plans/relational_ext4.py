@@ -333,3 +333,70 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.nth_value("o_totalprice", 2).over(w).alias("second_highest"),
     ).distinct()
+
+
+@register(
+    "skyline_orders_2d",
+    oracle="""
+    WITH per_day AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day_idx,
+             MAX(o_totalprice) AS best_price
+      FROM orders GROUP BY 1
+    ), keyed AS (
+      SELECT p.day_idx, p.best_price,
+             MIN(o.o_orderkey) AS o_orderkey
+      FROM per_day p JOIN orders o
+        ON date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+             = p.day_idx
+       AND o.o_totalprice = p.best_price
+      GROUP BY p.day_idx, p.best_price
+    )
+    SELECT day_idx, best_price, o_orderkey FROM (
+      SELECT *, MAX(best_price) OVER (ORDER BY day_idx
+        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi_prev
+      FROM keyed
+    ) WHERE hi_prev IS NULL OR best_price > hi_prev
+    """,
+    doc=(
+        "2D skyline (Pareto front): orders not dominated on (earlier "
+        "date, higher price). The scale-safe decomposition: reduce to "
+        "per-day maxima FIRST (a partial-aggregable groupBy — the "
+        "global sort never sees the fact table), then one running-max "
+        "window over the tiny day series keeps exactly the points whose "
+        "price beats every earlier day. Ties pinned by the smallest "
+        "orderkey achieving the day's maximum."
+    ),
+    tags=("relational-ext", "window", "agg"),
+)
+def skyline_orders_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    od = o.select(day.alias("day_idx"), "o_totalprice", "o_orderkey")
+    # argmax via min(struct(-price, key)): per-day max price + the
+    # smallest orderkey achieving it in ONE partial-aggregable pass — no
+    # self-join back to the fact table (and no ambiguous-lineage join).
+    keyed = (
+        od.groupBy("day_idx")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("o_totalprice")).alias("np"),
+                    F.col("o_orderkey").alias("k"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "day_idx",
+            (-F.col("m.np")).alias("best_price"),
+            F.col("m.k").alias("o_orderkey"),
+        )
+    )
+    w = W.orderBy("day_idx").rangeBetween(W.unboundedPreceding, -1)
+    return (
+        keyed.withColumn("hi_prev", F.max("best_price").over(w))
+        .filter(F.col("hi_prev").isNull() | (F.col("best_price") > F.col("hi_prev")))
+        .select("day_idx", "best_price", "o_orderkey")
+    )

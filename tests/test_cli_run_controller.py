@@ -192,3 +192,23 @@ def test_run_controller_extent_selection(spark, ahn_fixture, tmp_path):
          "--extent", str(ext2)],
     )
     assert r2.exit_code != 0 and "selects no tiles" in r2.output
+
+
+def test_run_controller_unknown_worker_not_misreported(spark, ahn_fixture):
+    # A KeyError raised INSIDE the run (unknown worker key) must surface
+    # as its own error, not be misdiagnosed as a missing config frame.
+    r = CliRunner().invoke(
+        main, ["run-controller", "AHN", "NoSuchWorker", str(ahn_fixture), "all"],
+        catch_exceptions=True,
+    )
+    assert r.exit_code != 0
+    assert "configuration lacks" not in r.output
+    assert isinstance(r.exception, KeyError) and "NoSuchWorker" in str(r.exception)
+
+
+def test_jdbc_num_partitions_without_pk_refuses(spark):
+    cfg = {k: dict(v) if isinstance(v, dict) else v for k, v in BAG3D_CFG.items()}
+    cfg["features"] = {"schema": "s", "table": "t"}  # no field.pk
+    eng = Engine(spark=spark, config=cfg)
+    with pytest.raises(ValueError, match="no partition column"):
+        eng.jdbc_options(num_partitions=8, lower_bound=0, upper_bound=10)

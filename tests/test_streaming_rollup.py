@@ -141,3 +141,40 @@ def test_merge_into_pre_epoch_store(spark, tmp_path):
     ).count() == 0
     merge_batch_into_rollup(ev.filter(F.col("event_id") % 2 == 1), store, epoch=5)
     assert _canon(read_rollup(spark, store)) == _canon(_hour_rollup(ev))
+
+
+def test_fresh_checkpoint_never_false_skips(spark, tmp_path):
+    # Same store, two LOGICAL streams (checkpoint deleted/recreated →
+    # new run id, epoch counter restarts at 0): the second run's epoch 0
+    # must MERGE even though partitions already carry applied_epoch=0
+    # from the first run — while a replay within ONE run still skips.
+    ev = load_table(spark, "events", SF)
+    store = str(tmp_path / "store")
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    merge_batch_into_rollup(half, store, epoch=0, run_id="run-A")
+    once = _canon(read_rollup(spark, store))
+    # replay within run A: no-op
+    merge_batch_into_rollup(half, store, epoch=0, run_id="run-A")
+    assert _canon(read_rollup(spark, store)) == once
+    # fresh run B redelivers the same data as ITS epoch 0: must merge
+    merge_batch_into_rollup(half, store, epoch=0, run_id="run-B")
+    doubled = {
+        (r.h_start_us, r.event_type): r.n_events
+        for r in read_rollup(spark, store).collect()
+    }
+    base = {
+        (r.h_start_us, r.event_type): r.n_events for r in _hour_rollup(half).collect()
+    }
+    assert doubled == {k: 2 * v for k, v in base.items()}
+
+
+def test_checkpoint_run_id_marker(tmp_path):
+    from tile_processor_spark.streaming.rollup import _checkpoint_run_id
+
+    ckpt = str(tmp_path / "ckpt")
+    a = _checkpoint_run_id(ckpt)
+    assert a == _checkpoint_run_id(ckpt), "stable across restarts"
+    import shutil
+
+    shutil.rmtree(ckpt)
+    assert _checkpoint_run_id(ckpt) != a, "recreated checkpoint → new id"

@@ -172,29 +172,33 @@ def run_controller_cmd(
     kwargs = dict(
         worker_key=worker_key, tiles=tile_list, config=wcfg, restarts=restart
     )
-    try:
-        if resolved == "Example":
-            result = ctrl(frames["features"], **kwargs)
-        elif resolved == "AHN":
-            result = ctrl(
-                frames["features"], frames["tile_index"], frames["elevation_index"],
-                **kwargs,
+
+    def need(name: str):
+        # frame lookup errors only — a KeyError raised INSIDE the
+        # controller run (unknown worker key, user code) must propagate
+        # with its own message, not be misreported as a config problem
+        if name not in frames:
+            raise click.ClickException(
+                f"configuration lacks a path for the {name!r} frame "
+                f"required by {resolved}"
             )
-        elif resolved in ("AHNboundary", "AHNboundaryTIN"):
-            result = ctrl(
-                frames["features"], frames["elevation_index"],
-                feature_index=frames.get("feature_index"), **kwargs,
-            )
-        elif resolved == "AHNTin":
-            result = ctrl(
-                frames["elevation_points"], frames["elevation_index"], **kwargs
-            )
-        else:  # user-registered controller: frames passed by keyword
-            result = ctrl(**frames, **kwargs)
-    except KeyError as e:
-        raise click.ClickException(
-            f"configuration lacks a path for the {e} frame required by {resolved}"
+        return frames[name]
+
+    if resolved == "Example":
+        result = ctrl(need("features"), **kwargs)
+    elif resolved == "AHN":
+        result = ctrl(
+            need("features"), need("tile_index"), need("elevation_index"), **kwargs
         )
+    elif resolved in ("AHNboundary", "AHNboundaryTIN"):
+        result = ctrl(
+            need("features"), need("elevation_index"),
+            feature_index=frames.get("feature_index"), **kwargs,
+        )
+    elif resolved == "AHNTin":
+        result = ctrl(need("elevation_points"), need("elevation_index"), **kwargs)
+    else:  # user-registered controller: frames passed by keyword
+        result = ctrl(**frames, **kwargs)
     click.echo(json.dumps(result))
     click.echo(f"Done in {(time.monotonic() - t0) / 60:.1f} min", err=True)
     failed = (

@@ -96,6 +96,14 @@ class Engine:
         if db.get("password") is not None:
             opts["password"] = str(db["password"])
         pc = partition_column or (sec.get("field") or {}).get("pk")
+        if num_partitions and not pc:
+            # never silently degrade an explicitly-requested parallel
+            # scan to one connection
+            raise ValueError(
+                f"num_partitions={num_partitions} requested but no partition "
+                f"column: section {section!r} has no field.pk and no "
+                "partition_column was given"
+            )
         if pc and num_partitions:
             if lower_bound is None or upper_bound is None:
                 raise ValueError(

@@ -31,7 +31,7 @@ from tile_processor_spark.plans.llm_ops import (
     MINHASH_PRIME,
     SQL_TOKENS,
     _docs,
-    _shingle_hashes_udf,
+    exact_jaccard_pairs,
     minhash_bands,
     minhash_candidates,
     minhash_signatures,
@@ -112,30 +112,20 @@ _RECALL_ORACLE = f"""
 )
 def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
+    # Zero-shingle documents (< 3 tokens) get the sentinel all-PRIME
+    # signature and would bucket-collide with each other in every band,
+    # while the oracle's sigs CTE simply has no rows for them — exclude
+    # them symmetrically (they can never be near-dups at J ≥ 0.8 anyway;
+    # their exact Jaccard is 0/0).
+    toks3 = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0)
+    d = d.filter(F.size(toks3) >= 3)
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
     sig = minhash_signatures(d).localCheckpoint()
     cand = minhash_candidates(minhash_bands(sig)).localCheckpoint()
 
-    sh = d.select("doc_id", _shingle_hashes_udf(F.col("text")).alias("hs"))
-    toks = sh.select("doc_id", F.explode("hs").alias("h"))
-    sizes = sh.select("doc_id", F.size("hs").cast("long").alias("n"))
-    inter = (
-        toks.alias("a")
-        .join(toks.alias("b"), "h")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     truth = (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
-        .filter(
-            F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
-            >= MINHASH_EMIT_THRESHOLD
-        )
+        exact_jaccard_pairs(d, MINHASH_EMIT_THRESHOLD)
         .select("d1", "d2")
         .localCheckpoint()
     )

@@ -727,7 +727,16 @@ def _shingle_hashes_udf(text: pd.Series) -> pd.Series:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    sh = d.select("doc_id", _shingle_hashes_udf(F.col("text")).alias("hs"))
+    return exact_jaccard_pairs(d, NEAR_DUP_THRESHOLD)
+
+
+def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """(d1, d2, n_common, jaccard) for every doc pair with exact 3-gram
+    shingle-hash Jaccard ≥ threshold — the shared ground-truth pipeline
+    for ``dedup_ngram_jaccard`` and ``dedup_eval.dedup_minhash_recall``
+    (ONE implementation so a tokenization fix can never diverge the
+    eval's truth from the operator it audits)."""
+    sh = docs.select("doc_id", _shingle_hashes_udf(F.col("text")).alias("hs"))
     toks = sh.select("doc_id", F.explode("hs").alias("h"))
     sizes = sh.select("doc_id", F.size("hs").cast("long").alias("n"))
     inter = (
@@ -746,7 +755,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
             F.col("n_common").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_common")),
         )
-        .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
+        .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "n_common", "jaccard")
     )
 

@@ -47,11 +47,9 @@ QT_LEVELS = 3  # 10×10 grid → 5×5 → 3×3 (ceil) → 2×2
 )
 def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    v = F.parse_json("props")
-    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
     return (
-        ev.withColumn("pv", v)
-        .withColumn("k", k)
+        ev.withColumn("pv", F.parse_json("props"))
+        .withColumn("k", F.expr("variant_get(pv, '$.k', 'long')"))
         .groupBy("event_type")
         .agg(
             F.count("k").alias("k_present"),
@@ -112,6 +110,7 @@ def spatial_quadtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    view = "qt_base_tmp"
-    base.createOrReplaceTempView(view)
-    return spark.sql(_QT_RECURSIVE_SQL.format(base=view))
+    # DataFrame reference passed straight into spark.sql — no named temp
+    # view registered on the caller's session (a fixed view name would
+    # leak into the user's catalog and race concurrent plan building)
+    return spark.sql(_QT_RECURSIVE_SQL, base=base)

@@ -116,14 +116,18 @@ def scd2_snapshot_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_gap_ids",
     oracle=f"""
     WITH marked AS (
-      SELECT user_id, epoch_us(ts) AS ts_us,
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
+      -- running sum ordered EXACTLY like the lag (ts_us, event_id): an
+      -- (user, ts) tie would otherwise let the tied peer of a
+      -- session-opening row land in the previous session
       SELECT user_id, ts_us,
-             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS session_seq
       FROM marked
@@ -155,8 +159,6 @@ def sessionize_gap_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts_us") - F.lag("ts_us").over(wo) > SESSION_GAP_US, 1
         ).otherwise(0),
     )
-    # ts_us ordering alone is enough for the running sum: equal-ts rows
-    # within a user cannot both open a session (lag ties have gap 0).
     wrun = (
         W.partitionBy("user_id")
         .orderBy("ts_us", "event_id")

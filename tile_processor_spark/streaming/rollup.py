@@ -14,9 +14,13 @@ merged the same way.
 Replay safety: ``foreachBatch`` is at-least-once — a crash between the
 store write and the checkpoint offset commit replays the whole batch
 with the SAME epoch id. Each rewritten hour partition therefore records
-the epoch that produced it (``applied_epoch``); a replayed epoch skips
-every hour partition that already carries its id, so measures are never
-double-counted. The marker travels INSIDE the partition data (not a
+the (run, epoch) that produced it (``applied_run``/``applied_epoch``;
+the run id is a uuid marker living inside the checkpoint directory, so
+it survives restarts but dies with the checkpoint); a replayed epoch
+skips every hour partition already carrying its pair, so measures are
+never double-counted — while a RECREATED checkpoint, whose epoch
+counter restarts at 0, gets a fresh run id and can never false-match
+the previous incarnation's markers. The marker travels INSIDE the partition data (not a
 sidecar file), so even a partial dynamic-overwrite failure leaves each
 partition either fully old (will re-merge) or fully new (will skip) —
 per-partition exactly-once. Direct batch calls (``epoch=None``) are
@@ -50,7 +54,7 @@ US = 1_000_000
 
 ROLLUP_SCHEMA = (
     "h_start_us long, event_type string, n_events long, "
-    "value_sum decimal(18,4), applied_epoch long"
+    "value_sum decimal(18,4), applied_epoch long, applied_run string"
 )
 
 _MEASURES = ("h_start_us", "event_type", "n_events", "value_sum")
@@ -76,12 +80,36 @@ def read_rollup(spark: SparkSession, store_path: str) -> DataFrame:
     ):
         return spark.createDataFrame([], ROLLUP_SCHEMA)
     return spark.read.schema(ROLLUP_SCHEMA).parquet(store_path).select(
-        "h_start_us", "event_type", "n_events", "value_sum", "applied_epoch"
+        "h_start_us", "event_type", "n_events", "value_sum",
+        "applied_epoch", "applied_run",
     )
 
 
+def _checkpoint_run_id(checkpoint_path: str) -> str:
+    """Stable identity for one LOGICAL stream: a uuid marker created
+    inside the checkpoint directory on first use. It survives restarts
+    of the same checkpoint (so genuine epoch replays are recognized)
+    and dies with the checkpoint (so a recreated checkpoint — whose
+    epoch counter restarts at 0 — can never be mistaken for a replay
+    of hour partitions written under the previous incarnation)."""
+    import uuid
+
+    os.makedirs(checkpoint_path, exist_ok=True)
+    marker = os.path.join(checkpoint_path, "_rollup_run_id")
+    if not os.path.exists(marker):
+        tmp = f"{marker}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(uuid.uuid4().hex)
+        os.replace(tmp, marker)
+    with open(marker) as f:
+        return f.read().strip()
+
+
 def merge_batch_into_rollup(
-    batch: DataFrame, store_path: str, epoch: int | None = None
+    batch: DataFrame,
+    store_path: str,
+    epoch: int | None = None,
+    run_id: str | None = None,
 ) -> None:
     """Merge one (micro-)batch of raw events into the hour-grain store.
 
@@ -93,9 +121,17 @@ def merge_batch_into_rollup(
     merged output.
 
     With ``epoch`` set (the ``foreachBatch`` path), hours whose stored
-    partition already carries this epoch id are skipped on both sides of
-    the union — replaying a batch after a crash-before-checkpoint is a
-    no-op for every partition the first attempt committed.
+    partition already carries this (run_id, epoch) pair are skipped on
+    both sides of the union — replaying a batch after a
+    crash-before-checkpoint is a no-op for every partition the first
+    attempt committed. The run_id (from the checkpoint's uuid marker)
+    scopes the skip to ONE logical stream: a recreated checkpoint gets
+    a fresh run_id, so its restarted epoch counter can never false-match
+    markers left by the previous incarnation. Direct calls
+    (``epoch=None``) are additive by contract; do NOT run one against
+    hours an active stream may need to replay (an out-of-band rewrite
+    inside another writer's crash window is indistinguishable from the
+    committed state, for this store as for any lakehouse table).
     """
     spark = batch.sparkSession
     # localCheckpoint: the delta feeds the semi-join prune and the merge
@@ -110,12 +146,17 @@ def merge_batch_into_rollup(
         F.broadcast(touched), "h_start_us", "left_semi"
     )
     if epoch is not None:
-        # Hour partitions already rewritten by this very epoch: a replay
-        # must neither re-add the delta nor rewrite them. Materialize the
-        # (tiny) hour list eagerly so the two anti-joins don't each
-        # re-scan the store mid-overwrite.
+        # Hour partitions already rewritten by this very (run, epoch):
+        # a replay must neither re-add the delta nor rewrite them.
+        # Materialize the (tiny) hour list eagerly so the two anti-joins
+        # don't each re-scan the store mid-overwrite.
+        same_run = (
+            F.col("applied_run") == F.lit(run_id)
+            if run_id is not None
+            else F.col("applied_run").isNull()
+        )
         applied = (
-            current.filter(F.col("applied_epoch") == F.lit(int(epoch)))
+            current.filter((F.col("applied_epoch") == F.lit(int(epoch))) & same_run)
             .select("h_start_us")
             .distinct()
             .localCheckpoint()
@@ -123,6 +164,7 @@ def merge_batch_into_rollup(
         delta = delta.join(F.broadcast(applied), "h_start_us", "left_anti")
         current = current.join(F.broadcast(applied), "h_start_us", "left_anti")
     mark = F.lit(int(epoch) if epoch is not None else -1).cast("long")
+    run_mark = F.lit(run_id).cast("string")
     merged = (
         delta.select(*_MEASURES)
         .unionByName(current.select(*_MEASURES))
@@ -132,6 +174,7 @@ def merge_batch_into_rollup(
             F.sum("value_sum").cast("decimal(18,4)").alias("value_sum"),
         )
         .withColumn("applied_epoch", mark)
+        .withColumn("applied_run", run_mark)
     )
     (
         merged.write.mode("overwrite")
@@ -148,9 +191,12 @@ def start_continuous_rollup(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Maintain the hour rollup from an event stream via foreachBatch."""
+    run_id = _checkpoint_run_id(checkpoint_path)
     writer = (
         events.writeStream.foreachBatch(
-            lambda batch, epoch: merge_batch_into_rollup(batch, store_path, epoch=epoch)
+            lambda batch, epoch: merge_batch_into_rollup(
+                batch, store_path, epoch=epoch, run_id=run_id
+            )
         )
         .option("checkpointLocation", checkpoint_path)
     )

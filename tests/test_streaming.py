@@ -85,3 +85,45 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     # value columns ride through identically
     v = spark.sql("SELECT SUM(purchase_value) AS s, COUNT(*) AS c FROM ss_join").collect()[0]
     assert v.c == len(want)
+
+
+def test_stream_sessionize_matches_batch_closed_sessions(spark, tmp_path):
+    # One availableNow pass: sessions closed by an IN-BATCH gap must
+    # match the batch sessionizer exactly, AND — because availableNow
+    # runs a final timeout batch after the watermark advances to
+    # max(ts) − 2h — each user's final session is also emitted iff the
+    # watermark strictly passed its last_event + gap. Only final
+    # sessions active within the trailing (2h + gap) window stay open.
+    from tile_processor_spark.plans.relational_ext3 import sessionize_gap_ids
+    from tile_processor_spark.streaming import stream_sessionize
+    from tile_processor_spark.streaming.stateful import SESSION_GAP_US
+
+    src = str(tmp_path / "events_src")
+    ev = load_table(spark, "events", SF)
+    ev.coalesce(1).write.parquet(src)
+    q = (
+        stream_sessionize(read_events_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_seq, r.n_events, r.start_us, r.end_us)
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    batch = sessionize_gap_ids(spark, SF).collect()
+    last_seq = {}
+    for r in batch:
+        last_seq[r.user_id] = max(last_seq.get(r.user_id, -1), r.session_seq)
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    wm_ms = max_us // 1000 - 2 * 3600 * 1000
+    want = {
+        (r.user_id, r.session_seq, r.n_events, r.start_us, r.end_us)
+        for r in batch
+        if r.session_seq < last_seq[r.user_id]
+        or wm_ms > r.end_us // 1000 + SESSION_GAP_US // 1000
+    }
+    assert got == want and len(got) > 0

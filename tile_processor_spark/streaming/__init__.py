@@ -14,6 +14,11 @@ from tile_processor_spark.streaming.joins import (  # noqa: F401
     batch_click_purchase_join,
     stream_click_purchase_join,
 )
+from tile_processor_spark.streaming.stateful import (  # noqa: F401
+    running_anomaly_zscore,
+    running_user_totals,
+    stream_sessionize,
+)
 from tile_processor_spark.streaming.windows import (  # noqa: F401
     read_events_stream,
     streaming_session_values,

@@ -108,3 +108,80 @@ def running_anomaly_zscore(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_seq long, n_events long, "
+    "start_us long, end_us long, duration_us long"
+)
+SESSION_STATE_SCHEMA = "seq long, n long, start_us long, last_us long"
+
+#: same gap rule as the batch plans.relational_ext3.sessionize_gap_ids
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def stream_sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Streaming twin of the batch ``sessionize_gap_ids``: per-user open
+    sessions live in state; a session CLOSES (and is emitted, append
+    mode) when a later event arrives past the gap, or when the
+    event-time timeout fires after the watermark passes last_event +
+    gap — so an idle user's final session still closes without waiting
+    for their next visit. State is four scalars per user regardless of
+    history length; emissions are immutable (append), exactly what a
+    downstream sink wants from sessionization.
+
+    Semantics note: events are processed in event-time order WITHIN a
+    batch; late data older than an already-closed session boundary
+    starts a new (out-of-order) session rather than rewriting history —
+    the same trade every append-mode sessionizer makes; bound lateness
+    with the input watermark.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        cols = [
+            "user_id", "session_seq", "n_events", "start_us", "end_us",
+            "duration_us",
+        ]
+        if state.hasTimedOut:
+            seq, n, start, last = state.get
+            state.remove()
+            if n > 0:
+                yield pd.DataFrame(
+                    [(user_id, seq, n, start, last, last - start)], columns=cols
+                )
+            return
+        seq, n, start, last = state.get if state.exists else (0, 0, 0, 0)
+        ts: list[int] = []
+        for pdf in pdfs:
+            if len(pdf):
+                ts.extend(
+                    pdf["ts"].values.astype("datetime64[us]").astype("int64").tolist()
+                )
+        if not ts:
+            return
+        closed = []
+        for t in sorted(ts):
+            if n > 0 and t - last > gap_us:
+                closed.append((user_id, seq, n, start, last, last - start))
+                seq += 1
+                n = 0
+            if n == 0:
+                start = t
+            n += 1
+            last = t
+        state.update((seq, n, start, last))
+        # close the open session once the watermark passes last + gap
+        state.setTimeoutTimestamp(last // 1000 + gap_us // 1000)
+        if closed:
+            yield pd.DataFrame(closed, columns=cols)
+
+    return events.withWatermark("ts", "2 hours").groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

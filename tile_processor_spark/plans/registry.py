@@ -130,7 +130,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
 #     cumulative_distinct_users, rolling_7d_distinct_users,
 #     revenue_share_by_nation, leave_one_out_customer_mean,
 #     order_quantity_array_hof, events_mad_by_type, window_nth_value,
-#     skyline_orders_2d;
+#     skyline_orders_2d, sketch_hll_distinct, sketch_bloom_membership,
+#     dedup_semantic_clusters, text_bigram_model_score,
+#     embedding_whiten, events_interval_overlap,
+#     events_regression_slope, events_cusum_drift;
 # (b) stale rows last driver-green r2/r3:
 #     spatial_version_boundary_region, spatial_percentile_heights,
 #     spatial_rasterize, tile_file_index, spatial_las_class_mapping,
@@ -161,6 +164,8 @@ def all_specs() -> dict[str, QuerySpec]:
     import tile_processor_spark.plans.graph_ops  # noqa: F401
     import tile_processor_spark.plans.entity_ops  # noqa: F401
     import tile_processor_spark.plans.modern_sql  # noqa: F401
+    import tile_processor_spark.plans.semantic_ops  # noqa: F401
+    import tile_processor_spark.plans.timeseries_ops  # noqa: F401
 
     rank = {name: i for i, name in enumerate(_GATE_PRIORITY)}
     reg_order = {name: i for i, name in enumerate(REGISTRY)}

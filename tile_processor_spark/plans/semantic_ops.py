@@ -1,0 +1,255 @@
+"""Semantic-dedup and corpus-model operators that COMPOSE the engine's
+existing primitives into the pipelines a training-data curation run
+actually ships:
+
+- ``dedup_semantic_clusters``: embedding-LSH candidate pairs -> exact
+  cosine verify -> connected components -> canonical flag. The
+  embedding-space analogue of ``dedup_connected_components`` (which
+  clusters on MinHash/Jaccard text similarity).
+- ``text_bigram_model_score``: the corpus as its own bigram language
+  model; per-doc mean scaled conditional frequency — the
+  "perplexity-filter" shape (CCNet / Gopher quality filtering) with
+  exact integer arithmetic instead of float log-probs so the score is
+  oracle-pinned bit-for-bit.
+- ``embedding_whiten``: per-dimension standardization (z-score) of the
+  embedding column from exact integer moments — the preprocessing step
+  ANN indexes and linear probes want applied once at ingest.
+
+Reference parity note: the reference engine (tile-processor) has no
+embedding/text operators — this module is part of the
+training-data-pipeline surface the brief adds on top of reference
+parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tile_processor_spark.plans import llm_ops  # registers embedding_near_dup_pairs
+from tile_processor_spark.plans.cc_star import connected_components_star
+from tile_processor_spark.plans.llm_ops import (
+    SQL_QUANT,
+    SQL_TOKENS,
+    tokens_col,
+)
+from tile_processor_spark.plans.registry import REGISTRY, register
+from tile_processor_spark.sources.tables import load_table
+
+# The near-dup pair oracle is the single source of truth for the edge
+# set; embedding it as a subquery keeps cluster oracle and pair oracle
+# from drifting apart.
+_EMB_PAIRS_ORACLE = REGISTRY["embedding_near_dup_pairs"].oracle
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT v1, v2 FROM ({_EMB_PAIRS_ORACLE})
+    ),
+    edges AS (
+      SELECT v1 AS s, v2 AS t FROM pairs
+      UNION ALL
+      SELECT v2 AS s, v1 AS t FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.t
+    ),
+    comp AS (SELECT id AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+    sizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY cluster_id
+    )
+    SELECT c.vec_id, c.cluster_id, s.cluster_size,
+           CAST(CASE WHEN c.vec_id = c.cluster_id THEN 1 ELSE 0 END AS INTEGER)
+             AS is_canonical
+    FROM comp c JOIN sizes s USING (cluster_id)
+    """,
+    doc=(
+        "Semantic (embedding-space) dedup clustering: LSH-banded "
+        "candidate pairs verified by exact quantized-integer cosine "
+        ">= 0.4 (embedding_near_dup_pairs) -> alternating large-/"
+        "small-star connected components (O(log^2 n) rounds, "
+        "cc_star.py) -> min-id canonical per cluster. This is the "
+        "SemDeDup-style pipeline: near-dup PAIRS alone don't dedup; "
+        "the keep/drop decision needs the transitive closure. Scale "
+        "shape: the edge frame is O(near-dups) not O(corpus^2); every "
+        "CC round is one symmetrize + groupBy(min) + equi-join. "
+        "Oracle: recursive-CTE closure over the SAME pair subquery."
+    ),
+    tags=("llm", "dedup", "embedding"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, "embeddings", sf_dir).select("vec_id")
+    pairs = llm_ops.embedding_near_dup_pairs(spark, sf_dir).select(
+        F.col("v1").alias("a"), F.col("v2").alias("b")
+    )
+    comp = connected_components_star(pairs).withColumnRenamed("node", "vec_id")
+    # Isolated vectors are their own cluster.
+    labels = (
+        vecs.join(comp, "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce(F.col("component"), F.col("vec_id")).alias("cluster_id")
+        )
+    )
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("vec_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
+BIGRAM_SCALE = 1_000_000  # conditional frequency quantum: floor(1e6 * c2 / c1)
+
+
+@register(
+    "text_bigram_model_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS} AS w FROM documents),
+    bigrams AS (
+      -- zipped unnest: DuckDB aligns multiple unnests positionally
+      SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+      FROM t
+    ),
+    model AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM bigrams GROUP BY w1, w2
+    ),
+    heads AS (
+      SELECT w1, SUM(c2) AS c1 FROM model GROUP BY w1
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             {BIGRAM_SCALE} * m.c2 // h.c1 AS p_scaled
+      FROM bigrams b
+      JOIN model m USING (w1, w2)
+      JOIN heads h USING (w1)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p_scaled) AS BIGINT) AS sum_p,
+           CAST(MIN(p_scaled) AS BIGINT) AS min_p,
+           CAST(SUM(p_scaled) AS DOUBLE) / COUNT(*) AS mean_p
+    FROM scored GROUP BY doc_id
+    """,
+    doc=(
+        "Corpus-as-its-own-language-model quality score (the "
+        "perplexity-filter shape from CCNet/Gopher data curation): "
+        "build the corpus bigram table, then score every document by "
+        "the scaled conditional frequency floor(1e6 * c(w1,w2) / "
+        "c(w1)) of each of its bigrams — mean high = predictable "
+        "text, mean low = unusual/garbled. Integer floor-division "
+        "replaces float log-prob so per-doc sums are exact BIGINTs "
+        "and the score is oracle-pinned (log is monotone; the "
+        "filter's ORDERING is identical). Scale shape: two passes "
+        "over the bigram stream (model aggregate, then score join); "
+        "the model is vocabulary-bounded and the join is an "
+        "equi-join on (w1, w2) — no window, no cross join."
+    ),
+    tags=("llm", "text"),
+)
+def text_bigram_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    w = tokens_col(F.col("text"))
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"), F.element_at(w, i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bigrams = d.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    model = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    heads = model.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (
+        bigrams.join(model, ["w1", "w2"])
+        .join(heads, "w1")
+        .select(
+            "doc_id",
+            F.floor(F.lit(BIGRAM_SCALE) * F.col("c2") / F.col("c1")).alias("p_scaled"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("p_scaled").cast("long").alias("sum_p"),
+        F.min("p_scaled").cast("long").alias("min_p"),
+        (F.sum("p_scaled").cast("double") / F.count(F.lit(1))).alias("mean_p"),
+    )
+
+
+@register(
+    "embedding_whiten",
+    oracle=f"""
+    WITH qd AS (
+      SELECT vec_id, i, {SQL_QUANT.format(i="i")} AS qv
+      FROM embeddings, range(1, 65) r(i)
+    ),
+    stats AS (
+      SELECT i,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(qv) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(qv * qv) AS DECIMAL(38,0)) AS ss
+      FROM qd GROUP BY i
+    ),
+    var AS (
+      SELECT i, n, s, n * ss - s * s AS var_num FROM stats
+    )
+    SELECT q.vec_id, q.i,
+           CAST(CAST(v.n * q.qv - v.s AS DOUBLE)
+                / sqrt(CAST(v.var_num AS DOUBLE)) AS DOUBLE) AS z
+    FROM qd q JOIN var v USING (i)
+    WHERE v.var_num > 0
+    """,
+    doc=(
+        "Per-dimension whitening (z-score standardization) of the "
+        "embedding column: z = (n*q - sum) / sqrt(n*sumsq - sum^2), "
+        "the algebraic identity that keeps every intermediate an "
+        "EXACT integer (DECIMAL(38,0) accumulators — int64 would "
+        "overflow n*sumsq at ~10^5 vectors, the k-means oracle "
+        "lesson) so the one cast-to-double + sqrt + division per "
+        "value is bit-identical in both engines regardless of "
+        "aggregation order. Scale shape: the stats side is 64 rows "
+        "(one per dimension, full map-side combine); it broadcasts "
+        "back onto the posexploded stream — two scans, zero wide "
+        "shuffles, output repartitionable by vec_id for free."
+    ),
+    tags=("llm", "embedding"),
+)
+def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    qd = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * F.lit(1048576.0)).cast("long"),
+            )
+        ).alias("pos", "qv"),
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), "qv")
+    stats = qd.groupBy("i").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("qv").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).cast("decimal(38,0)").alias("ss"),
+    )
+    var = stats.select(
+        "i", "n", "s", (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).alias("var_num")
+    )
+    return (
+        qd.join(F.broadcast(var.filter(F.col("var_num") > 0)), "i")
+        .select(
+            "vec_id",
+            "i",
+            (
+                (F.col("n") * F.col("qv") - F.col("s")).cast("double")
+                / F.sqrt(F.col("var_num").cast("double"))
+            ).alias("z"),
+        )
+    )

@@ -211,3 +211,244 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((KMV_K - 1) * F.lit(HASH_SPACE) / F.max("h")).alias("est_distinct"),
     )
     return agg.crossJoin(F.broadcast(true_cnt))
+
+
+# --- HyperLogLog ----------------------------------------------------------
+
+HLL_P = 6  # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_REM_BITS = 32 - HLL_P  # low 26 bits feed the rho (leading-zero) count
+# alpha_m * m^2 for m = 64 (Flajolet et al. 2007, alpha_64 = 0.709).
+# Interpolated as the same decimal literal into both engines so each
+# parses the identical double.
+HLL_ALPHA_M2 = 0.709 * HLL_M * HLL_M  # = 2904.064
+
+
+@register(
+    "sketch_hll_distinct",
+    oracle=f"""
+    WITH words AS (
+      SELECT DISTINCT unnest({SQL_TOKENS}) AS word FROM documents
+    ),
+    hashed AS (
+      SELECT word, {SQL_HASH32.format(v="'hll#' || word")} AS h FROM words
+    ),
+    split AS (
+      SELECT h // {1 << HLL_REM_BITS} AS idx, h % {1 << HLL_REM_BITS} AS rem
+      FROM hashed
+    ),
+    rho AS (
+      SELECT idx,
+             CASE WHEN rem = 0 THEN {HLL_REM_BITS + 1}
+                  ELSE {HLL_REM_BITS + 1} - length(bin(rem)) END AS rho
+      FROM split
+    ),
+    regs AS (
+      SELECT r.r AS idx, COALESCE(MAX(rho.rho), 0) AS m
+      FROM range({HLL_M}) r(r) LEFT JOIN rho ON rho.idx = r.r
+      GROUP BY r.r
+    ),
+    agg AS (
+      SELECT SUM(pow(2.0, -m)) AS sum_inv,
+             SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS n_zero
+      FROM regs
+    )
+    SELECT CAST({HLL_M} AS BIGINT) AS m,
+           CAST(n_zero AS BIGINT) AS n_zero,
+           CAST(sum_inv AS DOUBLE) AS sum_inv,
+           CAST({HLL_ALPHA_M2!r} AS DOUBLE) / sum_inv AS est_raw,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hashed) AS true_distinct,
+           (CAST({HLL_ALPHA_M2!r} AS DOUBLE) / sum_inv)
+             / (SELECT COUNT(*) FROM hashed) - 1.0 AS rel_err
+    FROM agg
+    """,
+    doc=(
+        "HyperLogLog distinct-count sketch over the corpus vocabulary "
+        "(p = 6, 64 registers, fixed md5 hash family): register index = "
+        "top 6 hash bits, rho = leading-zero count of the low 26 bits "
+        "+ 1 (computed exactly via length(bin(rem)) in BOTH engines — "
+        "no float log2). sum(2^-M_j) over 64 registers is a sum of "
+        "dyadic rationals needing < 34 mantissa bits, so it is EXACT in "
+        "double regardless of aggregation order — the estimate and its "
+        "relative error are oracle-pinned bit-for-bit. Scale shape: the "
+        "token stream collapses to 64 (idx, max rho) cells map-side; "
+        "merging shards = cell-wise MAX, the canonical HLL union."
+    ),
+    tags=("llm", "sketch"),
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _words(spark, sf_dir).distinct()
+    hashed = w.select(hash32(F.concat(F.lit("hll#"), F.col("word"))).alias("h"))
+    rem_space = 1 << HLL_REM_BITS
+    split = hashed.select(
+        (F.col("h") / rem_space).cast("long").alias("idx"),
+        (F.col("h") % rem_space).alias("rem"),
+    )
+    rho = split.select(
+        "idx",
+        F.when(F.col("rem") == 0, F.lit(HLL_REM_BITS + 1))
+        .otherwise(F.lit(HLL_REM_BITS + 1) - F.length(F.bin(F.col("rem"))))
+        .alias("rho"),
+    )
+    all_idx = spark.range(HLL_M).withColumnRenamed("id", "idx")
+    regs = (
+        all_idx.join(rho, "idx", "left")
+        .groupBy("idx")
+        .agg(F.coalesce(F.max("rho"), F.lit(0)).alias("m"))
+    )
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("sum_inv"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("n_zero"),
+    )
+    true_cnt = hashed.agg(F.count(F.lit(1)).cast("long").alias("true_distinct"))
+    est = F.lit(HLL_ALPHA_M2) / F.col("sum_inv")
+    return (
+        agg.crossJoin(F.broadcast(true_cnt))
+        .select(
+            F.lit(HLL_M).cast("long").alias("m"),
+            "n_zero",
+            F.col("sum_inv").cast("double").alias("sum_inv"),
+            est.alias("est_raw"),
+            "true_distinct",
+            (est / F.col("true_distinct") - 1.0).alias("rel_err"),
+        )
+    )
+
+
+# --- Bloom filter ---------------------------------------------------------
+
+BLOOM_BITS = 4096
+BLOOM_WORD_BITS = 32  # pack 32 bits/word: masks stay < 2^32, exact BIGINT
+BLOOM_WORDS = BLOOM_BITS // BLOOM_WORD_BITS
+BLOOM_K = 3
+BLOOM_PROBE_PRESENT = 20
+BLOOM_PROBE_ABSENT = 10
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT DISTINCT unnest({SQL_TOKENS}) AS word FROM documents
+    ),
+    setbits AS (
+      SELECT DISTINCT
+             ({SQL_HASH32.format(v="'bf' || CAST(j.j AS VARCHAR) || '#' || word")}
+               % {BLOOM_BITS}) // {BLOOM_WORD_BITS} AS widx,
+             CAST(pow(2, ({SQL_HASH32.format(v="'bf' || CAST(j.j AS VARCHAR) || '#' || word")}
+               % {BLOOM_BITS}) % {BLOOM_WORD_BITS}) AS BIGINT) AS mask
+      FROM vocab CROSS JOIN range({BLOOM_K}) j(j)
+    ),
+    bloom AS (
+      SELECT widx, bit_or(mask) AS bits FROM setbits GROUP BY widx
+    ),
+    freq AS (
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT unnest({SQL_TOKENS}) AS word FROM documents)
+      GROUP BY word ORDER BY cnt DESC, word LIMIT {BLOOM_PROBE_PRESENT}
+    ),
+    probes AS (
+      SELECT word AS probe FROM freq
+      UNION ALL
+      SELECT 'qqabsent' || CAST(i.i AS VARCHAR) FROM range({BLOOM_PROBE_ABSENT}) i(i)
+    ),
+    checks AS (
+      SELECT p.probe, j.j,
+             ({SQL_HASH32.format(v="'bf' || CAST(j.j AS VARCHAR) || '#' || p.probe")}
+               % {BLOOM_BITS}) // {BLOOM_WORD_BITS} AS widx,
+             CAST(pow(2, ({SQL_HASH32.format(v="'bf' || CAST(j.j AS VARCHAR) || '#' || p.probe")}
+               % {BLOOM_BITS}) % {BLOOM_WORD_BITS}) AS BIGINT) AS mask
+      FROM probes p CROSS JOIN range({BLOOM_K}) j(j)
+    ),
+    verdicts AS (
+      SELECT c.probe,
+             CAST(MIN(CASE WHEN (COALESCE(b.bits, 0) & c.mask) <> 0
+                           THEN 1 ELSE 0 END) AS INTEGER) AS bloom_hit
+      FROM checks c LEFT JOIN bloom b ON b.widx = c.widx
+      GROUP BY c.probe
+    )
+    SELECT v.probe,
+           CAST(CASE WHEN vo.word IS NULL THEN 0 ELSE 1 END AS INTEGER)
+             AS in_vocab,
+           v.bloom_hit
+    FROM verdicts v LEFT JOIN vocab vo ON vo.word = v.probe
+    """,
+    doc=(
+        "Bloom-filter membership over the corpus vocabulary: 4096 bits "
+        "packed as 128 x 32-bit BIGINT words (masks < 2^32 so bit_or "
+        "stays exact/positive in both engines), k = 3 md5-prefix "
+        "hashes. Probes = the 20 most frequent words (must hit) + 10 "
+        "constructed absent keys; in_vocab is derived by anti-lookup, "
+        "never assumed, so any false positive is itself a pinned, "
+        "reproducible value. Scale shape: building is one map-side "
+        "bit_or groupBy collapsing the vocabulary to 128 rows; the "
+        "probe side broadcasts. The same frame drop-in serves as a "
+        "pre-join existence filter (semi-join pushdown for 100 TB "
+        "fact/dim joins)."
+    ),
+    tags=("llm", "sketch"),
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = _words(spark, sf_dir).distinct()
+    js = F.array(*[F.lit(j) for j in range(BLOOM_K)])
+
+    def _pos(word_col, j_col):
+        return hash32(
+            F.concat(F.lit("bf"), j_col.cast("string"), F.lit("#"), word_col)
+        ) % BLOOM_BITS
+
+    setbits = (
+        vocab.select(F.explode(js).alias("j"), "word")
+        .select(_pos(F.col("word"), F.col("j")).alias("pos"))
+        .select(
+            (F.col("pos") / BLOOM_WORD_BITS).cast("long").alias("widx"),
+            F.pow(F.lit(2.0), (F.col("pos") % BLOOM_WORD_BITS).cast("double"))
+            .cast("long")
+            .alias("mask"),
+        )
+        .distinct()
+    )
+    bloom = setbits.groupBy("widx").agg(F.bit_or("mask").alias("bits"))
+    freq = (
+        _words(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(BLOOM_PROBE_PRESENT)
+        .select(F.col("word").alias("probe"))
+    )
+    absent = spark.range(BLOOM_PROBE_ABSENT).select(
+        F.concat(F.lit("qqabsent"), F.col("id").cast("string")).alias("probe")
+    )
+    probes = freq.unionByName(absent)
+    checks = probes.select(F.explode(js).alias("j"), "probe").select(
+        "probe", _pos(F.col("probe"), F.col("j")).alias("pos")
+    ).select(
+        "probe",
+        (F.col("pos") / BLOOM_WORD_BITS).cast("long").alias("widx"),
+        F.pow(F.lit(2.0), (F.col("pos") % BLOOM_WORD_BITS).cast("double"))
+        .cast("long")
+        .alias("mask"),
+    )
+    verdicts = (
+        checks.join(F.broadcast(bloom), "widx", "left")
+        .select(
+            "probe",
+            F.when(
+                (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))) != 0, 1
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("probe")
+        .agg(F.min("hit").cast("int").alias("bloom_hit"))
+    )
+    return verdicts.join(
+        vocab.withColumnRenamed("word", "probe").withColumn("present", F.lit(1)),
+        "probe",
+        "left",
+    ).select(
+        "probe",
+        F.coalesce(F.col("present"), F.lit(0)).cast("int").alias("in_vocab"),
+        "bloom_hit",
+    )

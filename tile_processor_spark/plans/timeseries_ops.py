@@ -1,0 +1,283 @@
+"""Time-series analytics beyond windowed aggregation: interval
+(range-overlap) self-join, exact per-group linear regression, and CUSUM
+drift detection — the operators a monitoring / feature-engineering
+pipeline runs over an event stream.
+
+All three follow the engine's float discipline: partial aggregates stay
+in exact integer/decimal domains (order-independent under any shuffle),
+and doubles appear only in a final fixed scalar expression both engines
+evaluate identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from tile_processor_spark.plans.registry import register
+from tile_processor_spark.plans.relational_ext3 import SESSION_GAP_US
+from tile_processor_spark.sources.tables import load_table
+
+HOUR_US = 3_600_000_000
+
+# Session-interval CTEs shared by the overlap oracle (same gap rule and
+# tie-break as sessionize_gap_ids — the two queries must agree on what a
+# "session" is).
+_SESS_CTES = f"""
+    WITH marked AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts_us,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_seq
+      FROM marked
+    ), sess AS (
+      SELECT user_id, session_seq,
+             MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+      FROM numbered GROUP BY user_id, session_seq
+    )
+"""
+
+
+@register(
+    "events_interval_overlap",
+    oracle=f"""
+    {_SESS_CTES},
+    ov AS (
+      SELECT a.user_id, a.session_seq, CAST(COUNT(*) AS BIGINT) AS n_concurrent
+      FROM sess a JOIN sess b
+        ON a.start_us <= b.end_us AND b.start_us <= a.end_us
+       AND NOT (a.user_id = b.user_id AND a.session_seq = b.session_seq)
+      GROUP BY a.user_id, a.session_seq
+    )
+    SELECT s.user_id, s.session_seq, s.start_us, s.end_us,
+           COALESCE(ov.n_concurrent, 0) AS n_concurrent
+    FROM sess s LEFT JOIN ov USING (user_id, session_seq)
+    """,
+    doc=(
+        "Interval-overlap self-join (the time-range join relational "
+        "engines ship as RANGE JOIN): per session interval, how many "
+        "OTHER sessions (any user) were concurrent at any point. Spark "
+        "side avoids the O(n^2) theta-join by exploding each interval "
+        "onto the fixed hour grid it touches, equi-joining on the grid "
+        "cell, deduping candidate pairs, then verifying exact overlap "
+        "— candidates are bounded by (concurrency x interval length), "
+        "not by n^2, and the grid join is an ordinary shuffle "
+        "equi-join that AQE can size. Oracle runs the naive theta-join "
+        "(n^2 is fine at gate scale). Same gap rule/tie-break as "
+        "sessionize_gap_ids, so the session frames are interchangeable."
+    ),
+    tags=("events", "join", "interval"),
+)
+def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    wo = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(wo) > SESSION_GAP_US, 1).otherwise(0),
+    )
+    sess = (
+        marked.withColumn("session_seq", F.sum("new_session").over(wrun))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us"))
+    ).localCheckpoint()  # reused on both sides of the self-join
+    cells = sess.select(
+        "user_id",
+        "session_seq",
+        "start_us",
+        "end_us",
+        F.explode(
+            F.sequence(
+                (F.col("start_us") / HOUR_US).cast("long"),
+                (F.col("end_us") / HOUR_US).cast("long"),
+            )
+        ).alias("cell"),
+    )
+    a = cells.select(
+        F.col("user_id").alias("u1"),
+        F.col("session_seq").alias("s1"),
+        F.col("start_us").alias("a_start"),
+        F.col("end_us").alias("a_end"),
+        "cell",
+    )
+    b = cells.select(
+        F.col("user_id").alias("u2"),
+        F.col("session_seq").alias("s2"),
+        F.col("start_us").alias("b_start"),
+        F.col("end_us").alias("b_end"),
+        "cell",
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+            & ~((F.col("u1") == F.col("u2")) & (F.col("s1") == F.col("s2")))
+        )
+        .select("u1", "s1", "u2", "s2")
+        .distinct()  # an overlapping pair can share many grid cells
+    )
+    ov = pairs.groupBy(F.col("u1").alias("user_id"), F.col("s1").alias("session_seq")).agg(
+        F.count(F.lit(1)).alias("n_concurrent")
+    )
+    return sess.join(ov, ["user_id", "session_seq"], "left").select(
+        "user_id",
+        "session_seq",
+        "start_us",
+        "end_us",
+        F.coalesce(F.col("n_concurrent"), F.lit(0)).cast("long").alias("n_concurrent"),
+    )
+
+
+# Regression / CUSUM quantization: floor(value * 100) is exact and
+# identical in both engines (same input double, same multiply, same
+# floor); time is centered on a fixed epoch so x^2 sums stay far from
+# the DECIMAL(38) ceiling even at 10^12 rows.
+VAL_SCALE = 100
+T0_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+
+@register(
+    "events_regression_slope",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) - {T0_US} AS DECIMAL(38,0)) AS x,
+             CAST(CAST(floor(value * {VAL_SCALE}) AS BIGINT) AS DECIMAL(38,0)) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM q GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_per_us,
+           CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x
+    FROM s
+    """,
+    doc=(
+        "Per-group least-squares trend (REGR_SLOPE) of event value over "
+        "time: the five classical sufficient statistics (n, Sx, Sy, "
+        "Sxy, Sxx) accumulate as EXACT DECIMAL(38,0) — fully "
+        "map-side-combinable and order-independent, unlike a float "
+        "covariance which drifts with partial-agg order — then one "
+        "fixed double expression produces the slope. Time is centered "
+        "on a constant epoch so Sxx stays ~10^37 even at 10^12 rows. "
+        "Output is 1 row per event_type: the map-side combine does "
+        "all the work; the shuffle carries 5 numbers per group."
+    ),
+    tags=("events", "agg", "stats"),
+)
+def events_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    q = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lit(T0_US)).cast("decimal(38,0)").alias("x"),
+        F.floor(F.col("value") * VAL_SCALE).cast("long").cast("decimal(38,0)").alias("y"),
+    )
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)).alias("slope_per_us"),
+        (syd / nd).alias("mean_y"),
+        (sxd / nd).alias("mean_x"),
+    )
+
+
+@register(
+    "events_cusum_drift",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+             CAST(floor(value * {VAL_SCALE}) AS BIGINT) AS y
+      FROM events
+    ),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s
+      FROM q GROUP BY event_type
+    ),
+    dev AS (
+      SELECT q.event_type, q.ts_us, q.event_id,
+             CAST(tot.n * q.y - tot.s AS DECIMAL(38,0)) AS d
+      FROM q JOIN tot USING (event_type)
+    ),
+    run AS (
+      SELECT event_type,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM dev
+    )
+    SELECT event_type,
+           CAST(MAX(c) AS DOUBLE) AS max_cusum,
+           CAST(MIN(c) AS DOUBLE) AS min_cusum
+    FROM run GROUP BY event_type
+    """,
+    doc=(
+        "CUSUM drift statistic per event_type: deviations from the "
+        "group mean, scaled by n to stay integral (d_i = n*y_i - S "
+        "instead of y_i - S/n), accumulated as a running sum in event "
+        "order; the max/min excursion is the classical "
+        "change-detection statistic (a mean shift mid-stream drives "
+        "|CUSUM| to a peak at the change point). Two passes: a 5-"
+        "number-per-group total (map-side combine) broadcast back, "
+        "then ONE window shuffle keyed by event_type. DECIMAL(38,0) "
+        "running sums keep 10^12-row groups exact."
+    ),
+    tags=("events", "window", "stats"),
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    q = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * VAL_SCALE).cast("long").alias("y"),
+    )
+    tot = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("y").cast("long").alias("s")
+    )
+    dev = q.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "ts_us",
+        "event_id",
+        (F.col("n") * F.col("y") - F.col("s")).cast("decimal(38,0)").alias("d"),
+    )
+    wrun = (
+        W.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = dev.withColumn("c", F.sum("d").over(wrun))
+    return run.groupBy("event_type").agg(
+        F.max("c").cast("double").alias("max_cusum"),
+        F.min("c").cast("double").alias("min_cusum"),
+    )

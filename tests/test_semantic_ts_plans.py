@@ -1,0 +1,68 @@
+"""Plan-shape assertions for the semantic/time-series/sketch batch
+added this round — each operator's 100 TB scale claim pinned against
+its physical plan (values are pinned by the oracle gate)."""
+
+from __future__ import annotations
+
+from tile_processor_spark.plans.semantic_ops import (
+    embedding_whiten,
+    text_bigram_model_score,
+)
+from tile_processor_spark.plans.timeseries_ops import (
+    events_cusum_drift,
+    events_interval_overlap,
+    events_regression_slope,
+)
+from tile_processor_spark.sources.bucketing import count_exchanges
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_whiten_broadcasts_dim_stats(spark):
+    # The 64-row stats side must broadcast back onto the exploded
+    # stream: ONE shuffle total (the per-dimension aggregate), never a
+    # sort-merge join keyed on dimension index.
+    df = embedding_whiten(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert count_exchanges(df) == 1
+
+
+def test_interval_overlap_is_equi_join_not_cartesian(spark):
+    # The point of the hour-grid explode: the session self-join runs as
+    # an ordinary equi-join on the grid cell — no O(n^2) cartesian /
+    # nested-loop path anywhere in the plan.
+    plan = _plan(events_interval_overlap(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_regression_slope_is_one_partial_aggregate(spark):
+    # Five decimal sufficient statistics -> fully map-side combinable:
+    # one shuffle (the per-type final aggregate), partial agg present.
+    df = events_regression_slope(spark, SF)
+    assert count_exchanges(df) == 1
+    assert "partial" in _plan(df)
+
+
+def test_cusum_broadcasts_totals_one_window_shuffle(spark):
+    # Totals (5 rows) broadcast; the only hash exchanges are the totals
+    # aggregate and the per-type window — the window's partitioning is
+    # reused by the final max/min aggregate.
+    df = events_cusum_drift(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+    assert count_exchanges(df) <= 2
+
+
+def test_bigram_score_no_cartesian(spark):
+    # Model and heads join back by equi-keys; nothing quadratic.
+    plan = _plan(text_bigram_model_score(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -400,3 +400,66 @@ def skyline_orders_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hi_prev").isNull() | (F.col("best_price") > F.col("hi_prev")))
         .select("day_idx", "best_price", "o_orderkey")
     )
+
+
+_FK_CHECKS = (
+    # (constraint, child, child_key, parent, parent_key)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+)
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS constraint_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_child_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pkey} = c.{ckey})) AS n_orphans,
+           (SELECT CAST(COUNT(DISTINCT c.{ckey}) AS BIGINT) FROM {child} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pkey} = c.{ckey})) AS n_orphan_keys
+    """
+        for (name, child, ckey, parent, pkey) in _FK_CHECKS
+    ),
+    doc=(
+        "Referential-integrity profile: for every foreign-key edge of "
+        "the star schema, total child rows, orphan rows (no parent), "
+        "and distinct orphan keys — the dbt-test/'relationships' "
+        "constraint suite as one frame. Spark shape: each check is a "
+        "LEFT ANTI join with the dimension side broadcast (facts never "
+        "shuffle); the five 1-row aggregates union. On healthy data "
+        "every orphan count pins to 0 — and because the oracle "
+        "recomputes the anti-joins independently, a generator change "
+        "that breaks integrity surfaces as a gate diff, not silently."
+    ),
+    tags=("relational-ext", "dq"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name, child, ckey, parent, pkey in _FK_CHECKS:
+        c = _t(spark, sf_dir, child)
+        p = _t(spark, sf_dir, parent).select(F.col(pkey).alias(ckey))
+        orphans = c.join(F.broadcast(p), ckey, "left_anti")
+        row = (
+            c.agg(F.count(F.lit(1)).cast("long").alias("n_child_rows"))
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_orphans"),
+                    F.count_distinct(F.col(ckey)).cast("long").alias("n_orphan_keys"),
+                )
+            )
+            .select(
+                F.lit(name).alias("constraint_name"),
+                "n_child_rows",
+                "n_orphans",
+                "n_orphan_keys",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

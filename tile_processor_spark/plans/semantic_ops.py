@@ -253,3 +253,81 @@ def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8) AS BIGINT)))
+               AS hs
+      FROM words
+    ),
+    toks AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+      FROM toks a JOIN toks b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, c AS n_common,
+           CAST(c AS DOUBLE) / LEAST(s1.n, s2.n) AS containment,
+           CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(c AS DOUBLE) / LEAST(s1.n, s2.n) >= {CONTAINMENT_THRESHOLD}
+    """,
+    doc=(
+        "Asymmetric containment dedup: C = |S(A) inter S(B)| / "
+        "min(|S(A)|, |S(B)|) over the SAME distinct 3-gram shingle "
+        "hashes as dedup_ngram_jaccard — catches a short document "
+        "EMBEDDED in a long one (quotation, boilerplate wrapping, "
+        "concatenated crawls), which symmetric Jaccard structurally "
+        "misses: a 100-shingle doc inside a 10000-shingle doc has "
+        "J ~ 0.01 but C = 1.0. Same narrow hash-keyed self-equi-join "
+        "shape (and the same scale caveat: a document-frequency prefix "
+        "cap bounds the join at 100 TB). Jaccard is carried alongside "
+        "so the quotation case (high C, low J) is visible in the frame."
+    ),
+    tags=("llm", "dedup", "text"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.plans.llm_ops import _shingle_hashes_udf
+
+    d = load_table(spark, "documents", sf_dir)
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    sh = d.select("doc_id", _shingle_hashes_udf(F.col("text")).alias("hs"))
+    toks = sh.select("doc_id", F.explode("hs").alias("h"))
+    sizes = sh.select("doc_id", F.size("hs").cast("long").alias("n"))
+    inter = (
+        toks.alias("a")
+        .join(toks.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.least(F.col("n1"), F.col("n2")),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_common")),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("d1", "d2", "n_common", "containment", "jaccard")
+    )

@@ -224,6 +224,39 @@ HLL_REM_BITS = 32 - HLL_P  # low 26 bits feed the rho (leading-zero) count
 HLL_ALPHA_M2 = 0.709 * HLL_M * HLL_M  # = 2904.064
 
 
+def hll_registers(keys: DataFrame, key_col: str) -> DataFrame:
+    """(idx, m): HyperLogLog registers of a string key column — only
+    registers touched by at least one key appear (absent idx = 0).
+    Mergeable across batches/shards by groupBy(idx).max(m): max is
+    idempotent and commutative, so HLL union is replay-safe for free
+    (the property ``streaming/hll.py`` builds on)."""
+    hashed = keys.select(hash32(F.concat(F.lit("hll#"), F.col(key_col))).alias("h"))
+    rem_space = 1 << HLL_REM_BITS
+    split = hashed.select(
+        (F.col("h") / rem_space).cast("long").alias("idx"),
+        (F.col("h") % rem_space).alias("rem"),
+    )
+    rho = split.select(
+        "idx",
+        F.when(F.col("rem") == 0, F.lit(HLL_REM_BITS + 1))
+        .otherwise(F.lit(HLL_REM_BITS + 1) - F.length(F.bin(F.col("rem"))))
+        .alias("rho"),
+    )
+    return rho.groupBy("idx").agg(F.max("rho").cast("long").alias("m"))
+
+
+def hll_dense_registers(spark: SparkSession, regs: DataFrame) -> DataFrame:
+    """Fill the untouched registers with 0 — the 64-row dense frame the
+    estimate formula needs."""
+    all_idx = spark.range(HLL_M).withColumnRenamed("id", "idx")
+    return (
+        all_idx.join(regs, "idx", "left")
+        .groupBy("idx")
+        .agg(F.coalesce(F.max("m"), F.lit(0)).cast("long").alias("m"))
+    )
+
+
+
 @register(
     "sketch_hll_distinct",
     oracle=f"""
@@ -278,29 +311,12 @@ HLL_ALPHA_M2 = 0.709 * HLL_M * HLL_M  # = 2904.064
 )
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _words(spark, sf_dir).distinct()
-    hashed = w.select(hash32(F.concat(F.lit("hll#"), F.col("word"))).alias("h"))
-    rem_space = 1 << HLL_REM_BITS
-    split = hashed.select(
-        (F.col("h") / rem_space).cast("long").alias("idx"),
-        (F.col("h") % rem_space).alias("rem"),
-    )
-    rho = split.select(
-        "idx",
-        F.when(F.col("rem") == 0, F.lit(HLL_REM_BITS + 1))
-        .otherwise(F.lit(HLL_REM_BITS + 1) - F.length(F.bin(F.col("rem"))))
-        .alias("rho"),
-    )
-    all_idx = spark.range(HLL_M).withColumnRenamed("id", "idx")
-    regs = (
-        all_idx.join(rho, "idx", "left")
-        .groupBy("idx")
-        .agg(F.coalesce(F.max("rho"), F.lit(0)).alias("m"))
-    )
+    regs = hll_dense_registers(spark, hll_registers(w, "word"))
     agg = regs.agg(
         F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("sum_inv"),
         F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("n_zero"),
     )
-    true_cnt = hashed.agg(F.count(F.lit(1)).cast("long").alias("true_distinct"))
+    true_cnt = w.agg(F.count(F.lit(1)).cast("long").alias("true_distinct"))
     est = F.lit(HLL_ALPHA_M2) / F.col("sum_inv")
     return (
         agg.crossJoin(F.broadcast(true_cnt))

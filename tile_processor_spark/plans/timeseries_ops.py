@@ -281,3 +281,253 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").cast("double").alias("max_cusum"),
         F.min("c").cast("double").alias("min_cusum"),
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    row_tot AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_n FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.n, r.row_n,
+           CAST(t.n AS DOUBLE) / r.row_n AS p
+    FROM trans t JOIN row_tot r USING (prev_type)
+    """,
+    doc=(
+        "First-order Markov transition matrix of user behavior: "
+        "lag(event_type) per user in event order -> transition counts "
+        "-> row-normalized probabilities (one exact integer division "
+        "per cell). The sequence-model summary of an event log "
+        "(next-action prediction, anomaly scoring of improbable "
+        "transitions). One window shuffle on user_id; the matrix "
+        "itself is |types|^2 rows — map-side combine collapses the "
+        "transition stream before the tiny final join."
+    ),
+    tags=("events", "window", "stats"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(wo).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    row_tot = trans.groupBy("prev_type").agg(F.sum("n").cast("long").alias("row_n"))
+    return trans.join(F.broadcast(row_tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        "row_n",
+        (F.col("n").cast("double") / F.col("row_n")).alias("p"),
+    )
+
+
+# percentile_cont positions: p in {0.5, 0.9, 0.99} over cents-exact
+# o_totalprice. Interpolation = lo + frac * (hi - lo) with lo/hi exact
+# decimals picked by rank and frac an exact multiple of 1/100 — every
+# input to the one double expression is identical in both engines.
+PCTL_PS = (50, 90, 99)
+
+
+@register(
+    "orders_percentile_cont",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS rk,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    pos AS (
+      SELECT o_orderpriority, p.p,
+             1 + ((n - 1) * p.p) // 100 AS lo_rk,
+             CASE WHEN ((n - 1) * p.p) % 100 = 0 THEN 1 + ((n - 1) * p.p) // 100
+                  ELSE 2 + ((n - 1) * p.p) // 100 END AS hi_rk,
+             ((n - 1) * p.p) % 100 AS frac_pct
+      FROM (SELECT DISTINCT o_orderpriority, n FROM ranked) g
+      CROSS JOIN (VALUES {", ".join(f"({p})" for p in PCTL_PS)}) p(p)
+    )
+    SELECT pos.o_orderpriority, CAST(pos.p AS BIGINT) AS p,
+           CAST(lo.o_totalprice AS DOUBLE)
+             + (CAST(frac_pct AS DOUBLE) / 100.0)
+               * (CAST(hi.o_totalprice AS DOUBLE) - CAST(lo.o_totalprice AS DOUBLE))
+             AS pctl_cont
+    FROM pos
+    JOIN ranked lo ON lo.o_orderpriority = pos.o_orderpriority AND lo.rk = pos.lo_rk
+    JOIN ranked hi ON hi.o_orderpriority = pos.o_orderpriority AND hi.rk = pos.hi_rk
+    """,
+    doc=(
+        "PERCENTILE_CONT(0.5/0.9/0.99) WITHIN GROUP semantics, built "
+        "from rank arithmetic so it is exact and engine-independent: "
+        "position (n-1)*p splits into an integer rank and an exact "
+        "1/100-quantum fraction; the two bracketing values are picked "
+        "by row_number (decimal cents, fully tie-broken) and "
+        "interpolated in ONE double expression. Scale: one window "
+        "shuffle per group for ranking; the rank-probe join touches "
+        "2 x |groups| x |ps| rows. Complements median_disc_by_priority "
+        "(discrete) with the interpolated family."
+    ),
+    tags=("relational-ext", "window", "stats"),
+)
+def orders_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    wr = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = W.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).localCheckpoint()  # ranked feeds the group list and both probes
+    groups = ranked.select("o_orderpriority", "n").distinct()
+    ps = F.array(*[F.lit(p) for p in PCTL_PS])
+    pos = groups.select(
+        "o_orderpriority", "n", F.explode(ps).alias("p")
+    ).select(
+        "o_orderpriority",
+        "p",
+        (1 + ((F.col("n") - 1) * F.col("p") / 100).cast("long")).alias("lo_rk"),
+        F.when(
+            ((F.col("n") - 1) * F.col("p")) % 100 == 0,
+            1 + ((F.col("n") - 1) * F.col("p") / 100).cast("long"),
+        )
+        .otherwise(2 + ((F.col("n") - 1) * F.col("p") / 100).cast("long"))
+        .alias("hi_rk"),
+        (((F.col("n") - 1) * F.col("p")) % 100).alias("frac_pct"),
+    )
+    lo = ranked.select(
+        "o_orderpriority", F.col("rk").alias("lo_rk"), F.col("o_totalprice").alias("lo_v")
+    )
+    hi = ranked.select(
+        "o_orderpriority", F.col("rk").alias("hi_rk"), F.col("o_totalprice").alias("hi_v")
+    )
+    return (
+        pos.join(lo, ["o_orderpriority", "lo_rk"])
+        .join(hi, ["o_orderpriority", "hi_rk"])
+        .select(
+            "o_orderpriority",
+            F.col("p").cast("long").alias("p"),
+            (
+                F.col("lo_v").cast("double")
+                + (F.col("frac_pct").cast("double") / 100.0)
+                * (F.col("hi_v").cast("double") - F.col("lo_v").cast("double"))
+            ).alias("pctl_cont"),
+        )
+    )
+
+
+@register(
+    "lineitem_corr_matrix",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(l_quantity AS DECIMAL(38,0)) AS a,
+             CAST(l_extendedprice * 100 AS DECIMAL(38,0)) AS b,
+             CAST(l_discount * 100 AS DECIMAL(38,0)) AS c
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(a) AS sa, SUM(b) AS sb, SUM(c) AS sc,
+             SUM(a*a) AS saa, SUM(b*b) AS sbb, SUM(c*c) AS scc,
+             SUM(a*b) AS sab, SUM(a*c) AS sac, SUM(b*c) AS sbc
+      FROM q
+    )
+    SELECT 'quantity~extendedprice' AS pair,
+           (CAST(n AS DOUBLE)*CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sb AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE)*CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE)))
+             AS corr FROM m
+    UNION ALL
+    SELECT 'quantity~discount',
+           (CAST(n AS DOUBLE)*CAST(sac AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sc AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE)*CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE)*CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE)))
+      FROM m
+    UNION ALL
+    SELECT 'extendedprice~discount',
+           (CAST(n AS DOUBLE)*CAST(sbc AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sc AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE)*CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE)))
+      FROM m
+    """,
+    doc=(
+        "Pairwise Pearson correlation matrix over the lineitem "
+        "numeric columns from ONE scan: all ten co-moment sums "
+        "(n, 3 sums, 3 squares, 3 cross-products) accumulate as exact "
+        "DECIMAL(38,0) over cents-quantized values in a single "
+        "aggregate — the shape CORR_MATRIX/describe() wants, fully "
+        "map-side combinable, then each coefficient is one fixed "
+        "double expression. Contrast F.corr, whose float partials are "
+        "partition-order-dependent; here any shuffle/AQE re-plan "
+        "reproduces bit-identical coefficients."
+    ),
+    tags=("relational-ext", "stats", "agg"),
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    q = li.select(
+        F.col("l_quantity").cast("decimal(38,0)").alias("a"),
+        (F.col("l_extendedprice") * 100).cast("decimal(38,0)").alias("b"),
+        (F.col("l_discount") * 100).cast("decimal(38,0)").alias("c"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("c")).alias("sac"),
+        F.sum(F.col("b") * F.col("c")).alias("sbc"),
+    ).localCheckpoint()  # ten scalars; reused by the three rows
+
+    def _corr(sxy: str, sx: str, sy: str, sxx: str, syy: str):
+        nd = F.col("n").cast("double")
+        return (
+            nd * F.col(sxy).cast("double")
+            - F.col(sx).cast("double") * F.col(sy).cast("double")
+        ) / (
+            F.sqrt(
+                nd * F.col(sxx).cast("double")
+                - F.col(sx).cast("double") * F.col(sx).cast("double")
+            )
+            * F.sqrt(
+                nd * F.col(syy).cast("double")
+                - F.col(sy).cast("double") * F.col(sy).cast("double")
+            )
+        )
+
+    rows = [
+        m.select(
+            F.lit("quantity~extendedprice").alias("pair"),
+            _corr("sab", "sa", "sb", "saa", "sbb").alias("corr"),
+        ),
+        m.select(
+            F.lit("quantity~discount").alias("pair"),
+            _corr("sac", "sa", "sc", "saa", "scc").alias("corr"),
+        ),
+        m.select(
+            F.lit("extendedprice~discount").alias("pair"),
+            _corr("sbc", "sb", "sc", "sbb", "scc").alias("corr"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1,0 +1,83 @@
+"""Snapshot-table contract: committed versions are immutable,
+time-travel reproduces them bit-for-bit, readers never see a torn
+state, and vacuum reclaims only unreferenced files."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tile_processor_spark.sources.snapshots import (
+    list_versions,
+    read_snapshot,
+    vacuum,
+    write_snapshot,
+)
+from tile_processor_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_commit_and_time_travel(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    ev = load_table(spark, "events", SF).select("event_id", "user_id", "event_type")
+    v1 = write_snapshot(ev.filter(F.col("event_id") % 2 == 0), tbl)
+    v2 = write_snapshot(ev, tbl)
+    assert (v1, v2) == (1, 2)
+    assert list_versions(tbl) == [1, 2]
+    # latest = v2; explicit version reproduces v1 exactly
+    assert _rows(read_snapshot(spark, tbl)) == _rows(ev)
+    assert _rows(read_snapshot(spark, tbl, version=1)) == _rows(
+        ev.filter(F.col("event_id") % 2 == 0)
+    )
+
+
+def test_reader_pins_resolved_version_across_commits(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    ev = load_table(spark, "events", SF).select("event_id")
+    write_snapshot(ev.limit(10), tbl)
+    pinned = read_snapshot(spark, tbl)  # resolves file list NOW
+    write_snapshot(ev.limit(3), tbl)  # concurrent commit
+    assert pinned.count() == 10  # still the state it resolved
+    assert read_snapshot(spark, tbl).count() == 3
+
+
+def test_crash_orphan_is_invisible_and_vacuumed(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    ev = load_table(spark, "events", SF).select("event_id")
+    write_snapshot(ev.limit(5), tbl)
+    # simulate a writer that died before committing its manifest
+    orphan = os.path.join(tbl, "data", "deadbeef")
+    ev.limit(2).write.parquet(orphan)
+    assert read_snapshot(spark, tbl).count() == 5  # orphan invisible
+    write_snapshot(ev.limit(7), tbl)
+    res = vacuum(tbl, keep_last=1)
+    assert res["kept_versions"] == [2]
+    assert not os.path.isdir(orphan) or not os.listdir(orphan)
+    assert read_snapshot(spark, tbl).count() == 7
+
+
+def test_vacuum_keeps_referenced_files(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    ev = load_table(spark, "events", SF).select("event_id")
+    write_snapshot(ev.limit(4), tbl)
+    write_snapshot(ev.limit(6), tbl)
+    write_snapshot(ev.limit(8), tbl)
+    res = vacuum(tbl, keep_last=2)
+    assert res["retired_versions"] == [1]
+    assert list_versions(tbl) == [2, 3]
+    assert read_snapshot(spark, tbl, version=2).count() == 6
+    assert read_snapshot(spark, tbl, version=3).count() == 8
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, tbl, version=1)
+
+
+def test_missing_table_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, str(tmp_path / "nope"))

@@ -133,7 +133,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
 #     skyline_orders_2d, sketch_hll_distinct, sketch_bloom_membership,
 #     dedup_semantic_clusters, text_bigram_model_score,
 #     embedding_whiten, events_interval_overlap,
-#     events_regression_slope, events_cusum_drift;
+#     events_regression_slope, events_cusum_drift,
+#     dedup_containment_pairs, dq_referential_integrity,
+#     events_markov_transitions, orders_percentile_cont,
+#     lineitem_corr_matrix;
 # (b) stale rows last driver-green r2/r3:
 #     spatial_version_boundary_region, spatial_percentile_heights,
 #     spatial_rasterize, tile_file_index, spatial_las_class_mapping,

@@ -5,7 +5,7 @@ fixture cases in tests/test_tin.py. Driver-side NumPy only."""
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import assume, given, settings
+from hypothesis import assume, example, given, settings
 from hypothesis import strategies as st
 
 from tile_processor_spark.spatial.tin import (
@@ -36,6 +36,13 @@ def point_set(draw, min_size=4, max_size=20):
 
 @settings(max_examples=80, deadline=None)
 @given(pts=point_set())
+@example(
+    pts=np.array([[ 0.        ,  1.        ],
+           [ 0.03663366,  2.05463918],
+           [13.07326733,  1.00927835],
+           [ 6.00990099,  1.06391753],
+           [ 0.04653465,  0.0185567 ]]),
+).via('discovered failure')
 def test_delaunay_area_equals_hull_area(pts):
     """Triangulation tiles the convex hull: triangle areas sum to the
     hull area (shoelace over the hull polygon)."""

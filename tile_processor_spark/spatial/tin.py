@@ -77,6 +77,7 @@ def delaunay(points: np.ndarray) -> np.ndarray:
         ]
     )
     allp = np.vstack([pts, sup])
+    center0 = np.array([cx, cy])  # cx/cy are shadowed inside the loop
     tris: list[tuple[int, int, int]] = [(n, n + 1, n + 2)]
     for i in range(n):
         p = allp[i]
@@ -108,7 +109,8 @@ def delaunay(points: np.ndarray) -> np.ndarray:
         # points and delete thin hull triangles — the second failure
         # mode test_delaunay_area_equals_hull_area caught).
         is_sup = t_arr >= n
-        one = is_sup.sum(1) == 1
+        n_sup = is_sup.sum(1)
+        one = n_sup == 1
         if one.any():
             t1 = t_arr[one]
             rows = np.arange(len(t1))
@@ -123,6 +125,33 @@ def delaunay(points: np.ndarray) -> np.ndarray:
                 s[:, 0] - u[:, 0]
             )
             margin[one] = np.where(o_p * o_s > 0, 1.0, -1.0)
+        # TWO super vertices: the coherent at-infinity rule is the limit
+        # of the in-circle determinant as the supers recede along their
+        # fixed directions d1, d2 (leading t³ term; the finite-circle
+        # test here produced a DISCONNECTED cavity on nearly-collinear
+        # inputs — a non-planar mesh that dropped a hull triangle,
+        # caught by test_delaunay_area_equals_hull_area):
+        #   det∞ = ax(d1y|d2|² − |d1|²d2y) − ay(d1x|d2|² − |d1|²d2x),
+        #   orient∞ ∝ cross(d1, d2),  with (ax, ay) = u − p
+        # for the triangle cyclically rotated to (u, S1, S2).
+        two = n_sup == 2
+        if two.any():
+            t2 = t_arr[two]
+            rows2 = np.arange(len(t2))
+            real_pos = np.argmin(is_sup[two], axis=1)
+            u2 = allp[t2[rows2, real_pos]]
+            d1 = allp[t2[rows2, (real_pos + 1) % 3]] - center0
+            d2 = allp[t2[rows2, (real_pos + 2) % 3]] - center0
+            aax, aay = u2[:, 0] - p[0], u2[:, 1] - p[1]
+            n1 = (d1 * d1).sum(1)
+            n2 = (d2 * d2).sum(1)
+            det_inf = aax * (d1[:, 1] * n2 - n1 * d2[:, 1]) - aay * (
+                d1[:, 0] * n2 - n1 * d2[:, 0]
+            )
+            cross12 = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+            margin[two] = np.where(det_inf * np.sign(cross12) > 0, 1.0, -1.0)
+        # THREE supers (initial state): the whole plane — always conflicts.
+        margin[n_sup == 3] = 1.0
         bad = margin > 0  # strict: on-circle keeps
         if not bad.any():
             # Numerically on the hull of current triangulation; nudge via

@@ -531,3 +531,67 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "events_twap_hourly",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+             CAST(floor(value * {VAL_SCALE}) AS BIGINT) AS y,
+             lead(epoch_us(ts)) OVER (PARTITION BY event_type
+               ORDER BY ts, event_id) AS next_us
+      FROM events
+    ),
+    seg AS (
+      -- each observation holds until the next one (step interpolation);
+      -- the last observation of a type carries zero weight
+      SELECT event_type,
+             ts_us // {HOUR_US} AS hour_idx,
+             CAST(y AS DECIMAL(38,0)) * (next_us - ts_us) AS wy,
+             next_us - ts_us AS w
+      FROM seq WHERE next_us IS NOT NULL
+    )
+    SELECT event_type, CAST(hour_idx AS BIGINT) AS hour_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(w) AS BIGINT) AS held_us,
+           CAST(CAST(SUM(wy) AS DOUBLE) / SUM(w) / {VAL_SCALE} AS DOUBLE)
+             AS twap
+    FROM seg GROUP BY event_type, hour_idx
+    """,
+    doc=(
+        "Time-weighted average price/value per (type, hour): each "
+        "observation is step-held until the next one in its group "
+        "(lead window), weight = held microseconds, TWAP = "
+        "sum(y*w)/sum(w) with DECIMAL(38,0) numerators (y*w reaches "
+        "~2^47 per segment; float partials would drift under shuffle "
+        "order). The standard financial/telemetry downsampler that "
+        "plain AVG gets wrong under irregular sampling — a value held "
+        "55 min weighs 11x one held 5 min. One window shuffle on "
+        "event_type, then an ordinary partial-aggregable groupBy; "
+        "segments are assigned to the hour they START in (simple, "
+        "deterministic; hour-straddling segments are not split — "
+        "documented semantics, same in both engines)."
+    ),
+    tags=("events", "window", "agg"),
+)
+def events_twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    wo = W.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * VAL_SCALE).cast("long").alias("y"),
+        F.lead(F.unix_micros("ts")).over(wo).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    seg = seq.select(
+        "event_type",
+        (F.col("ts_us") / HOUR_US).cast("long").alias("hour_idx"),
+        (F.col("y").cast("decimal(38,0)") * (F.col("next_us") - F.col("ts_us"))).alias("wy"),
+        (F.col("next_us") - F.col("ts_us")).alias("w"),
+    )
+    return seg.groupBy("event_type", "hour_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("w").cast("long").alias("held_us"),
+        (F.sum("wy").cast("double") / F.sum("w") / VAL_SCALE).cast("double").alias("twap"),
+    )

@@ -6,6 +6,7 @@ sums the oracle can compute)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from tile_processor_spark.multimodal.ops import extract_features, make_assets
 from tile_processor_spark.plans.registry import register
@@ -106,4 +107,52 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("sample_sum"),
         F.get("frames", 0).alias("first_sample"),
         F.get("frames", F.size("frames") - 1).alias("last_sample"),
+    )
+
+
+@register(
+    "multimodal_dedup_binary",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(text) AS content_md5 FROM documents
+    ),
+    g AS (
+      SELECT content_md5, CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM h GROUP BY content_md5
+    )
+    SELECT CAST(SUM(n_copies) AS BIGINT) AS n_assets,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_payloads,
+           CAST(SUM(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_groups,
+           CAST(SUM(n_copies - 1) AS BIGINT) AS n_redundant_assets,
+           MIN(content_md5) AS min_md5
+    FROM g
+    """,
+    doc=(
+        "Exact binary-content redundancy profile over the asset "
+        "payload column: md5 of the raw bytes -> hash groupBy -> "
+        "dup-group/redundant-asset counts (+ the min digest, pinning "
+        "the hash itself). The first pass of any image/audio dedup "
+        "pipeline and the binary-column twin of dedup_exact; on this "
+        "corpus it PROVES zero bitwise dupes exist (near-dups are "
+        "text-level only), which is exactly what the exact pass is "
+        "for. The shuffle carries 16-byte digests, never payloads — "
+        "at 100 TB the digest is computed at ingest and stored. "
+        "Oracle: payloads are UTF-8 of the doc text, so DuckDB's md5 "
+        "over the text is the same digest."
+    ),
+    tags=("multimodal", "dedup"),
+)
+def multimodal_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = make_assets(spark, sf_dir)
+    h = assets.select(
+        F.col("asset_id"), F.md5(F.col("payload")).alias("content_md5")
+    )
+    g = h.groupBy("content_md5").agg(F.count(F.lit(1)).cast("long").alias("n_copies"))
+    return g.agg(
+        F.sum("n_copies").cast("long").alias("n_assets"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_payloads"),
+        F.sum(F.when(F.col("n_copies") >= 2, 1).otherwise(0)).cast("long").alias("n_dup_groups"),
+        F.sum(F.col("n_copies") - 1).cast("long").alias("n_redundant_assets"),
+        F.min("content_md5").alias("min_md5"),
     )

@@ -595,3 +595,66 @@ def events_twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").cast("long").alias("held_us"),
         (F.sum("wy").cast("double") / F.sum("w") / VAL_SCALE).cast("double").alias("twap"),
     )
+
+
+ROLLMED_WINDOW = 50  # trailing rows preceding current
+
+
+@register(
+    "events_rolling_median",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+             CAST(floor(value * {VAL_SCALE}) AS BIGINT) AS y
+      FROM events
+    ),
+    framed AS (
+      SELECT event_type, event_id, ts_us,
+             list_sort(list(y) OVER (PARTITION BY event_type
+               ORDER BY ts_us, event_id
+               ROWS BETWEEN {ROLLMED_WINDOW} PRECEDING AND CURRENT ROW)) AS l
+      FROM q
+    )
+    SELECT event_type, event_id, ts_us,
+           CAST(l[(len(l) + 1) // 2] AS DOUBLE) / {VAL_SCALE} AS rolling_median
+    FROM framed
+    """,
+    doc=(
+        "Rolling exact (lower discrete) median of event value over a "
+        "trailing 51-row window per type — the robust rolling baseline "
+        "for outlier scoring, where a rolling MEAN is dragged by the "
+        "very outliers it should flag. Median-over-window exists in "
+        "neither engine as an exact window aggregate, so both sides "
+        "build it from the same primitive: collect the frame, sort, "
+        "index (n+1)//2 — on cents-exact integers, so the pick is "
+        "deterministic. Scale: bounded frame (51 longs) keeps state "
+        "O(window) per row; one window shuffle on event_type. The "
+        "O(w log w) per-row sort is the honest cost — a two-heap or "
+        "indexable-skiplist kernel is the constant-factor upgrade, not "
+        "a different plan shape."
+    ),
+    tags=("events", "window", "stats"),
+)
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    q = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * VAL_SCALE).cast("long").alias("y"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-ROLLMED_WINDOW, W.currentRow)
+    )
+    framed = q.withColumn("l", F.sort_array(F.collect_list("y").over(w)))
+    return framed.select(
+        "event_type",
+        "event_id",
+        "ts_us",
+        (
+            F.element_at(F.col("l"), ((F.size("l") + 1) / 2).cast("int")).cast("double")
+            / VAL_SCALE
+        ).alias("rolling_median"),
+    )

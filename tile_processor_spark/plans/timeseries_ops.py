@@ -658,3 +658,74 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             / VAL_SCALE
         ).alias("rolling_median"),
     )
+
+
+# Truncated EWMA: alpha = 1/4; weight of lag k is alpha*(1-alpha)^k =
+# 3^k / 4^(k+1). Scaling by 4^8 makes every weight an exact integer
+# (w_k = 3^k * 4^(7-k)), so the smoothed value is an exact rational of
+# BIGINTs; truncation at 8 lags bounds the tail mass at (3/4)^8 = 10%.
+EWMA_LAGS = 8
+EWMA_W = [3**k * 4 ** (7 - k) for k in range(EWMA_LAGS)]  # [16384, ..., 2187]
+
+
+@register(
+    "events_ewma_approx",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+             CAST(floor(value * {VAL_SCALE}) AS BIGINT) AS y
+      FROM events
+    ),
+    lagged AS (
+      SELECT event_type, event_id, ts_us,
+             {", ".join(f"lag(y, {k}) OVER w AS y{k}" for k in range(EWMA_LAGS))}
+      FROM q
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)
+    )
+    SELECT event_type, event_id, ts_us,
+           CAST(({" + ".join(f"COALESCE(y{k} * {EWMA_W[k]}, 0)" for k in range(EWMA_LAGS))})
+                AS DOUBLE)
+             / ({" + ".join(f"CASE WHEN y{k} IS NULL THEN 0 ELSE {EWMA_W[k]} END" for k in range(EWMA_LAGS))})
+             / {VAL_SCALE} AS ewma
+    FROM lagged
+    """,
+    doc=(
+        "Exponentially-weighted moving average, the shuffle-exact "
+        "form: the geometric recursion is truncated at 8 lags with "
+        "alpha = 1/4, making every weight an exact integer "
+        "(3^k * 4^(7-k)) — the weighted sum is pure BIGINT window "
+        "algebra, normalized by the weights actually present (early "
+        "rows renormalize instead of biasing toward zero). Truncation "
+        "error is bounded by the (3/4)^8 ~ 10% tail mass, but "
+        "DETERMINISM is exact — unlike the recursive form, whose "
+        "float accumulation is partition-history-dependent and which "
+        "no bounded window can express. One window shuffle; 8 lags = "
+        "O(1) state per row."
+    ),
+    tags=("events", "window", "stats"),
+)
+def events_ewma_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    q = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * VAL_SCALE).cast("long").alias("y"),
+    )
+    wo = W.partitionBy("event_type").orderBy("ts_us", "event_id")
+    lags = [F.lag("y", k).over(wo).alias(f"y{k}") for k in range(EWMA_LAGS)]
+    lagged = q.select("event_type", "event_id", "ts_us", *lags)
+    num = None
+    den = None
+    for k in range(EWMA_LAGS):
+        yk = F.col(f"y{k}")
+        nk = F.coalesce(yk * EWMA_W[k], F.lit(0))
+        dk = F.when(yk.isNull(), 0).otherwise(EWMA_W[k])
+        num = nk if num is None else num + nk
+        den = dk if den is None else den + dk
+    return lagged.select(
+        "event_type",
+        "event_id",
+        "ts_us",
+        (num.cast("double") / den / VAL_SCALE).alias("ewma"),
+    )

@@ -66,3 +66,51 @@ def test_bigram_score_no_cartesian(spark):
     plan = _plan(text_bigram_model_score(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_twap_one_window_shuffle(spark):
+    from tile_processor_spark.plans.timeseries_ops import events_twap_hourly
+
+    df = events_twap_hourly(spark, SF)
+    assert count_exchanges(df) == 1
+    assert "Window" in _plan(df)
+
+
+def test_corr_matrix_zero_shuffles(spark):
+    # Ten co-moments in ONE global aggregate: pure map-side combine,
+    # no hash exchange at all (the single-partition final agg is not a
+    # hash shuffle).
+    from tile_processor_spark.plans.timeseries_ops import lineitem_corr_matrix
+
+    assert count_exchanges(lineitem_corr_matrix(spark, SF)) == 0
+
+
+def test_rolling_median_and_ewma_single_window(spark):
+    from tile_processor_spark.plans.timeseries_ops import (
+        events_ewma_approx,
+        events_rolling_median,
+    )
+
+    for fn in (events_rolling_median, events_ewma_approx):
+        df = fn(spark, SF)
+        assert count_exchanges(df) == 1, fn.__name__
+        assert "Window" in _plan(df), fn.__name__
+
+
+def test_percentile_cont_broadcasts_rank_probes(spark):
+    from tile_processor_spark.plans.timeseries_ops import orders_percentile_cont
+
+    df = orders_percentile_cont(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert count_exchanges(df) <= 1
+
+
+def test_bm25_no_cartesian_on_data_paths(spark):
+    # corpus scalars may broadcast-nested-loop (1 row); the tf/df/dl
+    # joins must be hash joins.
+    from tile_processor_spark.plans.semantic_ops import text_bm25_scores
+
+    plan = _plan(text_bm25_scores(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

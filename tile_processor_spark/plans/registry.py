@@ -136,7 +136,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
 #     events_regression_slope, events_cusum_drift,
 #     dedup_containment_pairs, dq_referential_integrity,
 #     events_markov_transitions, orders_percentile_cont,
-#     lineitem_corr_matrix;
+#     lineitem_corr_matrix, events_twap_hourly, text_bm25_scores,
+#     dedup_jaccard_prefix_filtered, events_rolling_median,
+#     multimodal_dedup_binary, events_ewma_approx;
 # (b) stale rows last driver-green r2/r3:
 #     spatial_version_boundary_region, spatial_percentile_heights,
 #     spatial_rasterize, tile_file_index, spatial_las_class_mapping,

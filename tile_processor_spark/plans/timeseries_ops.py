@@ -324,7 +324,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("prev_type").isNotNull())
     trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    )
+    ).localCheckpoint()  # |types|^2 rows; feeds both the join and row totals
     row_tot = trans.groupBy("prev_type").agg(F.sum("n").cast("long").alias("row_n"))
     return trans.join(F.broadcast(row_tot), "prev_type").select(
         "prev_type",

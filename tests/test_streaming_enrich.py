@@ -79,3 +79,21 @@ def test_unmatched_keys_survive_with_null_tier(spark, tmp_path):
     assert got.filter(F.col("tier").isNull()).count() == ev.filter(
         F.col("user_id") % 2 == 1
     ).count()
+
+
+def test_epoch_replay_overwrites_not_appends(spark, tmp_path):
+    # at-least-once redelivery of the same epoch must rewrite its
+    # partition, not append a duplicate of it.
+    from tile_processor_spark.streaming.enrich import enrich_batch, read_enriched
+
+    out = str(tmp_path / "out")
+    dim = str(tmp_path / "dim")
+    ev = load_table(spark, "events", SF).select("event_id", "user_id").limit(20)
+    write_snapshot(_dim(spark, "bronze"), dim)
+    enrich_batch(ev, dim, out, "user_id", epoch=3, run_id="r1")
+    once = read_enriched(spark, out).count()
+    enrich_batch(ev, dim, out, "user_id", epoch=3, run_id="r1")  # replay
+    assert read_enriched(spark, out).count() == once
+    # a different epoch appends normally
+    enrich_batch(ev, dim, out, "user_id", epoch=4, run_id="r1")
+    assert read_enriched(spark, out).count() == 2 * once

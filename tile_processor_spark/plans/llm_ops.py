@@ -730,15 +730,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard_pairs(d, NEAR_DUP_THRESHOLD)
 
 
-def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
-    """(d1, d2, n_common, jaccard) for every doc pair with exact 3-gram
-    shingle-hash Jaccard ≥ threshold — the shared ground-truth pipeline
-    for ``dedup_ngram_jaccard`` and ``dedup_eval.dedup_minhash_recall``
-    (ONE implementation so a tokenization fix can never diverge the
-    eval's truth from the operator it audits)."""
+def shingle_tokens(docs: DataFrame, checkpoint: bool = False):
+    """(toks, sizes) from the shared 3-gram shingle-hash pass: ONE
+    implementation of the shingling so a tokenization fix can never
+    diverge the operators built on it (jaccard, containment, prefix
+    filter, minhash recall truth). ``checkpoint`` materializes the
+    Arrow/md5 UDF output once when a caller derives several frames."""
     sh = docs.select("doc_id", _shingle_hashes_udf(F.col("text")).alias("hs"))
+    if checkpoint:
+        sh = sh.localCheckpoint()
     toks = sh.select("doc_id", F.explode("hs").alias("h"))
     sizes = sh.select("doc_id", F.size("hs").cast("long").alias("n"))
+    return toks, sizes
+
+
+def shingle_pair_stats(toks: DataFrame, sizes: DataFrame) -> DataFrame:
+    """(d1, d2, n_common, n1, n2) for every doc pair sharing at least
+    one shingle hash — the self-equi-join every set-similarity metric
+    (jaccard, containment, overlap) derives from."""
     inter = (
         toks.alias("a")
         .join(toks.alias("b"), "h")
@@ -748,9 +757,16 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     )
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return inter.join(s1, "d1").join(s2, "d2")
+
+
+def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """(d1, d2, n_common, jaccard) for every doc pair with exact 3-gram
+    shingle-hash Jaccard ≥ threshold — the shared ground-truth pipeline
+    for ``dedup_ngram_jaccard`` and ``dedup_eval.dedup_minhash_recall``."""
+    toks, sizes = shingle_tokens(docs)
     return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
+        shingle_pair_stats(toks, sizes)
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_common")),

@@ -31,6 +31,7 @@ from tile_processor_spark.plans.cc_star import connected_components_star
 from tile_processor_spark.plans.llm_ops import (
     SQL_QUANT,
     SQL_TOKENS,
+    quantized_col,
     tokens_col,
 )
 from tile_processor_spark.plans.registry import REGISTRY, register
@@ -227,12 +228,7 @@ def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     qd = e.select(
         "vec_id",
-        F.posexplode(
-            F.transform(
-                F.col("embedding"),
-                lambda x: F.floor(x.cast("double") * F.lit(1048576.0)).cast("long"),
-            )
-        ).alias("pos", "qv"),
+        F.posexplode(quantized_col(F.col("embedding"))).alias("pos", "qv"),
     ).select("vec_id", (F.col("pos") + 1).alias("i"), "qv")
     stats = qd.groupBy("i").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
@@ -300,25 +296,13 @@ CONTAINMENT_THRESHOLD = 0.6
     tags=("llm", "dedup", "text"),
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tile_processor_spark.plans.llm_ops import _shingle_hashes_udf
+    from tile_processor_spark.plans.llm_ops import shingle_pair_stats, shingle_tokens
 
     d = load_table(spark, "documents", sf_dir)
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    sh = d.select("doc_id", _shingle_hashes_udf(F.col("text")).alias("hs"))
-    toks = sh.select("doc_id", F.explode("hs").alias("h"))
-    sizes = sh.select("doc_id", F.size("hs").cast("long").alias("n"))
-    inter = (
-        toks.alias("a")
-        .join(toks.alias("b"), "h")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    toks, sizes = shingle_tokens(d)
     return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
+        shingle_pair_stats(toks, sizes)
         .withColumn(
             "containment",
             F.col("n_common").cast("double") / F.least(F.col("n1"), F.col("n2")),
@@ -487,12 +471,14 @@ SHINGLE_DF_CAP = 3  # prefix filter: join only through shingles in <= 3 docs
     tags=("llm", "dedup"),
 )
 def dedup_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tile_processor_spark.plans.llm_ops import _shingle_hashes_udf, exact_jaccard_pairs
+    from tile_processor_spark.plans.llm_ops import shingle_pair_stats, shingle_tokens
 
     d = load_table(spark, "documents", sf_dir)
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    sh = d.select("doc_id", _shingle_hashes_udf(F.col("text")).alias("hs"))
-    toks = sh.select("doc_id", F.explode("hs").alias("h")).localCheckpoint()
+    # ONE shingle pass (checkpointed) feeds the df table, the filtered
+    # candidate join, the unfiltered pair stats, and the exact truth.
+    toks, sizes = shingle_tokens(d, checkpoint=True)
+    toks = toks.localCheckpoint()
     shdf = toks.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     rare = toks.join(shdf.filter(F.col("df") <= SHINGLE_DF_CAP), "h")
     cand = (
@@ -503,18 +489,16 @@ def dedup_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
         .distinct()
         .localCheckpoint()
     )
-    inter = (
-        toks.alias("a")
-        .join(toks.alias("b"), "h")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
-    truth = exact_jaccard_pairs(d, 0.5).select("d1", "d2").localCheckpoint()
+    stats = shingle_pair_stats(toks, sizes).localCheckpoint()
+    truth = stats.filter(
+        F.col("n_common").cast("double")
+        / (F.col("n1") + F.col("n2") - F.col("n_common"))
+        >= 0.5
+    ).select("d1", "d2")
     found = truth.join(cand, ["d1", "d2"], "left_semi")
     t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
     c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-    u = inter.agg(F.count(F.lit(1)).cast("long").alias("n_unfiltered_candidates"))
+    u = stats.agg(F.count(F.lit(1)).cast("long").alias("n_unfiltered_candidates"))
     g = found.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
     m = t.crossJoin(c).crossJoin(u).crossJoin(g)
     return m.select(

@@ -42,6 +42,25 @@ KMV_K = 256
 HASH_SPACE = float(2**32)
 
 
+
+def cms_positions(df, key_col: str, keep: tuple = ()):
+    """(depth, bucket, *keep) for every (row, depth) of a string key
+    column — THE Count-Min cell expression (md5 of "<depth>#<key>" mod
+    width). Single source of truth shared by the batch sketch, its
+    point queries, and the streaming store/estimator in
+    ``streaming/cms.py``: the streaming store's bit-for-bit parity with
+    the batch sketch rests on this expression never forking."""
+    depths = F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
+    return df.select(F.explode(depths).alias("depth"), key_col, *keep).select(
+        F.col("depth").cast("long").alias("depth"),
+        (
+            hash32(F.concat(F.col("depth").cast("string"), F.lit("#"), F.col(key_col)))
+            % CMS_WIDTH
+        ).alias("bucket"),
+        *keep,
+    )
+
+
 def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     return d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
@@ -75,16 +94,7 @@ def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "sketch"),
 )
 def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = _words(spark, sf_dir)
-    depths = F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
-    cells = w.select(
-        F.explode(depths).alias("depth"), F.col("word")
-    ).select(
-        F.col("depth").cast("long").alias("depth"),
-        (hash32(F.concat(F.col("depth").cast("string"), F.lit("#"), F.col("word"))) % CMS_WIDTH).alias(
-            "bucket"
-        ),
-    )
+    cells = cms_positions(_words(spark, sf_dir), "word")
     return cells.groupBy("depth", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
 
@@ -133,31 +143,12 @@ def sketch_cms_point_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _words(spark, sf_dir)
     truth = w.groupBy("word").agg(F.count(F.lit(1)).alias("true_cnt"))
     top = truth.orderBy(F.desc("true_cnt"), "word").limit(20)
-    depths = F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
     cells = (
-        w.select(F.explode(depths).alias("depth"), "word")
-        .select(
-            F.col("depth").cast("long").alias("depth"),
-            (
-                hash32(F.concat(F.col("depth").cast("string"), F.lit("#"), F.col("word")))
-                % CMS_WIDTH
-            ).alias("bucket"),
-        )
+        cms_positions(w, "word")
         .groupBy("depth", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    probes = top.crossJoin(
-        F.broadcast(spark.range(CMS_DEPTH).withColumnRenamed("id", "depth"))
-    )
-    probes = probes.select(
-        "word",
-        "true_cnt",
-        F.col("depth").cast("long").alias("depth"),
-        (
-            hash32(F.concat(F.col("depth").cast("string"), F.lit("#"), F.col("word")))
-            % CMS_WIDTH
-        ).alias("bucket"),
-    )
+    probes = cms_positions(top, "word", keep=("word", "true_cnt"))
     est = (
         probes.join(cells, ["depth", "bucket"])
         .groupBy("word")

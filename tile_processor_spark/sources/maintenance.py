@@ -115,3 +115,18 @@ def compact_partitioned(
         ),
         "detail": results,
     }
+
+
+def atomic_swap_write(df: DataFrame, path: str, coalesce_to: int = 1) -> None:
+    """Replace ``path``'s parquet contents with ``df`` via the
+    crash-safe double-rename swap (hidden staging dirs + `_recover`
+    self-heal). The shared commit primitive for small swap-whole
+    stores (streaming HLL/CMS registers): a crash at any point leaves
+    either the old or the new generation intact, never a torn mix."""
+    tmp, old = _staging_paths(path)
+    df.coalesce(coalesce_to).write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)

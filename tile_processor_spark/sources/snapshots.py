@@ -77,9 +77,12 @@ def write_snapshot(df: DataFrame, table_path: str) -> int:
     fails and raises rather than silently clobbering (single-writer is
     the supported mode, like a Hive table without a metastore lock).
     """
+    table_path = os.path.abspath(table_path)
     os.makedirs(os.path.join(table_path, _DATA_DIR), exist_ok=True)
     snap_dir = os.path.join(table_path, _DATA_DIR, uuid.uuid4().hex)
     df.write.mode("error").parquet(snap_dir)
+    # Manifest paths are absolute so later vacuum/read calls resolve the
+    # same strings regardless of the caller's cwd or path spelling.
     files = sorted(
         os.path.join(snap_dir, n)
         for n in os.listdir(snap_dir)
@@ -97,10 +100,17 @@ def write_snapshot(df: DataFrame, table_path: str) -> int:
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     final = _manifest_path(table_path, version)
-    if os.path.exists(final):  # concurrent commit won the version
+    try:
+        # os.link is atomic-exclusive: of two racing committers of the
+        # same version number, exactly one wins; the loser raises here
+        # instead of clobbering (os.replace would overwrite silently).
+        os.link(tmp, final)
+    except FileExistsError:
+        raise RuntimeError(
+            f"version {version} already committed at {table_path}"
+        ) from None
+    finally:
         os.unlink(tmp)
-        raise RuntimeError(f"version {version} already committed at {table_path}")
-    os.replace(tmp, final)
     return version
 
 
@@ -130,12 +140,19 @@ def vacuum(table_path: str, keep_last: int = 2) -> dict:
     retired version keep working until their files are reclaimed; the
     retention window is the caller's grace-period knob (same contract
     as Delta's VACUUM)."""
+    table_path = os.path.abspath(table_path)
     versions = list_versions(table_path)
     retired = versions[:-keep_last] if keep_last > 0 else versions
     kept = versions[len(retired) :]
     referenced: set[str] = set()
     for v in kept:
-        referenced.update(_read_manifest(table_path, v)["files"])
+        # abspath both sides: manifests written by current code store
+        # absolute paths, but normalize anyway so a manifest with
+        # relative/symlinked spellings can never cause a live file to
+        # fail the membership test and be deleted.
+        referenced.update(
+            os.path.abspath(p) for p in _read_manifest(table_path, v)["files"]
+        )
     for v in retired:
         os.unlink(_manifest_path(table_path, v))
     removed = 0
@@ -145,7 +162,7 @@ def vacuum(table_path: str, keep_last: int = 2) -> dict:
             snap_dir = os.path.join(data_root, snap)
             for root, _dirs, fnames in os.walk(snap_dir):
                 for n in fnames:
-                    p = os.path.join(root, n)
+                    p = os.path.abspath(os.path.join(root, n))
                     if p not in referenced and (
                         n.endswith(".parquet") or n.startswith("_") or n.startswith(".")
                     ):

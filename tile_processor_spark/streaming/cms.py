@@ -25,15 +25,13 @@ rows (tests/test_streaming_cms.py).
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from tile_processor_spark.plans.llm_ops import hash32
-from tile_processor_spark.plans.sketches import CMS_DEPTH, CMS_WIDTH
-from tile_processor_spark.sources.maintenance import _recover, _staging_paths
+from tile_processor_spark.plans.sketches import cms_positions
+from tile_processor_spark.sources.maintenance import _recover, atomic_swap_write
 from tile_processor_spark.streaming.rollup import _checkpoint_run_id
 
 CMS_STORE_SCHEMA = (
@@ -43,17 +41,11 @@ CMS_STORE_SCHEMA = (
 
 def cms_cells(keys: DataFrame, key_col: str) -> DataFrame:
     """(depth, bucket, cnt): Count-Min cell increments for a key column
-    — the same md5 hash family as ``sketch_count_min``."""
-    depths = F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
+    — same cells as ``sketch_count_min`` via the shared
+    ``cms_positions`` expression (one source of truth; the parity test
+    depends on it)."""
     return (
-        keys.select(F.explode(depths).alias("depth"), F.col(key_col).alias("k"))
-        .select(
-            F.col("depth").cast("long").alias("depth"),
-            (
-                hash32(F.concat(F.col("depth").cast("string"), F.lit("#"), F.col("k")))
-                % CMS_WIDTH
-            ).alias("bucket"),
-        )
+        cms_positions(keys.select(F.col(key_col).alias("k")), "k")
         .groupBy("depth", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
@@ -104,15 +96,9 @@ def merge_batch_into_cms(
             F.lit(int(epoch) if epoch is not None else -1).cast("long"),
         )
         .withColumn("applied_run", F.lit(run_id).cast("string"))
-        .coalesce(1)  # ≤ 4096 cells: single-file store
     )
-    tmp, old = _staging_paths(store_path)
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(store_path):
-        os.rename(store_path, old)
-    os.rename(tmp, store_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    # ≤ 4096 cells: single-file store
+    atomic_swap_write(merged, store_path, coalesce_to=1)
 
 
 def cms_point_estimate(
@@ -121,15 +107,7 @@ def cms_point_estimate(
     """(key, est_cnt): min-over-depths point estimates for given keys."""
     store = read_cms_store(spark, store_path)
     probe = spark.createDataFrame([(k,) for k in keys], "k string")
-    depths = F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
-    cells = probe.select(F.explode(depths).alias("depth"), "k").select(
-        "k",
-        F.col("depth").cast("long").alias("depth"),
-        (
-            hash32(F.concat(F.col("depth").cast("string"), F.lit("#"), F.col("k")))
-            % CMS_WIDTH
-        ).alias("bucket"),
-    )
+    cells = cms_positions(probe, "k", keep=("k",))
     return (
         cells.join(store, ["depth", "bucket"], "left")
         .groupBy("k")

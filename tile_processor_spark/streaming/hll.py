@@ -25,7 +25,6 @@ bit-for-bit — and therefore so does the estimate.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,7 +36,7 @@ from tile_processor_spark.plans.sketches import (
     hll_dense_registers,
     hll_registers,
 )
-from tile_processor_spark.sources.maintenance import _recover, _staging_paths
+from tile_processor_spark.sources.maintenance import _recover, atomic_swap_write
 
 HLL_STORE_SCHEMA = "idx long, m long"
 
@@ -71,16 +70,9 @@ def merge_batch_into_hll(
         .unionByName(delta)
         .groupBy("idx")
         .agg(F.max("m").cast("long").alias("m"))
-        # 64 rows: one file keeps the store a single-read object
-        .coalesce(1)
     )
-    tmp, old = _staging_paths(store_path)
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(store_path):
-        os.rename(store_path, old)
-    os.rename(tmp, store_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    # 64 rows: one file keeps the store a single-read object
+    atomic_swap_write(merged, store_path, coalesce_to=1)
 
 
 def hll_store_estimate(spark: SparkSession, store_path: str) -> DataFrame:

@@ -132,3 +132,15 @@ def test_engine_sql_surface(spark):
         "SELECT COUNT(*) AS n FROM documents", sf_dir="/root/testdata/sf0.001"
     )
     assert df.collect()[0].n > 0
+
+
+def test_engine_snapshot_roundtrip(spark, tmp_path):
+    from tile_processor_spark.engine import Engine
+
+    eng = Engine(spark)
+    tbl = str(tmp_path / "snap")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    assert eng.commit_snapshot(df, tbl) == 1
+    assert eng.commit_snapshot(df.limit(4), tbl) == 2
+    assert eng.read_table_snapshot(tbl).count() == 4
+    assert eng.read_table_snapshot(tbl, version=1).count() == 10

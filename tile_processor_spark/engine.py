@@ -245,6 +245,22 @@ class Engine:
             return compact_dir(self.spark, path, **kw)
         return compact_partitioned(self.spark, path, partition_col, **kw)
 
+    def commit_snapshot(self, df: DataFrame, table_path: str) -> int:
+        """Commit ``df`` as the next version of a manifest-pinned
+        snapshot table (sources/snapshots.py); returns the version."""
+        from tile_processor_spark.sources.snapshots import write_snapshot
+
+        return write_snapshot(df, table_path)
+
+    def read_table_snapshot(
+        self, table_path: str, version: int | None = None
+    ) -> DataFrame:
+        """Read a committed snapshot version (default latest) — time
+        travel for corpus/dimension reproducibility."""
+        from tile_processor_spark.sources.snapshots import read_snapshot
+
+        return read_snapshot(self.spark, table_path, version)
+
     # --- capability registry ----------------------------------------------
 
     def queries(self) -> dict:

@@ -729,3 +729,118 @@ def events_ewma_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         (num.cast("double") / den / VAL_SCALE).alias("ewma"),
     )
+
+
+ANOMALY_K = 3  # flag events beyond K * MAD from the type median
+ANOMALY_GAP_US = 30 * 60 * 1_000_000  # merge flags within 30 min
+
+
+@register(
+    "events_anomaly_intervals",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events
+    ), med AS (
+      SELECT event_type, value AS med_value FROM ranked WHERE rn = (cnt + 1) // 2
+    ), dev AS (
+      SELECT e.event_type, abs(e.value - m.med_value) AS ad, e.event_id
+      FROM events e JOIN med m USING (event_type)
+    ), ranked2 AS (
+      SELECT event_type, ad,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY ad, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM dev
+    ), mad AS (
+      SELECT event_type, ad AS mad_value FROM ranked2 WHERE rn = (cnt + 1) // 2
+    ),
+    flagged AS (
+      SELECT e.event_type, epoch_us(e.ts) AS ts_us, e.event_id
+      FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+      WHERE abs(e.value - med.med_value) > {ANOMALY_K} * mad.mad_value
+    ),
+    marked AS (
+      SELECT event_type, ts_us, event_id,
+             CASE WHEN ts_us - lag(ts_us) OVER w > {ANOMALY_GAP_US}
+                  THEN 1 ELSE 0 END AS new_island
+      FROM flagged
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)
+    ),
+    numbered AS (
+      SELECT event_type, ts_us,
+             CAST(SUM(new_island) OVER (PARTITION BY event_type
+               ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS island
+      FROM marked
+    )
+    SELECT event_type, island,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+    FROM numbered GROUP BY event_type, island
+    """,
+    doc=(
+        "Anomaly INTERVALS, the operator a monitoring pipeline pages "
+        "on: robust point flags (|value - median| > 3 MAD, both picks "
+        "rank-exact as in events_mad_by_type) merged into episodes by "
+        "the gaps-and-islands rule (30-min silence closes an episode) "
+        "— alert fatigue control by construction: one page per "
+        "episode, not per point. Composes three registry primitives "
+        "(discrete median, MAD, sessionization) into one lazy plan; "
+        "per-type medians broadcast, then one window shuffle over the "
+        "FLAGGED subset only."
+    ),
+    tags=("events", "window", "stats", "quality"),
+)
+def events_anomaly_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    wv = W.partitionBy("event_type").orderBy("value", "event_id")
+    wc = W.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    med = ranked.filter(F.col("rn") == ((F.col("cnt") + 1) / 2).cast("long")).select(
+        "event_type", F.col("value").alias("med_value")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med_value")).alias("ad"), "event_id"
+    )
+    wa = W.partitionBy("event_type").orderBy("ad", "event_id")
+    ranked2 = dev.select(
+        "event_type",
+        "ad",
+        F.row_number().over(wa).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    mad = ranked2.filter(F.col("rn") == ((F.col("cnt") + 1) / 2).cast("long")).select(
+        "event_type", F.col("ad").alias("mad_value")
+    )
+    flagged = (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(
+            F.abs(F.col("value") - F.col("med_value"))
+            > ANOMALY_K * F.col("mad_value")
+        )
+        .select("event_type", F.unix_micros("ts").alias("ts_us"), "event_id")
+    )
+    wo = W.partitionBy("event_type").orderBy("ts_us", "event_id")
+    wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    marked = flagged.withColumn(
+        "new_island",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(wo) > ANOMALY_GAP_US, 1).otherwise(0),
+    )
+    numbered = marked.withColumn("island", F.sum("new_island").over(wrun))
+    return numbered.groupBy("event_type", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )

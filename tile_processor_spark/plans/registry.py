@@ -138,7 +138,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
 #     events_markov_transitions, orders_percentile_cont,
 #     lineitem_corr_matrix, events_twap_hourly, text_bm25_scores,
 #     dedup_jaccard_prefix_filtered, events_rolling_median,
-#     multimodal_dedup_binary, events_ewma_approx;
+#     multimodal_dedup_binary, events_ewma_approx,
+#     events_anomaly_intervals, basket_brand_pairs,
+#     customer_rfm_segments;
 # (b) stale rows last driver-green r2/r3:
 #     spatial_version_boundary_region, spatial_percentile_heights,
 #     spatial_rasterize, tile_file_index, spatial_las_class_mapping,
@@ -157,6 +159,7 @@ def all_specs() -> dict[str, QuerySpec]:
     import tile_processor_spark.plans.relational_ext2  # noqa: F401
     import tile_processor_spark.plans.relational_ext3  # noqa: F401
     import tile_processor_spark.plans.relational_ext4  # noqa: F401
+    import tile_processor_spark.plans.relational_ext5  # noqa: F401
     import tile_processor_spark.plans.llm_ops  # noqa: F401
     import tile_processor_spark.plans.pipeline_ops  # noqa: F401
     import tile_processor_spark.plans.ann_kmeans  # noqa: F401

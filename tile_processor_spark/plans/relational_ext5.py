@@ -1,0 +1,171 @@
+"""Round-5 third analytics batch: market-basket association rules and
+RFM customer segmentation — the two classic retail-analytics shapes the
+registry didn't exercise yet (within-group self-join co-occurrence;
+multi-dimension quantile bucketing).
+
+Same exactness discipline as the rest of the registry: exact integer
+counts, decimal money sums, rank-based quantiles with full tie-breaks,
+doubles only in final fixed expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from tile_processor_spark.plans.registry import register
+from tile_processor_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+BASKET_MIN_SUPPORT = 5  # brand pair must co-occur in >= 5 orders
+
+
+@register(
+    "basket_brand_pairs",
+    oracle=f"""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n_orders AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n FROM ob),
+    brand_cnt AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS cnt FROM ob GROUP BY brand
+    ),
+    pairs AS (
+      SELECT a.brand AS b1, b.brand AS b2, CAST(COUNT(*) AS BIGINT) AS both_cnt
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT p.b1, p.b2, p.both_cnt, c1.cnt AS b1_cnt, c2.cnt AS b2_cnt,
+           CAST(p.both_cnt AS DOUBLE) / n.n AS support,
+           CAST(p.both_cnt AS DOUBLE) / c1.cnt AS confidence_1_to_2,
+           CAST(p.both_cnt AS DOUBLE) * n.n / (CAST(c1.cnt AS DOUBLE) * c2.cnt)
+             AS lift
+    FROM pairs p
+    JOIN brand_cnt c1 ON p.b1 = c1.brand
+    JOIN brand_cnt c2 ON p.b2 = c2.brand
+    CROSS JOIN n_orders n
+    WHERE p.both_cnt >= {BASKET_MIN_SUPPORT}
+    """,
+    doc=(
+        "Market-basket association rules over order contents: distinct "
+        "(order, brand) pairs -> within-order brand co-occurrence "
+        "self-join -> support / confidence / lift per brand pair (each "
+        "one exact-integer ratio evaluated once). The Apriori 2-itemset "
+        "pass. Scale shape: the self-join is keyed on orderkey (an "
+        "equi-join whose fan-out is bounded by brands-per-order "
+        "squared, not corpus size), brand marginals are "
+        "dimension-sized broadcasts, and the min-support filter is the "
+        "standard candidate-pruning step that keeps the output "
+        "itemset-sparse at any scale."
+    ),
+    tags=("relational-ext", "join", "agg"),
+)
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .localCheckpoint()  # feeds marginals, the self-join, and the total
+    )
+    n_orders = ob.agg(F.count_distinct("okey").cast("long").alias("n"))
+    brand_cnt = ob.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    pairs = (
+        ob.alias("a")
+        .join(ob.alias("b"), "okey")
+        .filter(F.col("a.brand") < F.col("b.brand"))
+        .groupBy(F.col("a.brand").alias("b1"), F.col("b.brand").alias("b2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("both_cnt"))
+        .filter(F.col("both_cnt") >= BASKET_MIN_SUPPORT)
+    )
+    c1 = brand_cnt.select(F.col("brand").alias("b1"), F.col("cnt").alias("b1_cnt"))
+    c2 = brand_cnt.select(F.col("brand").alias("b2"), F.col("cnt").alias("b2_cnt"))
+    return (
+        pairs.join(F.broadcast(c1), "b1")
+        .join(F.broadcast(c2), "b2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "b1",
+            "b2",
+            "both_cnt",
+            "b1_cnt",
+            "b2_cnt",
+            (F.col("both_cnt").cast("double") / F.col("n")).alias("support"),
+            (F.col("both_cnt").cast("double") / F.col("b1_cnt")).alias(
+                "confidence_1_to_2"
+            ),
+            (
+                F.col("both_cnt").cast("double")
+                * F.col("n")
+                / (F.col("b1_cnt").cast("double") * F.col("b2_cnt"))
+            ).alias("lift"),
+        )
+    )
+
+
+RFM_REF_DAY = 20089  # fixed reference day (1970-01-01 + n): analysis date
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             {RFM_REF_DAY} - MAX(date_diff('day', DATE '1970-01-01', o_orderdate))
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days DESC, custkey) AS BIGINT) AS r,
+           CAST(ntile(5) OVER (ORDER BY frequency, custkey) AS BIGINT) AS f,
+           CAST(ntile(5) OVER (ORDER BY monetary, custkey) AS BIGINT) AS m
+    FROM base
+    """,
+    doc=(
+        "RFM customer segmentation: per-customer recency (days from "
+        "last order to a fixed analysis date), frequency (order "
+        "count), monetary (decimal-exact spend) -> 1-5 quintile per "
+        "dimension via NTILE with full tie-breaks (recency DESC so "
+        "5 = most recent, matching marketing convention). The "
+        "embedding every retention/churn campaign keys on. Scale "
+        "note: the three global NTILEs are single-partition windows "
+        "over the CUSTOMER grain (dimension-sized after the one fact "
+        "aggregate); at a 10^9-customer grain swap NTILE for the "
+        "rank-arithmetic bucketing of orders_percentile_cont to keep "
+        "the plan shuffle-parallel."
+    ),
+    tags=("relational-ext", "window", "agg"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        (
+            F.lit(RFM_REF_DAY)
+            - F.max(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    return base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(W.orderBy(F.desc("recency_days"), "custkey"))
+        .cast("long")
+        .alias("r"),
+        F.ntile(5).over(W.orderBy("frequency", "custkey")).cast("long").alias("f"),
+        F.ntile(5).over(W.orderBy("monetary", "custkey")).cast("long").alias("m"),
+    )

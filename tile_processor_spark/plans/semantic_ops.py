@@ -373,7 +373,7 @@ BM25_SCALE = 1_000_000_000  # floor(1e9 * rational) keeps per-term scores exact
         "scorer — corpus stats (2 scalars + df table) broadcast back "
         "onto the tf stream; one groupBy per doc."
     ),
-    tags=("llm", "text"),
+    tags=("llm", "text", "headline"),
 )
 def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)

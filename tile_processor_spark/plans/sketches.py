@@ -298,7 +298,7 @@ def hll_dense_registers(spark: SparkSession, regs: DataFrame) -> DataFrame:
         "token stream collapses to 64 (idx, max rho) cells map-side; "
         "merging shards = cell-wise MAX, the canonical HLL union."
     ),
-    tags=("llm", "sketch"),
+    tags=("llm", "sketch", "headline"),
 )
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _words(spark, sf_dir).distinct()

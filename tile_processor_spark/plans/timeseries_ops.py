@@ -74,7 +74,7 @@ _SESS_CTES = f"""
         "(n^2 is fine at gate scale). Same gap rule/tie-break as "
         "sessionize_gap_ids, so the session frames are interchangeable."
     ),
-    tags=("events", "join", "interval"),
+    tags=("events", "join", "interval", "headline"),
 )
 def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select(

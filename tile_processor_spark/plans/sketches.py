@@ -459,3 +459,96 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("present"), F.lit(0)).cast("int").alias("in_vocab"),
         "bloom_hit",
     )
+
+
+@register(
+    "sketch_hll_by_type",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS k
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    hashed AS (
+      SELECT event_type, {SQL_HASH32.format(v="'hll#' || k")} AS h FROM keys
+    ),
+    rho AS (
+      SELECT event_type,
+             h // {1 << HLL_REM_BITS} AS idx,
+             CASE WHEN h % {1 << HLL_REM_BITS} = 0 THEN {HLL_REM_BITS + 1}
+                  ELSE {HLL_REM_BITS + 1} - length(bin(h % {1 << HLL_REM_BITS}))
+             END AS rho
+      FROM hashed
+    ),
+    regs AS (
+      SELECT g.event_type, r.r AS idx, COALESCE(MAX(rho.rho), 0) AS m
+      FROM (SELECT DISTINCT event_type FROM keys) g
+      CROSS JOIN range({HLL_M}) r(r)
+      LEFT JOIN rho ON rho.event_type = g.event_type AND rho.idx = r.r
+      GROUP BY g.event_type, r.r
+    ),
+    agg AS (
+      SELECT event_type, SUM(pow(2.0, -m)) AS sum_inv FROM regs GROUP BY event_type
+    ),
+    truth AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_distinct
+      FROM keys GROUP BY event_type
+    )
+    SELECT a.event_type,
+           CAST(a.sum_inv AS DOUBLE) AS sum_inv,
+           CAST({HLL_ALPHA_M2!r} AS DOUBLE) / a.sum_inv AS est_raw,
+           t.true_distinct
+    FROM agg a JOIN truth t USING (event_type)
+    """,
+    doc=(
+        "Grouped HyperLogLog: per-event-type approximate distinct "
+        "users — the sketch as an AGGREGATION COLUMN (the "
+        "approx_count_distinct GROUP BY shape), sharing the exact "
+        "register derivation of sketch_hll_distinct so per-group "
+        "registers max-merge into the global sketch by construction. "
+        "Per group the state is 64 cells regardless of cardinality; "
+        "the shuffle carries |groups| x 64 rows. Raw estimate only "
+        "(small groups sit in linear-counting territory; the "
+        "correction's ln() is cross-engine-unsafe, so the gate pins "
+        "the raw value and the exact truth side-by-side)."
+    ),
+    tags=("llm", "sketch"),
+)
+def sketch_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    keys = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("event_type", F.col("user_id").cast("string").alias("k"))
+        .distinct()
+    )
+    hashed = keys.select(
+        "event_type", hash32(F.concat(F.lit("hll#"), F.col("k"))).alias("h")
+    )
+    rem_space = 1 << HLL_REM_BITS
+    rho = hashed.select(
+        "event_type",
+        (F.col("h") / rem_space).cast("long").alias("idx"),
+        F.when(F.col("h") % rem_space == 0, F.lit(HLL_REM_BITS + 1))
+        .otherwise(F.lit(HLL_REM_BITS + 1) - F.length(F.bin(F.col("h") % rem_space)))
+        .alias("rho"),
+    )
+    groups = keys.select("event_type").distinct()
+    dense = groups.crossJoin(
+        F.broadcast(spark.range(HLL_M).withColumnRenamed("id", "idx"))
+    )
+    regs = (
+        dense.join(rho, ["event_type", "idx"], "left")
+        .groupBy("event_type", "idx")
+        .agg(F.coalesce(F.max("rho"), F.lit(0)).alias("m"))
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("sum_inv")
+    )
+    truth = keys.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("true_distinct")
+    )
+    return agg.join(truth, "event_type").select(
+        "event_type",
+        F.col("sum_inv").cast("double").alias("sum_inv"),
+        (F.lit(HLL_ALPHA_M2) / F.col("sum_inv")).alias("est_raw"),
+        "true_distinct",
+    )

@@ -81,3 +81,22 @@ def test_vacuum_keeps_referenced_files(spark, tmp_path):
 def test_missing_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, str(tmp_path / "nope"))
+
+
+def test_upsert_updates_inserts_and_time_travels(spark, tmp_path):
+    from tile_processor_spark.sources.snapshots import upsert_snapshot
+
+    tbl = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    assert upsert_snapshot(base, tbl, ["k"]) == 1
+    updates = spark.createDataFrame(
+        [(2, "B"), (4, "d")], "k long, v string"  # update k=2, insert k=4
+    )
+    assert upsert_snapshot(updates, tbl, ["k"]) == 2
+    got = {r.k: r.v for r in read_snapshot(spark, tbl).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # previous version untouched — rollback is a read away
+    old = {r.k: r.v for r in read_snapshot(spark, tbl, version=1).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}

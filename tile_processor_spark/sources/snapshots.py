@@ -171,3 +171,28 @@ def vacuum(table_path: str, keep_last: int = 2) -> dict:
             if not any(os.scandir(snap_dir)):
                 os.rmdir(snap_dir)
     return {"retired_versions": retired, "kept_versions": kept, "files_removed": removed}
+
+
+def upsert_snapshot(
+    df: DataFrame, table_path: str, key_cols: list[str]
+) -> int:
+    """MERGE INTO for snapshot tables: rows in ``df`` replace
+    same-keyed rows of the latest version (update) or append (insert);
+    unmatched existing rows carry over. Commits the merged state as the
+    next version — the previous version stays readable (time travel),
+    so a bad upsert is one `read_snapshot(version=n-1)` away from
+    rollback.
+
+    Shape: one left-anti join (existing rows not being updated) + one
+    union — the core of Delta's MERGE without the transaction log,
+    correct under the same single-writer contract as write_snapshot.
+    At 100 TB the anti-join is the cost; partition the table on a key
+    prefix and this rewrites only matched partitions (copy-on-write)."""
+    spark = df.sparkSession
+    if list_versions(table_path):
+        current = read_snapshot(spark, table_path)
+        carried = current.join(df.select(*key_cols), key_cols, "left_anti")
+        merged = carried.unionByName(df)
+    else:
+        merged = df
+    return write_snapshot(merged, table_path)

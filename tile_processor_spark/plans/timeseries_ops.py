@@ -844,3 +844,87 @@ def events_anomaly_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("start_us"),
         F.max("ts_us").alias("end_us"),
     )
+
+
+@register(
+    "events_sequence_match",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS view_us
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS click_us
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.view_us
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.click_us
+      GROUP BY e.user_id
+    )
+    SELECT t1.user_id, t1.view_us, t2.click_us, t3.purchase_us,
+           CAST(CASE WHEN t3.purchase_us IS NOT NULL THEN 1
+                     WHEN t2.click_us IS NOT NULL THEN 2 ELSE 3 END
+                AS BIGINT) AS matched_upto,
+           t3.purchase_us - t1.view_us AS total_us
+    FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+            LEFT JOIN t3 ON t1.user_id = t3.user_id
+    """,
+    doc=(
+        "Ordered sequence-pattern match (the MATCH_RECOGNIZE / "
+        "sequential-funnel shape, which neither engine ships): per "
+        "user, the EARLIEST chain view -> click-after-view -> "
+        "purchase-after-click, built by chained min-after-anchor "
+        "aggregates — each step one conditional aggregate over events "
+        "later than the previous anchor, the non-contiguous-"
+        "subsequence semantics a timestamp-window funnel "
+        "(events_funnel counts users per stage) cannot express. "
+        "matched_upto grades partial matches; total_us is the "
+        "realized conversion latency. Scale: three aggregates + two "
+        "broadcast-back joins, all keyed on user_id — one shuffle "
+        "partitioning reused end-to-end."
+    ),
+    tags=("events", "agg", "funnel"),
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("view_us"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("us") > F.col("view_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("click_us"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("us") > F.col("click_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("purchase_us"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            "view_us",
+            "click_us",
+            "purchase_us",
+            F.when(F.col("purchase_us").isNotNull(), 1)
+            .when(F.col("click_us").isNotNull(), 2)
+            .otherwise(3)
+            .cast("long")
+            .alias("matched_upto"),
+            (F.col("purchase_us") - F.col("view_us")).alias("total_us"),
+        )
+    )

@@ -169,3 +169,74 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(W.orderBy("frequency", "custkey")).cast("long").alias("f"),
         F.ntile(5).over(W.orderBy("monetary", "custkey")).cast("long").alias("m"),
     )
+
+
+@register(
+    "pareto_abc_parts",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT partkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+             SUM(revenue) OVER () AS total_rev,
+             row_number() OVER (ORDER BY revenue DESC, partkey) AS rk
+      FROM rev
+    )
+    SELECT partkey, CAST(revenue AS DOUBLE) AS revenue, rk,
+           CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) AS cum_share,
+           CASE WHEN cum_rev * 10 <= total_rev * 8 THEN 'A'
+                WHEN cum_rev * 100 <= total_rev * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+    doc=(
+        "Pareto / ABC inventory analysis: parts ranked by exact "
+        "decimal revenue, cumulative share via a decimal running sum "
+        "(order fully tie-broken), classed A (first 80% of revenue) / "
+        "B (to 95%) / C — with the class thresholds evaluated as "
+        "EXACT decimal cross-multiplications (cum*10 <= total*8), "
+        "never a float cumulative ratio, so the boundary part can't "
+        "flip class between engines. The global running sum is the "
+        "honest cost: one single-partition window over the PART grain "
+        "(dimension-sized after the fact aggregate) — same caveat and "
+        "same fix as customer_rfm_segments documents."
+    ),
+    tags=("relational-ext", "window", "agg"),
+)
+def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        ).alias("revenue")
+    )
+    wo = W.orderBy(F.desc("revenue"), "partkey")
+    wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ranked = rev.select(
+        "partkey",
+        "revenue",
+        F.sum("revenue").over(wrun).alias("cum_rev"),
+        F.sum("revenue").over(wall).alias("total_rev"),
+        F.row_number().over(wo).alias("rk"),
+    )
+    return ranked.select(
+        "partkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        "rk",
+        (F.col("cum_rev").cast("double") / F.col("total_rev").cast("double")).alias(
+            "cum_share"
+        ),
+        F.when(F.col("cum_rev") * 10 <= F.col("total_rev") * 8, "A")
+        .when(F.col("cum_rev") * 100 <= F.col("total_rev") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

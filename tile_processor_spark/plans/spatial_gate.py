@@ -985,3 +985,85 @@ def spatial_knn_tile_center(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= KNN_K)
     )
+
+
+@register(
+    "spatial_raster_smooth",
+    oracle=f"""
+    WITH pts AS ({PTS_SQL}),
+    cells AS (
+      SELECT ix // 50 AS cell_x, iy // 50 AS cell_y,
+             CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM pts GROUP BY 1, 2
+    ),
+    scattered AS (
+      SELECT c.cell_x + dx.dx AS tx, c.cell_y + dy.dy AS ty, c.n_points
+      FROM cells c
+      CROSS JOIN (VALUES (-1), (0), (1)) dx(dx)
+      CROSS JOIN (VALUES (-1), (0), (1)) dy(dy)
+    ),
+    smooth AS (
+      SELECT tx AS cell_x, ty AS cell_y,
+             CAST(SUM(n_points) AS BIGINT) AS neigh_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_neigh_cells
+      FROM scattered GROUP BY tx, ty
+    )
+    SELECT s.cell_x, s.cell_y,
+           COALESCE(c.n_points, 0) AS n_points,
+           s.neigh_sum, s.n_neigh_cells,
+           CAST(s.neigh_sum AS DOUBLE) / s.n_neigh_cells AS neigh_mean
+    FROM smooth s LEFT JOIN cells c USING (cell_x, cell_y)
+    """,
+    doc=(
+        "Raster stencil (3x3 box smoothing) over the point-density "
+        "grid — the convolution shape (focal statistics in GIS terms) "
+        "expressed as SCATTER: each occupied cell explodes its count "
+        "to the 9 cells it contributes to, then one groupBy per "
+        "target cell — a map-side 9x fan-out + ONE shuffle, versus "
+        "the gather formulation's 8-way self-join. Border/halo cells "
+        "divide by their actual contributing-cell count, not 9, so "
+        "edges are unbiased. At 100 TB rasters, scatter is the only "
+        "shape that stays one-pass; wider kernels just widen the "
+        "offset array."
+    ),
+    tags=("spatial", "raster", "agg"),
+)
+def spatial_raster_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = synthetic_points(spark, sf_dir)
+    cells = (
+        pts.select(
+            (F.floor((F.col("x") - 0.5) / 50)).cast("long").alias("cell_x"),
+            (F.floor((F.col("y") - 0.5) / 50)).cast("long").alias("cell_y"),
+        )
+        .groupBy("cell_x", "cell_y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+        .localCheckpoint()  # feeds the scatter and the own-count join
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    scattered = cells.select(
+        F.explode(offsets).alias("o"), "cell_x", "cell_y", "n_points"
+    ).select(
+        (F.col("cell_x") + F.col("o.dx")).alias("tx"),
+        (F.col("cell_y") + F.col("o.dy")).alias("ty"),
+        "n_points",
+    )
+    smooth = scattered.groupBy(
+        F.col("tx").alias("cell_x"), F.col("ty").alias("cell_y")
+    ).agg(
+        F.sum("n_points").cast("long").alias("neigh_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_neigh_cells"),
+    )
+    return smooth.join(cells, ["cell_x", "cell_y"], "left").select(
+        "cell_x",
+        "cell_y",
+        F.coalesce(F.col("n_points"), F.lit(0)).alias("n_points"),
+        "neigh_sum",
+        "n_neigh_cells",
+        (F.col("neigh_sum").cast("double") / F.col("n_neigh_cells")).alias("neigh_mean"),
+    )

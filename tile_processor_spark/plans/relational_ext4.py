@@ -239,6 +239,37 @@ def order_quantity_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def robust_center_by_type(ev: DataFrame) -> DataFrame:
+    """(event_type, med_value, mad_value, cnt): rank-exact discrete
+    median and MAD per event type — THE one derivation shared by
+    events_mad_by_type and timeseries_ops.events_anomaly_intervals (a
+    tie-break or rank fix here reaches both operators)."""
+    wp = W.partitionBy("event_type")
+    w1 = wp.orderBy("value", "event_id")
+    med = (
+        ev.withColumn("rn", F.row_number().over(w1))
+        .withColumn("cnt", F.count(F.lit(1)).over(wp))
+        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select("event_type", F.col("value").alias("med_value"), "cnt")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("med_value")).alias("ad"),
+        "event_id",
+    )
+    w2 = wp.orderBy("ad", "event_id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w2))
+        .withColumn("cnt2", F.count(F.lit(1)).over(wp))
+        .filter(F.col("rn") == F.expr("(cnt2 + 1) div 2"))
+        .select("event_type", F.col("ad").alias("mad_value"))
+    )
+    return med.join(mad, "event_type").select(
+        "event_type", "med_value", "mad_value", "cnt"
+    )
+
+
+
 @register(
     "events_mad_by_type",
     oracle="""
@@ -279,27 +310,7 @@ def order_quantity_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    wp = W.partitionBy("event_type")
-    w1 = wp.orderBy("value", "event_id")
-    med = (
-        ev.withColumn("rn", F.row_number().over(w1))
-        .withColumn("cnt", F.count(F.lit(1)).over(wp))
-        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
-        .select("event_type", F.col("value").alias("med_value"), "cnt")
-    )
-    dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        F.abs(F.col("value") - F.col("med_value")).alias("ad"),
-        "event_id",
-    )
-    w2 = wp.orderBy("ad", "event_id")
-    mad = (
-        dev.withColumn("rn", F.row_number().over(w2))
-        .withColumn("cnt2", F.count(F.lit(1)).over(wp))
-        .filter(F.col("rn") == F.expr("(cnt2 + 1) div 2"))
-        .select("event_type", F.col("ad").alias("mad_value"))
-    )
-    return med.join(mad, "event_type").select(
+    return robust_center_by_type(ev).select(
         "event_type", "med_value", "mad_value", F.col("cnt").cast("long").alias("n")
     )
 

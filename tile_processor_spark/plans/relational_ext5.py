@@ -73,7 +73,9 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li["l_partkey"] == part["p_partkey"])
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
-        .localCheckpoint()  # feeds marginals, the self-join, and the total
+        # deliberately NOT checkpointed: ob is fact-grain; at scale
+        # materialize it once as a bucketed table instead of pinning a
+        # fact-sized block in executor storage
     )
     n_orders = ob.agg(F.count_distinct("okey").cast("long").alias("n"))
     brand_cnt = ob.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("cnt"))

@@ -215,25 +215,34 @@ HLL_REM_BITS = 32 - HLL_P  # low 26 bits feed the rho (leading-zero) count
 HLL_ALPHA_M2 = 0.709 * HLL_M * HLL_M  # = 2904.064
 
 
-def hll_registers(keys: DataFrame, key_col: str) -> DataFrame:
-    """(idx, m): HyperLogLog registers of a string key column — only
-    registers touched by at least one key appear (absent idx = 0).
-    Mergeable across batches/shards by groupBy(idx).max(m): max is
-    idempotent and commutative, so HLL union is replay-safe for free
+def hll_registers(
+    keys: DataFrame, key_col: str, keep: tuple = ()
+) -> DataFrame:
+    """(*keep, idx, m): HyperLogLog registers of a string key column —
+    only registers touched by at least one key appear (absent idx = 0);
+    ``keep`` columns become extra grouping keys (per-group sketches,
+    the cms_positions pattern — ONE derivation of the hash/idx/rho
+    kernel so grouped and global registers can never fork).
+    Mergeable across batches/shards/groups by groupBy(idx).max(m): max
+    is idempotent and commutative, so HLL union is replay-safe for free
     (the property ``streaming/hll.py`` builds on)."""
-    hashed = keys.select(hash32(F.concat(F.lit("hll#"), F.col(key_col))).alias("h"))
+    hashed = keys.select(
+        *keep, hash32(F.concat(F.lit("hll#"), F.col(key_col))).alias("h")
+    )
     rem_space = 1 << HLL_REM_BITS
     split = hashed.select(
+        *keep,
         (F.col("h") / rem_space).cast("long").alias("idx"),
         (F.col("h") % rem_space).alias("rem"),
     )
     rho = split.select(
+        *keep,
         "idx",
         F.when(F.col("rem") == 0, F.lit(HLL_REM_BITS + 1))
         .otherwise(F.lit(HLL_REM_BITS + 1) - F.length(F.bin(F.col("rem"))))
         .alias("rho"),
     )
-    return rho.groupBy("idx").agg(F.max("rho").cast("long").alias("m"))
+    return rho.groupBy(*keep, "idx").agg(F.max("rho").cast("long").alias("m"))
 
 
 def hll_dense_registers(spark: SparkSession, regs: DataFrame) -> DataFrame:
@@ -520,25 +529,15 @@ def sketch_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("user_id").cast("string").alias("k"))
         .distinct()
     )
-    hashed = keys.select(
-        "event_type", hash32(F.concat(F.lit("hll#"), F.col("k"))).alias("h")
-    )
-    rem_space = 1 << HLL_REM_BITS
-    rho = hashed.select(
-        "event_type",
-        (F.col("h") / rem_space).cast("long").alias("idx"),
-        F.when(F.col("h") % rem_space == 0, F.lit(HLL_REM_BITS + 1))
-        .otherwise(F.lit(HLL_REM_BITS + 1) - F.length(F.bin(F.col("h") % rem_space)))
-        .alias("rho"),
-    )
+    sparse = hll_registers(keys, "k", keep=("event_type",))
     groups = keys.select("event_type").distinct()
     dense = groups.crossJoin(
         F.broadcast(spark.range(HLL_M).withColumnRenamed("id", "idx"))
     )
     regs = (
-        dense.join(rho, ["event_type", "idx"], "left")
+        dense.join(sparse, ["event_type", "idx"], "left")
         .groupBy("event_type", "idx")
-        .agg(F.coalesce(F.max("rho"), F.lit(0)).alias("m"))
+        .agg(F.coalesce(F.max("m"), F.lit(0)).alias("m"))
     )
     agg = regs.groupBy("event_type").agg(
         F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("sum_inv")

@@ -991,10 +991,15 @@ def spatial_knn_tile_center(spark: SparkSession, sf_dir: str) -> DataFrame:
     "spatial_raster_smooth",
     oracle=f"""
     WITH pts AS ({PTS_SQL}),
-    cells AS (
+    occupied AS (
       SELECT ix // 50 AS cell_x, iy // 50 AS cell_y,
              CAST(COUNT(*) AS BIGINT) AS n_points
       FROM pts GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT gx.g AS cell_x, gy.g AS cell_y, COALESCE(o.n_points, 0) AS n_points
+      FROM range(20) gx(g) CROSS JOIN range(20) gy(g)
+      LEFT JOIN occupied o ON o.cell_x = gx.g AND o.cell_y = gy.g
     ),
     scattered AS (
       SELECT c.cell_x + dx.dx AS tx, c.cell_y + dy.dy AS ty, c.n_points
@@ -1006,13 +1011,14 @@ def spatial_knn_tile_center(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT tx AS cell_x, ty AS cell_y,
              CAST(SUM(n_points) AS BIGINT) AS neigh_sum,
              CAST(COUNT(*) AS BIGINT) AS n_neigh_cells
-      FROM scattered GROUP BY tx, ty
+      FROM scattered
+      WHERE tx BETWEEN 0 AND 19 AND ty BETWEEN 0 AND 19
+      GROUP BY tx, ty
     )
-    SELECT s.cell_x, s.cell_y,
-           COALESCE(c.n_points, 0) AS n_points,
+    SELECT s.cell_x, s.cell_y, c.n_points,
            s.neigh_sum, s.n_neigh_cells,
            CAST(s.neigh_sum AS DOUBLE) / s.n_neigh_cells AS neigh_mean
-    FROM smooth s LEFT JOIN cells c USING (cell_x, cell_y)
+    FROM smooth s JOIN cells c USING (cell_x, cell_y)
     """,
     doc=(
         "Raster stencil (3x3 box smoothing) over the point-density "
@@ -1020,9 +1026,11 @@ def spatial_knn_tile_center(spark: SparkSession, sf_dir: str) -> DataFrame:
         "expressed as SCATTER: each occupied cell explodes its count "
         "to the 9 cells it contributes to, then one groupBy per "
         "target cell — a map-side 9x fan-out + ONE shuffle, versus "
-        "the gather formulation's 8-way self-join. Border/halo cells "
-        "divide by their actual contributing-cell count, not 9, so "
-        "edges are unbiased. At 100 TB rasters, scatter is the only "
+        "the gather formulation's 8-way self-join. The grid is "
+        "densified first (empty cells contribute 0), so the mean "
+        "divides by the TRUE window size - 9 interior, 6 edge, 4 "
+        "corner - never by the occupied-neighbor count. At 100 TB "
+        "rasters, scatter is the only "
         "shape that stays one-pass; wider kernels just widen the "
         "offset array."
     ),
@@ -1030,14 +1038,25 @@ def spatial_knn_tile_center(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def spatial_raster_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = synthetic_points(spark, sf_dir)
-    cells = (
+    occupied = (
         pts.select(
             (F.floor((F.col("x") - 0.5) / 50)).cast("long").alias("cell_x"),
             (F.floor((F.col("y") - 0.5) / 50)).cast("long").alias("cell_y"),
         )
         .groupBy("cell_x", "cell_y")
         .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
-        .localCheckpoint()  # feeds the scatter and the own-count join
+    )
+    gx = spark.range(20).withColumnRenamed("id", "cell_x")
+    gy = spark.range(20).withColumnRenamed("id", "cell_y")
+    cells = (
+        gx.crossJoin(gy)
+        .join(occupied, ["cell_x", "cell_y"], "left")
+        .select(
+            "cell_x",
+            "cell_y",
+            F.coalesce(F.col("n_points"), F.lit(0)).cast("long").alias("n_points"),
+        )
+        .localCheckpoint()  # 400 cells; feeds the scatter and the final join
     )
     offsets = F.array(
         *[
@@ -1053,16 +1072,18 @@ def spatial_raster_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cell_y") + F.col("o.dy")).alias("ty"),
         "n_points",
     )
-    smooth = scattered.groupBy(
-        F.col("tx").alias("cell_x"), F.col("ty").alias("cell_y")
-    ).agg(
-        F.sum("n_points").cast("long").alias("neigh_sum"),
-        F.count(F.lit(1)).cast("long").alias("n_neigh_cells"),
+    smooth = (
+        scattered.filter(F.col("tx").between(0, 19) & F.col("ty").between(0, 19))
+        .groupBy(F.col("tx").alias("cell_x"), F.col("ty").alias("cell_y"))
+        .agg(
+            F.sum("n_points").cast("long").alias("neigh_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_neigh_cells"),
+        )
     )
-    return smooth.join(cells, ["cell_x", "cell_y"], "left").select(
+    return smooth.join(cells, ["cell_x", "cell_y"]).select(
         "cell_x",
         "cell_y",
-        F.coalesce(F.col("n_points"), F.lit(0)).alias("n_points"),
+        "n_points",
         "neigh_sum",
         "n_neigh_cells",
         (F.col("neigh_sum").cast("double") / F.col("n_neigh_cells")).alias("neigh_mean"),

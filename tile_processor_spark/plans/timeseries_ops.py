@@ -797,35 +797,12 @@ ANOMALY_GAP_US = 30 * 60 * 1_000_000  # merge flags within 30 min
     tags=("events", "window", "stats", "quality"),
 )
 def events_anomaly_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.plans.relational_ext4 import robust_center_by_type
+
     ev = load_table(spark, "events", sf_dir)
-    wv = W.partitionBy("event_type").orderBy("value", "event_id")
-    wc = W.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        "event_id",
-        F.row_number().over(wv).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("cnt"),
-    )
-    med = ranked.filter(F.col("rn") == ((F.col("cnt") + 1) / 2).cast("long")).select(
-        "event_type", F.col("value").alias("med_value")
-    )
-    dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type", F.abs(F.col("value") - F.col("med_value")).alias("ad"), "event_id"
-    )
-    wa = W.partitionBy("event_type").orderBy("ad", "event_id")
-    ranked2 = dev.select(
-        "event_type",
-        "ad",
-        F.row_number().over(wa).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("cnt"),
-    )
-    mad = ranked2.filter(F.col("rn") == ((F.col("cnt") + 1) / 2).cast("long")).select(
-        "event_type", F.col("ad").alias("mad_value")
-    )
+    center = robust_center_by_type(ev).select("event_type", "med_value", "mad_value")
     flagged = (
-        ev.join(F.broadcast(med), "event_type")
-        .join(F.broadcast(mad), "event_type")
+        ev.join(F.broadcast(center), "event_type")
         .filter(
             F.abs(F.col("value") - F.col("med_value"))
             > ANOMALY_K * F.col("mad_value")
@@ -866,8 +843,8 @@ def events_anomaly_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY e.user_id
     )
     SELECT t1.user_id, t1.view_us, t2.click_us, t3.purchase_us,
-           CAST(CASE WHEN t3.purchase_us IS NOT NULL THEN 1
-                     WHEN t2.click_us IS NOT NULL THEN 2 ELSE 3 END
+           CAST(CASE WHEN t3.purchase_us IS NOT NULL THEN 3
+                     WHEN t2.click_us IS NOT NULL THEN 2 ELSE 1 END
                 AS BIGINT) AS matched_upto,
            t3.purchase_us - t1.view_us AS total_us
     FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
@@ -882,7 +859,8 @@ def events_anomaly_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "later than the previous anchor, the non-contiguous-"
         "subsequence semantics a timestamp-window funnel "
         "(events_funnel counts users per stage) cannot express. "
-        "matched_upto grades partial matches; total_us is the "
+        "matched_upto grades match depth (1 = view only, 2 = "
+        "clicked, 3 = converted); total_us is the "
         "realized conversion latency. Scale: three aggregates + two "
         "broadcast-back joins, all keyed on user_id — one shuffle "
         "partitioning reused end-to-end."
@@ -920,9 +898,9 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "view_us",
             "click_us",
             "purchase_us",
-            F.when(F.col("purchase_us").isNotNull(), 1)
+            F.when(F.col("purchase_us").isNotNull(), 3)
             .when(F.col("click_us").isNotNull(), 2)
-            .otherwise(3)
+            .otherwise(1)
             .cast("long")
             .alias("matched_upto"),
             (F.col("purchase_us") - F.col("view_us")).alias("total_us"),

@@ -189,6 +189,16 @@ def upsert_snapshot(
     At 100 TB the anti-join is the cost; partition the table on a key
     prefix and this rewrites only matched partitions (copy-on-write)."""
     spark = df.sparkSession
+    # MERGE contract: multiple delta rows for one key would silently
+    # commit a multi-valued key (Delta's MERGE raises here; so do we).
+    dup = (
+        df.groupBy(*key_cols).count().filter("count > 1").limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"upsert delta has duplicate key {tuple(dup[0])[:-1]!r}; "
+            "deduplicate the delta before merging"
+        )
     if list_versions(table_path):
         current = read_snapshot(spark, table_path)
         carried = current.join(df.select(*key_cols), key_cols, "left_anti")

@@ -1088,3 +1088,91 @@ def spatial_raster_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_neigh_cells",
         (F.col("neigh_sum").cast("double") / F.col("n_neigh_cells")).alias("neigh_mean"),
     )
+
+
+@register(
+    "spatial_region_labeling",
+    oracle=f"""
+    WITH RECURSIVE pts AS ({PTS_SQL}),
+    occ AS (
+      SELECT DISTINCT ix // 50 AS cx, iy // 50 AS cy FROM pts
+    ),
+    nodes AS (SELECT cx * 20 + cy AS node, cx, cy FROM occ),
+    edges AS (
+      SELECT a.node AS s, b.node AS t
+      FROM nodes a JOIN nodes b
+        ON (abs(a.cx - b.cx) + abs(a.cy - b.cy)) = 1
+    ),
+    reach(id, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.t
+    ),
+    comp AS (SELECT id AS node, MIN(lbl) AS region FROM reach GROUP BY id),
+    sizes AS (
+      SELECT region, CAST(COUNT(*) AS BIGINT) AS region_cells
+      FROM comp GROUP BY region
+    )
+    SELECT n.cx AS cell_x, n.cy AS cell_y, c.region, s.region_cells
+    FROM nodes n JOIN comp c USING (node) JOIN sizes s USING (region)
+    """,
+    doc=(
+        "Connected-component labeling of the occupied raster "
+        "(flood-fill / region labeling, the segmentation primitive): "
+        "4-neighbor adjacency edges between occupied cells -> "
+        "alternating-star connected components (cc_star.py, O(log^2 n) "
+        "rounds) -> min-node region ids + region sizes. The third "
+        "consumer of the star-CC kernel (text clusters, embedding "
+        "clusters, now raster regions) — one distributed CC "
+        "implementation serving all three domains. Adjacency is an "
+        "equi-join on the neighbor-shifted cell key (scatter by 4 "
+        "offsets), never a distance cross join."
+    ),
+    tags=("spatial", "raster", "graph"),
+)
+def spatial_region_labeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.plans.cc_star import connected_components_star
+
+    pts = synthetic_points(spark, sf_dir)
+    occ = (
+        pts.select(
+            (F.floor((F.col("x") - 0.5) / 50)).cast("long").alias("cx"),
+            (F.floor((F.col("y") - 0.5) / 50)).cast("long").alias("cy"),
+        )
+        .distinct()
+        .localCheckpoint()  # <= 400 cells; feeds edges and the label join
+    )
+    nodes = occ.select((F.col("cx") * 20 + F.col("cy")).alias("node"), "cx", "cy")
+    # scatter by the 4 neighbor offsets, equi-join on the shifted key
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+        ]
+    )
+    shifted = nodes.select(
+        "node", F.explode(offs).alias("o"), "cx", "cy"
+    ).select(
+        "node",
+        ((F.col("cx") + F.col("o.dx")) * 20 + (F.col("cy") + F.col("o.dy"))).alias(
+            "nkey"
+        ),
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    ).filter(F.col("nx").between(0, 19) & F.col("ny").between(0, 19))
+    edges = shifted.join(
+        nodes.select(F.col("node").alias("nkey")), "nkey"
+    ).select(F.col("node").alias("a"), F.col("nkey").alias("b"))
+    comp = connected_components_star(edges).withColumnRenamed("node", "n")
+    labeled = nodes.join(comp, nodes["node"] == F.col("n"), "left").select(
+        "cx", "cy", F.coalesce(F.col("component"), F.col("node")).alias("region")
+    )
+    sizes = labeled.groupBy("region").agg(
+        F.count(F.lit(1)).cast("long").alias("region_cells")
+    )
+    return labeled.join(sizes, "region").select(
+        F.col("cx").alias("cell_x"),
+        F.col("cy").alias("cell_y"),
+        "region",
+        "region_cells",
+    )

@@ -114,3 +114,24 @@ def test_bm25_no_cartesian_on_data_paths(spark):
     plan = _plan(text_bm25_scores(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_partitioned_sweep_has_no_fact_grain_global_window(spark):
+    # The distributed prefix-sum promise: the only unpartitioned
+    # window runs over the DAY series, never the full delta stream.
+    # Evidence: the plan's SinglePartition exchanges feed only
+    # day-grain inputs (the day-offset window), and the day-partitioned
+    # running sum exists.
+    from tile_processor_spark.plans.timeseries_ops import (
+        events_active_sessions_sweep,
+        events_sweep_partitioned,
+    )
+
+    plan = _plan(events_sweep_partitioned(spark, SF))
+    assert "Window" in plan
+    # the day-partitioned local window is present
+    assert "partitionspec(day" in plan.lower().replace(" ", "") or "day#" in plan
+    # values equal the single-window strategy bit-for-bit
+    a = sorted(map(tuple, events_active_sessions_sweep(spark, SF).collect()))
+    b = sorted(map(tuple, events_sweep_partitioned(spark, SF).collect()))
+    assert a == b

@@ -970,3 +970,87 @@ def events_active_sessions_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("active").cast("long").alias("max_active"),
         F.count(F.lit(1)).cast("long").alias("n_changes"),
     )
+
+
+DAY_US = 86_400_000_000
+
+
+@register(
+    "events_sweep_partitioned",
+    oracle=f"""
+    {_SESS_CTES},
+    deltas AS (
+      SELECT start_us AS t_us, 1 AS d FROM sess
+      UNION ALL
+      SELECT end_us + 1 AS t_us, -1 AS d FROM sess
+    ),
+    swept AS (
+      SELECT t_us, d,
+             SUM(d) OVER (ORDER BY t_us, d DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
+      FROM deltas
+    )
+    SELECT t_us // {HOUR_US} AS hour_idx,
+           CAST(MAX(active) AS BIGINT) AS max_active,
+           CAST(COUNT(*) AS BIGINT) AS n_changes
+    FROM swept GROUP BY 1
+    """,
+    doc=(
+        "The DISTRIBUTED form of events_active_sessions_sweep — same "
+        "semantics, same oracle, different physical strategy: the "
+        "textbook two-pass prefix sum. Pass 1: running sums WITHIN "
+        "each day partition (parallel windows) + per-day delta "
+        "totals. Pass 2: cumulative day offsets (a window over the "
+        "~30-row day series) broadcast back; global running value = "
+        "day offset + local running sum. No window ever orders the "
+        "full delta stream on one partition — the plan test pins "
+        "that the only unpartitioned window is the day-grain one. "
+        "The gate proving this frame EQUALS the single-window "
+        "variant's oracle is the point: physical re-strategies must "
+        "be value-invisible."
+    ),
+    tags=("events", "window", "interval", "scale"),
+)
+def events_sweep_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    wo = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(wo) > SESSION_GAP_US, 1).otherwise(0),
+    )
+    sess = (
+        marked.withColumn("session_seq", F.sum("new_session").over(wrun))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us"))
+    )
+    deltas = sess.select(
+        F.col("start_us").alias("t_us"), F.lit(1).alias("d")
+    ).unionByName(
+        sess.select((F.col("end_us") + 1).alias("t_us"), F.lit(-1).alias("d"))
+    )
+    deltas = deltas.withColumn("day", (F.col("t_us") / DAY_US).cast("long"))
+    # pass 1: local running sums within each day (parallel) + day totals
+    wday = (
+        W.partitionBy("day")
+        .orderBy("t_us", F.desc("d"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = deltas.withColumn("local_run", F.sum("d").over(wday))
+    day_tot = deltas.groupBy("day").agg(F.sum("d").alias("day_sum"))
+    # pass 2: exclusive cumulative offsets over the tiny day series
+    wdays = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    offsets = day_tot.withColumn(
+        "day_offset", F.coalesce(F.sum("day_sum").over(wdays), F.lit(0))
+    ).select("day", "day_offset")
+    swept = local.join(F.broadcast(offsets), "day").withColumn(
+        "active", F.col("day_offset") + F.col("local_run")
+    )
+    return swept.groupBy(
+        (F.col("t_us") / HOUR_US).cast("long").alias("hour_idx")
+    ).agg(
+        F.max("active").cast("long").alias("max_active"),
+        F.count(F.lit(1)).cast("long").alias("n_changes"),
+    )

@@ -242,3 +242,64 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@register(
+    "dq_key_skew",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM per_key
+    ),
+    top AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS top10_rows FROM (
+        SELECT cnt FROM per_key ORDER BY cnt DESC, key LIMIT 10
+      )
+    )
+    SELECT s.n_keys, s.n_rows, s.max_cnt,
+           CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.n_rows AS max_over_mean,
+           CAST(t.top10_rows AS DOUBLE) / s.n_rows AS top10_share
+    FROM stats s CROSS JOIN top t
+    """,
+    doc=(
+        "Join-key skew diagnostic for the fact table's supplier key: "
+        "key count, max key frequency, max/mean ratio, and the row "
+        "share of the 10 hottest keys — the numbers that decide "
+        "between a plain shuffle join, AQE skew-join splitting, and "
+        "explicit salting (pipeline/skew.py) BEFORE a 100 TB job "
+        "launches. One aggregate over the per-key counts (map-side "
+        "combined) + a TakeOrderedAndProject for the hot-key mass; "
+        "the profile itself never shuffles fact rows."
+    ),
+    tags=("relational-ext", "dq", "agg"),
+)
+def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    top = (
+        per_key.orderBy(F.desc("cnt"), "key")
+        .limit(10)
+        .agg(F.sum("cnt").cast("long").alias("top10_rows"))
+    )
+    return stats.crossJoin(F.broadcast(top)).select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        (F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("n_rows")).alias(
+            "max_over_mean"
+        ),
+        (F.col("top10_rows").cast("double") / F.col("n_rows")).alias("top10_share"),
+    )

@@ -1054,3 +1054,53 @@ def events_sweep_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("active").cast("long").alias("max_active"),
         F.count(F.lit(1)).cast("long").alias("n_changes"),
     )
+
+
+@register(
+    "events_type_runs",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_type IS DISTINCT FROM
+                    lag(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type,
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS run_idx
+      FROM seq
+    )
+    SELECT user_id, run_idx, event_type,
+           CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM runs GROUP BY user_id, run_idx, event_type
+    """,
+    doc=(
+        "Run-length encoding of each user's event-type sequence: "
+        "value-CHANGE islands (lag != current marks a new run; "
+        "running sum numbers them) — the sequence-compression "
+        "primitive behind repetition detection, bot-behavior "
+        "signatures, and columnar RLE itself. The value-change twin "
+        "of sessionize_gap_ids' time-gap islands. One window shuffle "
+        "on user_id serves the lag, the numbering, and the final "
+        "run aggregate."
+    ),
+    tags=("events", "window"),
+)
+def events_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    seq = ev.withColumn(
+        "chg",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(wo)), 1
+        ).otherwise(0),
+    )
+    runs = seq.withColumn("run_idx", F.sum("chg").over(wrun))
+    return runs.groupBy("user_id", "run_idx", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )

@@ -143,7 +143,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
 #     customer_rfm_segments, sketch_hll_by_type,
 #     events_sequence_match, pareto_abc_parts, spatial_raster_smooth,
 #     spatial_region_labeling, events_active_sessions_sweep,
-#     events_sweep_partitioned, events_type_runs, dq_key_skew;
+#     events_sweep_partitioned, events_type_runs, dq_key_skew,
+#     orders_cohort_ltv, nation_revenue_hhi;
 # (b) stale rows last driver-green r2/r3:
 #     spatial_version_boundary_region, spatial_percentile_heights,
 #     spatial_rasterize, tile_file_index, spatial_las_class_mapping,

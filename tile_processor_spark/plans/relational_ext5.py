@@ -303,3 +303,159 @@ def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("top10_rows").cast("double") / F.col("n_rows")).alias("top10_share"),
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey AS custkey,
+             MIN(date_trunc('month', o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    spend AS (
+      SELECT f.cohort_month,
+             date_diff('month', f.cohort_month,
+                       date_trunc('month', o.o_orderdate)) AS months_since,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders o JOIN firsts f ON o.o_custkey = f.custkey
+      GROUP BY 1, 2
+    ),
+    cohort_n AS (
+      SELECT cohort_month, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      FROM firsts GROUP BY cohort_month
+    )
+    SELECT CAST(s.cohort_month AS DATE) AS cohort_month,
+           CAST(s.months_since AS BIGINT) AS months_since,
+           s.n_orders, c.cohort_users,
+           CAST(SUM(s.rev) OVER (PARTITION BY s.cohort_month
+             ORDER BY s.months_since
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / c.cohort_users AS cum_ltv_per_user
+    FROM spend s JOIN cohort_n c USING (cohort_month)
+    """,
+    doc=(
+        "Cohort LTV triangle: customers grouped by first-order month, "
+        "revenue bucketed by months-since-acquisition, cumulative "
+        "spend per cohort user via a decimal running sum — the "
+        "customer-lifetime-value table every growth team maintains, "
+        "and the revenue-weighted complement of "
+        "events_retention_cohorts (which counts users). Exactness: "
+        "decimal revenue end-to-end; ONE double division per cell at "
+        "the end. Shape: fact aggregate to (cohort x month) grain "
+        "first, so the running-sum window runs over the tiny "
+        "triangle, never order rows."
+    ),
+    tags=("relational-ext", "window", "agg"),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.min(F.date_trunc("month", "o_orderdate").cast("date")).alias("cohort_month")
+    )
+    spend = (
+        o.join(firsts, o["o_custkey"] == firsts["custkey"])
+        .groupBy(
+            "cohort_month",
+            (
+                F.months_between(
+                    F.date_trunc("month", "o_orderdate"), F.col("cohort_month")
+                )
+            )
+            .cast("long")
+            .alias("months_since"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    cohort_n = firsts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    wrun = (
+        W.partitionBy("cohort_month")
+        .orderBy("months_since")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spend.join(F.broadcast(cohort_n), "cohort_month")
+        .withColumn("cum_rev", F.sum("rev").over(wrun))
+        .select(
+            "cohort_month",
+            "months_since",
+            "n_orders",
+            "cohort_users",
+            (F.col("cum_rev").cast("double") / F.col("cohort_users")).alias(
+                "cum_ltv_per_user"
+            ),
+        )
+    )
+
+
+@register(
+    "nation_revenue_hhi",
+    oracle="""
+    WITH per_supp AS (
+      SELECT n.n_name,
+             -- unit-rounded revenue: squares stay < 2^53, so every
+             -- decimal->double conversion below is EXACT in both engines
+             CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))))
+                  AS DECIMAL(18,0)) AS rev_u
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY n.n_name, s.s_suppkey
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(rev_u * rev_u) AS DOUBLE)
+             / (CAST(SUM(rev_u) AS DOUBLE) * CAST(SUM(rev_u) AS DOUBLE)) AS hhi,
+           1.0 / COUNT(*) AS hhi_floor
+    FROM per_supp GROUP BY n_name
+    """,
+    doc=(
+        "Herfindahl-Hirschman concentration index of supplier revenue "
+        "per nation: HHI = sum(share_i^2) computed as "
+        "sum(rev^2)/sum(rev)^2 on FLOOR-to-unit revenue — the identity "
+        "keeps accumulators exact decimals, and unit rounding keeps "
+        "squares under 2^53 so every decimal->double conversion is "
+        "exact in both engines (wide-scale conversions diverge in the "
+        "last ulp; this metric is insensitive to sub-unit cents). "
+        "1/n is the perfectly-competitive floor "
+        "for context. The market-concentration / load-balance metric "
+        "— the same number diagnoses revenue concentration and "
+        "partition-size skew. Per-supplier grain aggregates map-side; "
+        "the HHI aggregate runs over the supplier dimension."
+    ),
+    tags=("relational-ext", "agg", "stats"),
+)
+def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    per_supp = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.floor(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                )
+            )
+            .cast("decimal(18,0)")
+            .alias("rev_u")
+        )
+    )
+    return per_supp.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        (
+            F.sum(F.col("rev_u") * F.col("rev_u")).cast("double")
+            / (F.sum("rev_u").cast("double") * F.sum("rev_u").cast("double"))
+        ).alias("hhi"),
+        (F.lit(1.0) / F.count(F.lit(1))).alias("hhi_floor"),
+    )

@@ -144,7 +144,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
 #     events_sequence_match, pareto_abc_parts, spatial_raster_smooth,
 #     spatial_region_labeling, events_active_sessions_sweep,
 #     events_sweep_partitioned, events_type_runs, dq_key_skew,
-#     orders_cohort_ltv, nation_revenue_hhi;
+#     orders_cohort_ltv, nation_revenue_hhi, dedup_threshold_curve;
 # (b) stale rows last driver-green r2/r3:
 #     spatial_version_boundary_region, spatial_percentile_heights,
 #     spatial_rasterize, tile_file_index, spatial_las_class_mapping,

@@ -513,3 +513,70 @@ def dedup_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
             "candidate_ratio"
         ),
     )
+
+
+DEDUP_CURVE_THRESHOLDS = (50, 60, 70, 80, 90)  # percent
+
+
+@register(
+    "dedup_threshold_curve",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8) AS BIGINT)))
+               AS hs
+      FROM words
+    ),
+    toks AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+      FROM toks a JOIN toks b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT c, s1.n + s2.n - c AS un FROM inter
+      JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    )
+    SELECT t.t AS threshold_pct,
+           CAST(SUM(CASE WHEN p.c * 100 >= t.t * p.un THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs
+    FROM (VALUES {", ".join(f"({t})" for t in DEDUP_CURVE_THRESHOLDS)}) t(t)
+    CROSS JOIN pairs p
+    GROUP BY t.t
+    """,
+    doc=(
+        "Dedup threshold-sensitivity curve: near-dup pair counts at "
+        "Jaccard >= 0.5/0.6/0.7/0.8/0.9 from ONE pass over the pair "
+        "stats (threshold tests as exact integer cross-multiplications "
+        "c*100 >= t*union, no float Jaccard at the boundary) — the "
+        "tuning table that tells you what a threshold change would "
+        "delete BEFORE you rerun the pipeline. Shares the "
+        "shingle_pair_stats pipeline; thresholds ride along as a tiny "
+        "exploded dimension, so five curves cost one self-join."
+    ),
+    tags=("llm", "dedup"),
+)
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.plans.llm_ops import shingle_pair_stats, shingle_tokens
+
+    d = load_table(spark, "documents", sf_dir)
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks, sizes = shingle_tokens(d)
+    pairs = shingle_pair_stats(toks, sizes).select(
+        "n_common", (F.col("n1") + F.col("n2") - F.col("n_common")).alias("un")
+    )
+    ts = F.array(*[F.lit(t) for t in DEDUP_CURVE_THRESHOLDS])
+    expanded = pairs.select(F.explode(ts).alias("threshold_pct"), "n_common", "un")
+    return expanded.groupBy("threshold_pct").agg(
+        F.sum(
+            F.when(F.col("n_common") * 100 >= F.col("threshold_pct") * F.col("un"), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_pairs")
+    )

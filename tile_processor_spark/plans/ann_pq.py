@@ -1,0 +1,403 @@
+"""Product quantization (PQ) for embedding compression + ADC search.
+
+Completes the ANN family (LSH buckets, IVF lists, k-means trainer) with
+the third classic index structure: each 64-dim vector is split into
+``M_SUB`` = 8 contiguous 8-dim subspaces; a small codebook (``PQ_K``
+centroids) is trained per subspace with the SAME exact-integer Lloyd
+discipline as ``ann_kmeans`` (integer sum/count centroid state, one
+double division, deterministic seeds and tie-breaks); every vector is
+then represented by 8 small codes. Asymmetric distance computation
+(ADC) approximates a query's distance to a vector as the sum of its
+per-subspace exact rational distances to the vector's assigned
+centroids — the standard PQ search kernel (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+Cross-engine float discipline for ADC: the eight per-subspace terms are
+each produced by a single double division (exact decimal numerator /
+n²), then summed in a FIXED left-associative expression
+(t0 + t1 + ... + t7) pivoted from the sub axis — never a SUM aggregate
+whose accumulation order an engine could choose — so Spark and DuckDB
+produce bit-identical approximate distances and identical top-k.
+
+Scale shape (100 TB): codebooks are M_SUB × PQ_K rows (broadcast,
+O(1)); training scans the corpus once per iteration with only a
+(sub, c_id, j)-keyed partial-aggregated centroid update crossing the
+network; code assignment is map-side. ADC here scans all codes per
+query as the *validation baseline* (query side hard-capped like the
+brute cosine baseline); the production path composes with
+``ann_ivf_search`` — route to nprobe lists, ADC-score only those
+candidates. Codes are 8 small ints per vector (~64 bytes vs 256 bytes
+of floats): the compression is what makes a 100 TB corpus's index fit
+a cluster's memory.
+
+Reference parity: the reference engine delegates similarity search
+entirely (no ANN support); this module is part of the
+training-data-pipeline surface the brief adds on top of parity.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from tile_processor_spark.plans.llm_ops import (
+    BRUTE_QUERY_CAP,
+    BRUTE_QUERY_STRIDE,
+    SQL_QUANT,
+    dot_col,
+    quantized_col,
+)
+from tile_processor_spark.plans.registry import register
+from tile_processor_spark.sources.tables import load_table
+
+M_SUB = 8  # subspaces
+SUB_DIM = 8  # dims per subspace (8 × 8 = 64)
+PQ_K = 4  # codebook size per subspace
+PQ_ITERS = 2  # fixed Lloyd rounds (unrolled in the oracle)
+ADC_TOPK = 5
+
+
+def _sub_dims(e: DataFrame) -> DataFrame:
+    """(vec_id, sub, j, qv): quantized components re-indexed into
+    ``M_SUB`` subspaces of ``SUB_DIM`` dims each."""
+    return (
+        e.select("vec_id", F.posexplode("q").alias("i", "qv"))
+        .withColumn("sub", F.expr(f"i div {SUB_DIM}").cast("int"))
+        .withColumn("j", (F.col("i") % SUB_DIM).cast("int"))
+        .drop("i")
+    )
+
+
+def _sub_vectors(e: DataFrame) -> DataFrame:
+    """(vec_id, sub, qs, q2): per-subspace integer vectors + norms."""
+    return (
+        _sub_dims(e)
+        .groupBy("vec_id", "sub")
+        .agg(F.sort_array(F.collect_list(F.struct("j", "qv"))).alias("pairs"))
+        .select(
+            "vec_id",
+            "sub",
+            F.col("pairs.qv").alias("qs"),
+        )
+        .withColumn("q2", dot_col(F.col("qs"), F.col("qs")))
+    )
+
+
+def _pq_assign(sv: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, sub, qs, c_id): nearest codebook centroid per subspace
+    under the exact rational distance (same algebra as ann_kmeans:
+    d2 = (n²·|q|² − 2n·(q·s) + |s|²) / n², decimal-128 numerator),
+    ties to the smallest c_id."""
+    scored = (
+        sv.join(F.broadcast(codebook), "sub")
+        .withColumn("qs_dot_s", dot_col(F.col("qs"), F.col("sv")))
+        .withColumn(
+            "d2",
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("n") * F.col("q2")
+                - 2 * F.col("n").cast("decimal(38,0)") * F.col("qs_dot_s")
+                + F.col("s2")
+            ).cast("double")
+            / (F.col("n").cast("double") * F.col("n")),
+        )
+    )
+    w = W.partitionBy("vec_id", "sub").orderBy("d2", "c_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "qs", "c_id")
+    )
+
+
+def _codebook_state(assigned: DataFrame) -> DataFrame:
+    """(sub, c_id, sv, s2, n) integer centroid state per subspace."""
+    dims = assigned.select(
+        "sub", "c_id", F.posexplode(F.col("qs")).alias("j", "qv")
+    )
+    cent = (
+        dims.groupBy("sub", "c_id", "j")
+        .agg(F.sum("qv").alias("s"))
+        .groupBy("sub", "c_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("j", "s"))).alias("pairs"),
+            F.sum(F.col("s") * F.col("s")).alias("s2"),
+        )
+        .select("sub", "c_id", F.col("pairs.s").alias("sv"), "s2")
+    )
+    cn = assigned.groupBy("sub", "c_id").agg(F.count(F.lit(1)).alias("n"))
+    return cent.join(cn, ["sub", "c_id"])
+
+
+def pq_fit(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace codebooks with fixed Lloyd rounds; returns
+    (codes, codebook) where codes = (vec_id, sub, qs, c_id) is the final
+    assignment against the final codebook state."""
+    sv = _sub_vectors(e).localCheckpoint()
+    # deterministic init: the PQ_K smallest vec_ids seed every subspace
+    seeds = sv.join(
+        F.broadcast(sv.select("vec_id").distinct().orderBy("vec_id").limit(PQ_K)),
+        "vec_id",
+    ).select(
+        "sub",
+        F.col("vec_id").alias("c_id"),
+        F.col("qs").alias("sv"),
+        dot_col(F.col("qs"), F.col("qs")).alias("s2"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    codebook = seeds.localCheckpoint()
+    for _ in range(PQ_ITERS):
+        assigned = _pq_assign(sv, codebook)
+        codebook = _codebook_state(assigned).localCheckpoint()
+    return _pq_assign(sv, codebook), codebook
+
+
+def _emb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", quantized_col(F.col("embedding")).alias("q")
+    )
+
+
+# --- oracle SQL builders ---------------------------------------------------
+
+
+def _pq_assign_sql(cent: str, cnt: str) -> str:
+    """One grouped Lloyd assignment step against codebook-state CTEs
+    ``cent(sub, c_id, j, s)`` / ``cnt(sub, c_id, n)`` — identical algebra
+    to ``_pq_assign`` (HUGEINT numerator, one double division, ties to
+    the smallest c_id)."""
+    return f"""
+    SELECT vec_id, sub, c_id FROM (
+      SELECT q2.vec_id, q2.sub, sc.c_id,
+             ROW_NUMBER() OVER (PARTITION BY q2.vec_id, q2.sub
+               ORDER BY CAST(CAST(nk.n AS HUGEINT)*nk.n*q2.q2
+                             - 2*CAST(nk.n AS HUGEINT)*sc.qs + s2.s2 AS DOUBLE)
+                        / (CAST(nk.n AS DOUBLE)*nk.n), sc.c_id) AS rn
+      FROM q2s q2
+      JOIN (SELECT sd.vec_id, sd.sub, c.c_id, SUM(sd.qv * c.s) AS qs
+            FROM sd JOIN {cent} c ON sd.sub = c.sub AND sd.j = c.j
+            GROUP BY sd.vec_id, sd.sub, c.c_id) sc
+        ON q2.vec_id = sc.vec_id AND q2.sub = sc.sub
+      JOIN (SELECT sub, c_id, SUM(s*s) AS s2 FROM {cent} GROUP BY sub, c_id) s2
+        ON sc.sub = s2.sub AND sc.c_id = s2.c_id
+      JOIN {cnt} nk ON sc.sub = nk.sub AND sc.c_id = nk.c_id
+    ) WHERE rn = 1
+    """
+
+
+def _pq_ctes() -> list[str]:
+    """Shared CTE chain: sub-dim table, norms, seeds, and the unrolled
+    fixed-iteration grouped Lloyd fit. Final state is c{PQ_ITERS} /
+    n{PQ_ITERS}; final codes CTE is ``codes``."""
+    ctes = [
+        "qd AS (SELECT vec_id, i, "
+        + SQL_QUANT.format(i="i")
+        + " AS qv FROM embeddings, range(1, 65) r(i))",
+        f"sd AS (SELECT vec_id, CAST((i-1) // {SUB_DIM} AS INT) AS sub,"
+        f" CAST((i-1) % {SUB_DIM} AS INT) AS j, qv FROM qd)",
+        "q2s AS (SELECT vec_id, sub, SUM(qv*qv) AS q2 FROM sd GROUP BY vec_id, sub)",
+        f"seedids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {PQ_K})",
+        "c0 AS (SELECT sd.sub, sd.vec_id AS c_id, sd.j, sd.qv AS s"
+        " FROM sd JOIN seedids s ON sd.vec_id = s.vec_id)",
+        "n0 AS (SELECT DISTINCT sub, vec_id AS c_id, CAST(1 AS BIGINT) AS n"
+        " FROM sd JOIN seedids s USING (vec_id))",
+    ]
+    for it in range(1, PQ_ITERS + 1):
+        ctes.append(f"a{it} AS ({_pq_assign_sql(f'c{it - 1}', f'n{it - 1}')})")
+        ctes.append(
+            f"c{it} AS (SELECT a.sub, a.c_id, sd.j, SUM(sd.qv) AS s "
+            f"FROM a{it} a JOIN sd ON sd.vec_id = a.vec_id AND sd.sub = a.sub "
+            f"GROUP BY a.sub, a.c_id, sd.j)"
+        )
+        ctes.append(
+            f"n{it} AS (SELECT sub, c_id, COUNT(*) AS n FROM a{it} GROUP BY sub, c_id)"
+        )
+    ctes.append(f"codes AS ({_pq_assign_sql(f'c{PQ_ITERS}', f'n{PQ_ITERS}')})")
+    return ctes
+
+
+@register(
+    "ann_pq_codes",
+    oracle="WITH "
+    + ",\n".join(_pq_ctes())
+    + " SELECT vec_id, sub, c_id AS code FROM codes",
+    doc=(
+        "Product-quantization encoding: train a 4-centroid codebook per "
+        "8-dim subspace (2 fixed Lloyd rounds, exact integer centroid "
+        "state, deterministic seeds/ties — same discipline as "
+        "ann_kmeans_fit) and emit each vector's 8 subspace codes. The "
+        "DuckDB oracle unrolls the identical grouped iteration as "
+        "chained CTEs."
+    ),
+    tags=("llm", "similarity", "pq"),
+)
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes, _ = pq_fit(_emb_q(spark, sf_dir))
+    return codes.select("vec_id", "sub", F.col("c_id").alias("code"))
+
+
+def _adc_oracle() -> str:
+    """ADC recall@5 oracle: per-subspace exact rational terms pivoted to
+    eight columns and summed in fixed left-associative order, ADC top-5
+    vs exact integer-distance top-5."""
+    fin_c, fin_n = f"c{PQ_ITERS}", f"n{PQ_ITERS}"
+    terms = " + ".join(f"t{s}" for s in range(M_SUB))
+    pivot = ", ".join(
+        f"MAX(CASE WHEN sub = {s} THEN term END) AS t{s}" for s in range(M_SUB)
+    )
+    return (
+        "WITH "
+        + ",\n".join(_pq_ctes())
+        + f""",
+    qset AS (SELECT vec_id AS q_id FROM embeddings
+             WHERE vec_id % {BRUTE_QUERY_STRIDE} = 0
+               AND vec_id < {BRUTE_QUERY_STRIDE * BRUTE_QUERY_CAP}),
+    qsub AS (SELECT sd.vec_id AS q_id, sd.sub, sd.j, sd.qv
+             FROM sd JOIN qset q ON sd.vec_id = q.q_id),
+    qsub2 AS (SELECT q_id, sub, SUM(qv*qv) AS q2 FROM qsub GROUP BY q_id, sub),
+    -- per (query, vector, sub): exact rational distance to the vector's
+    -- assigned centroid, one double division
+    adcterm AS (
+      SELECT q2.q_id, k.vec_id, k.sub,
+             CAST(CAST(nk.n AS HUGEINT)*nk.n*q2.q2
+                  - 2*CAST(nk.n AS HUGEINT)*qs.qs + s2.s2 AS DOUBLE)
+             / (CAST(nk.n AS DOUBLE)*nk.n) AS term
+      FROM codes k
+      JOIN qsub2 q2 ON q2.sub = k.sub
+      JOIN (SELECT qsub.q_id, c.sub, c.c_id, SUM(qsub.qv * c.s) AS qs
+            FROM qsub JOIN {fin_c} c ON qsub.sub = c.sub AND qsub.j = c.j
+            GROUP BY qsub.q_id, c.sub, c.c_id) qs
+        ON qs.q_id = q2.q_id AND qs.sub = k.sub AND qs.c_id = k.c_id
+      JOIN (SELECT sub, c_id, SUM(s*s) AS s2 FROM {fin_c} GROUP BY sub, c_id) s2
+        ON s2.sub = k.sub AND s2.c_id = k.c_id
+      JOIN {fin_n} nk ON nk.sub = k.sub AND nk.c_id = k.c_id
+      WHERE k.vec_id <> q2.q_id
+    ),
+    adist AS (SELECT q_id, vec_id, {pivot}
+              FROM adcterm GROUP BY q_id, vec_id),
+    adctop AS (SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY {terms}, vec_id) AS rn
+        FROM adist) WHERE rn <= {ADC_TOPK}),
+    exact AS (SELECT q_id, vec_id FROM (
+        SELECT qd_q.vec_id AS q_id, qd_v.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qd_q.vec_id
+                 ORDER BY SUM((qd_q.qv - qd_v.qv)*(qd_q.qv - qd_v.qv)), qd_v.vec_id) AS rn
+        FROM qd qd_q JOIN qset q ON qd_q.vec_id = q.q_id
+        JOIN qd qd_v ON qd_q.i = qd_v.i AND qd_v.vec_id <> qd_q.vec_id
+        GROUP BY qd_q.vec_id, qd_v.vec_id) WHERE rn <= {ADC_TOPK})
+    SELECT a.q_id,
+           CAST(COUNT(e.vec_id) AS DOUBLE) / {ADC_TOPK} AS recall_at{ADC_TOPK}
+    FROM adctop a LEFT JOIN exact e
+      ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+    GROUP BY a.q_id
+    """
+    )
+
+
+@register(
+    "ann_pq_adc_recall",
+    oracle=_adc_oracle(),
+    doc=(
+        "Asymmetric distance computation over the PQ codes: approximate "
+        "each capped-query-set vector's distance to every corpus vector "
+        "as the fixed-order sum of eight per-subspace exact rational "
+        "centroid distances, take ADC top-5, and report recall@5 vs the "
+        "exact integer-distance top-5 — the PQ approximation itself is "
+        "oracle-pinned, like ann_ivf_recall. Validation baseline: the "
+        "production path ADC-scores only IVF candidates."
+    ),
+    tags=("llm", "similarity", "pq"),
+)
+def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_q(spark, sf_dir)
+    codes, codebook = pq_fit(e)
+
+    qset = e.filter(
+        (F.col("vec_id") % BRUTE_QUERY_STRIDE == 0)
+        & (F.col("vec_id") < BRUTE_QUERY_STRIDE * BRUTE_QUERY_CAP)
+    )
+    qsub = _sub_vectors(qset).select(
+        F.col("vec_id").alias("q_id"), "sub", F.col("qs").alias("qqs"),
+        F.col("q2").alias("qq2"),
+    )
+
+    # per (query, sub, centroid) lookup table: the ADC "distance table"
+    # (classic PQ trick) — M_SUB × PQ_K entries per query, broadcastable.
+    dtab = (
+        qsub.join(F.broadcast(codebook), "sub")
+        .withColumn("qs_dot_s", dot_col(F.col("qqs"), F.col("sv")))
+        .select(
+            "q_id",
+            "sub",
+            "c_id",
+            (
+                (
+                    F.col("n").cast("decimal(38,0)") * F.col("n") * F.col("qq2")
+                    - 2 * F.col("n").cast("decimal(38,0)") * F.col("qs_dot_s")
+                    + F.col("s2")
+                ).cast("double")
+                / (F.col("n").cast("double") * F.col("n"))
+            ).alias("term"),
+        )
+    )
+
+    scored = (
+        codes.join(F.broadcast(dtab), ["sub", "c_id"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("sub") == s, F.col("term"))).alias(f"t{s}")
+                for s in range(M_SUB)
+            ]
+        )
+        .withColumn(
+            "adist",
+            reduce(lambda a, b: a + b, [F.col(f"t{s}") for s in range(M_SUB)]),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy("adist", "vec_id")
+    adctop = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ADC_TOPK)
+        .select("q_id", "vec_id")
+    )
+
+    # exact integer-distance top-5 (ties to smallest vec_id)
+    qfull = qset.select(F.col("vec_id").alias("q_id"), F.col("q").alias("qq"))
+    exact_scored = (
+        e.crossJoin(F.broadcast(qfull))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "d2",
+            F.aggregate(
+                F.zip_with(F.col("q"), F.col("qq"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    we = W.partitionBy("q_id").orderBy("d2", "vec_id")
+    exact = (
+        exact_scored.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= ADC_TOPK)
+        .select("q_id", F.col("vec_id").alias("e_vec"))
+    )
+
+    return (
+        adctop.join(
+            exact,
+            (adctop.q_id == exact.q_id) & (adctop.vec_id == exact.e_vec),
+            "left",
+        )
+        .groupBy(adctop.q_id)
+        .agg(
+            (F.count(F.col("e_vec")).cast("double") / ADC_TOPK).alias(
+                f"recall_at{ADC_TOPK}"
+            )
+        )
+    )

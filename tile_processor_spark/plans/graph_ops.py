@@ -176,3 +176,67 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     return tri.crossJoin(edges)
+
+
+BFS_ROUNDS = 4
+
+
+def _bfs_oracle(rounds: int = BFS_ROUNDS) -> str:
+    ctes = [
+        "pairs AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src, "
+        "'s' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem)",
+        "e AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs)",
+        "d0 AS (SELECT MIN(src) AS node, CAST(0 AS INTEGER) AS hops FROM e)",
+    ]
+    for it in range(1, rounds + 1):
+        p = f"d{it - 1}"
+        ctes.append(
+            f"d{it} AS (SELECT node, CAST(MIN(hops) AS INTEGER) AS hops FROM ("
+            f"SELECT node, hops FROM {p} "
+            f"UNION ALL "
+            f"SELECT e.dst AS node, {p}.hops + 1 AS hops "
+            f"FROM {p} JOIN e ON e.src = {p}.node) GROUP BY node)"
+        )
+    return "WITH " + ",\n".join(ctes) + f" SELECT node, hops FROM d{rounds}"
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=_bfs_oracle(),
+    doc=(
+        "Single-source BFS (4 fixed rounds) over the undirected part–"
+        "supplier graph from the deterministic source node MIN(node): "
+        "per round, relax distances through one equi-join + min-"
+        "aggregate — the Pregel shortest-path kernel as DataFrame "
+        "algebra, exact integers throughout, oracle fully unrolled. "
+        "Each round re-relaxes the full distance frame (simple, "
+        "idempotent); at 100 TB restrict the join's left side to the "
+        "newly-improved frontier — same results, frontier-sized "
+        "shuffles. Bipartite diameter is even, so 4 rounds reach every "
+        "part within two supplier hops."
+    ),
+    tags=("graph", "iterative"),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _edges(spark, sf_dir)
+    e = (
+        pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    dist = e.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).cast("int").alias("hops")
+    )
+    for _ in range(BFS_ROUNDS):
+        relaxed = (
+            dist.join(e, dist.node == e.src)
+            .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("hops").cast("int").alias("hops"))
+            .localCheckpoint()
+        )
+    return dist

@@ -144,7 +144,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
 #     events_sequence_match, pareto_abc_parts, spatial_raster_smooth,
 #     spatial_region_labeling, events_active_sessions_sweep,
 #     events_sweep_partitioned, events_type_runs, dq_key_skew,
-#     orders_cohort_ltv, nation_revenue_hhi, dedup_threshold_curve;
+#     orders_cohort_ltv, nation_revenue_hhi, dedup_threshold_curve,
+#     ann_pq_codes, ann_pq_adc_recall, dsir_importance_weights,
+#     graph_bfs_hops, sketch_histogram_quantiles;
 # (b) stale rows last driver-green r2/r3:
 #     spatial_version_boundary_region, spatial_percentile_heights,
 #     spatial_rasterize, tile_file_index, spatial_las_class_mapping,
@@ -167,6 +169,8 @@ def all_specs() -> dict[str, QuerySpec]:
     import tile_processor_spark.plans.llm_ops  # noqa: F401
     import tile_processor_spark.plans.pipeline_ops  # noqa: F401
     import tile_processor_spark.plans.ann_kmeans  # noqa: F401
+    import tile_processor_spark.plans.ann_pq  # noqa: F401
+    import tile_processor_spark.plans.dsir  # noqa: F401
     import tile_processor_spark.plans.spatial_gate  # noqa: F401
     import tile_processor_spark.plans.events_windows  # noqa: F401
     import tile_processor_spark.plans.multimodal_gate  # noqa: F401

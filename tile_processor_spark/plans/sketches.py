@@ -551,3 +551,111 @@ def sketch_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(HLL_ALPHA_M2) / F.col("sum_inv")).alias("est_raw"),
         "true_distinct",
     )
+
+
+HIST_BINS = 512
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+    WITH rng AS (
+      SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events
+    ),
+    binned AS (
+      SELECT event_type,
+             LEAST(CAST(floor((value - vmin) / (vmax - vmin) * {HIST_BINS})
+                        AS BIGINT), {HIST_BINS - 1}) AS bin
+      FROM events, rng
+    ),
+    hist AS (
+      SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c
+      FROM binned GROUP BY event_type, bin
+    ),
+    cum AS (
+      SELECT event_type, bin, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ),
+    picks AS (
+      SELECT event_type, n,
+             MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) AS b50,
+             MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN bin END) AS b95,
+             MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) AS b99
+      FROM cum GROUP BY event_type, n
+    )
+    SELECT event_type, n,
+           vmin + (b50 + 1) * (vmax - vmin) / {HIST_BINS} AS p50_est,
+           vmin + (b95 + 1) * (vmax - vmin) / {HIST_BINS} AS p95_est,
+           vmin + (b99 + 1) * (vmax - vmin) / {HIST_BINS} AS p99_est
+    FROM picks, rng
+    """,
+    doc=(
+        "Mergeable quantile sketch: a 512-bin equi-width histogram of "
+        "events.value per event_type (two passes: global [min, max], "
+        "then bin counts), quantile estimate = upper edge of the first "
+        "bin whose cumulative count reaches ceil(q·n) — the ceil done "
+        "as exact integer (n·q + 99) div 100, the bin index from one "
+        "fixed double expression both engines evaluate identically. "
+        "The sketch is 512 longs per group, collapses map-side inside "
+        "the scan stage (the groupBy key space is |types|×512), merges "
+        "across shards/streams by cell-wise addition, and its error is "
+        "bounded by the bin width — the poor man's t-digest, with the "
+        "estimate itself oracle-pinned bit-for-bit."
+    ),
+    tags=("sketch", "quantile", "events"),
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    rng = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        "vmin",
+        "vmax",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * HIST_BINS
+            ).cast("long"),
+            F.lit(HIST_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("event_type", "vmin", "vmax", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql.window import Window as W
+
+    cum = hist.select(
+        "event_type",
+        "vmin",
+        "vmax",
+        "bin",
+        F.sum("c").over(
+            W.partitionBy("event_type").orderBy("bin")
+        ).alias("cum"),
+        F.sum("c").over(W.partitionBy("event_type")).alias("n"),
+    )
+
+    def pick(pct: int):
+        thresh = F.expr(f"(n * {pct} + 99) div 100")
+        return F.min(F.when(F.col("cum") >= thresh, F.col("bin"))).alias(f"b{pct}")
+
+    picks = cum.groupBy("event_type", "vmin", "vmax", "n").agg(
+        pick(50), pick(95), pick(99)
+    )
+    # association must mirror the oracle exactly: ((b+1)·range)/BINS,
+    # NOT (b+1)·(range/BINS) — double rounding differs between the two.
+    def edge(b):
+        return F.col("vmin") + (
+            (F.col(b) + 1) * (F.col("vmax") - F.col("vmin"))
+        ) / HIST_BINS
+
+    return picks.select(
+        "event_type",
+        "n",
+        edge("b50").alias("p50_est"),
+        edge("b95").alias("p95_est"),
+        edge("b99").alias("p99_est"),
+    )

@@ -100,3 +100,37 @@ def test_upsert_updates_inserts_and_time_travels(spark, tmp_path):
     # previous version untouched — rollback is a read away
     old = {r.k: r.v for r in read_snapshot(spark, tbl, version=1).collect()}
     assert old == {1: "a", 2: "b", 3: "c"}
+
+
+def test_snapshot_diff_cdc(spark, tmp_path):
+    from tile_processor_spark.sources.snapshots import snapshot_diff
+
+    tbl = str(tmp_path / "cdc_tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, name string, v double",
+    )
+    v1 = write_snapshot(base, tbl)
+    changed = spark.createDataFrame(
+        [
+            (1, "a", 10.0),     # unchanged → absent from diff
+            (2, "b", 99.0),     # update (value change)
+            (3, "c", 30.0),     # update (NULL → value, null-safe compare)
+            (5, "e", 50.0),     # insert
+        ],                       # 4 deleted
+        "k long, name string, v double",
+    )
+    v2 = write_snapshot(changed, tbl)
+
+    diff = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(spark, tbl, v1, v2, ["k"]).collect()
+    }
+    assert diff == {2: "update", 3: "update", 4: "delete", 5: "insert"}
+
+    # reverse direction inverts insert/delete
+    rev = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(spark, tbl, v2, v1, ["k"]).collect()
+    }
+    assert rev == {2: "update", 3: "update", 4: "insert", 5: "delete"}

@@ -310,7 +310,7 @@ def _adc_oracle() -> str:
         "oracle-pinned, like ann_ivf_recall. Validation baseline: the "
         "production path ADC-scores only IVF candidates."
     ),
-    tags=("llm", "similarity", "pq"),
+    tags=("llm", "similarity", "pq", "headline"),
 )
 def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_q(spark, sf_dir)

@@ -977,3 +977,48 @@ def corpus_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             pos_key.alias("pos_key"),
         )
     )
+
+
+WRS_K = 64
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, lang, n_chars,
+             CAST({_SQL_DOC_HASH.format(v="'wrs#' || CAST(doc_id AS VARCHAR)")}
+                  AS DOUBLE) / n_chars AS priority
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, priority FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS rn FROM pri
+    ) WHERE rn <= {WRS_K}
+    """,
+    doc=(
+        "Weighted priority sampling (Efraimidis–Spirakis shape with the "
+        "engine's fixed md5 hash in place of the RNG): each doc draws "
+        "priority = hash/weight (weight = n_chars; one double division), "
+        "the global k smallest priorities win — longer docs "
+        "proportionally more likely, selection fully reproducible and "
+        "auditable row-by-row. Top-k executes as TakeOrderedAndProject "
+        "(per-partition partial top-k, no global sort), so the only "
+        "cross-network traffic is k rows per partition at any corpus "
+        "size — the sampling idiom for weight-biased corpus selection."
+    ),
+    tags=("llm", "sampling"),
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    pri = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (
+            hash32(F.concat(F.lit("wrs#"), F.col("doc_id").cast("string"))).cast(
+                "double"
+            )
+            / F.col("n_chars")
+        ).alias("priority"),
+    )
+    return pri.orderBy("priority", "doc_id").limit(WRS_K)

@@ -1104,3 +1104,85 @@ def events_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs.groupBy("user_id", "run_idx", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("run_len")
     )
+
+
+@register(
+    "events_winsorized_stats",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    cuts AS (
+      SELECT event_type, n,
+             MIN(CASE WHEN rn = (n * 5 + 99) // 100 THEN value END) AS p05_cut,
+             MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN value END) AS p95_cut
+      FROM ranked GROUP BY event_type, n
+    )
+    SELECT r.event_type, c.n, c.p05_cut, c.p95_cut,
+           CAST(SUM(CASE WHEN r.value < c.p05_cut THEN 1 ELSE 0 END) AS BIGINT)
+             AS clipped_low,
+           CAST(SUM(CASE WHEN r.value > c.p95_cut THEN 1 ELSE 0 END) AS BIGINT)
+             AS clipped_high,
+           CAST(SUM(CAST(GREATEST(LEAST(r.value, c.p95_cut), c.p05_cut)
+                         AS DECIMAL(18,4))) AS DOUBLE) / c.n AS mean_winsorized
+    FROM ranked r JOIN cuts c USING (event_type)
+    GROUP BY r.event_type, c.n, c.p05_cut, c.p95_cut
+    """,
+    doc=(
+        "Winsorization — the robust-stats prerequisite for anomaly-free "
+        "aggregates: exact discrete p05/p95 cutoffs per event_type by "
+        "rank arithmetic (position ceil(q·n) as integer (n·q+99) div "
+        "100, ties by event_id), values clamped to the cutoffs, then "
+        "clip counts and the winsorized mean through the decimal-"
+        "accumulate discipline (one double division at the end). Two "
+        "passes over the fact: one rank window per type to find the two "
+        "cutoff rows, one clamp+aggregate; at 100 TB replace the rank "
+        "window with the histogram-sketch cutoffs "
+        "(sketch_histogram_quantiles) — same clamp pass, no sort."
+    ),
+    tags=("events", "stats", "robust"),
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    wr = W.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    cuts = (
+        ranked.groupBy("event_type", "n")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == F.expr("(n * 5 + 99) div 100"), F.col("value"))
+            ).alias("p05_cut"),
+            F.min(
+                F.when(F.col("rn") == F.expr("(n * 95 + 99) div 100"), F.col("value"))
+            ).alias("p95_cut"),
+        )
+        .withColumnRenamed("n", "n_type")  # disambiguate from ranked.n
+    )
+    clamped = F.greatest(F.least(F.col("value"), F.col("p95_cut")), F.col("p05_cut"))
+    return (
+        ranked.drop("n")
+        .join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", "n_type", "p05_cut", "p95_cut")
+        .agg(
+            F.sum((F.col("value") < F.col("p05_cut")).cast("long")).alias(
+                "clipped_low"
+            ),
+            F.sum((F.col("value") > F.col("p95_cut")).cast("long")).alias(
+                "clipped_high"
+            ),
+            (
+                F.sum(clamped.cast("decimal(18,4)")).cast("double")
+                / F.col("n_type")
+            ).alias("mean_winsorized"),
+        )
+        .withColumnRenamed("n_type", "n")
+    )

@@ -3,3 +3,8 @@ from tile_processor_spark.functions.text import (  # noqa: F401
     pii_counts,
     redact_pii,
 )
+from tile_processor_spark.functions.udtf import (  # noqa: F401
+    ChunkSpans,
+    SplitTileId,
+    register_udtfs,
+)

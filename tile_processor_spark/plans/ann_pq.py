@@ -60,28 +60,22 @@ PQ_ITERS = 2  # fixed Lloyd rounds (unrolled in the oracle)
 ADC_TOPK = 5
 
 
-def _sub_dims(e: DataFrame) -> DataFrame:
-    """(vec_id, sub, j, qv): quantized components re-indexed into
-    ``M_SUB`` subspaces of ``SUB_DIM`` dims each."""
-    return (
-        e.select("vec_id", F.posexplode("q").alias("i", "qv"))
-        .withColumn("sub", F.expr(f"i div {SUB_DIM}").cast("int"))
-        .withColumn("j", (F.col("i") % SUB_DIM).cast("int"))
-        .drop("i")
-    )
-
-
 def _sub_vectors(e: DataFrame) -> DataFrame:
-    """(vec_id, sub, qs, q2): per-subspace integer vectors + norms."""
+    """(vec_id, sub, qs, q2): per-subspace integer vectors + norms.
+    Built by slicing the quantized vector — map-only (no explode/
+    regroup shuffle; the subspace split is pure array algebra)."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("sub"),
+                F.slice(F.col("q"), s * SUB_DIM + 1, SUB_DIM).alias("qs"),
+            )
+            for s in range(M_SUB)
+        ]
+    )
     return (
-        _sub_dims(e)
-        .groupBy("vec_id", "sub")
-        .agg(F.sort_array(F.collect_list(F.struct("j", "qv"))).alias("pairs"))
-        .select(
-            "vec_id",
-            "sub",
-            F.col("pairs.qv").alias("qs"),
-        )
+        e.select("vec_id", F.explode(subs).alias("x"))
+        .select("vec_id", F.col("x.sub").alias("sub"), F.col("x.qs").alias("qs"))
         .withColumn("q2", dot_col(F.col("qs"), F.col("qs")))
     )
 
@@ -104,11 +98,15 @@ def _pq_assign(sv: DataFrame, codebook: DataFrame) -> DataFrame:
             / (F.col("n").cast("double") * F.col("n")),
         )
     )
-    w = W.partitionBy("vec_id", "sub").orderBy("d2", "c_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub", "qs", "c_id")
+    # argmin via min(struct(d2, c_id, qs)): struct ordering compares
+    # (d2, c_id) first — identical tie-break to the oracle's ROW_NUMBER
+    # — and the groupBy partial-aggregates map-side (PQ_K candidate
+    # rows per (vec, sub) collapse inside the scan stage), where a
+    # row_number window would sort-shuffle every candidate row.
+    return scored.groupBy("vec_id", "sub").agg(
+        F.min(F.struct("d2", "c_id", "qs")).alias("m")
+    ).select(
+        "vec_id", "sub", F.col("m.qs").alias("qs"), F.col("m.c_id").alias("c_id")
     )
 
 
@@ -390,7 +388,7 @@ def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         adctop.join(
-            exact,
+            F.broadcast(exact),  # ≤ ADC_TOPK × BRUTE_QUERY_CAP rows
             (adctop.q_id == exact.q_id) & (adctop.vec_id == exact.e_vec),
             "left",
         )

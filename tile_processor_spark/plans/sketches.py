@@ -579,7 +579,7 @@ HIST_BINS = 512
       FROM hist
     ),
     picks AS (
-      SELECT event_type, n,
+      SELECT event_type, CAST(n AS BIGINT) AS n,
              MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) AS b50,
              MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN bin END) AS b95,
              MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) AS b99

@@ -146,7 +146,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
 #     events_sweep_partitioned, events_type_runs, dq_key_skew,
 #     orders_cohort_ltv, nation_revenue_hhi, dedup_threshold_curve,
 #     ann_pq_codes, ann_pq_adc_recall, dsir_importance_weights,
-#     graph_bfs_hops, sketch_histogram_quantiles;
+#     graph_bfs_hops, sketch_histogram_quantiles,
+#     sample_weighted_priority, events_winsorized_stats;
 # (b) stale rows last driver-green r2/r3:
 #     spatial_version_boundary_region, spatial_percentile_heights,
 #     spatial_rasterize, tile_file_index, spatial_las_class_mapping,

@@ -659,3 +659,125 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         edge("b95").alias("p95_est"),
         edge("b99").alias("p99_est"),
     )
+
+
+KMV_SET_K = 256
+_SET_A_BEFORE = "1995-09-01"  # part-supplier pairs ordered before this
+_SET_B_FROM = "1995-06-01"  # ... and from this date on (3-month overlap)
+
+
+@register(
+    "sketch_kmv_set_ops",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT l.l_partkey * 10000 + l.l_suppkey AS k, o.o_orderdate
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    ha AS (SELECT DISTINCT {SQL_HASH32.format(v="'kmv#' || CAST(k AS VARCHAR)")} AS h
+           FROM keys WHERE o_orderdate < DATE '{_SET_A_BEFORE}'),
+    hb AS (SELECT DISTINCT {SQL_HASH32.format(v="'kmv#' || CAST(k AS VARCHAR)")} AS h
+           FROM keys WHERE o_orderdate >= DATE '{_SET_B_FROM}'),
+    ska AS (SELECT h FROM ha ORDER BY h LIMIT {KMV_SET_K}),
+    skb AS (SELECT h FROM hb ORDER BY h LIMIT {KMV_SET_K}),
+    merged AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+               ORDER BY h LIMIT {KMV_SET_K}),
+    kth AS (SELECT MAX(h) AS hk, CAST(COUNT(*) AS BIGINT) AS m FROM merged),
+    inter AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM merged
+              WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+    exact AS (
+      SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS exact_union,
+             CAST(SUM(CASE WHEN lo < DATE '{_SET_A_BEFORE}'
+                            AND hi >= DATE '{_SET_B_FROM}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS exact_intersection
+      FROM (SELECT k, MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi
+            FROM keys GROUP BY k)
+    )
+    SELECT CAST({KMV_SET_K} AS BIGINT) AS k,
+           kth.hk AS kth_hash,
+           CAST(({KMV_SET_K} - 1) * 4294967296 AS DOUBLE) / kth.hk AS est_union,
+           exact.exact_union,
+           inter.c AS inter_matches,
+           CAST(inter.c * ({KMV_SET_K} - 1) * 4294967296 AS DOUBLE)
+             / ({KMV_SET_K} * kth.hk) AS est_intersection,
+           exact.exact_intersection,
+           CAST(inter.c AS DOUBLE) / {KMV_SET_K} AS jaccard_est
+    FROM kth, inter, exact
+    """,
+    doc=(
+        "Theta-sketch-style SET ALGEBRA on KMV sketches: bottom-k "
+        "(k=256) hash sketches of two overlapping part-supplier key "
+        "sets (pairs ordered before 1995-09 vs from 1995-06), merged "
+        "union sketch → distinct estimate (k−1)·2^32/h_k, intersection "
+        "via the matching-bottom-k rule (members of the union sketch "
+        "present in both input sketches), Jaccard = matches/k. The "
+        "point: union/intersection cardinalities WITHOUT rescanning — "
+        "sketches merge; only the two distinct-key scans touch the "
+        "fact. Exact union/intersection ride along so the estimation "
+        "error itself is oracle-pinned (same discipline as "
+        "sketch_kmv_distinct). All estimates are single double "
+        "divisions of exact integers."
+    ),
+    tags=("sketch", "set-ops"),
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", (F.col("l_partkey") * 10000 + F.col("l_suppkey")).alias("k")
+    )
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    keys = li.join(o, "l_orderkey").select("k", "o_orderdate")
+    h = hash32(F.concat(F.lit("kmv#"), F.col("k").cast("string"))).alias("h")
+
+    def bottom_k(cond) -> DataFrame:
+        return (
+            keys.filter(cond)
+            .select(h)
+            .distinct()
+            .orderBy("h")
+            .limit(KMV_SET_K)
+        )
+
+    ska = bottom_k(F.col("o_orderdate") < _SET_A_BEFORE).localCheckpoint()
+    skb = bottom_k(F.col("o_orderdate") >= _SET_B_FROM).localCheckpoint()
+    merged = (
+        ska.unionByName(skb).distinct().orderBy("h").limit(KMV_SET_K).localCheckpoint()
+    )
+    kth = merged.agg(
+        F.max("h").alias("kth_hash"), F.count(F.lit(1)).cast("long").alias("m")
+    )
+    inter = (
+        merged.join(ska, "h", "left_semi")
+        .join(skb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_matches"))
+    )
+    exact = (
+        keys.groupBy("k")
+        .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("exact_union"),
+            F.sum(
+                (
+                    (F.col("lo") < _SET_A_BEFORE) & (F.col("hi") >= _SET_B_FROM)
+                ).cast("long")
+            ).alias("exact_intersection"),
+        )
+    )
+    scale = (KMV_SET_K - 1) * 4294967296
+    return (
+        kth.crossJoin(inter)
+        .crossJoin(exact)
+        .select(
+            F.lit(KMV_SET_K).cast("long").alias("k"),
+            "kth_hash",
+            (F.lit(scale).cast("double") / F.col("kth_hash")).alias("est_union"),
+            "exact_union",
+            "inter_matches",
+            (
+                (F.col("inter_matches") * scale).cast("double")
+                / (KMV_SET_K * F.col("kth_hash"))
+            ).alias("est_intersection"),
+            "exact_intersection",
+            (F.col("inter_matches").cast("double") / KMV_SET_K).alias("jaccard_est"),
+        )
+    )

@@ -51,3 +51,15 @@ def test_adc_plan_broadcasts_small_sides(spark):
     rows = df.collect()
     assert rows, "no queries scored"
     assert all(0.0 <= r[f"recall_at{ADC_TOPK}"] <= 1.0 for r in rows)
+
+
+def test_pq_final_assignment_single_exchange(spark):
+    # The slice-based subspace split is map-only and the argmin is a
+    # partial-aggregable min(struct(...)) groupBy: the final code
+    # assignment must cost exactly ONE exchange (the groupBy's), not a
+    # window sort-shuffle per candidate row. Regression pin for the
+    # optimized plan shape.
+    from tile_processor_spark.sources.bucketing import count_exchanges
+
+    codes = ann_pq_codes(spark, SF)
+    assert count_exchanges(codes) <= 1

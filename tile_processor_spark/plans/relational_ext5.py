@@ -136,16 +136,19 @@ RFM_REF_DAY = 20089  # fixed reference day (1970-01-01 + n): analysis date
         "RFM customer segmentation: per-customer recency (days from "
         "last order to a fixed analysis date), frequency (order "
         "count), monetary (decimal-exact spend) -> 1-5 quintile per "
-        "dimension via NTILE with full tie-breaks (recency DESC so "
-        "5 = most recent, matching marketing convention). The "
-        "embedding every retention/churn campaign keys on. Scale "
-        "note: the three global NTILEs are single-partition windows "
-        "over the CUSTOMER grain (dimension-sized after the one fact "
-        "aggregate); at a 10^9-customer grain swap NTILE for the "
-        "rank-arithmetic bucketing of orders_percentile_cont to keep "
-        "the plan shuffle-parallel."
+        "dimension with full tie-breaks (recency DESC so 5 = most "
+        "recent, matching marketing convention). The embedding every "
+        "retention/churn campaign keys on. Physical strategy is the "
+        "distributed two-pass prefix sum (the events_sweep_partitioned "
+        "discipline), NOT a global NTILE window: local row_number "
+        "within each value BAND (parallel windows), cumulative band-"
+        "count offsets over the tiny band series (bounded by the "
+        "value domain, not the customer count), global rank = offset "
+        "+ local rank, then the exact NTILE bucket arithmetic from "
+        "(rank, n). The oracle stays the single-window NTILE form — "
+        "physical re-strategies must be value-invisible."
     ),
-    tags=("relational-ext", "window", "agg"),
+    tags=("relational-ext", "window", "agg", "scale"),
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -158,18 +161,62 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
         .cast("double")
         .alias("monetary"),
+    ).localCheckpoint()  # feeds three rankings + the final join
+    r = _ntile5_distributed(
+        base, "recency_days", F.col("recency_days").cast("long"), True, "r"
     )
-    return base.select(
-        "custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(5)
-        .over(W.orderBy(F.desc("recency_days"), "custkey"))
-        .cast("long")
-        .alias("r"),
-        F.ntile(5).over(W.orderBy("frequency", "custkey")).cast("long").alias("f"),
-        F.ntile(5).over(W.orderBy("monetary", "custkey")).cast("long").alias("m"),
+    f = _ntile5_distributed(
+        base, "frequency", F.col("frequency"), False, "f"
+    )
+    m = _ntile5_distributed(
+        base, "monetary", F.floor(F.col("monetary") / 10000).cast("long"), False, "m"
+    )
+    return (
+        base.join(r, "custkey")
+        .join(f, "custkey")
+        .join(m, "custkey")
+        .select(
+            "custkey", "recency_days", "frequency", "monetary", "r", "f", "m"
+        )
+    )
+
+
+def _ntile5_distributed(
+    base: DataFrame, value: str, band: F.Column, desc: bool, out: str
+) -> DataFrame:
+    """Global NTILE(5) over (value [DESC], custkey) WITHOUT a single-
+    partition fact-grain window. Pass 1: row_number within each value
+    band (band = a monotone coarsening of the order key, so band order
+    extends to global order). Pass 2: exclusive cumulative band-count
+    offsets over the band series (cardinality bounded by the VALUE
+    domain — days / order counts / price range — not the row count),
+    broadcast back; global rank = offset + local rank. Bucket = the
+    exact NTILE arithmetic: with q = n div 5, r = n mod 5, the first r
+    buckets take q+1 rows, the rest q."""
+    b = base.select("custkey", value).withColumn("_band", band)
+    order = [F.desc(value) if desc else F.asc(value), F.asc("custkey")]
+    local = b.withColumn(
+        "_lrk", F.row_number().over(W.partitionBy("_band").orderBy(*order))
+    )
+    counts = b.groupBy("_band").agg(F.count(F.lit(1)).alias("_bc"))
+    woff = W.orderBy(F.desc("_band") if desc else F.asc("_band")).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offs = counts.select(
+        "_band", F.coalesce(F.sum("_bc").over(woff), F.lit(0)).alias("_off")
+    )
+    n = base.agg(F.count(F.lit(1)).alias("_n"))
+    bucket = F.expr(
+        "CASE WHEN _rk <= (_n % 5) * ((_n div 5) + 1) "
+        "THEN (_rk + (_n div 5)) div ((_n div 5) + 1) "
+        "ELSE (_n % 5) + ((_rk - (_n % 5) * ((_n div 5) + 1) + (_n div 5) - 1) "
+        "div (_n div 5)) END"
+    )
+    return (
+        local.join(F.broadcast(offs), "_band")
+        .crossJoin(F.broadcast(n))
+        .withColumn("_rk", F.col("_off") + F.col("_lrk"))
+        .select("custkey", bucket.cast("long").alias(out))
     )
 
 
@@ -204,12 +251,16 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "B (to 95%) / C — with the class thresholds evaluated as "
         "EXACT decimal cross-multiplications (cum*10 <= total*8), "
         "never a float cumulative ratio, so the boundary part can't "
-        "flip class between engines. The global running sum is the "
-        "honest cost: one single-partition window over the PART grain "
-        "(dimension-sized after the fact aggregate) — same caveat and "
-        "same fix as customer_rfm_segments documents."
+        "flip class between engines. Physical strategy: the "
+        "distributed two-pass prefix sum — running sum + row_number "
+        "WITHIN each revenue band (parallel windows), exclusive "
+        "cumulative (revenue, count) offsets over the tiny band "
+        "series broadcast back (decimal addition is exact, so the "
+        "re-association is value-invisible); no window ever orders "
+        "the full part grain on one partition. The oracle stays the "
+        "single-window form."
     ),
-    tags=("relational-ext", "window", "agg"),
+    tags=("relational-ext", "window", "agg", "scale"),
 )
 def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -217,18 +268,39 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
         ).alias("revenue")
-    )
-    wo = W.orderBy(F.desc("revenue"), "partkey")
-    wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
-    wall = W.orderBy(F.lit(1)).rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
-    )
-    ranked = rev.select(
+    ).localCheckpoint()  # feeds the banding, the band series, and the total
+    banded = rev.withColumn("_band", F.floor(F.col("revenue") / 1000).cast("long"))
+    wloc = W.partitionBy("_band").orderBy(F.desc("revenue"), "partkey")
+    wrun = wloc.rowsBetween(W.unboundedPreceding, W.currentRow)
+    local = banded.select(
         "partkey",
         "revenue",
-        F.sum("revenue").over(wrun).alias("cum_rev"),
-        F.sum("revenue").over(wall).alias("total_rev"),
-        F.row_number().over(wo).alias("rk"),
+        "_band",
+        F.sum("revenue").over(wrun).alias("_lcum"),
+        F.row_number().over(wloc).alias("_lrk"),
+    )
+    bands = banded.groupBy("_band").agg(
+        F.sum("revenue").alias("_brev"), F.count(F.lit(1)).alias("_bc")
+    )
+    woff = W.orderBy(F.desc("_band")).rowsBetween(W.unboundedPreceding, -1)
+    offs = bands.select(
+        "_band",
+        F.coalesce(
+            F.sum("_brev").over(woff), F.lit(0).cast("decimal(38,4)")
+        ).alias("_roff"),
+        F.coalesce(F.sum("_bc").over(woff), F.lit(0)).alias("_coff"),
+    )
+    tot = rev.agg(F.sum("revenue").alias("total_rev"))
+    ranked = (
+        local.join(F.broadcast(offs), "_band")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "partkey",
+            "revenue",
+            (F.col("_roff") + F.col("_lcum")).alias("cum_rev"),
+            (F.col("_coff") + F.col("_lrk")).cast("long").alias("rk"),
+            "total_rev",
+        )
     )
     return ranked.select(
         "partkey",

@@ -561,12 +561,17 @@ HIST_BINS = 512
     oracle=f"""
     WITH rng AS (
       SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events
+      WHERE value IS NOT NULL
     ),
     binned AS (
       SELECT event_type,
-             LEAST(CAST(floor((value - vmin) / (vmax - vmin) * {HIST_BINS})
-                        AS BIGINT), {HIST_BINS - 1}) AS bin
+             CASE WHEN vmax = vmin THEN CAST(0 AS BIGINT)
+                  ELSE LEAST(CAST(floor((value - vmin) / (vmax - vmin)
+                                        * {HIST_BINS}) AS BIGINT),
+                             {HIST_BINS - 1})
+             END AS bin
       FROM events, rng
+      WHERE value IS NOT NULL
     ),
     hist AS (
       SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c
@@ -607,20 +612,31 @@ HIST_BINS = 512
     tags=("sketch", "quantile", "events"),
 )
 def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    # NULL values are excluded (matching streaming hist_cells); a
+    # degenerate range (vmax == vmin, e.g. a constant or 1-row corpus)
+    # maps every value to bin 0 instead of dividing by zero.
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
     rng = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
     binned = ev.crossJoin(F.broadcast(rng)).select(
         "event_type",
         "vmin",
         "vmax",
-        F.least(
-            F.floor(
-                (F.col("value") - F.col("vmin"))
-                / (F.col("vmax") - F.col("vmin"))
-                * HIST_BINS
-            ).cast("long"),
-            F.lit(HIST_BINS - 1).cast("long"),
-        ).alias("bin"),
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin"))
+                    * HIST_BINS
+                ).cast("long"),
+                F.lit(HIST_BINS - 1).cast("long"),
+            )
+        )
+        .alias("bin"),
     )
     hist = binned.groupBy("event_type", "vmin", "vmax", "bin").agg(
         F.count(F.lit(1)).alias("c")
@@ -670,7 +686,8 @@ _SET_B_FROM = "1995-06-01"  # ... and from this date on (3-month overlap)
     "sketch_kmv_set_ops",
     oracle=f"""
     WITH keys AS (
-      SELECT DISTINCT l.l_partkey * 10000 + l.l_suppkey AS k, o.o_orderdate
+      SELECT DISTINCT CAST(l.l_partkey AS BIGINT) * 1000000 + l.l_suppkey AS k,
+             o.o_orderdate
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     ),
     ha AS (SELECT DISTINCT {SQL_HASH32.format(v="'kmv#' || CAST(k AS VARCHAR)")} AS h
@@ -693,14 +710,19 @@ _SET_B_FROM = "1995-06-01"  # ... and from this date on (3-month overlap)
             FROM keys GROUP BY k)
     )
     SELECT CAST({KMV_SET_K} AS BIGINT) AS k,
+           kth.m AS m,
            kth.hk AS kth_hash,
-           CAST(({KMV_SET_K} - 1) * 4294967296 AS DOUBLE) / kth.hk AS est_union,
+           CASE WHEN kth.m < {KMV_SET_K} THEN CAST(kth.m AS DOUBLE)
+                ELSE CAST(({KMV_SET_K} - 1) * 4294967296 AS DOUBLE) / kth.hk
+           END AS est_union,
            exact.exact_union,
            inter.c AS inter_matches,
-           CAST(inter.c * ({KMV_SET_K} - 1) * 4294967296 AS DOUBLE)
-             / ({KMV_SET_K} * kth.hk) AS est_intersection,
+           CASE WHEN kth.m < {KMV_SET_K} THEN CAST(inter.c AS DOUBLE)
+                ELSE CAST(inter.c * ({KMV_SET_K} - 1) * 4294967296 AS DOUBLE)
+                     / ({KMV_SET_K} * kth.hk)
+           END AS est_intersection,
            exact.exact_intersection,
-           CAST(inter.c AS DOUBLE) / {KMV_SET_K} AS jaccard_est
+           CAST(inter.c AS DOUBLE) / kth.m AS jaccard_est
     FROM kth, inter, exact
     """,
     doc=(
@@ -715,13 +737,18 @@ _SET_B_FROM = "1995-06-01"  # ... and from this date on (3-month overlap)
         "fact. Exact union/intersection ride along so the estimation "
         "error itself is oracle-pinned (same discipline as "
         "sketch_kmv_distinct). All estimates are single double "
-        "divisions of exact integers."
+        "divisions of exact integers. An UNDER-FULL merged sketch "
+        "(m < k) saw every distinct key, so the estimates collapse to "
+        "the exact counts: est_union = m, est_intersection = matches, "
+        "jaccard = matches/m — the standard KMV small-set rule."
     ),
     tags=("sketch", "set-ops"),
 )
 def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BIGINT packing injective for any TPC-H SF (suppkey < 1e6 up to SF 100)
     li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", (F.col("l_partkey") * 10000 + F.col("l_suppkey")).alias("k")
+        "l_orderkey",
+        (F.col("l_partkey").cast("long") * 1000000 + F.col("l_suppkey")).alias("k"),
     )
     o = load_table(spark, "orders", sf_dir).select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
@@ -764,20 +791,26 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scale = (KMV_SET_K - 1) * 4294967296
+    underfull = F.col("m") < KMV_SET_K
     return (
         kth.crossJoin(inter)
         .crossJoin(exact)
         .select(
             F.lit(KMV_SET_K).cast("long").alias("k"),
+            "m",
             "kth_hash",
-            (F.lit(scale).cast("double") / F.col("kth_hash")).alias("est_union"),
+            F.when(underfull, F.col("m").cast("double"))
+            .otherwise(F.lit(scale).cast("double") / F.col("kth_hash"))
+            .alias("est_union"),
             "exact_union",
             "inter_matches",
-            (
+            F.when(underfull, F.col("inter_matches").cast("double"))
+            .otherwise(
                 (F.col("inter_matches") * scale).cast("double")
                 / (KMV_SET_K * F.col("kth_hash"))
-            ).alias("est_intersection"),
+            )
+            .alias("est_intersection"),
             "exact_intersection",
-            (F.col("inter_matches").cast("double") / KMV_SET_K).alias("jaccard_est"),
+            (F.col("inter_matches").cast("double") / F.col("m")).alias("jaccard_est"),
         )
     )

@@ -1,0 +1,147 @@
+"""Driver-gate queries over the snapshot-table store
+(``sources/snapshots.py``): the time-travel / MERGE / CDC semantics were
+previously pinned only by pytest + judge runs; these rows put them under
+the external DuckDB oracle gate.
+
+Shape of the evidence: both queries build a deterministic two-version
+snapshot table from ``orders`` — version 1 = per-customer order state
+BEFORE 1996, version 2 = MERGE-upsert of the 1996 state (active
+customers' rows replaced, inactive customers' rows carried over) — then
+read it back through the manifest-pinned store. The DuckDB oracle never
+sees the store: it recomputes the same state with plain SQL over
+``orders``, so a bug anywhere in the commit/manifest/merge/diff path
+(lost rows, stale version resolution, wrong carry-over, wrong CDC
+classification) breaks value parity.
+
+Reference parity: the reference overwrites output directories in place
+(tile_processor/output.py DirOutput); the snapshot store is the
+engine-grade replacement, and these rows are its external gate.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tile_processor_spark.plans.registry import register
+from tile_processor_spark.sources.snapshots import (
+    read_snapshot,
+    snapshot_diff,
+    upsert_snapshot,
+    write_snapshot,
+)
+from tile_processor_spark.sources.tables import load_table
+
+_V1_BEFORE = "1996-01-01"  # version 1: all orders before 1996
+_V2_BEFORE = "1997-01-01"  # version 2 delta: the 1996 order year
+
+
+def _period_state(spark: SparkSession, sf_dir: str, lo: str | None, hi: str) -> DataFrame:
+    """Per-customer (n_orders, spend) over one o_orderdate period —
+    decimal-exact spend, ONE double cast at the end (float discipline)."""
+    o = load_table(spark, "orders", sf_dir)
+    f = o.filter(F.col("o_orderdate") < hi)
+    if lo is not None:
+        f = f.filter(F.col("o_orderdate") >= lo)
+    return f.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("spend"),
+    )
+
+
+def _build_two_versions(spark: SparkSession, sf_dir: str) -> str:
+    """Commit v1 (pre-1996 state) then MERGE-upsert the 1996 state as
+    v2 into a fresh temp table; returns the table path."""
+    table = tempfile.mkdtemp(prefix="tps_snap_gate_")
+    # mkdtemp creates the dir; the store wants to own a clean path
+    shutil.rmtree(table)
+    v1 = write_snapshot(_period_state(spark, sf_dir, None, _V1_BEFORE), table)
+    assert v1 == 1
+    v2 = upsert_snapshot(
+        _period_state(spark, sf_dir, _V1_BEFORE, _V2_BEFORE), table, ["custkey"]
+    )
+    assert v2 == 2
+    return table
+
+
+_ORACLE_PERIODS = f"""
+    WITH p1 AS (
+      SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+      FROM orders WHERE o_orderdate < DATE '{_V1_BEFORE}'
+      GROUP BY o_custkey
+    ),
+    p2 AS (
+      SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+      FROM orders WHERE o_orderdate >= DATE '{_V1_BEFORE}'
+                    AND o_orderdate < DATE '{_V2_BEFORE}'
+      GROUP BY o_custkey
+    )
+"""
+
+
+@register(
+    "snapshot_merge_upsert_state",
+    oracle=f"""
+    {_ORACLE_PERIODS}
+    SELECT COALESCE(p2.custkey, p1.custkey) AS custkey,
+           COALESCE(p2.n_orders, p1.n_orders) AS n_orders,
+           COALESCE(p2.spend, p1.spend) AS spend
+    FROM p1 FULL OUTER JOIN p2 ON p1.custkey = p2.custkey
+    """,
+    doc=(
+        "MERGE-upsert round trip through the manifest-pinned snapshot "
+        "store: v1 = per-customer pre-1996 order state, v2 = MERGE of "
+        "the 1996 state (matched keys replaced, unmatched carried "
+        "over), read back as the LATEST version. The oracle recomputes "
+        "the merged state as a full-outer COALESCE over the two period "
+        "aggregates — the store never touches DuckDB, so lost rows, "
+        "wrong carry-over, duplicate keys, or stale version resolution "
+        "all break parity. Scale: the store is O(files) manifests; the "
+        "MERGE is one left-anti join + union (Delta's MERGE shape)."
+    ),
+    tags=("snapshot", "merge", "storage"),
+)
+def snapshot_merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _build_two_versions(spark, sf_dir)
+    return read_snapshot(spark, table).select("custkey", "n_orders", "spend")
+
+
+@register(
+    "snapshot_time_travel_diff",
+    oracle=f"""
+    {_ORACLE_PERIODS}
+    SELECT p2.custkey AS custkey,
+           CASE WHEN p1.custkey IS NULL THEN 'insert' ELSE 'update' END
+             AS change_type
+    FROM p2 LEFT JOIN p1 ON p1.custkey = p2.custkey
+    WHERE p1.custkey IS NULL
+       OR p1.n_orders <> p2.n_orders OR p1.spend <> p2.spend
+    """,
+    doc=(
+        "Time travel + CDC through the snapshot store: after the v1 → "
+        "v2 MERGE of snapshot_merge_upsert_state, snapshot_diff(1, 2) "
+        "classifies every customer whose state changed — 'insert' for "
+        "customers first seen in 1996, 'update' for customers whose "
+        "(n_orders, spend) was replaced; carried-over rows are "
+        "unchanged and MERGE never deletes, so no 'delete' rows. The "
+        "oracle recomputes the classification from the raw periods; "
+        "reading BOTH historical versions from their manifests is the "
+        "part under test (a store that resolved 'latest' twice, or "
+        "diffed against live state, fails). The diff itself is one "
+        "null-safe full-outer join on the key — the canonical CDC "
+        "plan, partition-colocatable at 100 TB."
+    ),
+    tags=("snapshot", "cdc", "time-travel"),
+)
+def snapshot_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _build_two_versions(spark, sf_dir)
+    return snapshot_diff(spark, table, 1, 2, ["custkey"]).select(
+        "custkey", "change_type"
+    )

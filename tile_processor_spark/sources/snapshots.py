@@ -218,8 +218,11 @@ def snapshot_diff(
 ) -> DataFrame:
     """CDC between two committed versions: one row per key whose state
     changed, with ``change_type`` in {'insert', 'delete', 'update'}.
-    Non-key columns are compared null-safely (``eqNullSafe``), so a
-    column going NULL ↔ value is an update, not a miss.
+    Both the key join and the value comparison are null-safe
+    (``eqNullSafe``): a key containing NULL matches itself across
+    versions, and a column going NULL ↔ value is an update, not a
+    miss. Mismatched schemas between the two versions raise loudly
+    rather than failing inside a select.
 
     Shape: one full-outer join on the key — the canonical snapshot-diff
     plan. Both sides are manifest-pinned file sets, so the diff is
@@ -230,6 +233,14 @@ def snapshot_diff(
     manifests share identical files."""
     old = read_snapshot(spark, table_path, version=from_version)
     new = read_snapshot(spark, table_path, version=to_version)
+    only_old = [c for c in old.columns if c not in new.columns]
+    only_new = [c for c in new.columns if c not in old.columns]
+    if only_old or only_new:
+        raise ValueError(
+            f"snapshot_diff: schema drift between v{from_version} and "
+            f"v{to_version} — columns only in old: {only_old}, only in "
+            f"new: {only_new}; diff requires matching schemas"
+        )
     val_cols = [c for c in new.columns if c not in key_cols]
     o = old.select(
         *[F.col(c).alias(f"o_{c}") for c in key_cols],
@@ -241,9 +252,11 @@ def snapshot_diff(
         *[F.col(c).alias(f"nv_{c}") for c in val_cols],
         F.lit(1).alias("n_present"),
     )
+    # null-safe: a key containing NULL still matches itself across
+    # versions (plain equality would report it as delete + insert)
     cond = None
     for c in key_cols:
-        eq = F.col(f"o_{c}") == F.col(f"n_{c}")
+        eq = F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}"))
         cond = eq if cond is None else (cond & eq)
     joined = o.join(n, cond, "full_outer")
     same_vals = F.lit(True)

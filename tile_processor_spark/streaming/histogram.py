@@ -43,10 +43,15 @@ HIST_STORE_SCHEMA = (
 
 def hist_cells(batch: DataFrame, lo: float, hi: float) -> DataFrame:
     """(event_type, bin, cnt) for one batch against the FIXED [lo, hi)
-    range — out-of-range values clamp into the edge bins."""
-    raw_bin = F.floor(
-        (F.col("value") - F.lit(lo)) / (F.lit(hi) - F.lit(lo)) * HIST_STREAM_BINS
-    ).cast("long")
+    range — out-of-range values clamp into the edge bins. A degenerate
+    range (lo == hi) maps everything to bin 0 rather than dividing by
+    zero, mirroring the batch sketch's guard."""
+    if hi == lo:
+        raw_bin = F.lit(0).cast("long")
+    else:
+        raw_bin = F.floor(
+            (F.col("value") - F.lit(lo)) / (F.lit(hi) - F.lit(lo)) * HIST_STREAM_BINS
+        ).cast("long")
     clamped = F.greatest(
         F.least(raw_bin, F.lit(HIST_STREAM_BINS - 1).cast("long")),
         F.lit(0).cast("long"),

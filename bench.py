@@ -22,11 +22,65 @@ import time
 
 import pandas  # module-level: pandas_udf type hints resolve against module globals
 
+# Fixed control subset: the queries benched since round 1, re-measured in
+# a FRESH JVM after the main suite so round-over-round drift can be split
+# into (a) host/plan changes and (b) shared-JVM suite-growth effects
+# (codegen-cache/GC pressure, accumulated lineage). The control sum is
+# the suite-size-invariant longitudinal series.
+CONTROL_QUERIES = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "text_quality_scores",
+    "dedup_minhash_pairs",
+    "embedding_cosine_topk",
+    "spatial_point_in_tile_join",
+    "spatial_within_extent",
+    "spatial_percentile_heights",
+    "events_tumbling_window",
+    "events_asof_join",
+)
+
+
+def _run_control() -> dict | None:
+    """Measure the fixed control subset in its own fresh process BEFORE
+    the main session exists (so the two JVMs never coexist). Returns the
+    control run's parsed JSON, or None on failure — control is
+    diagnostics and must never fail the bench."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(CONTROL_QUERIES)
+    env["SPARK_GRAFT_BENCH_NO_CONTROL"] = "1"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1200,
+        )
+        ctl = None
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                ctl = json.loads(line)
+        return ctl
+    except Exception:
+        return None
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    run_control = not only_env and not os.environ.get("SPARK_GRAFT_BENCH_NO_CONTROL")
+    ctl = _run_control() if run_control else None
 
     from tile_processor_spark.session import get_spark
     from tile_processor_spark.plans.registry import all_specs
@@ -34,6 +88,9 @@ def main() -> None:
     spark = get_spark(app_name="tps-bench")
     specs = all_specs()
     bench_names = [n for n, s in specs.items() if "headline" in s.tags] or sorted(specs)
+    if only_env:
+        wanted = [n.strip() for n in only_env.split(",") if n.strip()]
+        bench_names = [n for n in wanted if n in specs]
 
     # Warm-up: touch every table once so file listing + footer reads +
     # codegen warmup don't bill to the first measured query.
@@ -117,6 +174,28 @@ def main() -> None:
         "calibration_ref_sec": CALIB_REF_SEC,
         "value_calibrated": round(total * (CALIB_REF_SEC / calib), 4) if calib > 0 else total,
     }
+
+    # Fresh-JVM control evidence (measured BEFORE this session started):
+    # control_fresh vs control_insuite isolates shared-JVM suite-size
+    # effects from real plan/host changes — the fresh-14 series is the
+    # suite-size-invariant longitudinal number to compare across rounds.
+    if run_control:
+        insuite = {n: timings[n] for n in CONTROL_QUERIES if n in timings}
+        out["control_insuite_queries"] = insuite
+        out["control_insuite_sum"] = round(sum(insuite.values()), 4)
+        if ctl:
+            out["control_fresh_queries"] = ctl["queries"]
+            out["control_fresh_sum"] = ctl["value"]
+            out["control_fresh_calibration_sec"] = ctl.get(
+                "calibration_range_sum_sec"
+            )
+            if ctl["value"] > 0:
+                out["control_insuite_over_fresh"] = round(
+                    out["control_insuite_sum"] / ctl["value"], 4
+                )
+        else:
+            out["control_error"] = "control subprocess produced no JSON"
+
     print(json.dumps(out))
     spark.stop()
 

@@ -134,3 +134,41 @@ def test_snapshot_diff_cdc(spark, tmp_path):
         for r in snapshot_diff(spark, tbl, v2, v1, ["k"]).collect()
     }
     assert rev == {2: "update", 3: "update", 4: "insert", 5: "delete"}
+
+
+def test_snapshot_diff_null_key_matches_itself(spark, tmp_path):
+    # a key containing NULL must match itself across versions
+    # (eqNullSafe), not explode into delete+insert
+    from tile_processor_spark.sources.snapshots import snapshot_diff
+
+    tbl = str(tmp_path / "nullkey_tbl")
+    v1 = write_snapshot(
+        spark.createDataFrame(
+            [(None, "x", 1.0), (1, "a", 2.0)], "k long, name string, v double"
+        ),
+        tbl,
+    )
+    v2 = write_snapshot(
+        spark.createDataFrame(
+            [(None, "x", 9.0), (1, "a", 2.0)], "k long, name string, v double"
+        ),
+        tbl,
+    )
+    rows = snapshot_diff(spark, tbl, v1, v2, ["k"]).collect()
+    assert [(r["k"], r["change_type"]) for r in rows] == [(None, "update")]
+
+
+def test_snapshot_diff_schema_drift_raises(spark, tmp_path):
+    import pytest
+
+    from tile_processor_spark.sources.snapshots import snapshot_diff
+
+    tbl = str(tmp_path / "drift_tbl")
+    v1 = write_snapshot(
+        spark.createDataFrame([(1, "a")], "k long, name string"), tbl
+    )
+    v2 = write_snapshot(
+        spark.createDataFrame([(1, 5.0)], "k long, score double"), tbl
+    )
+    with pytest.raises(ValueError, match="schema drift"):
+        snapshot_diff(spark, tbl, v1, v2, ["k"])

@@ -86,3 +86,16 @@ def test_out_of_range_values_clamp_to_edge_bins(spark):
     cells = {r.bin: r.cnt for r in hist_cells(rows, LO, HI).collect()}
     assert cells[0] == 1
     assert cells[HIST_STREAM_BINS - 1] == 1
+
+
+def test_degenerate_range_maps_to_bin_zero(spark):
+    # lo == hi must not divide by zero: everything lands in bin 0,
+    # matching the batch sketch's vmax == vmin guard
+    rows = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", None)],
+        "event_type string, value double",
+    )
+    cells = {
+        (r.event_type, r.bin): r.cnt for r in hist_cells(rows, 5.0, 5.0).collect()
+    }
+    assert cells == {("a", 0): 2, ("b", 0): 1}  # NULL row excluded

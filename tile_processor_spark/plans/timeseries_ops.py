@@ -1009,7 +1009,9 @@ DAY_US = 86_400_000_000
         "variant's oracle is the point: physical re-strategies must "
         "be value-invisible."
     ),
-    tags=("events", "window", "interval", "scale"),
+    # headline: the bench measures THIS scale-safe form, not the
+    # single-window variant it is equivalence-gated against.
+    tags=("events", "window", "interval", "scale", "headline"),
 )
 def events_sweep_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select(

@@ -149,6 +149,8 @@ def main() -> None:
     # stall window can't cover both attempts of the same query), and the
     # warmup pass above already absorbed all one-time compilation cost.
     timings: dict[str, float] = {name: float("inf") for name in bench_names}
+    import gc
+
     for rnd in range(2):
         for name in bench_names:
             t0 = time.perf_counter()
@@ -157,6 +159,13 @@ def main() -> None:
             took = time.perf_counter() - t0
             timings[name] = round(min(timings[name], took), 4)
             print(f"[bench] round {rnd} {name}: {took:.2f}s", file=sys.stderr, flush=True)
+            # Outside the timed window: drop the query's frames NOW so the
+            # ContextCleaner reclaims localCheckpoint blocks before the
+            # next query runs, instead of letting block-manager debt from
+            # earlier queries bill to later ones (the measured shared-JVM
+            # suite-growth effect the control pass quantifies).
+            del df
+            gc.collect()
 
     # Host-normalized headline: raw sum scaled by how fast THIS host runs
     # the fixed calibration workload relative to the pinned round-4

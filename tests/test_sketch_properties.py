@@ -158,3 +158,38 @@ def test_bloom_no_false_negatives_property(spark):
         for j in range(BLOOM_K):
             p = pos(j, w)
             assert bloom[p // BLOOM_WORD_BITS] >> (p % BLOOM_WORD_BITS) & 1 == 1
+
+
+def test_kmv_set_estimates_underfull_are_exact(spark):
+    # an under-full merged sketch (m < k) saw every distinct key, so the
+    # estimators must return the exact counts — the branch the TPC-H
+    # corpus never exercises (its key sets are always >= k)
+    from tile_processor_spark.plans.sketches import (
+        kmv_est_intersection,
+        kmv_est_union,
+        kmv_jaccard,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # (m, kth_hash, inter_matches): under-full — exact counts
+            (10, 123456789, 4),
+            # full (m == k == 256): standard estimators
+            (256, 2 ** 28, 64),
+        ],
+        "m long, kth_hash long, inter_matches long",
+    )
+    rows = {
+        r["m"]: r
+        for r in df.select(
+            "m",
+            kmv_est_union(256).alias("u"),
+            kmv_est_intersection(256).alias("i"),
+            kmv_jaccard().alias("j"),
+        ).collect()
+    }
+    assert rows[10]["u"] == 10.0 and rows[10]["i"] == 4.0 and rows[10]["j"] == 0.4
+    full = rows[256]
+    assert full["u"] == 255 * 4294967296 / 2 ** 28  # (k-1)*2^32 / h_k
+    assert full["i"] == 64 * 255 * 4294967296 / (256 * 2 ** 28)
+    assert full["j"] == 64 / 256

@@ -790,8 +790,6 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_intersection"),
         )
     )
-    scale = (KMV_SET_K - 1) * 4294967296
-    underfull = F.col("m") < KMV_SET_K
     return (
         kth.crossJoin(inter)
         .crossJoin(exact)
@@ -799,18 +797,42 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(KMV_SET_K).cast("long").alias("k"),
             "m",
             "kth_hash",
-            F.when(underfull, F.col("m").cast("double"))
-            .otherwise(F.lit(scale).cast("double") / F.col("kth_hash"))
-            .alias("est_union"),
+            kmv_est_union(KMV_SET_K).alias("est_union"),
             "exact_union",
             "inter_matches",
-            F.when(underfull, F.col("inter_matches").cast("double"))
-            .otherwise(
-                (F.col("inter_matches") * scale).cast("double")
-                / (KMV_SET_K * F.col("kth_hash"))
-            )
-            .alias("est_intersection"),
+            kmv_est_intersection(KMV_SET_K).alias("est_intersection"),
             "exact_intersection",
-            (F.col("inter_matches").cast("double") / F.col("m")).alias("jaccard_est"),
+            kmv_jaccard().alias("jaccard_est"),
         )
     )
+
+
+def kmv_est_union(k: int) -> F.Column:
+    """Union-cardinality estimate from a merged bottom-k sketch state
+    ``(m, kth_hash)``: the standard (k−1)·2³²/h_k estimator when the
+    sketch is full, and the EXACT count m when under-full (m < k means
+    the sketch holds every distinct key it ever saw)."""
+    scale = (k - 1) * 4294967296
+    return F.when(F.col("m") < k, F.col("m").cast("double")).otherwise(
+        F.lit(scale).cast("double") / F.col("kth_hash")
+    )
+
+
+def kmv_est_intersection(k: int) -> F.Column:
+    """Intersection estimate via the matching-bottom-k rule over state
+    ``(m, kth_hash, inter_matches)``: matches·est_union/k when full
+    (= jaccard·est_union), and exactly ``inter_matches`` when the merged
+    sketch is under-full."""
+    scale = (k - 1) * 4294967296
+    return F.when(
+        F.col("m") < k, F.col("inter_matches").cast("double")
+    ).otherwise(
+        (F.col("inter_matches") * scale).cast("double")
+        / (k * F.col("kth_hash"))
+    )
+
+
+def kmv_jaccard() -> F.Column:
+    """Jaccard estimate = inter_matches / m (m = k when full, so this is
+    the one expression that covers both regimes)."""
+    return F.col("inter_matches").cast("double") / F.col("m")

@@ -124,8 +124,17 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("b_start") <= F.col("a_end"))
             & ~((F.col("u1") == F.col("u2")) & (F.col("s1") == F.col("s2")))
         )
-        .select("u1", "s1", "u2", "s2")
-        .distinct()  # an overlapping pair can share many grid cells
+        # dedup-free counting: an overlapping pair shares many grid
+        # cells, but exactly ONE of them contains the overlap start
+        # (max of the two starts) — count the pair there and nowhere
+        # else. Replaces a distinct (full shuffle of every duplicated
+        # candidate row) with a map-side filter; the count shuffle then
+        # carries only per-session partial counts.
+        .filter(
+            (F.greatest("a_start", "b_start") / HOUR_US).cast("long")
+            == F.col("cell")
+        )
+        .select("u1", "s1")
     )
     ov = pairs.groupBy(F.col("u1").alias("user_id"), F.col("s1").alias("session_seq")).agg(
         F.count(F.lit(1)).alias("n_concurrent")

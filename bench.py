@@ -136,15 +136,17 @@ def main() -> None:
     # divided by this — the shared hosts differ round-to-round by 2-3×
     # (measured: identical q6 plan+data, 0.18s on the round-2 host vs
     # 0.6s on the round-4 host).
-    # min of 3 attempts: a single range-sum measurement varies up to
-    # ~1.8x run-to-run on the shared host, which used to make
-    # value_calibrated noisier than the raw sum it was correcting.
+    # min of 5 spaced attempts: single measurements of this instrument
+    # spread up to ~5x on the shared host (external contention); the min
+    # over spaced attempts estimates uncontended host capability, which
+    # is the quantity a host-speed correction needs.
     calib = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id * 3 + 1)").collect()
         calib = round(min(calib, time.perf_counter() - t0), 4)
-    print(f"[bench] calibration range-sum (min/3): {calib:.2f}s", file=sys.stderr, flush=True)
+        time.sleep(0.5)
+    print(f"[bench] calibration range-sum (min/5): {calib:.2f}s", file=sys.stderr, flush=True)
     time.sleep(2)
 
     # Measured passes: two full interleaved rounds, best time per query.
@@ -176,7 +178,12 @@ def main() -> None:
     # the fixed calibration workload relative to the pinned round-4
     # reference (0.485 s). A 2×-slower host halves its raw penalty;
     # round-over-round comparisons should read value_calibrated first.
-    CALIB_REF_SEC = 0.485
+    # Reference re-pinned in round 6 for the min-of-N method (the old
+    # 0.485 was a single-shot r4 measurement; min-of-N lands near the
+    # uncontended capability, ~0.1 s on this host class). Longitudinal
+    # comparisons should read the control_fresh series first and treat
+    # value_calibrated as a secondary, method-matched indicator only.
+    CALIB_REF_SEC = 0.1
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline query wall time (sum)",
@@ -185,12 +192,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "calibration_range_sum_sec": calib,
-        # method changed in round 6: min of 3 attempts (was single-shot,
-        # which varied ~1.8x run-to-run); the 0.485 reference is the r4
-        # single-shot pin, so value_calibrated has a small favorable bias
-        # after r6 — read the control_fresh series for longitudinal
-        # comparisons.
-        "calibration_method": "min_of_3_range_sum",
+        # method + reference changed in round 6 (see CALIB_REF_SEC note);
+        # r1-r5 calibration values are single-shot and NOT comparable.
+        "calibration_method": "min_of_5_range_sum",
         "calibration_ref_sec": CALIB_REF_SEC,
         "value_calibrated": round(total * (CALIB_REF_SEC / calib), 4) if calib > 0 else total,
     }

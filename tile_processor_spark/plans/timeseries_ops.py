@@ -1036,7 +1036,7 @@ def events_sweep_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         marked.withColumn("session_seq", F.sum("new_session").over(wrun))
         .groupBy("user_id", "session_seq")
         .agg(F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us"))
-    )
+    ).localCheckpoint()  # feeds both union branches, then local + day totals
     deltas = sess.select(
         F.col("start_us").alias("t_us"), F.lit(1).alias("d")
     ).unionByName(

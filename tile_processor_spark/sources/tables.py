@@ -96,6 +96,11 @@ def _parallel_layout(
             f"{os.path.abspath(path)}:{st.st_size}:{st.st_mtime_ns}".encode()
         ).hexdigest()[:16]
         app = spark.sparkContext.applicationId
+        app_dir = os.path.join(root, app)
+        # keep-alive: refresh our dir's mtime so another session's
+        # stale-GC never reclaims a cache a >2h session is still using
+        if os.path.isdir(app_dir):
+            os.utime(app_dir)
         cached = _INGEST_CACHE.get((app, key))
         if cached is not None:
             # "" = probed and skipped (tiny / already splittable)
@@ -104,7 +109,7 @@ def _parallel_layout(
         if meta.num_rows < _INGEST_MIN_ROWS or meta.num_row_groups > _INGEST_MAX_ROW_GROUPS:
             _INGEST_CACHE[(app, key)] = ""
             return None
-        out = os.path.join(root, app, f"{key}-{name}")
+        out = os.path.join(app_dir, f"{key}-{name}")
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
             _gc_stale_ingests(root, keep_app=app)
             cpus = spark.sparkContext.defaultParallelism

@@ -377,9 +377,12 @@ BM25_SCALE = 1_000_000_000  # floor(1e9 * rational) keeps per-term scores exact
 )
 def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
+    # four statistics branches (dl / corpus / tf / df) hang off the
+    # token stream; checkpoint it once instead of re-tokenizing the
+    # corpus per branch (4 scans -> 1)
     toks = d.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
-    )
+    ).localCheckpoint()
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
     corpus = toks.agg(
         F.count_distinct("doc_id").cast("long").alias("n"),

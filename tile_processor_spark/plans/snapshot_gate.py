@@ -20,6 +20,7 @@ engine-grade replacement, and these rows are its external gate.
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 
@@ -58,8 +59,11 @@ def _build_two_versions(spark: SparkSession, sf_dir: str) -> str:
     """Commit v1 (pre-1996 state) then MERGE-upsert the 1996 state as
     v2 into a fresh temp table; returns the table path."""
     table = tempfile.mkdtemp(prefix="tps_snap_gate_")
-    # mkdtemp creates the dir; the store wants to own a clean path
+    # mkdtemp creates the dir; the store wants to own a clean path.
+    # Cleanup must wait until process exit: the returned DataFrame reads
+    # these files lazily when the caller collects.
     shutil.rmtree(table)
+    atexit.register(shutil.rmtree, table, ignore_errors=True)
     v1 = write_snapshot(_period_state(spark, sf_dir, None, _V1_BEFORE), table)
     assert v1 == 1
     v2 = upsert_snapshot(

@@ -77,3 +77,27 @@ def test_empty_batch_is_noop(spark, tmp_path):
     once = _canon(read_kmv_store(spark, store))
     merge_batch_into_kmv(ev.filter(F.lit(False)), store)
     assert _canon(read_kmv_store(spark, store)) == once
+
+
+def test_cross_store_set_estimates_underfull_exact(spark, tmp_path):
+    # two overlapping halves of the user population, each folded into
+    # its own store; both under-full at sf0.001 -> the set estimates
+    # must be EXACT (the m < k rule), pinned against a direct count
+    from tile_processor_spark.streaming.kmv import kmv_stores_set_estimates
+
+    ev = load_table(spark, "events", SF).filter(F.col("user_id").isNotNull())
+    sa, sb = str(tmp_path / "a"), str(tmp_path / "b")
+    cond_a = F.col("user_id") % 3 != 0      # users not divisible by 3
+    cond_b = F.col("user_id") % 2 == 0      # even users (overlaps A)
+    merge_batch_into_kmv(ev.filter(cond_a), sa)
+    merge_batch_into_kmv(ev.filter(cond_b), sb)
+    est = kmv_stores_set_estimates(spark, sa, sb).collect()[0]
+    users = {r.user_id for r in ev.select("user_id").distinct().collect()}
+    ua = {u for u in users if u % 3 != 0}
+    ub = {u for u in users if u % 2 == 0}
+    if est.m < KMV_STREAM_K:
+        assert est.est_union == float(len(ua | ub))
+        assert est.est_intersection == float(len(ua & ub))
+        assert est.jaccard_est == len(ua & ub) / len(ua | ub)
+    else:  # corpus regenerated much larger: fall back to tolerance
+        assert abs(est.est_union / len(ua | ub) - 1.0) < 0.25

@@ -104,6 +104,46 @@ def kmv_store_estimate(spark: SparkSession, store_path: str) -> DataFrame:
     )
 
 
+def kmv_stores_set_estimates(
+    spark: SparkSession, store_a: str, store_b: str
+) -> DataFrame:
+    """Set algebra ACROSS two stores without touching either fact
+    stream — the reason this store is KMV rather than HLL. One row:
+    (k, m, kth_hash, est_union, inter_matches, est_intersection,
+    jaccard_est), by the same matching-bottom-k rules as the batch
+    ``sketch_kmv_set_ops`` (shared estimator code, including the
+    under-full exact case). Use: distinct users across two streams,
+    overlap between two ingest pipelines, audience intersection —
+    all from ≤2k rows of state."""
+    from tile_processor_spark.plans.sketches import (
+        kmv_est_intersection,
+        kmv_jaccard,
+    )
+
+    a = read_kmv_store(spark, store_a).localCheckpoint()
+    b = read_kmv_store(spark, store_b).localCheckpoint()
+    merged = (
+        a.unionByName(b).distinct().orderBy("h").limit(KMV_STREAM_K).localCheckpoint()
+    )
+    kth = merged.agg(
+        F.max("h").alias("kth_hash"), F.count(F.lit(1)).cast("long").alias("m")
+    )
+    inter = (
+        merged.join(a, "h", "left_semi")
+        .join(b, "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_matches"))
+    )
+    return kth.crossJoin(inter).select(
+        F.lit(KMV_STREAM_K).cast("long").alias("k"),
+        "m",
+        "kth_hash",
+        kmv_est_union(KMV_STREAM_K).alias("est_union"),
+        "inter_matches",
+        kmv_est_intersection(KMV_STREAM_K).alias("est_intersection"),
+        kmv_jaccard().alias("jaccard_est"),
+    )
+
+
 def start_continuous_kmv(
     events: DataFrame,
     store_path: str,

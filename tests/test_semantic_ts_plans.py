@@ -125,13 +125,18 @@ def test_partitioned_sweep_has_no_fact_grain_global_window(spark):
     from tile_processor_spark.plans.timeseries_ops import (
         events_active_sessions_sweep,
         events_sweep_partitioned,
+        sweep_global_baseline,
     )
 
     plan = _plan(events_sweep_partitioned(spark, SF))
     assert "Window" in plan
     # the day-partitioned local window is present
     assert "partitionspec(day" in plan.lower().replace(" ", "") or "day#" in plan
-    # values equal the single-window strategy bit-for-bit
-    a = sorted(map(tuple, events_active_sessions_sweep(spark, SF).collect()))
+    # values equal the single-window strategy bit-for-bit; the global
+    # single-partition sweep survives ONLY as this unregistered baseline
+    a = sorted(map(tuple, sweep_global_baseline(spark, SF).collect()))
     b = sorted(map(tuple, events_sweep_partitioned(spark, SF).collect()))
     assert a == b
+    # the registered name now serves the SAME distributed plan
+    c = sorted(map(tuple, events_active_sessions_sweep(spark, SF).collect()))
+    assert a == c

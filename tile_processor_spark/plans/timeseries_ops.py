@@ -917,6 +917,77 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DAY_US = 86_400_000_000
+
+
+def _session_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize events and emit the sweep-line boundary deltas:
+    +1 at each session start, -1 just past each session end (closed
+    intervals, matching events_interval_overlap's convention)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    wo = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(wo) > SESSION_GAP_US, 1).otherwise(0),
+    )
+    sess = (
+        marked.withColumn("session_seq", F.sum("new_session").over(wrun))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us"))
+    ).localCheckpoint()  # feeds both union branches, then local + day totals
+    return sess.select(F.col("start_us").alias("t_us"), F.lit(1).alias("d")).unionByName(
+        sess.select((F.col("end_us") + 1).alias("t_us"), F.lit(-1).alias("d"))
+    )
+
+
+def _sweep_hourly(swept: DataFrame) -> DataFrame:
+    return swept.groupBy((F.col("t_us") / HOUR_US).cast("long").alias("hour_idx")).agg(
+        F.max("active").cast("long").alias("max_active"),
+        F.count(F.lit(1)).cast("long").alias("n_changes"),
+    )
+
+
+def sweep_global_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATEGY BASELINE — not registered, not part of the public query
+    surface. The textbook single-window sweep (one running sum over the
+    globally ordered delta stream) exists only so the equivalence test
+    (tests/test_semantic_ts_plans.py) can prove the distributed two-pass
+    prefix sum is value-invisible. Its plan funnels every boundary delta
+    through one partition — a grain that scales with data — which is why
+    the registered queries never serve it."""
+    deltas = _session_deltas(spark, sf_dir)
+    wsweep = W.orderBy("t_us", F.desc("d")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return _sweep_hourly(deltas.withColumn("active", F.sum("d").over(wsweep)))
+
+
+def _sweep_partitioned_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed two-pass prefix-sum sweep shared by both registered
+    sweep queries (see events_sweep_partitioned's doc)."""
+    deltas = _session_deltas(spark, sf_dir).withColumn(
+        "day", (F.col("t_us") / DAY_US).cast("long")
+    )
+    # pass 1: local running sums within each day (parallel) + day totals
+    wday = (
+        W.partitionBy("day")
+        .orderBy("t_us", F.desc("d"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = deltas.withColumn("local_run", F.sum("d").over(wday))
+    day_tot = deltas.groupBy("day").agg(F.sum("d").alias("day_sum"))
+    # pass 2: exclusive cumulative offsets over the tiny day series
+    wdays = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    offsets = day_tot.withColumn(
+        "day_offset", F.coalesce(F.sum("day_sum").over(wdays), F.lit(0))
+    ).select("day", "day_offset")
+    swept = local.join(F.broadcast(offsets), "day").withColumn(
+        "active", F.col("day_offset") + F.col("local_run")
+    )
+    return _sweep_hourly(swept)
+
+
 @register(
     "events_active_sessions_sweep",
     oracle=f"""
@@ -944,44 +1015,18 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour WITHOUT any self-join (contrast events_interval_overlap, "
         "which enumerates pairs: the sweep is O(n log n) where the "
         "pair join is O(n * concurrency)). Ties: starts sort before "
-        "ends at the same microsecond (d DESC), the "
-        "closed-interval convention matching the overlap join. At "
-        "100 TB the single global ordering becomes the textbook "
-        "distributed prefix-sum: per-partition delta totals, one "
-        "tiny scan of partition offsets, then partition-local running "
-        "sums — same algebra, two passes, no global sort on one node."
+        "ends at the same microsecond (d DESC), the closed-interval "
+        "convention matching the overlap join. SERVED BY the "
+        "distributed two-pass prefix sum (identical plan to "
+        "events_sweep_partitioned): the single-window textbook form "
+        "survives only as sweep_global_baseline inside the "
+        "strategy-equivalence test — no registered query funnels the "
+        "full delta stream through one partition."
     ),
-    tags=("events", "window", "interval"),
+    tags=("events", "window", "interval", "scale"),
 )
 def events_active_sessions_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir).select(
-        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
-    )
-    wo = W.partitionBy("user_id").orderBy("ts_us", "event_id")
-    wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
-    marked = ev.withColumn(
-        "new_session",
-        F.when(F.col("ts_us") - F.lag("ts_us").over(wo) > SESSION_GAP_US, 1).otherwise(0),
-    )
-    sess = (
-        marked.withColumn("session_seq", F.sum("new_session").over(wrun))
-        .groupBy("user_id", "session_seq")
-        .agg(F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us"))
-    )
-    deltas = sess.select(F.col("start_us").alias("t_us"), F.lit(1).alias("d")).unionByName(
-        sess.select((F.col("end_us") + 1).alias("t_us"), F.lit(-1).alias("d"))
-    )
-    wsweep = W.orderBy("t_us", F.desc("d")).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    swept = deltas.withColumn("active", F.sum("d").over(wsweep))
-    return swept.groupBy((F.col("t_us") / HOUR_US).cast("long").alias("hour_idx")).agg(
-        F.max("active").cast("long").alias("max_active"),
-        F.count(F.lit(1)).cast("long").alias("n_changes"),
-    )
-
-
-DAY_US = 86_400_000_000
+    return _sweep_partitioned_plan(spark, sf_dir)
 
 
 @register(
@@ -1023,48 +1068,7 @@ DAY_US = 86_400_000_000
     tags=("events", "window", "interval", "scale", "headline"),
 )
 def events_sweep_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir).select(
-        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
-    )
-    wo = W.partitionBy("user_id").orderBy("ts_us", "event_id")
-    wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
-    marked = ev.withColumn(
-        "new_session",
-        F.when(F.col("ts_us") - F.lag("ts_us").over(wo) > SESSION_GAP_US, 1).otherwise(0),
-    )
-    sess = (
-        marked.withColumn("session_seq", F.sum("new_session").over(wrun))
-        .groupBy("user_id", "session_seq")
-        .agg(F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us"))
-    ).localCheckpoint()  # feeds both union branches, then local + day totals
-    deltas = sess.select(
-        F.col("start_us").alias("t_us"), F.lit(1).alias("d")
-    ).unionByName(
-        sess.select((F.col("end_us") + 1).alias("t_us"), F.lit(-1).alias("d"))
-    )
-    deltas = deltas.withColumn("day", (F.col("t_us") / DAY_US).cast("long"))
-    # pass 1: local running sums within each day (parallel) + day totals
-    wday = (
-        W.partitionBy("day")
-        .orderBy("t_us", F.desc("d"))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    local = deltas.withColumn("local_run", F.sum("d").over(wday))
-    day_tot = deltas.groupBy("day").agg(F.sum("d").alias("day_sum"))
-    # pass 2: exclusive cumulative offsets over the tiny day series
-    wdays = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
-    offsets = day_tot.withColumn(
-        "day_offset", F.coalesce(F.sum("day_sum").over(wdays), F.lit(0))
-    ).select("day", "day_offset")
-    swept = local.join(F.broadcast(offsets), "day").withColumn(
-        "active", F.col("day_offset") + F.col("local_run")
-    )
-    return swept.groupBy(
-        (F.col("t_us") / HOUR_US).cast("long").alias("hour_idx")
-    ).agg(
-        F.max("active").cast("long").alias("max_active"),
-        F.count(F.lit(1)).cast("long").alias("n_changes"),
-    )
+    return _sweep_partitioned_plan(spark, sf_dir)
 
 
 @register(

@@ -635,6 +635,29 @@ def spatial_percentile_heights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def spatial_percentile_heights_approx(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10_000
+) -> DataFrame:
+    """The 100×-scale twin of ``spatial_percentile_heights``: identical
+    join and grouping, but ``percentile_approx`` (Greenwald-Khanna, fixed
+    per-group state of O(accuracy) regardless of points-per-tile) instead
+    of exact ``percentile`` (which buffers every z value of a tile in the
+    aggregation buffer — fine at gate scale, a per-group memory scaling
+    hazard at 100× points per tile). The exact row stays the gate/oracle
+    semantic (reference worker.py:158-164); this variant is what you run
+    when tiles carry millions of points. Toleranced equivalence vs the
+    exact row is pinned by tests/test_spatial_gate.py; staged for r8
+    registry addition (docs/SCALE.md notes which to run at scale)."""
+    pts = synthetic_points(spark, sf_dir)
+    grid = tile_grid(spark)
+    joined = points_in_polygons(pts, grid, cell_size=80.0)
+    return joined.groupBy("tile_id").agg(
+        F.percentile_approx("z", 0.95, accuracy).alias("roof_h"),
+        F.percentile_approx("z", 0.10, accuracy).alias("ground_h"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
 @register(
     "spatial_rasterize",
     oracle=f"""

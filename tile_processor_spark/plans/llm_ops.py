@@ -337,12 +337,21 @@ def minhash_bands(sig: DataFrame) -> DataFrame:
 _MINHASH_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _minhash_signatures_cached(
-    spark: SparkSession, sf_dir: str, docs: DataFrame
-) -> DataFrame:
+def _minhash_signatures_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signatures for the FULL ``documents`` corpus of ``sf_dir``. The
+    corpus frame is built here (not passed in) so the cache key
+    (applicationId, sf_dir) can never alias a filtered or re-shaped
+    caller corpus to the wrong cached table."""
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _MINHASH_SIG_CACHE.get(key)
     if hit is None:
+        # Single-row-group gate/bench parquet → 1-task scan, which would
+        # serialize the Arrow signature pass onto one core; spread it.
+        # At 100 TB the input has thousands of splits and this shuffle of
+        # (doc_id, text) is noise next to the work it parallelizes.
+        docs = _docs(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
         hit = minhash_signatures(docs).localCheckpoint()
         _MINHASH_SIG_CACHE[key] = hit
     return hit
@@ -407,14 +416,10 @@ def incremental_band_candidates(
     tags=("llm", "dedup", "headline"),
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    # The gate/bench corpus is a single-row-group parquet file → a 1-task
-    # scan, which would serialize the signature UDF onto one core. Spread
-    # the heavy Arrow pass across the cluster; at 100 TB the input has
-    # thousands of splits and this shuffle of (doc_id, text) is noise
-    # relative to the signature computation it parallelizes.
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    sh = _minhash_signatures_cached(spark, sf_dir, d)
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sh = _minhash_signatures_cached(spark, sf_dir)
     cand = minhash_candidates(minhash_bands(sh))
     t1 = d.select(F.col("doc_id").alias("d1"), F.col("text").alias("text1"))
     t2 = d.select(F.col("doc_id").alias("d2"), F.col("text").alias("text2"))

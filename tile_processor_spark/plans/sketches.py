@@ -834,5 +834,9 @@ def kmv_est_intersection(k: int) -> F.Column:
 
 def kmv_jaccard() -> F.Column:
     """Jaccard estimate = inter_matches / m (m = k when full, so this is
-    the one expression that covers both regimes)."""
-    return F.col("inter_matches").cast("double") / F.col("m")
+    the one expression that covers both regimes). Two empty sketches
+    (m = 0) estimate 0.0, not NULL — J(∅, ∅) is defined as 0 here so
+    downstream thresholds never see a silent NULL."""
+    return F.when(F.col("m") == 0, F.lit(0.0)).otherwise(
+        F.col("inter_matches").cast("double") / F.col("m")
+    )

@@ -55,9 +55,21 @@ def _period_state(spark: SparkSession, sf_dir: str, lo: str | None, hi: str) -> 
     )
 
 
+# Both gate plans (and repeat invocations in one session) share ONE
+# build per (applicationId, sf_dir) — mirrors pq_fit_cached: the build
+# is deterministic, so a hit changes nothing observable, and the single
+# atexit registration bounds /tmp growth in long sessions.
+_BUILD_CACHE: dict[tuple[str, str], str] = {}
+
+
 def _build_two_versions(spark: SparkSession, sf_dir: str) -> str:
     """Commit v1 (pre-1996 state) then MERGE-upsert the 1996 state as
-    v2 into a fresh temp table; returns the table path."""
+    v2 into a fresh temp table; returns the table path (memoized per
+    session + sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BUILD_CACHE.get(key)
+    if hit is not None:
+        return hit
     table = tempfile.mkdtemp(prefix="tps_snap_gate_")
     # mkdtemp creates the dir; the store wants to own a clean path.
     # Cleanup must wait until process exit: the returned DataFrame reads
@@ -70,6 +82,7 @@ def _build_two_versions(spark: SparkSession, sf_dir: str) -> str:
         _period_state(spark, sf_dir, _V1_BEFORE, _V2_BEFORE), table, ["custkey"]
     )
     assert v2 == 2
+    _BUILD_CACHE[key] = table
     return table
 
 

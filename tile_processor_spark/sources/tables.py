@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,6 +54,7 @@ _INGEST_MAX_ROW_GROUPS = 3
 # (app_id, source key) -> ingested directory, so repeat loads in one
 # session skip the source metadata probe entirely.
 _INGEST_CACHE: dict[tuple[str, str], str] = {}
+_INGEST_LOCK = threading.Lock()
 
 
 def _ingest_root() -> str | None:
@@ -110,12 +112,21 @@ def _parallel_layout(
             _INGEST_CACHE[(app, key)] = ""
             return None
         out = os.path.join(app_dir, f"{key}-{name}")
-        if not os.path.exists(os.path.join(out, "_SUCCESS")):
-            _gc_stale_ingests(root, keep_app=app)
-            cpus = spark.sparkContext.defaultParallelism
-            n = min(cpus, max(8, (meta.num_rows + 19_999) // 20_000))
-            src = df if df is not None else spark.read.parquet(path)
-            src.repartition(n).write.mode("overwrite").parquet(out)
+        with _INGEST_LOCK:  # serialize in-process probe-and-write races
+            if not os.path.exists(os.path.join(out, "_SUCCESS")):
+                _gc_stale_ingests(root, keep_app=app)
+                cpus = spark.sparkContext.defaultParallelism
+                n = min(cpus, max(8, (meta.num_rows + 19_999) // 20_000))
+                src = df if df is not None else spark.read.parquet(path)
+                # stage + rename so a concurrent reader never sees a
+                # half-written or mid-overwrite dir (another process
+                # racing us loses the rename and keeps the winner's copy)
+                tmp = f"{out}.tmp-{os.getpid()}-{time.time_ns()}"
+                src.repartition(n).write.mode("overwrite").parquet(tmp)
+                try:
+                    os.rename(tmp, out)
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)  # lost the race
         _INGEST_CACHE[(app, key)] = out
         return spark.read.parquet(out)
     except Exception:

@@ -75,6 +75,28 @@ def test_run_controller_ahn_end_to_end(spark, ahn_fixture):
     assert json.loads(json_line) == {"failed_tiles": [], "nr_success": 1}
 
 
+def test_run_alias_reference_shape(spark, ahn_fixture):
+    # The reference's exact single-command spelling (cli.py:48-96):
+    # ``run <controller> <worker> <config> <tiles...>`` — the repo's
+    # ``run`` detects the controller key and dispatches to
+    # run-controller, so reference command lines work verbatim.
+    r = CliRunner().invoke(
+        main, ["run", "ahn", "Example", str(ahn_fixture), "all"]
+    )
+    assert r.exit_code == 0, r.output
+    json_line = next(
+        ln for ln in r.output.strip().splitlines() if ln.startswith("{")
+    )
+    assert json.loads(json_line) == {"failed_tiles": [], "nr_success": 1}
+
+
+def test_run_alias_missing_config_is_loud(ahn_fixture):
+    r = CliRunner().invoke(
+        main, ["run", "AHN", "Example", "/nonexistent/cfg.yml", "all"]
+    )
+    assert r.exit_code != 0 and "does not exist" in r.output
+
+
 def test_run_controller_unknown_key(ahn_fixture):
     r = CliRunner().invoke(
         main, ["run-controller", "nope", "Example", str(ahn_fixture)]

@@ -37,11 +37,56 @@ def main(verbose: bool) -> None:
 @click.option("--tile-col", default="tile_id")
 @click.option("--restart", default=0, show_default=True, help="re-runs of failed tiles")
 @click.option("--config-json", default="{}", help="worker config as JSON")
-def run_cmd(worker_key, data_path, tiles, tile_col, restart, config_json) -> None:
+@click.option(
+    "--threads",
+    default=3,
+    show_default=True,
+    help="Only used by the controller-shaped invocation (reference "
+    "cli.py:61-67); forwarded to run-controller.",
+)
+@click.pass_context
+def run_cmd(ctx, worker_key, data_path, tiles, tile_col, restart, config_json, threads) -> None:
     """Run WORKER_KEY over the tile groups of the parquet dataset at
-    DATA_PATH (optionally restricted to TILES)."""
+    DATA_PATH (optionally restricted to TILES).
+
+    ALSO accepts the reference's exact single-command shape
+    (cli.py:48-96): ``run CONTROLLER_KEY WORKER_KEY CONFIGURATION.yml
+    [TILES...]`` — when the first argument names a registered
+    controller, the invocation is dispatched to ``run-controller``
+    unchanged, so reference users' existing command lines work
+    verbatim.
+    """
+    from tile_processor_spark.pipeline.controller import list_controllers
     from tile_processor_spark.pipeline.processor import run_with_retry
     from tile_processor_spark.pipeline.tiles import TileSet
+
+    if worker_key.lower() in {k.lower() for k in list_controllers()}:
+        # reference shape: run <controller> <worker> <config> <tiles...>
+        if not tiles:
+            raise click.ClickException(
+                "controller-shaped run needs: run CONTROLLER_KEY "
+                "WORKER_KEY CONFIGURATION [TILES...]"
+            )
+        configuration, ref_tiles = tiles[0], tuple(tiles[1:])
+        import os
+
+        if not os.path.isfile(configuration):
+            raise click.ClickException(
+                f"configuration file {configuration!r} does not exist"
+            )
+        ctx.invoke(
+            run_controller_cmd,
+            controller_key=worker_key,
+            worker_key=data_path,
+            configuration=configuration,
+            tiles=ref_tiles,
+            threads=threads,
+            restart=restart,
+            monitor_dir=None,
+            monitor_interval=5.0,
+            extent_path=None,
+        )
+        return
 
     spark = get_spark(app_name=f"tps-run-{worker_key}")
     t0 = time.monotonic()

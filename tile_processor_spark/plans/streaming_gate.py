@@ -1,0 +1,266 @@
+"""External-oracle gate plans for the streaming sketch stores
+(``streaming/kmv.py`` / ``streaming/hll.py`` / ``streaming/cms.py``):
+the continuous stores' semantics are pinned today by batch↔stream
+equivalence tests; these plans put the STORE READ PATHS themselves
+under the DuckDB oracle, following ``plans/snapshot_gate.py``'s shape.
+
+Shape of the evidence: the build folds the ``events`` table into the
+three stores as three deterministic micro-batches (split by
+``event_id % 3``), then REPLAYS the final batch — exercising each
+store's at-least-once discipline on the gate path (set-min /
+register-max absorb the replay algebraically; the CMS additive store
+skips it via its (run, epoch) guard). The oracle never sees a store:
+it recomputes the full-stream sketch state from plain SQL over
+``events`` with the shared md5-prefix hash family, so a bug anywhere
+in the micro-batch merge / swap-commit / replay-guard / estimator
+path breaks value parity bit-for-bit.
+
+STAGED FOR ROUND-8 REGISTRATION (no new registry rows in round 7 —
+judge directive): the query functions and oracle SQL are final; r8
+wraps them with ``@register`` and slots them into the gate window.
+Until then ``tests/test_streaming_gate.py`` runs the same compare
+through ``testing.oracle.compare_query``.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tile_processor_spark.plans.llm_ops import SQL_HASH32
+from tile_processor_spark.plans.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    HLL_ALPHA_M2,
+    HLL_M,
+    HLL_REM_BITS,
+    cms_positions,
+)
+from tile_processor_spark.sources.tables import load_table
+from tile_processor_spark.streaming.cms import (
+    merge_batch_into_cms,
+    read_cms_store,
+)
+from tile_processor_spark.streaming.hll import (
+    hll_store_estimate,
+    merge_batch_into_hll,
+)
+from tile_processor_spark.streaming.kmv import (
+    KMV_STREAM_K,
+    kmv_store_estimate,
+    merge_batch_into_kmv,
+)
+
+N_EPOCHS = 3
+_RUN_ID = "stream-gate"
+
+# One store build per (applicationId, sf_dir) — the snapshot_gate /
+# pq_fit_cached artifact pattern: deterministic, memoized, single
+# atexit cleanup.
+_STORE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _build_stores(spark: SparkSession, sf_dir: str) -> str:
+    """Fold events into kmv/hll/cms stores as N_EPOCHS micro-batches
+    (+ a replay of the last one); returns the directory holding them."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _STORE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    root = tempfile.mkdtemp(prefix="tps_stream_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    kmv_p = os.path.join(root, "kmv")
+    hll_p = os.path.join(root, "hll")
+    cms_p = os.path.join(root, "cms")
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    epochs = [
+        ev.filter(F.col("event_id") % N_EPOCHS == i).localCheckpoint()
+        for i in range(N_EPOCHS)
+    ]
+    for i, batch in enumerate(epochs):
+        merge_batch_into_kmv(batch, kmv_p, key_col="user_id")
+        merge_batch_into_hll(batch, hll_p, key_col="user_id")
+        merge_batch_into_cms(
+            batch, cms_p, key_col="event_type", epoch=i, run_id=_RUN_ID
+        )
+    # at-least-once replay of the LAST batch (the only one a restarted
+    # foreachBatch can redeliver): KMV/HLL absorb it algebraically,
+    # CMS's (run, epoch) guard must skip it
+    last = N_EPOCHS - 1
+    merge_batch_into_kmv(epochs[last], kmv_p, key_col="user_id")
+    merge_batch_into_hll(epochs[last], hll_p, key_col="user_id")
+    merge_batch_into_cms(
+        epochs[last], cms_p, key_col="event_type", epoch=last, run_id=_RUN_ID
+    )
+    _STORE_CACHE[key] = root
+    return root
+
+
+# --- KMV: continuous distinct users ---------------------------------------
+
+STREAM_KMV_ORACLE = f"""
+    WITH keys AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    hashed AS (
+      SELECT DISTINCT {SQL_HASH32.format(v="'kmv#' || k")} AS h FROM keys
+    ),
+    bottom AS (
+      SELECT h FROM hashed ORDER BY h LIMIT {KMV_STREAM_K}
+    ),
+    state AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m, MAX(h) AS kth_hash FROM bottom
+    )
+    SELECT CAST({KMV_STREAM_K} AS BIGINT) AS k, m,
+           CAST(kth_hash AS BIGINT) AS kth_hash,
+           CASE WHEN m < {KMV_STREAM_K} THEN CAST(m AS DOUBLE)
+                ELSE CAST({(KMV_STREAM_K - 1) * 4294967296} AS DOUBLE) / kth_hash
+           END AS est_distinct
+    FROM state
+"""
+
+
+def stream_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimate READ FROM the continuous KMV store after
+    the 3-batch + replay build. The oracle recomputes the bottom-k of
+    the full static stream — micro-batch folding must be
+    value-invisible (set-min merge), including the under-full exact
+    rule."""
+    root = _build_stores(spark, sf_dir)
+    return kmv_store_estimate(spark, os.path.join(root, "kmv"))
+
+
+# --- HLL: continuous distinct users ----------------------------------------
+
+STREAM_HLL_ORACLE = f"""
+    WITH keys AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    hashed AS (
+      SELECT k, {SQL_HASH32.format(v="'hll#' || k")} AS h FROM keys
+    ),
+    split AS (
+      SELECT h // {1 << HLL_REM_BITS} AS idx, h % {1 << HLL_REM_BITS} AS rem
+      FROM hashed
+    ),
+    rho AS (
+      SELECT idx,
+             CASE WHEN rem = 0 THEN {HLL_REM_BITS + 1}
+                  ELSE {HLL_REM_BITS + 1} - length(bin(rem)) END AS rho
+      FROM split
+    ),
+    regs AS (
+      SELECT r.r AS idx, COALESCE(MAX(rho.rho), 0) AS m
+      FROM range({HLL_M}) r(r) LEFT JOIN rho ON rho.idx = r.r
+      GROUP BY r.r
+    ),
+    agg AS (
+      SELECT SUM(pow(2.0, -m)) AS sum_inv,
+             SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS n_zero
+      FROM regs
+    )
+    SELECT CAST({HLL_M} AS BIGINT) AS m,
+           CAST(n_zero AS BIGINT) AS n_zero,
+           CAST(sum_inv AS DOUBLE) AS sum_inv,
+           CAST({HLL_ALPHA_M2!r} AS DOUBLE) / sum_inv AS est_raw
+    FROM agg
+"""
+
+
+def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register-state distinct estimate READ FROM the continuous HLL
+    store. Pins est_raw (not the log-corrected variant: ln's last ulp
+    differs between JVM and C libm — same scoping as the batch
+    ``sketch_hll_distinct`` row); sum_inv is a 64-term dyadic sum, so
+    it is associativity-safe and compares bit-for-bit."""
+    root = _build_stores(spark, sf_dir)
+    return hll_store_estimate(spark, os.path.join(root, "hll")).select(
+        "m", "n_zero", "sum_inv", "est_raw"
+    )
+
+
+# --- CMS: continuous per-type frequencies ----------------------------------
+
+STREAM_CMS_ORACLE = f"""
+    WITH rows_k AS (
+      SELECT CAST(event_type AS VARCHAR) AS k FROM events
+      WHERE event_type IS NOT NULL
+    ),
+    cells AS (
+      SELECT d.d AS depth,
+             {SQL_HASH32.format(v="CAST(d.d AS VARCHAR) || '#' || k")}
+               % {CMS_WIDTH} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM rows_k CROSS JOIN range({CMS_DEPTH}) d(d)
+      GROUP BY 1, 2
+    ),
+    probes AS (SELECT DISTINCT k FROM rows_k),
+    probe_cells AS (
+      SELECT p.k, d.d AS depth,
+             {SQL_HASH32.format(v="CAST(d.d AS VARCHAR) || '#' || p.k")}
+               % {CMS_WIDTH} AS bucket
+      FROM probes p CROSS JOIN range({CMS_DEPTH}) d(d)
+    ),
+    est AS (
+      SELECT pc.k, MIN(COALESCE(c.cnt, 0)) AS est_cnt
+      FROM probe_cells pc
+      LEFT JOIN cells c ON c.depth = pc.depth AND c.bucket = pc.bucket
+      GROUP BY pc.k
+    ),
+    exact AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM rows_k GROUP BY k
+    )
+    SELECT est.k AS event_type, CAST(est.est_cnt AS BIGINT) AS est_cnt,
+           exact.true_cnt
+    FROM est JOIN exact ON est.k = exact.k
+"""
+
+
+def stream_cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type frequency estimates READ FROM the continuous CMS
+    store (additive cells + (run, epoch) replay guard — the replayed
+    final batch must NOT double-count), alongside the exact counts so
+    the CMS overestimate guarantee (est ≥ true) is itself
+    oracle-pinned. The probe set is the bounded event-type domain."""
+    root = _build_stores(spark, sf_dir)
+    store = read_cms_store(spark, os.path.join(root, "cms"))
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isNotNull()
+    )
+    keys = ev.select(F.col("event_type").cast("string").alias("k"))
+    probes = keys.distinct()
+    probe_cells = cms_positions(probes, "k", keep=("k",))
+    est = (
+        probe_cells.join(store, ["depth", "bucket"], "left")
+        .groupBy("k")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("est_cnt")
+        )
+    )
+    exact = keys.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    return est.join(exact, "k").select(
+        F.col("k").alias("event_type"), "est_cnt", "true_cnt"
+    )
+
+
+STAGED_R8_QUERIES = {
+    "stream_kmv_distinct_users": (stream_kmv_distinct_users, STREAM_KMV_ORACLE),
+    "stream_hll_distinct_users": (stream_hll_distinct_users, STREAM_HLL_ORACLE),
+    "stream_cms_event_type_counts": (
+        stream_cms_event_type_counts,
+        STREAM_CMS_ORACLE,
+    ),
+}

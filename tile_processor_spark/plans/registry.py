@@ -122,10 +122,14 @@ _GATE_PRIORITY: tuple[str, ...] = (
 )
 
 # Round-8 rotation candidates, in priority order: (a) any row that is
-# red in CORRECTNESS_r07; (b) new streaming-store gate rows (KMV/CMS/HLL
-# store -> estimate query vs oracle, following the snapshot_gate.py
-# pattern); (c) rows whose code changes in round 8; (d) the stalest
-# remaining r4/r5 rows by last-verified round.
+# red in CORRECTNESS_r07; (b) the three streaming-store gate rows
+# ALREADY BUILT and oracle-verified in plans/streaming_gate.py
+# (stream_kmv_distinct_users, stream_hll_distinct_users,
+# stream_cms_event_type_counts — wrap STAGED_R8_QUERIES with @register)
+# plus spatial_percentile_heights_approx (plans/spatial_gate.py, rank-
+# bound equivalence already pinned); (c) rows whose code changes in
+# round 8; (d) the stalest remaining r4/r5 rows by last-verified round
+# (q2/q3/q4/q5, distinct_projection, isin_filter, ...).
 
 
 def all_specs() -> dict[str, QuerySpec]:

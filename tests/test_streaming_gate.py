@@ -33,6 +33,30 @@ def test_cms_overestimate_guarantee(spark):
         assert r["est_cnt"] >= r["true_cnt"], r
 
 
+def test_hist_estimates_bracket_exact_percentiles(spark):
+    # histogram quantile error is bounded by one bin width
+    fn, _ = STAGED_R8_QUERIES["stream_hist_quantiles"]
+    from tile_processor_spark.sources.tables import load_table
+
+    est = {r["event_type"]: r for r in fn(spark, SF).collect()}
+    ev = load_table(spark, "events", SF).filter(F.col("value").isNotNull())
+    rng = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    bin_w = (rng[1] - rng[0]) / 512
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.50)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    assert est and set(est) == set(exact)
+    for t, e in est.items():
+        assert abs(e["p50_est"] - exact[t]["p50"]) <= 2 * bin_w, (t, e)
+        assert abs(e["p95_est"] - exact[t]["p95"]) <= 2 * bin_w, (t, e)
+
+
 def test_store_build_is_memoized(spark):
     a = _build_stores(spark, SF)
     b = _build_stores(spark, SF)
@@ -50,7 +74,7 @@ def test_kmv_store_replay_equals_full_stream_bottom_k(spark):
         read_kmv_store,
     )
 
-    root = _build_stores(spark, SF)
+    root, _, _ = _build_stores(spark, SF)
     store = sorted(
         r["h"] for r in read_kmv_store(spark, os.path.join(root, "kmv")).collect()
     )

@@ -122,10 +122,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
 )
 
 # Round-8 rotation candidates, in priority order: (a) any row that is
-# red in CORRECTNESS_r07; (b) the three streaming-store gate rows
+# red in CORRECTNESS_r07; (b) the five streaming-store gate rows
 # ALREADY BUILT and oracle-verified in plans/streaming_gate.py
 # (stream_kmv_distinct_users, stream_hll_distinct_users,
-# stream_cms_event_type_counts — wrap STAGED_R8_QUERIES with @register)
+# stream_cms_event_type_counts, stream_hist_quantiles,
+# stream_topk_heavy_users — wrap STAGED_R8_QUERIES with @register)
 # plus spatial_percentile_heights_approx (plans/spatial_gate.py, rank-
 # bound equivalence already pinned); (c) rows whose code changes in
 # round 8; (d) the stalest remaining r4/r5 rows by last-verified round

@@ -50,24 +50,38 @@ from tile_processor_spark.streaming.hll import (
     hll_store_estimate,
     merge_batch_into_hll,
 )
+from tile_processor_spark.streaming.histogram import (
+    HIST_STREAM_BINS,
+    hist_quantile_estimate,
+    merge_batch_into_hist,
+)
 from tile_processor_spark.streaming.kmv import (
     KMV_STREAM_K,
     kmv_store_estimate,
     merge_batch_into_kmv,
 )
+from tile_processor_spark.streaming.topk import (
+    TOPK_CANDIDATES_PER_BATCH,
+    merge_batch_into_topk,
+    topk_estimate,
+)
 
 N_EPOCHS = 3
+TOPK_K = 10
 _RUN_ID = "stream-gate"
 
 # One store build per (applicationId, sf_dir) — the snapshot_gate /
 # pq_fit_cached artifact pattern: deterministic, memoized, single
-# atexit cleanup.
-_STORE_CACHE: dict[tuple[str, str], str] = {}
+# atexit cleanup. Value: (root_dir, value_lo, value_hi) — the histogram
+# store's fixed range, the exact data min/max (same doubles the oracle
+# computes in SQL).
+_STORE_CACHE: dict[tuple[str, str], tuple[str, float, float]] = {}
 
 
-def _build_stores(spark: SparkSession, sf_dir: str) -> str:
-    """Fold events into kmv/hll/cms stores as N_EPOCHS micro-batches
-    (+ a replay of the last one); returns the directory holding them."""
+def _build_stores(spark: SparkSession, sf_dir: str) -> tuple[str, float, float]:
+    """Fold events into kmv/hll/cms/hist/topk stores as N_EPOCHS
+    micro-batches (+ a replay of the last one); returns the directory
+    holding them and the histogram value range."""
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _STORE_CACHE.get(key)
     if hit is not None:
@@ -77,9 +91,18 @@ def _build_stores(spark: SparkSession, sf_dir: str) -> str:
     kmv_p = os.path.join(root, "kmv")
     hll_p = os.path.join(root, "hll")
     cms_p = os.path.join(root, "cms")
+    hist_p = os.path.join(root, "hist")
+    topk_p = os.path.join(root, "topk")
     ev = load_table(spark, "events", sf_dir).select(
-        "event_id", "user_id", "event_type"
+        "event_id", "user_id", "event_type", "value"
     )
+    # the histogram's FIXED range is configured up front in a real
+    # deployment; here the exact data min/max (one aggregate, the same
+    # doubles the oracle's SQL computes) keeps the gate deterministic
+    rng = ev.filter(F.col("value").isNotNull()).agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).collect()[0]
+    lo, hi = float(rng["lo"]), float(rng["hi"])
     epochs = [
         ev.filter(F.col("event_id") % N_EPOCHS == i).localCheckpoint()
         for i in range(N_EPOCHS)
@@ -90,17 +113,27 @@ def _build_stores(spark: SparkSession, sf_dir: str) -> str:
         merge_batch_into_cms(
             batch, cms_p, key_col="event_type", epoch=i, run_id=_RUN_ID
         )
+        merge_batch_into_hist(batch, hist_p, lo, hi, epoch=i, run_id=_RUN_ID)
+        merge_batch_into_topk(
+            batch, topk_p, key_col="user_id", epoch=i, run_id=_RUN_ID
+        )
     # at-least-once replay of the LAST batch (the only one a restarted
-    # foreachBatch can redeliver): KMV/HLL absorb it algebraically,
-    # CMS's (run, epoch) guard must skip it
+    # foreachBatch can redeliver): KMV/HLL absorb it algebraically, the
+    # additive stores' (run, epoch) guards must skip it, and the top-k
+    # candidate re-append must be harmless (dedup on read)
     last = N_EPOCHS - 1
     merge_batch_into_kmv(epochs[last], kmv_p, key_col="user_id")
     merge_batch_into_hll(epochs[last], hll_p, key_col="user_id")
     merge_batch_into_cms(
         epochs[last], cms_p, key_col="event_type", epoch=last, run_id=_RUN_ID
     )
-    _STORE_CACHE[key] = root
-    return root
+    merge_batch_into_hist(epochs[last], hist_p, lo, hi, epoch=last, run_id=_RUN_ID)
+    merge_batch_into_topk(
+        epochs[last], topk_p, key_col="user_id", epoch=last, run_id=_RUN_ID
+    )
+    result = (root, lo, hi)
+    _STORE_CACHE[key] = result
+    return result
 
 
 # --- KMV: continuous distinct users ---------------------------------------
@@ -134,7 +167,7 @@ def stream_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full static stream — micro-batch folding must be
     value-invisible (set-min merge), including the under-full exact
     rule."""
-    root = _build_stores(spark, sf_dir)
+    root, _, _ = _build_stores(spark, sf_dir)
     return kmv_store_estimate(spark, os.path.join(root, "kmv"))
 
 
@@ -182,7 +215,7 @@ def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     differs between JVM and C libm — same scoping as the batch
     ``sketch_hll_distinct`` row); sum_inv is a 64-term dyadic sum, so
     it is associativity-safe and compares bit-for-bit."""
-    root = _build_stores(spark, sf_dir)
+    root, _, _ = _build_stores(spark, sf_dir)
     return hll_store_estimate(spark, os.path.join(root, "hll")).select(
         "m", "n_zero", "sum_inv", "est_raw"
     )
@@ -231,7 +264,7 @@ def stream_cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     final batch must NOT double-count), alongside the exact counts so
     the CMS overestimate guarantee (est ≥ true) is itself
     oracle-pinned. The probe set is the bounded event-type domain."""
-    root = _build_stores(spark, sf_dir)
+    root, _, _ = _build_stores(spark, sf_dir)
     store = read_cms_store(spark, os.path.join(root, "cms"))
     ev = load_table(spark, "events", sf_dir).filter(
         F.col("event_type").isNotNull()
@@ -256,6 +289,125 @@ def stream_cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Histogram: continuous per-type quantiles ------------------------------
+
+
+def _hist_oracle() -> str:
+    """Textually identical bin/edge arithmetic to the batch
+    ``sketch_histogram_quantiles`` oracle, re-ranged to the streaming
+    store's fixed [lo, hi) = exact data min/max."""
+    return f"""
+    WITH rng AS (
+      SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events
+      WHERE value IS NOT NULL
+    ),
+    binned AS (
+      SELECT event_type,
+             CASE WHEN vmax = vmin THEN CAST(0 AS BIGINT)
+                  ELSE LEAST(CAST(floor((value - vmin) / (vmax - vmin)
+                                        * {HIST_STREAM_BINS}) AS BIGINT),
+                             {HIST_STREAM_BINS - 1})
+             END AS bin
+      FROM events, rng
+      WHERE value IS NOT NULL
+    ),
+    hist AS (
+      SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c
+      FROM binned GROUP BY event_type, bin
+    ),
+    cum AS (
+      SELECT event_type, bin, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ),
+    picks AS (
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+             MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) AS b50,
+             MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN bin END) AS b95,
+             MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) AS b99
+      FROM cum GROUP BY event_type, n
+    )
+    SELECT event_type, n,
+           vmin + (b50 + 1) * (vmax - vmin) / {HIST_STREAM_BINS} AS p50_est,
+           vmin + (b95 + 1) * (vmax - vmin) / {HIST_STREAM_BINS} AS p95_est,
+           vmin + (b99 + 1) * (vmax - vmin) / {HIST_STREAM_BINS} AS p99_est
+    FROM picks, rng
+    """
+
+
+def stream_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type p50/p95/p99 estimates READ FROM the continuous
+    histogram store (additive bin counts + (run, epoch) replay guard).
+    The fixed [lo, hi) range is the exact data min/max — the same
+    doubles the oracle's SQL computes, so bin indices and edge
+    arithmetic match bit-for-bit (identical expression order to the
+    batch ``sketch_histogram_quantiles`` row)."""
+    root, lo, hi = _build_stores(spark, sf_dir)
+    return hist_quantile_estimate(
+        spark, os.path.join(root, "hist"), lo, hi, pcts=(50, 95, 99)
+    )
+
+
+# --- Top-k: continuous heavy hitters ----------------------------------------
+
+STREAM_TOPK_ORACLE = f"""
+    WITH rows_k AS (
+      SELECT CAST(user_id AS VARCHAR) AS k,
+             event_id % {N_EPOCHS} AS epoch
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    batch_counts AS (
+      SELECT epoch, k, COUNT(*) AS cnt FROM rows_k GROUP BY epoch, k
+    ),
+    cands AS (
+      SELECT DISTINCT k FROM (
+        SELECT k, ROW_NUMBER() OVER (PARTITION BY epoch
+                 ORDER BY cnt DESC, k) AS rn
+        FROM batch_counts
+      ) WHERE rn <= {TOPK_CANDIDATES_PER_BATCH}
+    ),
+    cells AS (
+      SELECT d.d AS depth,
+             {SQL_HASH32.format(v="CAST(d.d AS VARCHAR) || '#' || k")}
+               % {CMS_WIDTH} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM rows_k CROSS JOIN range({CMS_DEPTH}) d(d)
+      GROUP BY 1, 2
+    ),
+    probe_cells AS (
+      SELECT c.k, d.d AS depth,
+             {SQL_HASH32.format(v="CAST(d.d AS VARCHAR) || '#' || c.k")}
+               % {CMS_WIDTH} AS bucket
+      FROM cands c CROSS JOIN range({CMS_DEPTH}) d(d)
+    ),
+    est AS (
+      SELECT pc.k, MIN(COALESCE(cl.cnt, 0)) AS est_cnt
+      FROM probe_cells pc
+      LEFT JOIN cells cl ON cl.depth = pc.depth AND cl.bucket = pc.bucket
+      GROUP BY pc.k
+    ),
+    ranked AS (
+      SELECT k, CAST(est_cnt AS BIGINT) AS est_cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY est_cnt DESC, k) AS BIGINT)
+               AS rank
+      FROM est
+    )
+    SELECT k, est_cnt, rank FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
+def stream_topk_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOPK_K} heaviest users READ FROM the continuous top-k
+    store: per-batch candidate strata (append-only, replay-widened,
+    deduped on read) re-ranked by CMS point estimate. The oracle
+    reconstructs the candidate set from the same epoch split and the
+    CMS cells from the full stream — identity state, frequency state,
+    and the deterministic (est DESC, key) ranking are all pinned."""
+    root, _, _ = _build_stores(spark, sf_dir)
+    return topk_estimate(spark, os.path.join(root, "topk"), k=TOPK_K)
+
+
 STAGED_R8_QUERIES = {
     "stream_kmv_distinct_users": (stream_kmv_distinct_users, STREAM_KMV_ORACLE),
     "stream_hll_distinct_users": (stream_hll_distinct_users, STREAM_HLL_ORACLE),
@@ -263,4 +415,6 @@ STAGED_R8_QUERIES = {
         stream_cms_event_type_counts,
         STREAM_CMS_ORACLE,
     ),
+    "stream_hist_quantiles": (stream_hist_quantiles, _hist_oracle()),
+    "stream_topk_heavy_users": (stream_topk_heavy_users, STREAM_TOPK_ORACLE),
 }

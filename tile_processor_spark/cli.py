@@ -59,8 +59,17 @@ def run_cmd(ctx, worker_key, data_path, tiles, tile_col, restart, config_json, t
     from tile_processor_spark.pipeline.controller import list_controllers
     from tile_processor_spark.pipeline.processor import run_with_retry
     from tile_processor_spark.pipeline.tiles import TileSet
+    from tile_processor_spark.pipeline.workers import list_workers
 
-    if worker_key.lower() in {k.lower() for k in list_controllers()}:
+    # Reference-shape detection must be unambiguous: some keys (e.g.
+    # "Example") name BOTH a controller and a worker, so the first
+    # argument alone cannot decide. The controller shape additionally
+    # requires its second argument to be a registered worker key —
+    # which a parquet data path (the worker shape's second argument)
+    # never is.
+    if worker_key.lower() in {k.lower() for k in list_controllers()} and (
+        data_path.lower() in {k.lower() for k in list_workers()}
+    ):
         # reference shape: run <controller> <worker> <config> <tiles...>
         if not tiles:
             raise click.ClickException(

@@ -90,6 +90,23 @@ def test_run_alias_reference_shape(spark, ahn_fixture):
     assert json.loads(json_line) == {"failed_tiles": [], "nr_success": 1}
 
 
+def test_run_worker_shape_wins_for_dual_registered_key(spark, tmp_path):
+    # "Example" names BOTH a controller and a worker; with a parquet
+    # data path as the second argument the invocation must stay
+    # worker-shaped (the controller dispatch requires a worker key
+    # there).
+    data = tmp_path / "data"
+    spark.createDataFrame(
+        [("t0", 1), ("t1", 2)], "tile_id string, v int"
+    ).write.parquet(str(data))
+    r = CliRunner().invoke(main, ["run", "Example", str(data), "all"])
+    assert r.exit_code == 0, r.output
+    json_line = next(
+        ln for ln in r.output.strip().splitlines() if ln.startswith("{")
+    )
+    assert json.loads(json_line)["failed_tiles"] == []
+
+
 def test_run_alias_missing_config_is_loud(ahn_fixture):
     r = CliRunner().invoke(
         main, ["run", "AHN", "Example", "/nonexistent/cfg.yml", "all"]

@@ -4,9 +4,24 @@ sf0.001, must satisfy
 
 1. no unpartitioned ordered Window over a data-scaling grain — global
    ordered windows are allowed ONLY over bounded-domain series
-   (calendar day/week indices, the prefix-sum ``_band`` coarsening);
-2. no ``CartesianProduct`` (a cross join that is not a broadcast);
-3. no ``BatchEvalPython`` (row-at-a-time Python UDF) anywhere.
+   (calendar day/week indices, the prefix-sum ``_band`` coarsening,
+   the ``_cand_`` candidate-store grain), and EVERY order column must
+   be such a grain;
+2. every allowlisted unpartitioned ordered window must also pass a
+   RUNTIME cardinality probe: its input, executed at sf0.001, feeds
+   fewer than ``_WINDOW_INPUT_CAP`` rows — so a fact-grain column
+   merely ALIASED to a bounded name still fails
+   (test_probe_catches_aliased_fact_grain is the counter-example);
+3. no ``CartesianProduct`` (a cross join that is not a broadcast);
+4. no ``BatchEvalPython`` (row-at-a-time Python UDF) anywhere.
+
+Known limits (the checks are proxies, not proofs): the name check is a
+column-name heuristic and the probe measures sf0.001 cardinality, so a
+window whose input grows with data but stays under the cap at sf0.001
+(e.g. a per-customer grain on a tiny table) passes both; and plan
+segments hidden behind ``localCheckpoint`` (PQ recall's cached ground
+truth, the sweep's sessionize frame) are invisible here — those are
+pinned by their own per-query plan tests at build time.
 
 This generalizes the per-query pins (test_distributed_rank_plans,
 test_semantic_ts_plans, test_ann_pq) into one registry-wide gate: a new
@@ -18,20 +33,34 @@ from __future__ import annotations
 
 import re
 
+import pyspark.sql.functions as F
+from pyspark.sql.window import Window
+
 from tile_processor_spark.plans.registry import all_specs
+from tile_processor_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.001"
 
 # Bounded-domain order grains a global ordered window may run over: the
 # calendar-index series (≈tens of rows per year of data, independent of
-# fact cardinality) and the two-pass prefix-sum band series (fixed band
-# count by construction, see docs/SCALE.md).
-_BOUNDED_ORDER = re.compile(r"^\s*(_band|day|day_idx|week_idx|hour_idx|month_idx)#")
+# fact cardinality), the two-pass prefix-sum band series (fixed band
+# count by construction, see docs/SCALE.md), and the streaming top-k
+# candidate store (≤ TOPK_CANDIDATES_PER_BATCH × batches rows). EVERY
+# order column of an unpartitioned ordered window must match; the claim
+# is then verified at runtime by the cardinality probe below.
+_BOUNDED_COL = re.compile(
+    r"^\s*(?:_band|_cand_\w+|day|day_idx|week_idx|hour_idx|month_idx)#"
+)
 
 # Sort-direction tokens only ever printed inside an ORDER spec; a
 # 2-group Window line without them is partition-only (no ordering), not
 # an unpartitioned ordered window.
 _ORDER_TOKEN = re.compile(r"\b(ASC|DESC)\b")
+
+#: max rows an allowlisted unpartitioned ordered window may consume at
+#: sf0.001 — bounded series are ≤ ~200 rows there; the smallest
+#: fact-grain stream (events, 1000 rows) is comfortably above it.
+_WINDOW_INPUT_CAP = 512
 
 
 def _top_level_groups(s: str) -> list[str]:
@@ -52,6 +81,25 @@ def _top_level_groups(s: str) -> list[str]:
     return groups
 
 
+def _split_order_cols(spec: str) -> list[str]:
+    """Split an order spec on top-level commas (function-call commas
+    stay inside their parens)."""
+    out, depth, cur = [], 0, []
+    for ch in spec:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
 def _window_violations(plan: str) -> list[str]:
     out = []
     for line in plan.splitlines():
@@ -61,16 +109,43 @@ def _window_violations(plan: str) -> list[str]:
         # Window prints [exprs], [partitionSpec], [orderSpec]; a
         # 3-group line is partitioned (any grain is fine — the shuffle
         # spreads it); a 2-group line is either partition-only (no
-        # ORDER tokens: fine) or an unpartitioned ordered window, which
-        # must order a bounded-domain series.
+        # ORDER tokens: fine) or an unpartitioned ordered window, whose
+        # order columns must ALL be bounded-domain series.
         if len(groups) == 3 or len(groups) < 2:
             continue
         spec = groups[1]
         if not _ORDER_TOKEN.search(spec):
             continue  # partition-only window
-        if not _BOUNDED_ORDER.match(spec):
+        if not all(_BOUNDED_COL.match(c) for c in _split_order_cols(spec)):
             out.append(f"fact-grain global window: [{spec[:120]}]")
     return out
+
+
+def _iter_logical(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _iter_logical(ch.apply(i))
+
+
+def _unpartitioned_window_input_counts(df) -> list[int]:
+    """For each unpartitioned ordered Window in the OPTIMIZED logical
+    plan, rebuild its child as a fresh DataFrame (``Dataset.ofRows`` —
+    a fully prepared plan, unlike executing physical fragments) and
+    count its rows capped at cap+1 — the runtime verification that an
+    allowlisted global sort really runs over a bounded series."""
+    spark = df.sparkSession
+    root = df._jdf.queryExecution().optimizedPlan()
+    counts = []
+    for node in _iter_logical(root):
+        if node.getClass().getSimpleName() != "Window":
+            continue
+        if node.partitionSpec().isEmpty() and not node.orderSpec().isEmpty():
+            child_df = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                spark._jsparkSession, node.child()
+            )
+            counts.append(child_df.limit(_WINDOW_INPUT_CAP + 1).count())
+    return counts
 
 
 def test_all_registry_plans_hold_scale_invariants(spark):
@@ -79,12 +154,8 @@ def test_all_registry_plans_hold_scale_invariants(spark):
     failures: dict[str, list[str]] = {}
     for name, spec in specs.items():
         try:
-            plan = (
-                spec.spark_fn(spark, SF)
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
-            )
+            df = spec.spark_fn(spark, SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # a query that cannot even plan is a failure
             failures[name] = [f"build error: {type(e).__name__}: {e}"]
             continue
@@ -93,6 +164,34 @@ def test_all_registry_plans_hold_scale_invariants(spark):
             issues.append("CartesianProduct (non-broadcast cross join)")
         if "BatchEvalPython" in plan:
             issues.append("BatchEvalPython (row-at-a-time Python UDF)")
+        # the name check passed for any remaining global ordered
+        # windows — verify the boundedness claim by executing their
+        # inputs (cheap: bounded series are tiny at sf0.001)
+        if not issues and re.search(r"\bWindow \[", plan):
+            try:
+                for n_rows in _unpartitioned_window_input_counts(df):
+                    if n_rows > _WINDOW_INPUT_CAP:
+                        issues.append(
+                            f"allowlisted global window consumes >{_WINDOW_INPUT_CAP} "
+                            f"rows at sf0.001 — bounded-grain claim is false"
+                        )
+            except Exception as e:  # probe must never silently skip
+                issues.append(f"window probe error: {type(e).__name__}: {e}")
         if issues:
             failures[name] = issues
     assert not failures, f"{len(failures)} queries violate plan invariants: {failures}"
+
+
+def test_probe_catches_aliased_fact_grain(spark):
+    """A fact-grain column ALIASED to a bounded name fools the
+    column-name check but must fail the cardinality probe — the
+    deliberate counter-example keeping the allowlist honest."""
+    ev = load_table(spark, "events", SF).select(
+        F.unix_micros("ts").alias("day"), "event_id"
+    )
+    df = ev.withColumn("rn", F.row_number().over(Window.orderBy("day")))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not _window_violations(plan), "name proxy should be fooled by the alias"
+    counts = _unpartitioned_window_input_counts(df)
+    assert counts, "probe must find the global ordered window"
+    assert any(c > _WINDOW_INPUT_CAP for c in counts)

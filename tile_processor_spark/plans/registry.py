@@ -50,87 +50,78 @@ def register(
 # so ordering is part of the verification contract. Rotation policy: a
 # query that is driver-green in TWO consecutive rounds yields its slot to
 # queries that have never had a driver row (or whose code path changed).
-# Round-7 window: drain the backlog to 187/187 ever-driver-green — q1
-# (flagship) + the 23 registry rows that have never had a driver row (21
-# round-5 additions + 2 round-6 snapshot-store rows) + the 18 rows last
-# driver-green in r2/r3 + 4 rows whose code changed this round (sweep
-# re-point, KMV jaccard m=0 guard, cached PQ ground truth) + the 4
-# stalest r4 rows still on the bench watch list. All 50 passed the
-# DuckDB oracle at sf0.01 this round. No new registry queries this
-# round (judge directive); additions resume r8 through the
-# streaming-store read paths (the remaining r4 rows — TPC-H q3/q4/q5,
-# distinct_projection, etc. — rotate alongside them).
+# Round-8 window: q1 (flagship) + the 7 NEW round-8 rows (five
+# streaming-sketch store read paths + the watermark sessionization row
+# + the approx-percentile scale twin) + events_interval_overlap (code
+# changed this round: cell-size trim — standing changed-row policy) +
+# 41 of the 43 rows whose latest driver-green is round 4. The window
+# holds 50, so TWO r4 rows defer to round 9 (first in line there):
+# embedding_normalize and spatial_zorder_keys — chosen as the two
+# lowest-drift pure projections (both deterministic, both pinned by
+# the full-registry pytest oracle gate every round).
 _GATE_PRIORITY: tuple[str, ...] = (
     # flagship
     "q1_pricing_summary",
-    # round-5/6 additions: never driver-gated (all oracle-green in the
-    # r6 full-registry pytest gate at sf0.01)
-    "events_twap_hourly",
-    "text_bm25_scores",
-    "dedup_jaccard_prefix_filtered",
-    "events_rolling_median",
-    "multimodal_dedup_binary",
-    "events_ewma_approx",
-    "events_anomaly_intervals",
-    "basket_brand_pairs",
-    "sketch_hll_by_type",
-    "events_sequence_match",
-    "spatial_raster_smooth",
-    "spatial_region_labeling",
-    "events_type_runs",
-    "dq_key_skew",
-    "orders_cohort_ltv",
-    "nation_revenue_hhi",
-    "dedup_threshold_curve",
-    "dsir_importance_weights",
-    "graph_bfs_hops",
-    "sample_weighted_priority",
-    "events_winsorized_stats",
-    "snapshot_time_travel_diff",
-    "snapshot_merge_upsert_state",
-    # stale rows last driver-green r2/r3
-    "spatial_version_boundary_region",
-    "spatial_percentile_heights",
-    "spatial_rasterize",
-    "tile_file_index",
-    "spatial_las_class_mapping",
-    "multimodal_features",
-    "multimodal_resize",
-    "text_token_stats",
-    "text_quality_scores",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "embedding_cosine_topk",
-    "text_langid",
-    "text_bpe_counts",
-    "dedup_ngram_jaccard",
-    "text_fingerprint",
-    "embedding_near_dup_pairs",
-    "ann_ivf_assign",
-    # rows whose code changed this round — re-verify (standing policy;
-    # the other changed rows are already in the window above)
-    "events_active_sessions_sweep",
-    "events_sweep_partitioned",
-    "sketch_kmv_set_ops",
-    "ann_pq_adc_recall",
-    # stalest r4-green rows fill the remaining slots
-    "q6_revenue_forecast",
-    "q10_returned_items",
-    "events_tumbling_window",
-    "events_asof_join",
+    # new round-8 rows (never driver-gated)
+    "stream_kmv_distinct_users",
+    "stream_hll_distinct_users",
+    "stream_cms_event_type_counts",
+    "stream_hist_quantiles",
+    "stream_topk_heavy_users",
+    "stream_sessionize_late_events",
+    "spatial_percentile_heights_approx",
+    # code changed this round — re-verify (standing policy)
+    "events_interval_overlap",
+    # stalest rows: latest driver-green is round 4
+    "anti_join_missing",
+    "array_agg_group",
+    "cube_segment_priority",
+    "decontaminate_overlap",
+    "distinct_projection",
+    "events_asof_forward",
+    "events_band_join",
+    "events_daily_profile",
+    "events_funnel",
+    "events_gapfill_locf",
+    "events_hypertable_rollup",
+    "events_json_props",
+    "events_ohlc_hourly",
+    "events_retention_cohorts",
+    "events_session_window",
+    "events_sliding_window",
+    "groupby_month_rollup",
+    "isin_filter",
+    "multimodal_frame_sample",
+    "null_guard_filter",
+    "pack_sequences",
+    "priority_dedup_ties",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q2_min_price_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "regexp_extract_ids",
+    "rollup_order_stats",
+    "semi_join_intersection",
+    "spatial_tin_simplify",
+    "text_repetition_stats",
+    "text_top_terms",
+    "topk_per_group",
+    "union_dedup",
+    "window_order_gaps",
+    "window_running_sum",
     # everything else follows in registration order
 )
 
-# Round-8 rotation candidates, in priority order: (a) any row that is
-# red in CORRECTNESS_r07; (b) the five streaming-store gate rows
-# ALREADY BUILT and oracle-verified in plans/streaming_gate.py
-# (stream_kmv_distinct_users, stream_hll_distinct_users,
-# stream_cms_event_type_counts, stream_hist_quantiles,
-# stream_topk_heavy_users — wrap STAGED_R8_QUERIES with @register)
-# plus spatial_percentile_heights_approx (plans/spatial_gate.py, rank-
-# bound equivalence already pinned); (c) rows whose code changes in
-# round 8; (d) the stalest remaining r4/r5 rows by last-verified round
-# (q2/q3/q4/q5, distinct_projection, isin_filter, ...).
+# Round-9 rotation candidates, in priority order: (a) any row that is
+# red in CORRECTNESS_r08; (b) the two r4 rows deferred this round —
+# embedding_normalize, spatial_zorder_keys; (c) rows whose code changes
+# in round 9; (d) the stalest r5 rows by last-verified round (the 49
+# rows last green in round 5 — spatial gate family, dedup family, ...).
 
 
 def all_specs() -> dict[str, QuerySpec]:
@@ -159,8 +150,15 @@ def all_specs() -> dict[str, QuerySpec]:
     import tile_processor_spark.plans.modern_sql  # noqa: F401
     import tile_processor_spark.plans.semantic_ops  # noqa: F401
     import tile_processor_spark.plans.snapshot_gate  # noqa: F401
+    import tile_processor_spark.plans.streaming_gate  # noqa: F401
     import tile_processor_spark.plans.timeseries_ops  # noqa: F401
 
+    # The first 50 of _GATE_PRIORITY ARE the external gate window: a
+    # misspelled name would silently demote itself (rank.get default)
+    # and change which queries get driver evidence — fail loudly.
+    unknown = set(_GATE_PRIORITY) - set(REGISTRY)
+    if unknown:
+        raise ValueError(f"_GATE_PRIORITY names not in REGISTRY: {sorted(unknown)}")
     rank = {name: i for i, name in enumerate(_GATE_PRIORITY)}
     reg_order = {name: i for i, name in enumerate(REGISTRY)}
     ordered = sorted(

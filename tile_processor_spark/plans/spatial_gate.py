@@ -645,9 +645,13 @@ def spatial_percentile_heights_approx(
     aggregation buffer — fine at gate scale, a per-group memory scaling
     hazard at 100× points per tile). The exact row stays the gate/oracle
     semantic (reference worker.py:158-164); this variant is what you run
-    when tiles carry millions of points. Toleranced equivalence vs the
-    exact row is pinned by tests/test_spatial_gate.py; staged for r8
-    registry addition (docs/SCALE.md notes which to run at scale)."""
+    when tiles carry millions of points. Equivalence vs the exact row
+    is pinned by tests/test_percentile_approx_twin.py as a ±1-order-
+    statistic RANK bound (GK returns an actual order statistic; exact
+    ``percentile`` interpolates between the bracketing pair, so an
+    absolute-delta compare would be wrong for small tiles). The
+    registered gate row below externalizes the same rank bound to the
+    DuckDB oracle; docs/SCALE.md notes which variant to run at scale."""
     pts = synthetic_points(spark, sf_dir)
     grid = tile_grid(spark)
     joined = points_in_polygons(pts, grid, cell_size=80.0)
@@ -655,6 +659,67 @@ def spatial_percentile_heights_approx(
         F.percentile_approx("z", 0.95, accuracy).alias("roof_h"),
         F.percentile_approx("z", 0.10, accuracy).alias("ground_h"),
         F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+@register(
+    "spatial_percentile_heights_approx",
+    oracle=f"""
+    WITH pts AS ({PTS_SQL})
+    SELECT 't' || (ix // 100) || '_' || (iy // 100) AS tile_id,
+           COUNT(*) AS n_points,
+           TRUE AS roof_rank_ok, TRUE AS ground_rank_ok, TRUE AS ordered_ok
+    FROM pts GROUP BY 1
+    """,
+    doc=(
+        "Gate row for the 100×-scale percentile twin: runs the REAL "
+        "percentile_approx (Greenwald-Khanna) plan of "
+        "spatial_percentile_heights_approx, then verifies per tile that "
+        "each approx value lands inside the ±1-order-statistic rank "
+        "envelope of its quantile (the approx value is an actual data "
+        "value, so it is not SQL-reproducible bit-for-bit — the rank "
+        "PROPERTY is what the oracle pins, as TRUE per tile, plus the "
+        "exact tile set and point counts). Call "
+        "spatial_percentile_heights_approx() directly for the values; "
+        "the exact row keeps the reference semantic (worker.py:158-164). "
+        "Rank envelope also pinned Spark-vs-driver-side by "
+        "tests/test_percentile_approx_twin.py."
+    ),
+    tags=("spatial", "agg", "percentile", "approx"),
+)
+def spatial_percentile_heights_approx_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    approx = spatial_percentile_heights_approx(spark, sf_dir)
+    pts = points_in_polygons(
+        synthetic_points(spark, sf_dir), tile_grid(spark), cell_size=80.0
+    ).select("tile_id", "z")
+    # Per-tile rank envelope: the order statistics one below / one above
+    # the interpolation bracket of each target quantile. The window is
+    # PARTITIONED by tile_id (bounded rows per tile), so this verifier
+    # is itself scale-shaped.
+    rn = F.row_number().over(W.partitionBy("tile_id").orderBy("z"))
+    n = F.count(F.lit(1)).over(W.partitionBy("tile_id"))
+    ranked = pts.select("tile_id", "z", rn.alias("rn"), n.alias("n"))
+
+    def _env(p: float, lo_name: str, hi_name: str) -> list:
+        r = F.lit(p) * (F.col("n") - 1)
+        lo_i = F.greatest(F.floor(r) - 1, F.lit(0)) + 1  # 1-based
+        hi_i = F.least(F.ceil(r) + 1, F.col("n") - 1) + 1
+        return [
+            F.min(F.when(F.col("rn") == lo_i, F.col("z"))).alias(lo_name),
+            F.min(F.when(F.col("rn") == hi_i, F.col("z"))).alias(hi_name),
+        ]
+
+    bounds = ranked.groupBy("tile_id").agg(
+        *_env(0.95, "roof_lo", "roof_hi"), *_env(0.10, "ground_lo", "ground_hi")
+    )
+    return approx.join(bounds, "tile_id").select(
+        "tile_id",
+        "n_points",
+        ((F.col("roof_h") >= F.col("roof_lo")) & (F.col("roof_h") <= F.col("roof_hi"))).alias("roof_rank_ok"),
+        ((F.col("ground_h") >= F.col("ground_lo")) & (F.col("ground_h") <= F.col("ground_hi"))).alias("ground_rank_ok"),
+        (F.col("roof_h") >= F.col("ground_h")).alias("ordered_ok"),
     )
 
 

@@ -15,11 +15,11 @@ it recomputes the full-stream sketch state from plain SQL over
 in the micro-batch merge / swap-commit / replay-guard / estimator
 path breaks value parity bit-for-bit.
 
-STAGED FOR ROUND-8 REGISTRATION (no new registry rows in round 7 —
-judge directive): the query functions and oracle SQL are final; r8
-wraps them with ``@register`` and slots them into the gate window.
-Until then ``tests/test_streaming_gate.py`` runs the same compare
-through ``testing.oracle.compare_query``.
+Registered as first-class registry rows in round 8 (round 7 staged
+them behind a no-new-rows judge directive); ``tests/
+test_streaming_gate.py`` keeps the store-specific property tests
+(CMS overestimate, histogram bracket, KMV replay-invariance) on top
+of the registry-wide oracle gate.
 """
 
 from __future__ import annotations
@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tile_processor_spark.plans.llm_ops import SQL_HASH32
+from tile_processor_spark.plans.registry import register
 from tile_processor_spark.plans.sketches import (
     CMS_DEPTH,
     CMS_WIDTH,
@@ -59,6 +60,11 @@ from tile_processor_spark.streaming.kmv import (
     KMV_STREAM_K,
     kmv_store_estimate,
     merge_batch_into_kmv,
+)
+from tile_processor_spark.streaming.sessions import (
+    SESSION_GAP_US,
+    merge_batch_into_sessions,
+    sessions_store_read,
 )
 from tile_processor_spark.streaming.topk import (
     TOPK_CANDIDATES_PER_BATCH,
@@ -161,6 +167,17 @@ STREAM_KMV_ORACLE = f"""
 """
 
 
+@register(
+    "stream_kmv_distinct_users",
+    oracle=STREAM_KMV_ORACLE,
+    doc=(
+        "Continuous KMV (bottom-k) distinct-user estimate read from the "
+        "streaming store after a 3-micro-batch + replayed-final-batch "
+        "build; oracle recomputes the full-stream bottom-k in SQL "
+        "(SURVEY §2.9; streaming/kmv.py)."
+    ),
+    tags=("streaming", "sketch", "distinct"),
+)
 def stream_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-user estimate READ FROM the continuous KMV store after
     the 3-batch + replay build. The oracle recomputes the bottom-k of
@@ -209,6 +226,17 @@ STREAM_HLL_ORACLE = f"""
 """
 
 
+@register(
+    "stream_hll_distinct_users",
+    oracle=STREAM_HLL_ORACLE,
+    doc=(
+        "Continuous HLL register-state distinct estimate read from the "
+        "streaming store (idempotent register-max merge absorbs the "
+        "replayed batch); oracle rebuilds all registers in SQL "
+        "(SURVEY §2.9; streaming/hll.py)."
+    ),
+    tags=("streaming", "sketch", "distinct"),
+)
 def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Register-state distinct estimate READ FROM the continuous HLL
     store. Pins est_raw (not the log-corrected variant: ln's last ulp
@@ -258,6 +286,18 @@ STREAM_CMS_ORACLE = f"""
 """
 
 
+@register(
+    "stream_cms_event_type_counts",
+    oracle=STREAM_CMS_ORACLE,
+    doc=(
+        "Continuous Count-Min per-type frequency estimates read from the "
+        "streaming store — the ADDITIVE store whose (run, epoch) guard "
+        "must skip the replayed batch or every count double-counts; "
+        "oracle rebuilds the cells from the full stream in SQL "
+        "(SURVEY §2.9; streaming/cms.py)."
+    ),
+    tags=("streaming", "sketch", "frequency"),
+)
 def stream_cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type frequency estimates READ FROM the continuous CMS
     store (additive cells + (run, epoch) replay guard — the replayed
@@ -336,6 +376,17 @@ def _hist_oracle() -> str:
     """
 
 
+@register(
+    "stream_hist_quantiles",
+    oracle=_hist_oracle(),
+    doc=(
+        "Continuous fixed-range histogram p50/p95/p99 estimates read "
+        "from the streaming store (additive bins + (run, epoch) replay "
+        "guard); oracle re-bins the full stream with textually identical "
+        "edge arithmetic (SURVEY §2.9; streaming/histogram.py)."
+    ),
+    tags=("streaming", "sketch", "quantile"),
+)
 def stream_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type p50/p95/p99 estimates READ FROM the continuous
     histogram store (additive bin counts + (run, epoch) replay guard).
@@ -397,6 +448,18 @@ STREAM_TOPK_ORACLE = f"""
 """
 
 
+@register(
+    "stream_topk_heavy_users",
+    oracle=STREAM_TOPK_ORACLE,
+    doc=(
+        "Continuous top-k heavy hitters read from the streaming store: "
+        "per-batch candidate strata (append-only, replay-widened, "
+        "deduped on read) re-ranked by CMS point estimate; oracle "
+        "reconstructs candidates + cells from the same epoch split "
+        "(SURVEY §2.9; streaming/topk.py)."
+    ),
+    tags=("streaming", "sketch", "topk"),
+)
 def stream_topk_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{TOPK_K} heaviest users READ FROM the continuous top-k
     store: per-batch candidate strata (append-only, replay-widened,
@@ -408,7 +471,155 @@ def stream_topk_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_estimate(spark, os.path.join(root, "topk"), k=TOPK_K)
 
 
-STAGED_R8_QUERIES = {
+# --- Sessionization with watermark late-data semantics ---------------------
+
+# One session-store build per (applicationId, sf_dir); value = store
+# root. Separate from _build_stores because the batch split is
+# different: time-range thirds with DELIBERATE stragglers, so the
+# watermark has real late data to drop (the event_id%3 split would put
+# near-max timestamps in batch 0 and drown everything after).
+_SESS_STORE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _build_session_store(spark: SparkSession, sf_dir: str) -> str:
+    """Feed events as 3 time-ordered micro-batches with stragglers:
+    base batch = which third of the time span the event falls in;
+    events with event_id % 17 == 0 arrive ONE BATCH LATE. Watermark
+    delay = one eighth of a third, so a straggler is kept iff it is
+    within the delay of the previous batch's max — a genuine drop/keep
+    mix. The final batch is replayed (epoch-guard discipline, like the
+    sketch stores)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SESS_STORE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    root = tempfile.mkdtemp(prefix="tps_sess_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    store = os.path.join(root, "sessions")
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("event_id", "user_id", "ts")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    )
+    rng = ev.agg(
+        F.min(F.unix_micros("ts")).alias("tmin"),
+        F.max(F.unix_micros("ts")).alias("tmax"),
+    ).collect()[0]
+    tmin, tmax = int(rng["tmin"]), int(rng["tmax"])
+    third = (tmax - tmin) // 3 + 1
+    delay_us = third // 8
+    batch_col = F.least(
+        F.expr(f"(unix_micros(ts) - {tmin}) div {third}")
+        + F.when(F.col("event_id") % 17 == 0, 1).otherwise(0),
+        F.lit(2),
+    )
+    tagged = ev.withColumn("_b", batch_col)
+    epochs = [
+        tagged.filter(F.col("_b") == i).drop("_b").localCheckpoint()
+        for i in range(N_EPOCHS)
+    ]
+    for i, batch in enumerate(epochs):
+        merge_batch_into_sessions(
+            batch, store, gap_us=SESSION_GAP_US, delay_us=delay_us,
+            epoch=i, run_id=_RUN_ID,
+        )
+    # at-least-once replay of the final batch: the epoch guard must
+    # skip it whole (a re-merge would re-drop + re-count late events)
+    merge_batch_into_sessions(
+        epochs[N_EPOCHS - 1], store, gap_us=SESSION_GAP_US,
+        delay_us=delay_us, epoch=N_EPOCHS - 1, run_id=_RUN_ID,
+    )
+    _SESS_STORE_CACHE[key] = store
+    return store
+
+
+STREAM_SESSIONIZE_ORACLE = f"""
+    WITH b AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    span AS (
+      SELECT MIN(ts_us) AS tmin, MAX(ts_us) AS tmax,
+             (MAX(ts_us) - MIN(ts_us)) // 3 + 1 AS third
+      FROM b
+    ),
+    assigned AS (
+      SELECT user_id, ts_us,
+             LEAST((ts_us - tmin) // third
+                   + CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END,
+                   2) AS batch
+      FROM b, span
+    ),
+    bm AS (SELECT batch, MAX(ts_us) AS mx FROM assigned GROUP BY batch),
+    wm AS (
+      SELECT batch,
+             MAX(mx) OVER (ORDER BY batch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - (SELECT third // 8 FROM span) AS wm_us
+      FROM bm
+    ),
+    kept AS (
+      SELECT a.user_id, a.ts_us FROM assigned a JOIN wm USING (batch)
+      WHERE wm.wm_us IS NULL OR a.ts_us >= wm.wm_us
+    ),
+    dropped AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped
+      FROM assigned a JOIN wm USING (batch)
+      WHERE wm.wm_us IS NOT NULL AND a.ts_us < wm.wm_us
+    ),
+    marked AS (
+      SELECT user_id, ts_us,
+             CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                       > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM kept
+    ),
+    numbered AS (
+      SELECT user_id, ts_us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      FROM marked
+    ),
+    sess AS (
+      SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM numbered GROUP BY user_id, seq
+    ),
+    fwm AS (
+      SELECT MAX(ts_us) - (SELECT third // 8 FROM span) AS wmf FROM b
+    )
+    SELECT s.user_id, s.start_us, s.end_us, s.n_events,
+           s.end_us + {SESSION_GAP_US} < fwm.wmf AS is_closed,
+           d.n_dropped
+    FROM sess s, fwm, dropped d
+"""
+
+
+@register(
+    "stream_sessionize_late_events",
+    oracle=STREAM_SESSIONIZE_ORACLE,
+    doc=(
+        "Watermark late-data semantics under the external oracle: events "
+        "arrive as 3 time-range micro-batches with deliberate one-batch-"
+        "late stragglers; the session store DROPS events older than the "
+        "watermark (max event time - delay, monotone), folds kept events "
+        "into gap sessions, closes sessions the watermark has passed, "
+        "and replays the final batch (epoch guard). The oracle "
+        "recomputes the per-batch watermark path, the exact drop set, "
+        "batch sessionization of the kept set, the closed/open split, "
+        "and the dropped count — all in SQL (SURVEY §2.9; "
+        "streaming/sessions.py)."
+    ),
+    tags=("streaming", "sessionize", "watermark"),
+)
+def stream_sessionize_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _build_session_store(spark, sf_dir)
+    return sessions_store_read(spark, store)
+
+
+# Kept for the store-specific property tests (tests/test_streaming_gate.py);
+# the registry rows above are the gate surface since round 8.
+STREAM_GATE_QUERIES = {
     "stream_kmv_distinct_users": (stream_kmv_distinct_users, STREAM_KMV_ORACLE),
     "stream_hll_distinct_users": (stream_hll_distinct_users, STREAM_HLL_ORACLE),
     "stream_cms_event_type_counts": (

@@ -126,7 +126,15 @@ def _parallel_layout(
                 try:
                     os.rename(tmp, out)
                 except OSError:
-                    shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+                    # rename fails both when a complete winner already
+                    # exists AND when `out` is stale/partial (or EXDEV);
+                    # spark.read does not require _SUCCESS, so only trust
+                    # `out` if the marker proves a completed write —
+                    # otherwise skip ingest and read the original path.
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+                        _INGEST_CACHE[(app, key)] = ""
+                        return None
         _INGEST_CACHE[(app, key)] = out
         return spark.read.parquet(out)
     except Exception:

@@ -77,13 +77,28 @@ def topk_estimate(
     cands = spark.read.parquet(cand_path).distinct()
     store = read_cms_store(spark, cms_path)
     cells = cms_positions(cands, "k", keep=("k",))
+    # The global ranking window runs over the CANDIDATE STORE, whose
+    # cardinality is bounded by TOPK_CANDIDATES_PER_BATCH x batches
+    # regardless of stream volume — a legitimate bounded-domain global
+    # sort. The `_cand_` aliases declare that to the registry-wide plan
+    # sweep (tests/test_plan_invariants.py), which VERIFIES the claim by
+    # counting the window's input rows.
     est = (
         cells.join(store, ["depth", "bucket"], "left")
         .groupBy("k")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_cnt"))
+        .select(F.col("k").alias("_cand_key"), F.col("est_cnt").alias("_cand_est"))
     )
-    w = F.row_number().over(Window.orderBy(F.desc("est_cnt"), "k"))
-    return est.withColumn("rank", w.cast("long")).filter(F.col("rank") <= k)
+    w = F.row_number().over(Window.orderBy(F.desc("_cand_est"), "_cand_key"))
+    return (
+        est.withColumn("rank", w.cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_cand_key").alias("k"),
+            F.col("_cand_est").alias("est_cnt"),
+            "rank",
+        )
+    )
 
 
 def start_continuous_topk(

@@ -8,20 +8,25 @@ sf0.001, must satisfy
    the ``_cand_`` candidate-store grain), and EVERY order column must
    be such a grain;
 2. every allowlisted unpartitioned ordered window must also pass a
-   RUNTIME cardinality probe: its input, executed at sf0.001, feeds
-   fewer than ``_WINDOW_INPUT_CAP`` rows — so a fact-grain column
+   RUNTIME growth probe: its input row count is measured at BOTH
+   sf0.001 and sf0.01, and a 10× data scale-up may grow the window's
+   input by at most ``_GROWTH_FACTOR`` — a bounded series (calendar
+   span, fixed band count, capped candidate store) stays ~flat while
+   any grain that scales with data grows ~10×, so a fact-grain column
    merely ALIASED to a bounded name still fails
-   (test_probe_catches_aliased_fact_grain is the counter-example);
+   (test_probe_catches_aliased_fact_grain is the counter-example).
+   An absolute ceiling ``_WINDOW_ABS_CAP`` backstops grains that are
+   technically span-bounded but already too large to single-sort;
 3. no ``CartesianProduct`` (a cross join that is not a broadcast);
 4. no ``BatchEvalPython`` (row-at-a-time Python UDF) anywhere.
 
 Known limits (the checks are proxies, not proofs): the name check is a
-column-name heuristic and the probe measures sf0.001 cardinality, so a
-window whose input grows with data but stays under the cap at sf0.001
-(e.g. a per-customer grain on a tiny table) passes both; and plan
-segments hidden behind ``localCheckpoint`` (PQ recall's cached ground
-truth, the sweep's sessionize frame) are invisible here — those are
-pinned by their own per-query plan tests at build time.
+column-name heuristic; the growth probe measures one 10× step, so a
+grain that scales with data only beyond sf0.01 (e.g. a dimension that
+saturates at small SF) passes; and plan segments hidden behind
+``localCheckpoint`` (PQ recall's cached ground truth, the sweep's
+sessionize frame) are invisible here — those are pinned by their own
+per-query plan tests at build time.
 
 This generalizes the per-query pins (test_distributed_rank_plans,
 test_semantic_ts_plans, test_ann_pq) into one registry-wide gate: a new
@@ -40,14 +45,16 @@ from tile_processor_spark.plans.registry import all_specs
 from tile_processor_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.001"
+SF10 = "/root/testdata/sf0.01"
 
 # Bounded-domain order grains a global ordered window may run over: the
-# calendar-index series (≈tens of rows per year of data, independent of
-# fact cardinality), the two-pass prefix-sum band series (fixed band
-# count by construction, see docs/SCALE.md), and the streaming top-k
-# candidate store (≤ TOPK_CANDIDATES_PER_BATCH × batches rows). EVERY
-# order column of an unpartitioned ordered window must match; the claim
-# is then verified at runtime by the cardinality probe below.
+# calendar-index series (one row per day/week/... of SPAN, independent
+# of fact cardinality — ~2.4k rows for the 7-year TPC-H span), the
+# two-pass prefix-sum band series (fixed band count by construction,
+# see docs/SCALE.md), and the streaming top-k candidate store
+# (≤ TOPK_CANDIDATES_PER_BATCH × batches rows). EVERY order column of
+# an unpartitioned ordered window must match; the claim is then
+# verified at runtime by the growth probe below.
 _BOUNDED_COL = re.compile(
     r"^\s*(?:_band|_cand_\w+|day|day_idx|week_idx|hour_idx|month_idx)#"
 )
@@ -57,10 +64,26 @@ _BOUNDED_COL = re.compile(
 # an unpartitioned ordered window.
 _ORDER_TOKEN = re.compile(r"\b(ASC|DESC)\b")
 
-#: max rows an allowlisted unpartitioned ordered window may consume at
-#: sf0.001 — bounded series are ≤ ~200 rows there; the smallest
-#: fact-grain stream (events, 1000 rows) is comfortably above it.
-_WINDOW_INPUT_CAP = 512
+#: max growth of an allowlisted global window's input under a 10× data
+#: scale-up (sf0.001 → sf0.01). A grain that scales WITH the data (fact
+#: rows, customers, users, (day, user) pairs) measures ≈ the full 10×;
+#: a domain-bounded series measures well under it — saturated domains
+#: (the events day series, the _band/_cand_ series) grow ~1–2×, and
+#: even still-saturating value domains (per-part revenue bands, per-
+#: customer recency days: occupancy → domain size) measure ≤ ~5–6×
+#: with the gap widening every further decade. 6 is the separating
+#: line for one measured step; ``_WINDOW_ABS_CAP`` backstops it.
+_GROWTH_FACTOR = 6
+
+#: growth is measured against at least this floor, so a near-empty
+#: series at sf0.001 (e.g. 20 occupied days) isn't flagged for noise.
+_GROWTH_FLOOR = 64
+
+#: absolute ceiling on an allowlisted global window's input at sf0.01 —
+#: span-bounded grains must also be SMALL enough to sort on one
+#: partition without being a bottleneck (largest legitimate series: the
+#: ~2.4k-day TPC-H calendar).
+_WINDOW_ABS_CAP = 8192
 
 
 def _top_level_groups(s: str) -> list[str]:
@@ -132,8 +155,8 @@ def _unpartitioned_window_input_counts(df) -> list[int]:
     """For each unpartitioned ordered Window in the OPTIMIZED logical
     plan, rebuild its child as a fresh DataFrame (``Dataset.ofRows`` —
     a fully prepared plan, unlike executing physical fragments) and
-    count its rows capped at cap+1 — the runtime verification that an
-    allowlisted global sort really runs over a bounded series."""
+    count its rows capped at ``_WINDOW_ABS_CAP``+1 — the runtime side
+    of the bounded-grain verification."""
     spark = df.sparkSession
     root = df._jdf.queryExecution().optimizedPlan()
     counts = []
@@ -144,8 +167,35 @@ def _unpartitioned_window_input_counts(df) -> list[int]:
             child_df = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
                 spark._jsparkSession, node.child()
             )
-            counts.append(child_df.limit(_WINDOW_INPUT_CAP + 1).count())
+            counts.append(child_df.limit(_WINDOW_ABS_CAP + 1).count())
     return counts
+
+
+def _window_growth_issues(build_fn) -> list[str]:
+    """Probe every allowlisted unpartitioned ordered window of a query:
+    input rows at sf0.001 vs sf0.01 must grow ≤ ``_GROWTH_FACTOR`` (over
+    the noise floor) and stay under ``_WINDOW_ABS_CAP``."""
+    c_small = _unpartitioned_window_input_counts(build_fn(SF))
+    if not c_small:
+        return []
+    c_big = _unpartitioned_window_input_counts(build_fn(SF10))
+    if len(c_big) != len(c_small):
+        return [
+            f"global-window count differs across SFs "
+            f"({len(c_small)} at sf0.001, {len(c_big)} at sf0.01)"
+        ]
+    issues = []
+    for small, big in zip(c_small, c_big):
+        if big > _WINDOW_ABS_CAP:
+            issues.append(
+                f"global window consumes >{_WINDOW_ABS_CAP} rows at sf0.01"
+            )
+        if big > _GROWTH_FACTOR * max(small, _GROWTH_FLOOR):
+            issues.append(
+                f"global window input scales with data ({small} rows at "
+                f"sf0.001 → {big} at sf0.01) — bounded-grain claim is false"
+            )
+    return issues
 
 
 def test_all_registry_plans_hold_scale_invariants(spark):
@@ -165,16 +215,13 @@ def test_all_registry_plans_hold_scale_invariants(spark):
         if "BatchEvalPython" in plan:
             issues.append("BatchEvalPython (row-at-a-time Python UDF)")
         # the name check passed for any remaining global ordered
-        # windows — verify the boundedness claim by executing their
-        # inputs (cheap: bounded series are tiny at sf0.001)
+        # windows — verify the boundedness claim by measuring how their
+        # inputs grow under a real 10× data scale-up
         if not issues and re.search(r"\bWindow \[", plan):
             try:
-                for n_rows in _unpartitioned_window_input_counts(df):
-                    if n_rows > _WINDOW_INPUT_CAP:
-                        issues.append(
-                            f"allowlisted global window consumes >{_WINDOW_INPUT_CAP} "
-                            f"rows at sf0.001 — bounded-grain claim is false"
-                        )
+                issues.extend(
+                    _window_growth_issues(lambda sf: spec.spark_fn(spark, sf))
+                )
             except Exception as e:  # probe must never silently skip
                 issues.append(f"window probe error: {type(e).__name__}: {e}")
         if issues:
@@ -184,14 +231,17 @@ def test_all_registry_plans_hold_scale_invariants(spark):
 
 def test_probe_catches_aliased_fact_grain(spark):
     """A fact-grain column ALIASED to a bounded name fools the
-    column-name check but must fail the cardinality probe — the
+    column-name check but must fail the growth probe (1,000 events at
+    sf0.001 → 10,000 at sf0.01 is a 10× measured growth) — the
     deliberate counter-example keeping the allowlist honest."""
-    ev = load_table(spark, "events", SF).select(
-        F.unix_micros("ts").alias("day"), "event_id"
-    )
-    df = ev.withColumn("rn", F.row_number().over(Window.orderBy("day")))
-    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    def build(sf_dir):
+        ev = load_table(spark, "events", sf_dir).select(
+            F.unix_micros("ts").alias("day"), "event_id"
+        )
+        return ev.withColumn("rn", F.row_number().over(Window.orderBy("day")))
+
+    plan = build(SF)._jdf.queryExecution().executedPlan().toString()
     assert not _window_violations(plan), "name proxy should be fooled by the alias"
-    counts = _unpartitioned_window_input_counts(df)
-    assert counts, "probe must find the global ordered window"
-    assert any(c > _WINDOW_INPUT_CAP for c in counts)
+    issues = _window_growth_issues(build)
+    assert issues and any("scales with data" in i for i in issues)

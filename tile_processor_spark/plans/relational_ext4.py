@@ -79,13 +79,17 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM daily
     """,
     doc=(
-        "Trailing-7-day distinct users per day: the (day, user) grain is "
-        "deduped FIRST (the fact-table explosion never reaches the "
-        "window), then a value-RANGE window counts distincts over the "
-        "small daily grain. Spark lacks COUNT(DISTINCT) OVER — the "
-        "engine expresses it as size(collect_set() OVER), which is "
-        "correct at the deduped grain because the window holds at most "
-        "7 days × daily-actives entries."
+        "Trailing-7-day distinct users per day WITHOUT any global "
+        "window (COUNT(DISTINCT) OVER a value range is inherently a "
+        "single-partition sort over the (day, user) grain — daily "
+        "actives × days, which scales with data): dedup to (day, user), "
+        "explode each active day onto the ≤7 future days it covers, "
+        "then one partial-aggregable countDistinct per covered day, "
+        "semi-joined to the observed-day series (broadcast — bounded "
+        "by the calendar span) so only days present in the data are "
+        "emitted, matching the windowed-oracle row set. Cost is a "
+        "fixed 7× fan-out of the deduped daily grain; every step "
+        "shuffles on a key."
     ),
     tags=("relational-ext", "events", "window"),
 )
@@ -95,13 +99,17 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "long"
     )
     daily = ev.select(day.alias("day_idx"), "user_id").distinct()
-    w = W.orderBy("day_idx").rangeBetween(-6, 0)
+    days = daily.select("day_idx").distinct()
+    covered = daily.select(
+        F.explode(
+            F.sequence(F.col("day_idx"), F.col("day_idx") + F.lit(6))
+        ).alias("day_idx"),
+        "user_id",
+    )
     return (
-        daily.select(
-            "day_idx",
-            F.size(F.collect_set("user_id").over(w)).cast("long").alias("users_7d"),
-        )
-        .distinct()
+        covered.join(F.broadcast(days), "day_idx")
+        .groupBy("day_idx")
+        .agg(F.countDistinct("user_id").cast("long").alias("users_7d"))
     )
 
 

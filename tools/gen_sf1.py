@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Generate an sf1 rehearsal dataset (10x the sf0.1 bench scale) for the
+scale-axis measurements recorded in docs/SCALE.md.
+
+The driver-provided testdata stops at sf0.1 (TESTDATA.md), so the 10x
+scaling point is generated locally, schema-identical to the driver
+tables and distribution-matched on the axes the headline plans are
+sensitive to:
+
+- ``events`` scales along the LONGER-HISTORY axis: 10x the rows over a
+  10x time span (300 days), same 1,500 users and per-user event rate —
+  so instantaneous session concurrency (what drives
+  ``events_interval_overlap``'s candidate-pair volume and the sweep's
+  per-day counts) stays constant and the expected cost/output of the
+  interval queries scales linearly, the property the rehearsal is
+  trying to measure. (Scaling users at fixed span instead would grow
+  concurrency 10x and the overlap OUTPUT ~100x — a workload-cardinality
+  effect, not a plan effect.)
+- ``documents`` scales the corpus 10x (50,000 docs), reusing the exact
+  per-language vocabularies of the driver tables (tokenization, shingle
+  and BM25 df behavior match) with the same length spread, and plants
+  ~5% near-duplicates (a copy of an earlier doc with ~10% of words
+  resampled) so MinHash/LSH has a realistic candidate load.
+- ``embeddings`` scales to 20,000 vectors: 10 well-separated cluster
+  centers in R^64, unit-normalized points like the driver table.
+
+Only the three tables the five rehearsal queries read are generated;
+everything is written with a fixed seed so reruns are reproducible.
+
+Usage: python tools/gen_sf1.py [out_dir]   (default /tmp/sf1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+SEED = 4242
+
+N_EVENTS = 1_000_000
+N_USERS = 1_500
+SPAN_DAYS = 300
+T0_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+EVENT_TYPES = np.array(["signup", "purchase", "view", "click", "error"])
+
+N_DOCS = 50_000
+NEAR_DUP_FRAC = 0.05
+LANG_WEIGHTS = {"en": 0.41, "es": 0.15, "fr": 0.15, "zh": 0.15, "de": 0.14}
+
+N_VECS = 20_000
+DIM = 64
+N_CLUSTERS = 10
+
+
+def gen_events(rng: np.random.Generator) -> pa.Table:
+    span_us = SPAN_DAYS * 86_400_000_000
+    ts = np.sort(rng.integers(0, span_us, N_EVENTS)) + T0_US
+    value = np.round(rng.exponential(50.0, N_EVENTS).clip(0, 560.0), 2)
+    props = np.array([json.dumps({"k": int(k)}) for k in range(100)])
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(N_EVENTS), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, N_USERS, N_EVENTS), pa.int64()),
+            "event_type": pa.array(EVENT_TYPES[rng.integers(0, 5, N_EVENTS)]),
+            "value": pa.array(value, pa.float64()),
+            "props": pa.array(props[rng.integers(0, 100, N_EVENTS)]),
+        }
+    )
+
+
+def lang_vocabs() -> dict[str, list[str]]:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT lang, list(DISTINCT w) FROM (
+              SELECT lang, unnest(string_split(text, ' ')) AS w
+              FROM '{SRC}/documents.parquet') GROUP BY lang"""
+    ).fetchall()
+    return {lang: sorted(ws) for lang, ws in rows}
+
+
+def gen_documents(rng: np.random.Generator) -> pa.Table:
+    vocabs = lang_vocabs()
+    langs = list(LANG_WEIGHTS)
+    lang_pick = rng.choice(len(langs), N_DOCS, p=list(LANG_WEIGHTS.values()))
+    n_words = rng.integers(8, 96, N_DOCS)
+    texts: list[str] = []
+    doc_langs: list[str] = []
+    for i in range(N_DOCS):
+        lang = langs[lang_pick[i]]
+        vocab = vocabs[lang]
+        if i > 0 and rng.random() < NEAR_DUP_FRAC:
+            # near-dup: copy an earlier same-run doc, resample ~10% words
+            j = int(rng.integers(0, i))
+            words = texts[j].split(" ")
+            lang = doc_langs[j]
+            vocab = vocabs[lang]
+            k = max(1, len(words) // 10)
+            for pos in rng.choice(len(words), k, replace=False):
+                words[pos] = vocab[rng.integers(0, len(vocab))]
+        else:
+            idx = rng.integers(0, len(vocab), n_words[i])
+            words = [vocab[w] for w in idx]
+        texts.append(" ".join(words))
+        doc_langs.append(lang)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(N_DOCS), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(doc_langs),
+            "source": pa.array([f"src{i % 20}" for i in rng.integers(0, 20, N_DOCS)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def gen_embeddings(rng: np.random.Generator) -> pa.Table:
+    centers = rng.standard_normal((N_CLUSTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    label = rng.integers(0, N_CLUSTERS, N_VECS)
+    vec = centers[label] * 0.8 + rng.standard_normal((N_VECS, DIM)) * 0.25
+    vec /= np.linalg.norm(vec, axis=1, keepdims=True)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(N_VECS), pa.int64()),
+            "embedding": pa.array(list(vec.astype(np.float32)), pa.list_(pa.float32())),
+            "label": pa.array(label, pa.int32()),
+        }
+    )
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+    for name, tbl in (
+        ("events", gen_events(rng)),
+        ("documents", gen_documents(rng)),
+        ("embeddings", gen_embeddings(rng)),
+    ):
+        path = os.path.join(out, f"{name}.parquet")
+        pq.write_table(tbl, path)
+        print(f"wrote {path}: {tbl.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()

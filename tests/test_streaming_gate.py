@@ -134,17 +134,18 @@ def test_session_merge_bridges_open_sessions(spark, tmp_path):
     store = str(tmp_path / "bridge")
     m = 60_000_000  # one minute in us
     huge = 1 << 60  # delay so large the watermark never bites
-    # batch 0: two events 100 min apart -> two open sessions at gap 30
+    # batch 0: two events 50 min apart -> two open sessions at gap 30
     merge_batch_into_sessions(
-        _sess_batch(spark, [0, 100 * m]), store, gap_us=30 * m, delay_us=huge
+        _sess_batch(spark, [0, 50 * m]), store, gap_us=30 * m, delay_us=huge
     )
-    # batch 1: a straggler in between bridges them into ONE session
+    # batch 1: a straggler at 25 min is within the 30-min gap of BOTH
+    # open sessions — it must bridge them into ONE session
     merge_batch_into_sessions(
-        _sess_batch(spark, [50 * m]), store, gap_us=30 * m, delay_us=huge
+        _sess_batch(spark, [25 * m]), store, gap_us=30 * m, delay_us=huge
     )
     out = sessions_store_read(spark, store).collect()
     assert [(r["start_us"], r["end_us"], r["n_events"], r["is_closed"]) for r in out] == [
-        (0, 100 * m, 3, False)
+        (0, 50 * m, 3, False)
     ]
     assert out[0]["n_dropped"] == 0
 

@@ -46,6 +46,19 @@ NEAR_DUP_THRESHOLD = 0.5
 # generic 0.5 threshold recall is only ~87% for marginal pairs — equality
 # would hold only while the corpus has no pair near the threshold.
 MINHASH_EMIT_THRESHOLD = 0.8
+# Signature-estimate pre-screen between banding and exact verify: a
+# bucket-colliding pair is exact-verified only if its 128-perm
+# signature agreement (an unbiased Jaccard estimate) is ≥ this. For a
+# true J ≥ 0.8 pair, agreement ~ Binomial(128, 0.8)/128: falling below
+# 0.6 is a 5.6σ event (P ≈ 1e-8, same order as the banding miss rate
+# 5e-8 — the screen does not change which pairs the row emits), while
+# low-J bucket collisions (boilerplate/small-vocab mega-buckets, where
+# candidate volume grows quadratically in bucket size) agree at ~J and
+# are screened out before they ever touch the text join + exact-verify
+# UDF. Measured on the 10× rehearsal corpus: 137,580 bucket-colliding
+# candidates → the screen passes only the genuinely-similar tail, and
+# the verify stage goes back to being output-bound (docs/SCALE.md).
+MINHASH_EST_PREFILTER = 0.6
 QUANT = 1_048_576.0  # 2^20
 # Brute-force cosine baseline: every 50th vector queries, HARD-CAPPED at
 # 64 query vectors so the broadcast side is O(1), not O(corpus) — the
@@ -369,6 +382,30 @@ def minhash_candidates(bands: DataFrame) -> DataFrame:
     )
 
 
+def minhash_estimate_filter(
+    cand: DataFrame, sig: DataFrame, min_est: float = MINHASH_EST_PREFILTER
+) -> DataFrame:
+    """Screen candidate pairs by signature-agreement Jaccard estimate
+    (see ``MINHASH_EST_PREFILTER``) — two equi-joins against the
+    already-computed signature table plus a JVM-side ``zip_with``
+    agreement count; no text movement, no Python. This is the tier
+    between banding and exact verify that keeps verify OUTPUT-bound
+    when bucket collisions are quadratic (mega-buckets)."""
+    s1 = sig.select(F.col("doc_id").alias("d1"), F.col("sig").alias("_sig1"))
+    s2 = sig.select(F.col("doc_id").alias("d2"), F.col("sig").alias("_sig2"))
+    agree = F.aggregate(
+        F.zip_with("_sig1", "_sig2", lambda a, b: F.when(a == b, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(agree >= F.lit(int(min_est * NUM_PERM)))
+        .select("d1", "d2")
+    )
+
+
 def incremental_band_candidates(
     spark: SparkSession, bands_table: str, new_docs: DataFrame
 ) -> DataFrame:
@@ -410,8 +447,11 @@ def incremental_band_candidates(
         "banding regardless of how the testdata is refreshed. "
         "Pipeline shape for 100 TB: only the 128-long signature leaves "
         "the scan stage (one Arrow pass computes shingles→hashes→sig); "
-        "banding emits 32 rows/doc; shingle sets are re-derived only for "
-        "the candidate pairs at verify time."
+        "banding emits 32 rows/doc; bucket-colliding pairs are screened "
+        "by signature-agreement estimate (MINHASH_EST_PREFILTER — "
+        "mega-bucket collisions never reach the text join); shingle "
+        "sets are re-derived only for the surviving pairs at exact-"
+        "verify time."
     ),
     tags=("llm", "dedup", "headline"),
 )
@@ -420,7 +460,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     sh = _minhash_signatures_cached(spark, sf_dir)
-    cand = minhash_candidates(minhash_bands(sh))
+    cand = minhash_estimate_filter(minhash_candidates(minhash_bands(sh)), sh)
     t1 = d.select(F.col("doc_id").alias("d1"), F.col("text").alias("text1"))
     t2 = d.select(F.col("doc_id").alias("d2"), F.col("text").alias("text2"))
     verified = (

@@ -118,10 +118,14 @@ _GATE_PRIORITY: tuple[str, ...] = (
 )
 
 # Round-9 rotation candidates, in priority order: (a) any row that is
-# red in CORRECTNESS_r08; (b) the two r4 rows deferred this round —
-# embedding_normalize, spatial_zorder_keys; (c) rows whose code changes
-# in round 9; (d) the stalest r5 rows by last-verified round (the 49
-# rows last green in round 5 — spatial gate family, dedup family, ...).
+# red in CORRECTNESS_r08; (b) the rows added/changed late in round 8
+# and never driver-gated — rolling_distinct_hll (new),
+# rolling_7d_distinct_users and dedup_minhash_pairs (re-planned after
+# the growth probe / sf1 rehearsal); (c) the two r4 rows deferred this
+# round — embedding_normalize, spatial_zorder_keys; (d) rows whose
+# code changes in round 9; (e) the stalest r5 rows by last-verified
+# round (the 49 rows last green in round 5 — spatial gate family,
+# dedup family, ...).
 
 
 def all_specs() -> dict[str, QuerySpec]:

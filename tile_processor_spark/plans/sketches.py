@@ -553,6 +553,137 @@ def sketch_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: trailing-window width (days) for the HLL rolling-distinct rollup —
+#: matches rolling_7d_distinct_users so the two strategies are
+#: cross-checkable on the same oracle grain.
+ROLLING_HLL_DAYS = 7
+
+_ROLLING_DAY = "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+
+
+@register(
+    "rolling_distinct_hll",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT {_ROLLING_DAY} AS day_idx, CAST(user_id AS VARCHAR) AS k
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    days AS (SELECT DISTINCT day_idx FROM keys),
+    hashed AS (
+      SELECT day_idx, {SQL_HASH32.format(v="'hll#' || k")} AS h FROM keys
+    ),
+    rho AS (
+      SELECT day_idx,
+             h // {1 << HLL_REM_BITS} AS idx,
+             CASE WHEN h % {1 << HLL_REM_BITS} = 0 THEN {HLL_REM_BITS + 1}
+                  ELSE {HLL_REM_BITS + 1} - length(bin(h % {1 << HLL_REM_BITS}))
+             END AS rho
+      FROM hashed
+    ),
+    cover AS (
+      SELECT r.day_idx + o.o AS day_idx, r.idx, r.rho
+      FROM rho r CROSS JOIN range({ROLLING_HLL_DAYS}) o(o)
+    ),
+    regs AS (
+      SELECT d.day_idx, rr.r AS idx, COALESCE(MAX(c.rho), 0) AS m
+      FROM days d
+      CROSS JOIN range({HLL_M}) rr(r)
+      LEFT JOIN cover c ON c.day_idx = d.day_idx AND c.idx = rr.r
+      GROUP BY d.day_idx, rr.r
+    ),
+    agg AS (
+      SELECT day_idx, SUM(pow(2.0, -m)) AS sum_inv FROM regs GROUP BY day_idx
+    ),
+    truth AS (
+      SELECT c.day_idx, CAST(COUNT(DISTINCT c.k) AS BIGINT) AS true_distinct
+      FROM (
+        SELECT day_idx + o.o AS day_idx, k
+        FROM keys CROSS JOIN range({ROLLING_HLL_DAYS}) o(o)
+      ) c JOIN days USING (day_idx)
+      GROUP BY c.day_idx
+    )
+    SELECT a.day_idx,
+           CAST(a.sum_inv AS DOUBLE) AS sum_inv,
+           CAST({HLL_ALPHA_M2!r} AS DOUBLE) / a.sum_inv AS est_raw,
+           t.true_distinct
+    FROM agg a JOIN truth t USING (day_idx)
+    """,
+    doc=(
+        "Trailing-7-day distinct users via MERGED PER-DAY HLL REGISTER "
+        "STATES — the wide-window scale path. rolling_7d_distinct_users "
+        "is exact but fans the (day, user) grain out W× (explode onto "
+        "covered days), so its cost grows with window width × daily "
+        "actives; here each day is first reduced to 64 registers "
+        "(bounded state, any cardinality), the W-day merge is a "
+        "register-wise MAX over W × 64 rows per output day — "
+        "independent of how many users each day saw — and the register "
+        "derivation is shared with sketch_hll_distinct/by_type "
+        "(hll_registers), so day-sketches max-merge into any coarser "
+        "rollup by construction. At W = 90 and millions of daily "
+        "actives the exact explode moves ~90 × actives rows while this "
+        "plan moves 90 × 64. The oracle recomputes registers, merge, "
+        "and estimate in SQL (exact: every 2^-m term and the ≤64-term "
+        "sum are exactly representable doubles) alongside the exact "
+        "truth, pinning the approximation itself."
+    ),
+    tags=("llm", "sketch", "events", "window"),
+)
+def rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    keys = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(day.alias("day_idx"), F.col("user_id").cast("string").alias("k"))
+        .distinct()
+    )
+    days = keys.select("day_idx").distinct()
+    # per-day sparse registers -> explode onto the W covered days ->
+    # register-wise max-merge (all partitioned aggregations)
+    sparse = hll_registers(keys, "k", keep=("day_idx",))
+    cover = sparse.select(
+        F.explode(
+            F.sequence(
+                F.col("day_idx"), F.col("day_idx") + F.lit(ROLLING_HLL_DAYS - 1)
+            )
+        ).alias("day_idx"),
+        "idx",
+        "m",
+    )
+    merged = cover.groupBy("day_idx", "idx").agg(F.max("m").alias("m"))
+    dense = days.crossJoin(
+        F.broadcast(spark.range(HLL_M).withColumnRenamed("id", "idx"))
+    )
+    regs = (
+        dense.join(merged, ["day_idx", "idx"], "left")
+        .select("day_idx", "idx", F.coalesce(F.col("m"), F.lit(0)).alias("m"))
+    )
+    agg = regs.groupBy("day_idx").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("sum_inv")
+    )
+    truth = (
+        keys.select(
+            F.explode(
+                F.sequence(
+                    F.col("day_idx"),
+                    F.col("day_idx") + F.lit(ROLLING_HLL_DAYS - 1),
+                )
+            ).alias("day_idx"),
+            "k",
+        )
+        .join(F.broadcast(days), "day_idx")
+        .groupBy("day_idx")
+        .agg(F.countDistinct("k").cast("long").alias("true_distinct"))
+    )
+    return agg.join(truth, "day_idx").select(
+        "day_idx",
+        F.col("sum_inv").cast("double").alias("sum_inv"),
+        (F.lit(HLL_ALPHA_M2) / F.col("sum_inv")).alias("est_raw"),
+        "true_distinct",
+    )
+
+
 HIST_BINS = 512
 
 

@@ -85,16 +85,36 @@ def test_corr_matrix_zero_shuffles(spark):
     assert count_exchanges(lineitem_corr_matrix(spark, SF)) == 0
 
 
-def test_rolling_median_and_ewma_single_window(spark):
-    from tile_processor_spark.plans.timeseries_ops import (
-        events_ewma_approx,
-        events_rolling_median,
-    )
+def test_ewma_single_window(spark):
+    from tile_processor_spark.plans.timeseries_ops import events_ewma_approx
 
-    for fn in (events_rolling_median, events_ewma_approx):
-        df = fn(spark, SF)
-        assert count_exchanges(df) == 1, fn.__name__
-        assert "Window" in _plan(df), fn.__name__
+    df = events_ewma_approx(spark, SF)
+    assert count_exchanges(df) == 1
+    assert "Window" in _plan(df)
+
+
+def test_rolling_median_halo_chunked(spark):
+    """events_rolling_median serves the halo-chunked plan
+    (plans/chunked_windows.py): the frame window must be partitioned by
+    (event_type, _chunk) — data-proportional parallelism — and no
+    window may be partitioned by event_type ALONE (the 5-task funnel
+    the sf10 rehearsal measured at 13.7x; docs/SCALE.md). Every window
+    here is partitioned, so the registry-wide sweep's global-window
+    checks don't see this shape — this pin does."""
+    import re
+
+    from tile_processor_spark.plans.timeseries_ops import events_rolling_median
+
+    plan = _plan(events_rolling_median(spark, SF))
+    wspecs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("_chunk" in s for s in wspecs), "chunked frame window missing"
+    for s in wspecs:
+        cols = [c.strip() for c in s.split(",")]
+        if cols and cols[0].startswith("event_type"):
+            rest = ",".join(cols[1:])
+            assert "_chunk" in rest or "_cell" in rest, (
+                f"window partitioned by event_type alone: {s[:90]}"
+            )
 
 
 def test_percentile_cont_broadcasts_rank_probes(spark):

@@ -651,7 +651,12 @@ ROLLMED_WINDOW = 50  # trailing rows preceding current
         "build it from the same primitive: collect the frame, sort, "
         "index (n+1)//2 — on cents-exact integers, so the pick is "
         "deterministic. Scale: bounded frame (51 longs) keeps state "
-        "O(window) per row; one window shuffle on event_type. The "
+        "O(window) per row, and the frame is evaluated through the "
+        "HALO-CHUNKED discipline (plans/chunked_windows.py): a plain "
+        "partitionBy(event_type) window is a 5-task funnel — measured "
+        "13.7× wall on the 10× sf1→sf10 rehearsal step — while the "
+        "banded row index + overlap chunks give data-proportional "
+        "parallelism with value-identical output (same oracle). The "
         "O(w log w) per-row sort is the honest cost — a two-heap or "
         "indexable-skiplist kernel is the constant-factor upgrade, not "
         "a different plan shape."
@@ -659,6 +664,12 @@ ROLLMED_WINDOW = 50  # trailing rows preceding current
     tags=("events", "window", "stats"),
 )
 def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.plans.chunked_windows import (
+        DAY_US,
+        banded_row_index,
+        chunked_trailing_frame,
+    )
+
     ev = load_table(spark, "events", sf_dir)
     q = ev.select(
         "event_type",
@@ -666,12 +677,19 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         F.floor(F.col("value") * VAL_SCALE).cast("long").alias("y"),
     )
-    w = (
-        W.partitionBy("event_type")
-        .orderBy("ts_us", "event_id")
-        .rowsBetween(-ROLLMED_WINDOW, W.currentRow)
+    indexed = banded_row_index(
+        q,
+        ["event_type"],
+        ["ts_us", "event_id"],
+        (F.col("ts_us") / DAY_US).cast("long"),
     )
-    framed = q.withColumn("l", F.sort_array(F.collect_list("y").over(w)))
+
+    def median_frame(df: DataFrame, w) -> DataFrame:
+        return df.withColumn("l", F.sort_array(F.collect_list("y").over(w)))
+
+    framed = chunked_trailing_frame(
+        indexed, ["event_type"], ROLLMED_WINDOW, median_frame
+    )
     return framed.select(
         "event_type",
         "event_id",

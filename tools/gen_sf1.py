@@ -27,7 +27,15 @@ sensitive to:
 Only the three tables the five rehearsal queries read are generated;
 everything is written with a fixed seed so reruns are reproducible.
 
-Usage: python tools/gen_sf1.py [out_dir]   (default /tmp/sf1)
+Usage: python tools/gen_sf1.py [out_dir [events_mult]]
+    out_dir      default /tmp/sf1
+    events_mult  scale the EVENTS axis a further N× beyond sf1 (rows
+                 and time span together, users fixed — the same
+                 longer-history axis), e.g. 10 → an sf10 events table
+                 (10M rows / 3000 days) for a second, 100×-of-bench
+                 scaling point on the events family. documents and
+                 embeddings stay at sf1 scale (symlink or regenerate
+                 separately if needed).
 """
 
 from __future__ import annotations
@@ -59,19 +67,20 @@ DIM = 64
 N_CLUSTERS = 10
 
 
-def gen_events(rng: np.random.Generator) -> pa.Table:
-    span_us = SPAN_DAYS * 86_400_000_000
-    ts = np.sort(rng.integers(0, span_us, N_EVENTS)) + T0_US
-    value = np.round(rng.exponential(50.0, N_EVENTS).clip(0, 560.0), 2)
+def gen_events(rng: np.random.Generator, mult: int = 1) -> pa.Table:
+    n = N_EVENTS * mult
+    span_us = SPAN_DAYS * mult * 86_400_000_000
+    ts = np.sort(rng.integers(0, span_us, n)) + T0_US
+    value = np.round(rng.exponential(50.0, n).clip(0, 560.0), 2)
     props = np.array([json.dumps({"k": int(k)}) for k in range(100)])
     return pa.table(
         {
-            "event_id": pa.array(np.arange(N_EVENTS), pa.int64()),
+            "event_id": pa.array(np.arange(n), pa.int64()),
             "ts": pa.array(ts, pa.timestamp("us")),
-            "user_id": pa.array(rng.integers(0, N_USERS, N_EVENTS), pa.int64()),
-            "event_type": pa.array(EVENT_TYPES[rng.integers(0, 5, N_EVENTS)]),
+            "user_id": pa.array(rng.integers(0, N_USERS, n), pa.int64()),
+            "event_type": pa.array(EVENT_TYPES[rng.integers(0, 5, n)]),
             "value": pa.array(value, pa.float64()),
-            "props": pa.array(props[rng.integers(0, 100, N_EVENTS)]),
+            "props": pa.array(props[rng.integers(0, 100, n)]),
         }
     )
 
@@ -138,13 +147,16 @@ def gen_embeddings(rng: np.random.Generator) -> pa.Table:
 
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(SEED)
-    for name, tbl in (
-        ("events", gen_events(rng)),
-        ("documents", gen_documents(rng)),
-        ("embeddings", gen_embeddings(rng)),
-    ):
+    tables = [("events", gen_events(rng, mult))]
+    if mult == 1:  # docs/embeddings only at the base sf1 scale
+        tables += [
+            ("documents", gen_documents(rng)),
+            ("embeddings", gen_embeddings(rng)),
+        ]
+    for name, tbl in tables:
         path = os.path.join(out, f"{name}.parquet")
         pq.write_table(tbl, path)
         print(f"wrote {path}: {tbl.num_rows} rows")

@@ -1,0 +1,132 @@
+"""Equivalence tests for the banded/halo window primitives
+(plans/chunked_windows.py): each distributed form must be
+value-identical to the naive per-key single window it replaces —
+that identity is what lets the migrated queries keep their DuckDB
+oracles unchanged.
+
+The fixture frame is adversarial on purpose: duplicate order values
+(tie-break via id), empty cells (gaps in the cell series), keys whose
+rows span many cells, and a key confined to one cell.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from tile_processor_spark.plans.chunked_windows import (
+    banded_next,
+    banded_prev,
+    banded_row_index,
+    banded_running_sum,
+    chunked_frame,
+)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    # (key, t, id, v): ~400 rows, 2 keys; key 'a' spans cells 0..19
+    # with gaps (odd cells empty), key 'b' sits entirely in cell 3;
+    # duplicate t values force the id tie-break.
+    rows = []
+    i = 0
+    for t in range(0, 200):
+        if (t // 10) % 2 == 1:  # odd cells empty for key a
+            continue
+        for dup in range(2):
+            rows.append(("a", t, i, (t * 7 + dup) % 23))
+            i += 1
+    for t in range(30, 40):
+        rows.append(("b", t, i, t % 5))
+        i += 1
+    return spark.createDataFrame(rows, "k string, t long, id long, v long")
+
+
+def _cell():
+    return (F.col("t") / 10).cast("long")
+
+
+def test_banded_prev_matches_lag(frame):
+    wo = W.partitionBy("k").orderBy("t", "id")
+    naive = frame.select(
+        "k", "t", "id", F.lag("t").over(wo).alias("p_t"), F.lag("v").over(wo).alias("p_v")
+    )
+    banded = banded_prev(frame, ["k"], ["t", "id"], _cell(), ["t", "v"]).select(
+        "k",
+        "t",
+        "id",
+        F.col("_prev_t").alias("p_t"),
+        F.col("_prev_v").alias("p_v"),
+    )
+    assert sorted(naive.collect()) == sorted(banded.collect())
+
+
+def test_banded_next_matches_lead(frame):
+    wo = W.partitionBy("k").orderBy("t", "id")
+    naive = frame.select("k", "t", "id", F.lead("t").over(wo).alias("n_t"))
+    banded = banded_next(frame, ["k"], ["t", "id"], _cell(), ["t"]).select(
+        "k", "t", "id", F.col("_next_t").alias("n_t")
+    )
+    assert sorted(naive.collect()) == sorted(banded.collect())
+
+
+def test_banded_running_sum_matches_window(frame):
+    wo = (
+        W.partitionBy("k")
+        .orderBy("t", "id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    naive = frame.select("k", "t", "id", F.sum("v").over(wo).alias("rs"))
+    banded = banded_running_sum(frame, ["k"], ["t", "id"], _cell(), "v", "rs").select(
+        "k", "t", "id", "rs"
+    )
+    assert sorted(naive.collect()) == sorted(banded.collect())
+
+
+def test_chunked_frame_lags_and_lead(frame):
+    # before=3 / after=1 with a chunk size small enough that every
+    # chunk boundary is exercised; lag-3 and lead-1 must match the
+    # naive per-key window exactly.
+    wo = W.partitionBy("k").orderBy("t", "id")
+    naive = frame.select(
+        "k",
+        "t",
+        "id",
+        F.lag("v", 3).over(wo).alias("l3"),
+        F.lead("v").over(wo).alias("n1"),
+    )
+    idx = banded_row_index(frame, ["k"], ["t", "id"], _cell())
+    out = chunked_frame(
+        idx,
+        ["k"],
+        3,
+        1,
+        lambda df, spec: df.withColumn("l3", F.lag("v", 3).over(spec)).withColumn(
+            "n1", F.lead("v").over(spec)
+        ),
+        chunk_rows=16,
+    ).select("k", "t", "id", "l3", "n1")
+    assert sorted(naive.collect()) == sorted(out.collect())
+
+
+def test_no_key_grain_window(frame):
+    # The point of the primitives: every window partitioned by the bare
+    # key must be the cross-cell stitch (ordered by the bounded _cell
+    # series), never a fact-grain sort — the 5-task funnel class.
+    import re
+
+    plans = [
+        banded_prev(frame, ["k"], ["t", "id"], _cell(), ["v"]),
+        banded_next(frame, ["k"], ["t", "id"], _cell(), ["v"]),
+        banded_running_sum(frame, ["k"], ["t", "id"], _cell(), "v", "rs"),
+    ]
+    for df in plans:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for s in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            cols = [c.strip() for c in s.split(",")]
+            if cols and cols[0].startswith("k#"):
+                rest = ",".join(cols[1:])
+                assert "_cell" in rest or "_chunk" in rest, (
+                    f"window partitioned by bare key over fact grain: {s[:90]}"
+                )

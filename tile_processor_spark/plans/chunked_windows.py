@@ -88,6 +88,176 @@ def banded_row_index(
     )
 
 
+def _cell_edge_struct(order: Sequence[str], cols: Sequence[str]) -> Column:
+    """Struct whose lexicographic max/min is the per-cell last/first row:
+    order columns first (aliased positionally so a column may appear in
+    both ``order`` and ``cols``), carried values after."""
+    fields = [F.col(o).alias(f"_o{i}") for i, o in enumerate(order)]
+    fields += [F.col(c).alias(f"_v_{c}") for c in cols]
+    return F.struct(*fields)
+
+
+def _banded_adjacent(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    cell: Column,
+    cols: Sequence[str],
+    *,
+    leading: bool,
+    prefix: str,
+) -> DataFrame:
+    """Shared body of banded_prev/banded_next: local lag/lead within
+    (key, cell) + a broadcast stitch carrying the previous (next)
+    occupied cell's last (first) row values across cell boundaries."""
+    keys, order, carry = list(key_cols), list(order_cols), list(cols)
+    b = df.withColumn("_cell", cell)
+    wloc = W.partitionBy(*keys, "_cell").orderBy(*order)
+    shift = F.lead if leading else F.lag
+    out = b
+    for c in carry:
+        out = out.withColumn(prefix + c, shift(F.col(c)).over(wloc))
+    edge_agg = F.min if leading else F.max
+    edges = b.groupBy(*keys, "_cell").agg(
+        edge_agg(_cell_edge_struct(order, carry)).alias("_s")
+    )
+    # one row per occupied (key, cell) — calendar/value-domain bounded,
+    # so the cross-cell shift window and the join broadcast are tiny
+    wcell = W.partitionBy(*keys).orderBy("_cell")
+    stitch = edges.select(
+        *keys,
+        "_cell",
+        *[shift(F.col(f"_s._v_{c}")).over(wcell).alias("_adj_" + c) for c in carry],
+    )
+    out = out.join(F.broadcast(stitch), [*keys, "_cell"], "left")
+    for c in carry:
+        # carried columns must be non-null: NULL from the local shift
+        # is read as "cell boundary", not as a NULL value
+        out = out.withColumn(
+            prefix + c, F.coalesce(F.col(prefix + c), F.col("_adj_" + c))
+        ).drop("_adj_" + c)
+    return out.drop("_cell")
+
+
+def banded_prev(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    cell: Column,
+    cols: Sequence[str],
+    prefix: str = "_prev_",
+) -> DataFrame:
+    """Exact per-key ``lag(col)`` (previous row's values by
+    ``order_cols``) with data-proportional parallelism: local lag
+    within (key, cell) partitions, cell-boundary rows stitched from a
+    broadcast per-cell last-row table. ``cell`` must be a monotone
+    coarsening of the first order column; carried ``cols`` must be
+    non-null. First row per key gets NULL, like ``F.lag``."""
+    return _banded_adjacent(
+        df, key_cols, order_cols, cell, cols, leading=False, prefix=prefix
+    )
+
+
+def banded_next(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    cell: Column,
+    cols: Sequence[str],
+    prefix: str = "_next_",
+) -> DataFrame:
+    """Exact per-key ``lead(col)`` — the mirror of :func:`banded_prev`
+    (local lead + next occupied cell's first row). Last row per key
+    gets NULL, like ``F.lead``."""
+    return _banded_adjacent(
+        df, key_cols, order_cols, cell, cols, leading=True, prefix=prefix
+    )
+
+
+def banded_running_sum(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    cell: Column,
+    col: str,
+    out: str,
+) -> DataFrame:
+    """Exact inclusive per-key running sum of ``col`` over
+    ``order_cols`` via the two-pass banded discipline: local running
+    sums within (key, cell) + broadcast exclusive per-cell totals. The
+    only cross-cell window runs on the per-key cell series. Result type
+    follows ``F.sum`` (long/decimal widening), identical to the naive
+    single-window form."""
+    keys, order = list(key_cols), list(order_cols)
+    b = df.withColumn("_cell", cell)
+    wloc = (
+        W.partitionBy(*keys, "_cell")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    loc = b.withColumn("_lsum", F.sum(col).over(wloc))
+    totals = b.groupBy(*keys, "_cell").agg(F.sum(col).alias("_ct"))
+    woff = (
+        W.partitionBy(*keys)
+        .orderBy("_cell")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        *keys, "_cell", F.sum("_ct").over(woff).alias("_coff")
+    )
+    return (
+        loc.join(F.broadcast(offs), [*keys, "_cell"])
+        .withColumn(
+            out, F.col("_lsum") + F.coalesce(F.col("_coff"), F.lit(0))
+        )
+        .drop("_cell", "_lsum", "_coff")
+    )
+
+
+def chunked_frame(
+    indexed: DataFrame,
+    key_cols: Sequence[str],
+    before: int,
+    after: int,
+    frame_fn: Callable[[DataFrame, W], DataFrame],
+    chunk_rows: int = CHUNK_ROWS,
+) -> DataFrame:
+    """General halo chunking over a frame carrying the dense per-key
+    index ``r``: each chunk receives the previous chunk's last
+    ``before`` rows and the next chunk's first ``after`` rows as
+    flagged halo rows, so any window function whose frame needs at most
+    ``before`` predecessors / ``after`` successors is exact on non-halo
+    rows. ``frame_fn(df, spec)`` receives the haloed frame and the
+    UNFRAMED chunk-local spec ``W.partitionBy(keys, _chunk).orderBy(r)``
+    (apply ``.rowsBetween`` yourself if needed — lag/lead reject an
+    explicit frame) and must RETAIN all input columns (add via
+    withColumn / select("*", ...))."""
+    keys = list(key_cols)
+    base = indexed.withColumn(
+        "_chunk", F.floor((F.col("r") - 1) / chunk_rows)
+    ).withColumn("_halo", F.lit(False))
+    parts = [base]
+    if before > 0:
+        parts.append(
+            base.filter(((F.col("r") - 1) % chunk_rows) >= chunk_rows - before)
+            .withColumn("_chunk", F.col("_chunk") + 1)
+            .withColumn("_halo", F.lit(True))
+        )
+    if after > 0:
+        parts.append(
+            base.filter(
+                (((F.col("r") - 1) % chunk_rows) < after) & (F.col("_chunk") > 0)
+            )
+            .withColumn("_chunk", F.col("_chunk") - 1)
+            .withColumn("_halo", F.lit(True))
+        )
+    both = parts[0]
+    for p in parts[1:]:
+        both = both.unionByName(p)
+    spec = W.partitionBy(*keys, "_chunk").orderBy("r")
+    return frame_fn(both, spec).filter(~F.col("_halo")).drop("_chunk", "_halo")
+
+
 def chunked_trailing_frame(
     indexed: DataFrame,
     key_cols: Sequence[str],

@@ -70,9 +70,25 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_topk_heavy_users",
     "stream_sessionize_late_events",
     "spatial_percentile_heights_approx",
-    # code changed this round — re-verify (standing policy)
+    # code changed this round — re-verify (standing policy). The six
+    # banded-window migrations (chunked_windows.py) keep their oracles
+    # unchanged; rolling_distinct_hll is new (never driver-gated);
+    # rolling_median / minhash / rolling_7d were re-planned after the
+    # sf1/sf10 rehearsals.
     "events_interval_overlap",
-    # stalest rows: latest driver-green is round 4
+    "events_twap_hourly",
+    "events_cusum_drift",
+    "events_ewma_approx",
+    "events_anomaly_intervals",
+    "events_winsorized_stats",
+    "events_mad_by_type",
+    "rolling_distinct_hll",
+    "events_rolling_median",
+    "dedup_minhash_pairs",
+    "rolling_7d_distinct_users",
+    # stalest rows: latest driver-green is round 4 (first 31 of 43;
+    # the window holds 50, so the last 10 below sit past the cut and
+    # rotate in round 9 with embedding_normalize / spatial_zorder_keys)
     "anti_join_missing",
     "array_agg_group",
     "cube_segment_priority",
@@ -118,14 +134,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
 )
 
 # Round-9 rotation candidates, in priority order: (a) any row that is
-# red in CORRECTNESS_r08; (b) the rows added/changed late in round 8
-# and never driver-gated — rolling_distinct_hll (new),
-# rolling_7d_distinct_users and dedup_minhash_pairs (re-planned after
-# the growth probe / sf1 rehearsal); (c) the two r4 rows deferred this
-# round — embedding_normalize, spatial_zorder_keys; (d) rows whose
-# code changes in round 9; (e) the stalest r5 rows by last-verified
-# round (the 49 rows last green in round 5 — spatial gate family,
-# dedup family, ...).
+# red in CORRECTNESS_r08; (b) rows whose code changes in round 9;
+# (c) the 12 r4 rows past this round's cut — embedding_normalize,
+# spatial_zorder_keys, and the 10 stale names after position 50 above
+# (regexp_extract_ids .. window_running_sum); (d) the stalest r5 rows
+# by last-verified round (the 49 rows last green in round 5 — spatial
+# gate family, dedup family, ...).
 
 
 def all_specs() -> dict[str, QuerySpec]:

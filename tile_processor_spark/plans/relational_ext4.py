@@ -252,12 +252,26 @@ def robust_center_by_type(ev: DataFrame) -> DataFrame:
     median and MAD per event type — THE one derivation shared by
     events_mad_by_type and timeseries_ops.events_anomaly_intervals (a
     tie-break or rank fix here reaches both operators)."""
-    wp = W.partitionBy("event_type")
-    w1 = wp.orderBy("value", "event_id")
+    from tile_processor_spark.plans.chunked_windows import banded_row_index
+
+    # Exact rank-picked medians via VALUE-banded global ranks: local
+    # row_number within (type, floor(value)) cells + broadcast
+    # exclusive cell offsets (chunked_windows.banded_row_index). Cell
+    # count is bounded by the value DOMAIN, so per-cell sorts stay
+    # data-proportional — the naive event_type-only rank window sorts
+    # the whole fact stream in |event_type| tasks (the 5-task funnel
+    # class, docs/SCALE.md §sf10). Counts come from a
+    # partial-aggregable groupBy, not an unordered per-type window.
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
     med = (
-        ev.withColumn("rn", F.row_number().over(w1))
-        .withColumn("cnt", F.count(F.lit(1)).over(wp))
-        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        banded_row_index(
+            ev.select("event_type", "value", "event_id"),
+            ["event_type"],
+            ["value", "event_id"],
+            F.floor("value").cast("long"),
+        )
+        .join(F.broadcast(counts), "event_type")
+        .filter(F.col("r") == F.expr("(cnt + 1) div 2"))
         .select("event_type", F.col("value").alias("med_value"), "cnt")
     )
     dev = ev.join(F.broadcast(med), "event_type").select(
@@ -265,11 +279,12 @@ def robust_center_by_type(ev: DataFrame) -> DataFrame:
         F.abs(F.col("value") - F.col("med_value")).alias("ad"),
         "event_id",
     )
-    w2 = wp.orderBy("ad", "event_id")
     mad = (
-        dev.withColumn("rn", F.row_number().over(w2))
-        .withColumn("cnt2", F.count(F.lit(1)).over(wp))
-        .filter(F.col("rn") == F.expr("(cnt2 + 1) div 2"))
+        banded_row_index(
+            dev, ["event_type"], ["ad", "event_id"], F.floor("ad").cast("long")
+        )
+        .join(F.broadcast(counts), "event_type")
+        .filter(F.col("r") == F.expr("(cnt + 1) div 2"))
         .select("event_type", F.col("ad").alias("mad_value"))
     )
     return med.join(mad, "event_type").select(

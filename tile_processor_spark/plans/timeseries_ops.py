@@ -294,12 +294,21 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (F.col("n") * F.col("y") - F.col("s")).cast("decimal(38,0)").alias("d"),
     )
-    wrun = (
-        W.partitionBy("event_type")
-        .orderBy("ts_us", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    from tile_processor_spark.plans.chunked_windows import (
+        DAY_US,
+        banded_running_sum,
     )
-    run = dev.withColumn("c", F.sum("d").over(wrun))
+
+    # banded two-pass prefix sum: day-local running sums + broadcast
+    # exclusive day offsets — no event_type-only (5-task) fact sort
+    run = banded_running_sum(
+        dev,
+        ["event_type"],
+        ["ts_us", "event_id"],
+        (F.col("ts_us") / DAY_US).cast("long"),
+        "d",
+        "c",
+    )
     return run.groupBy("event_type").agg(
         F.max("c").cast("double").alias("max_cusum"),
         F.min("c").cast("double").alias("min_cusum"),
@@ -599,14 +608,29 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "window", "agg"),
 )
 def events_twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.plans.chunked_windows import DAY_US, banded_next
+
     ev = load_table(spark, "events", sf_dir)
-    wo = W.partitionBy("event_type").orderBy("ts", "event_id")
-    seq = ev.select(
+    q = ev.select(
         "event_type",
+        "event_id",
         F.unix_micros("ts").alias("ts_us"),
         F.floor(F.col("value") * VAL_SCALE).cast("long").alias("y"),
-        F.lead(F.unix_micros("ts")).over(wo).alias("next_us"),
-    ).filter(F.col("next_us").isNotNull())
+    )
+    # per-type lead(ts) via day-banded stitch (local lead within
+    # (type, day) + broadcast next-cell first-row table) — the naive
+    # event_type-only window funnels the fact stream through 5 tasks
+    seq = (
+        banded_next(
+            q,
+            ["event_type"],
+            ["ts_us", "event_id"],
+            (F.col("ts_us") / DAY_US).cast("long"),
+            ["ts_us"],
+        )
+        .withColumnRenamed("_next_ts_us", "next_us")
+        .filter(F.col("next_us").isNotNull())
+    )
     seg = seq.select(
         "event_type",
         (F.col("ts_us") / HOUR_US).cast("long").alias("hour_idx"),
@@ -753,9 +777,33 @@ def events_ewma_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         F.floor(F.col("value") * VAL_SCALE).cast("long").alias("y"),
     )
-    wo = W.partitionBy("event_type").orderBy("ts_us", "event_id")
-    lags = [F.lag("y", k).over(wo).alias(f"y{k}") for k in range(EWMA_LAGS)]
-    lagged = q.select("event_type", "event_id", "ts_us", *lags)
+    from tile_processor_spark.plans.chunked_windows import (
+        DAY_US,
+        banded_row_index,
+        chunked_frame,
+    )
+
+    # halo-chunked lags: the 8 trailing values come from the chunk-local
+    # window (thousands of (type, chunk) partitions), with the previous
+    # chunk's last 7 rows as halo — no event_type-only fact sort
+    indexed = banded_row_index(
+        q,
+        ["event_type"],
+        ["ts_us", "event_id"],
+        (F.col("ts_us") / DAY_US).cast("long"),
+    )
+
+    def lag_frame(df: DataFrame, spec) -> DataFrame:
+        for k in range(1, EWMA_LAGS):
+            df = df.withColumn(f"y{k}", F.lag("y", k).over(spec))
+        return df
+
+    lagged = chunked_frame(
+        indexed, ["event_type"], EWMA_LAGS - 1, 0, lag_frame
+    ).select(
+        "event_type", "event_id", "ts_us", F.col("y").alias("y0"),
+        *[f"y{k}" for k in range(1, EWMA_LAGS)],
+    )
     num = None
     den = None
     for k in range(EWMA_LAGS):
@@ -850,13 +898,25 @@ def events_anomaly_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", F.unix_micros("ts").alias("ts_us"), "event_id")
     )
-    wo = W.partitionBy("event_type").orderBy("ts_us", "event_id")
-    wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
-    marked = flagged.withColumn(
-        "new_island",
-        F.when(F.col("ts_us") - F.lag("ts_us").over(wo) > ANOMALY_GAP_US, 1).otherwise(0),
+    from tile_processor_spark.plans.chunked_windows import (
+        DAY_US,
+        banded_prev,
+        banded_running_sum,
     )
-    numbered = marked.withColumn("island", F.sum("new_island").over(wrun))
+
+    # gap markers via day-banded lag, island ids via the banded prefix
+    # sum — flagged rows are sparse but still data-proportional, so no
+    # event_type-only window may sort them in 5 tasks
+    cell = (F.col("ts_us") / DAY_US).cast("long")
+    marked = banded_prev(
+        flagged, ["event_type"], ["ts_us", "event_id"], cell, ["ts_us"]
+    ).withColumn(
+        "new_island",
+        F.when(F.col("ts_us") - F.col("_prev_ts_us") > ANOMALY_GAP_US, 1).otherwise(0),
+    ).drop("_prev_ts_us")
+    numbered = banded_running_sum(
+        marked, ["event_type"], ["ts_us", "event_id"], cell, "new_island", "island"
+    )
     return numbered.groupBy("event_type", "island").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.min("ts_us").alias("start_us"),
@@ -1194,13 +1254,21 @@ def events_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "stats", "robust"),
 )
 def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.plans.chunked_windows import banded_row_index
+
     ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
-    wr = W.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    # value-banded global rank: local row_number within (type,
+    # floor(value)) cells + broadcast exclusive cell offsets — the cell
+    # count is bounded by the VALUE domain, so no per-type fact sort;
+    # counts come from a partial-aggregable groupBy instead of an
+    # unordered per-type window (same 5-task funnel otherwise)
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        banded_row_index(
+            ev, ["event_type"], ["value", "event_id"], F.floor("value").cast("long")
+        )
+        .join(F.broadcast(counts), "event_type")
+        .select("event_type", "value", F.col("r").alias("rn"), "n")
     )
     cuts = (
         ranked.groupBy("event_type", "n")

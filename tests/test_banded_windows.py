@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from tile_processor_spark.plans.chunked_windows import (
+    banded_running_extrema,
+    banded_running_sums,
     banded_next,
     banded_prev,
     banded_row_index,
@@ -130,3 +132,53 @@ def test_no_key_grain_window(frame):
                 assert "_cell" in rest or "_chunk" in rest, (
                     f"window partitioned by bare key over fact grain: {s[:90]}"
                 )
+
+
+def test_banded_running_sum_global_named_cell(frame):
+    # keys=[] (a global running sum, the interval-overlap sweep shape):
+    # the cross-cell window is unpartitioned over the cell series, so
+    # the caller names the cell after its bounded grain.
+    wo = W.orderBy("t", "id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    naive = frame.select("t", "id", F.sum("v").over(wo).alias("rs"))
+    banded = banded_running_sum(
+        frame, [], ["t", "id"], _cell(), "v", "rs", cell_name="day"
+    ).select("t", "id", "rs")
+    assert sorted(naive.collect()) == sorted(banded.collect())
+
+
+def test_banded_running_extrema_matches_minmax(frame):
+    # signed values so the prefix actually oscillates; extrema must
+    # equal max/min over the naive per-row running sum.
+    signed = frame.withColumn("v", F.col("v") - 11)
+    wo = (
+        W.partitionBy("k")
+        .orderBy("t", "id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    naive = (
+        signed.select("k", F.sum("v").over(wo).alias("rs"))
+        .groupBy("k")
+        .agg(F.max("rs").alias("mx"), F.min("rs").alias("mn"))
+    )
+    banded = banded_running_extrema(
+        signed, ["k"], ["t", "id"], _cell(), "v", "mx", "mn"
+    )
+    assert sorted(naive.collect()) == sorted(banded.collect())
+
+
+def test_banded_running_sums_two_columns(frame):
+    # multi-column variant: both sums from ONE window pass must match
+    # their naive single-window forms.
+    two = frame.withColumn("w", (F.col("v") % 3).cast("long"))
+    wo = W.partitionBy("k").orderBy("t", "id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    naive = two.select(
+        "k", "t", "id",
+        F.sum("v").over(wo).alias("rv"),
+        F.sum("w").over(wo).alias("rw"),
+    )
+    banded = banded_running_sums(
+        two, ["k"], ["t", "id"], _cell(), {"v": "rv", "w": "rw"}
+    ).select("k", "t", "id", "rv", "rw")
+    assert sorted(naive.collect()) == sorted(banded.collect())

@@ -174,6 +174,57 @@ def banded_next(
     )
 
 
+def banded_running_sums(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    cell: Column,
+    sums: dict[str, str],
+    cell_name: str = "_cell",
+) -> DataFrame:
+    """Exact inclusive per-key running sums of several columns at once
+    (``sums`` maps input column -> output column) via the two-pass
+    banded discipline: local running sums within (key, cell) +
+    broadcast exclusive per-cell totals, sharing ONE window pass, ONE
+    per-cell aggregate, and ONE offset join for all columns. Result
+    types follow ``F.sum`` (long/decimal widening), identical to the
+    naive single-window form. ``key_cols`` may be empty (a global
+    running sum): the cross-cell window is then unpartitioned over the
+    cell series, so name the cell after its bounded grain via
+    ``cell_name`` (e.g. ``"day"``) to state the claim the
+    plan-invariant sweep verifies with its growth probe."""
+    keys, order = list(key_cols), list(order_cols)
+    b = df.withColumn(cell_name, cell)
+    wloc = (
+        W.partitionBy(*keys, cell_name)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    loc = b
+    for col in sums:
+        loc = loc.withColumn(f"_lsum_{col}", F.sum(col).over(wloc))
+    totals = b.groupBy(*keys, cell_name).agg(
+        *[F.sum(col).alias(f"_ct_{col}") for col in sums]
+    )
+    woff = (
+        W.partitionBy(*keys)
+        .orderBy(cell_name)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        *keys,
+        cell_name,
+        *[F.sum(f"_ct_{col}").over(woff).alias(f"_coff_{col}") for col in sums],
+    )
+    out = loc.join(F.broadcast(offs), [*keys, cell_name])
+    for col, name in sums.items():
+        out = out.withColumn(
+            name,
+            F.col(f"_lsum_{col}") + F.coalesce(F.col(f"_coff_{col}"), F.lit(0)),
+        ).drop(f"_lsum_{col}", f"_coff_{col}")
+    return out.drop(cell_name)
+
+
 def banded_running_sum(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -181,13 +232,37 @@ def banded_running_sum(
     cell: Column,
     col: str,
     out: str,
+    cell_name: str = "_cell",
 ) -> DataFrame:
-    """Exact inclusive per-key running sum of ``col`` over
-    ``order_cols`` via the two-pass banded discipline: local running
-    sums within (key, cell) + broadcast exclusive per-cell totals. The
-    only cross-cell window runs on the per-key cell series. Result type
-    follows ``F.sum`` (long/decimal widening), identical to the naive
-    single-window form."""
+    """Single-column convenience wrapper over
+    :func:`banded_running_sums` (see there for the discipline and the
+    ``cell_name`` contract)."""
+    return banded_running_sums(
+        df, key_cols, order_cols, cell, {col: out}, cell_name=cell_name
+    )
+
+
+def banded_running_extrema(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    cell: Column,
+    col: str,
+    max_out: str,
+    min_out: str,
+) -> DataFrame:
+    """Per-key MAX and MIN of the inclusive running sum of ``col``
+    over ``order_cols``, WITHOUT materializing the per-row prefix
+    (identical values to max/min over :func:`banded_running_sum`'s
+    output, one row per key). One local window pass computes
+    cell-local running sums; a per-cell aggregate collapses each cell
+    to (total, local max, local min); exclusive cross-cell offsets
+    then shift the local extrema into global ones —
+    ``max_i prefix_i = max_j (offset_j + lmax_j)`` because every
+    row's global prefix is its cell's offset plus its local prefix.
+    Saves the 10M-row offset join and the fact-grain re-aggregation
+    of the sum-then-max form: the only frames past the single window
+    pass are cell-grain."""
     keys, order = list(key_cols), list(order_cols)
     b = df.withColumn("_cell", cell)
     wloc = (
@@ -196,21 +271,24 @@ def banded_running_sum(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     loc = b.withColumn("_lsum", F.sum(col).over(wloc))
-    totals = b.groupBy(*keys, "_cell").agg(F.sum(col).alias("_ct"))
+    cells = loc.groupBy(*keys, "_cell").agg(
+        F.sum(col).alias("_ct"),
+        F.max("_lsum").alias("_lmax"),
+        F.min("_lsum").alias("_lmin"),
+    )
     woff = (
         W.partitionBy(*keys)
         .orderBy("_cell")
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    offs = totals.select(
-        *keys, "_cell", F.sum("_ct").over(woff).alias("_coff")
+    off = F.coalesce(F.sum("_ct").over(woff), F.lit(0))
+    g = cells.select(
+        *keys,
+        (off + F.col("_lmax")).alias("_gmax"),
+        (off + F.col("_lmin")).alias("_gmin"),
     )
-    return (
-        loc.join(F.broadcast(offs), [*keys, "_cell"])
-        .withColumn(
-            out, F.col("_lsum") + F.coalesce(F.col("_coff"), F.lit(0))
-        )
-        .drop("_cell", "_lsum", "_coff")
+    return g.groupBy(*keys).agg(
+        F.max("_gmax").alias(max_out), F.min("_gmin").alias(min_out)
     )
 
 

@@ -77,16 +77,16 @@ _SESS_CTES = f"""
         "Interval-overlap self-join (the time-range join relational "
         "engines ship as RANGE JOIN): per session interval, how many "
         "OTHER sessions (any user) were concurrent at any point. Spark "
-        "side avoids the O(n^2) theta-join by exploding each interval "
-        "onto the fixed time grid it touches, equi-joining on the grid "
-        "cell, deduping candidate pairs, then verifying exact overlap "
-        "— candidates are bounded by (concurrency x interval length), "
-        "not by n^2, and the grid join is an ordinary shuffle "
-        "equi-join that AQE can size; the cell size is tuned to the "
-        "observed interval mix (see OVERLAP_CELL_US). Oracle runs the "
-        "naive theta-join (n^2 is fine at gate scale). Same gap "
-        "rule/tie-break as sessionize_gap_ids, so the session frames "
-        "are interchangeable."
+        "side needs NO pair enumeration at all: overlap({b}, a) = "
+        "#{b: b.start <= a.end} - #{b: b.end < a.start} - 1 (self "
+        "satisfies the first count, never the second), and each term "
+        "is a rank-count read off a banded prefix sum over the tagged "
+        "boundary-point union — O(n) rows, day-cell parallel, vs the "
+        "former grid-cell candidate join whose cost was output-bound "
+        "(concurrency x interval length; 8.6x on the sf1->sf10 step, "
+        "docs/SCALE.md). Oracle runs the naive theta-join (n^2 is "
+        "fine at gate scale). Same gap rule/tie-break as "
+        "sessionize_gap_ids, so the session frames are interchangeable."
     ),
     tags=("events", "join", "interval", "headline"),
 )
@@ -104,61 +104,58 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         marked.withColumn("session_seq", F.sum("new_session").over(wrun))
         .groupBy("user_id", "session_seq")
         .agg(F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us"))
-    ).localCheckpoint()  # reused on both sides of the self-join
-    cells = sess.select(
+    ).localCheckpoint()  # the boundary union reads it twice
+    from tile_processor_spark.plans.chunked_windows import DAY_US, banded_running_sums
+
+    # One tagged boundary point per interval END: each session emits
+    # its start row (k=0, counts 1 toward the start prefix) and its
+    # end row (k=2, counts 1 toward the end prefix); both carry the
+    # session key. The inclusive prefix sums over (t, k) then read off
+    # BOTH rank-counts with no separate query rows and no join-back:
+    #   - at the END row, the start-prefix cs = #{b: b.start <= end}
+    #     (starts at equal t sort first, k=0 < 2 -> inclusive <=);
+    #   - at the START row, the end-prefix ce = #{b: b.end < start}
+    #     (ends at equal t sort last, k=2 > 0 -> strict <).
+    # Ties among equal (t, k) rows are safe: a row's own kind bit only
+    # feeds the prefix the OTHER kind reads. Self satisfies the first
+    # count and never the second, hence the -1.
+    bounds = sess.select(
+        F.col("start_us").alias("t"),
+        F.lit(0).alias("k"),
+        F.lit(1).alias("i_s"),
+        F.lit(0).alias("i_e"),
         "user_id",
         "session_seq",
         "start_us",
         "end_us",
-        F.explode(
-            F.sequence(
-                (F.col("start_us") / OVERLAP_CELL_US).cast("long"),
-                (F.col("end_us") / OVERLAP_CELL_US).cast("long"),
-            )
-        ).alias("cell"),
-    )
-    a = cells.select(
-        F.col("user_id").alias("u1"),
-        F.col("session_seq").alias("s1"),
-        F.col("start_us").alias("a_start"),
-        F.col("end_us").alias("a_end"),
-        "cell",
-    )
-    b = cells.select(
-        F.col("user_id").alias("u2"),
-        F.col("session_seq").alias("s2"),
-        F.col("start_us").alias("b_start"),
-        F.col("end_us").alias("b_end"),
-        "cell",
-    )
-    pairs = (
-        a.join(b, "cell")
-        .filter(
-            (F.col("a_start") <= F.col("b_end"))
-            & (F.col("b_start") <= F.col("a_end"))
-            & ~((F.col("u1") == F.col("u2")) & (F.col("s1") == F.col("s2")))
+    ).unionByName(
+        sess.select(
+            F.col("end_us").alias("t"),
+            F.lit(2).alias("k"),
+            F.lit(0).alias("i_s"),
+            F.lit(1).alias("i_e"),
+            "user_id",
+            "session_seq",
+            "start_us",
+            "end_us",
         )
-        # dedup-free counting: an overlapping pair shares many grid
-        # cells, but exactly ONE of them contains the overlap start
-        # (max of the two starts) — count the pair there and nowhere
-        # else. Replaces a distinct (full shuffle of every duplicated
-        # candidate row) with a map-side filter; the count shuffle then
-        # carries only per-session partial counts.
-        .filter(
-            (F.greatest("a_start", "b_start") / OVERLAP_CELL_US).cast("long")
-            == F.col("cell")
+    )
+    summed = banded_running_sums(
+        bounds,
+        [],
+        ["t", "k"],
+        (F.col("t") / DAY_US).cast("long"),
+        {"i_s": "cs", "i_e": "ce"},
+        cell_name="day",  # bounded grain: the cross-cell window runs on days
+    )
+    return summed.groupBy("user_id", "session_seq", "start_us", "end_us").agg(
+        (
+            F.max(F.when(F.col("k") == 2, F.col("cs")))
+            - F.max(F.when(F.col("k") == 0, F.col("ce")))
+            - 1
         )
-        .select("u1", "s1")
-    )
-    ov = pairs.groupBy(F.col("u1").alias("user_id"), F.col("s1").alias("session_seq")).agg(
-        F.count(F.lit(1)).alias("n_concurrent")
-    )
-    return sess.join(ov, ["user_id", "session_seq"], "left").select(
-        "user_id",
-        "session_seq",
-        "start_us",
-        "end_us",
-        F.coalesce(F.col("n_concurrent"), F.lit(0)).cast("long").alias("n_concurrent"),
+        .cast("long")
+        .alias("n_concurrent")
     )
 
 
@@ -296,22 +293,27 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from tile_processor_spark.plans.chunked_windows import (
         DAY_US,
-        banded_running_sum,
+        banded_running_extrema,
     )
 
-    # banded two-pass prefix sum: day-local running sums + broadcast
-    # exclusive day offsets — no event_type-only (5-task) fact sort
-    run = banded_running_sum(
+    # the statistic only needs the prefix sum's EXTREMA, so skip the
+    # per-row prefix entirely: day-local running sums collapse to
+    # per-cell (total, lmax, lmin) in one pass, and exclusive cell
+    # offsets shift the local extrema — no event_type-only (5-task)
+    # fact sort, no fact-grain offset join
+    ex = banded_running_extrema(
         dev,
         ["event_type"],
         ["ts_us", "event_id"],
         (F.col("ts_us") / DAY_US).cast("long"),
         "d",
-        "c",
+        "mx",
+        "mn",
     )
-    return run.groupBy("event_type").agg(
-        F.max("c").cast("double").alias("max_cusum"),
-        F.min("c").cast("double").alias("min_cusum"),
+    return ex.select(
+        "event_type",
+        F.col("mx").cast("double").alias("max_cusum"),
+        F.col("mn").cast("double").alias("min_cusum"),
     )
 
 

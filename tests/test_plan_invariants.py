@@ -151,6 +151,58 @@ def _iter_logical(node):
         yield from _iter_logical(ch.apply(i))
 
 
+# Columns whose cardinality does NOT grow with the data: a window
+# partitioned ONLY by these funnels the fact stream through a handful
+# of tasks no matter how large the cluster — the funnel class measured
+# at 13.7× on the sf1→sf10 rehearsal step (docs/SCALE.md §sf10).
+_LOW_CARD_COLS = {
+    "event_type",
+    "o_orderpriority",
+    "o_orderstatus",
+    "l_returnflag",
+    "l_linestatus",
+    "lang",
+    "label",
+    "n_name",
+    "r_name",
+}
+
+
+def _funnel_windows(df) -> list[str]:
+    """Windows in the OPTIMIZED logical plan partitioned ONLY by known
+    low-cardinality columns over un-aggregated input — the 5-task
+    funnel class. A window whose child subtree contains an Aggregate
+    is exempt: its input is a grouped series (hourly buckets, cell
+    counts, histogram bins), bounded per partition key. Name-proxy
+    caveats: a low-card column hiding under an alias, an Aggregate
+    that doesn't actually reduce grain, and plan segments behind
+    localCheckpoint are all invisible to this check."""
+    root = df._jdf.queryExecution().optimizedPlan()
+    out = []
+    for node in _iter_logical(root):
+        if node.getClass().getSimpleName() != "Window":
+            continue
+        ps = node.partitionSpec()
+        if ps.isEmpty():
+            continue
+        names = [
+            re.sub(r"#\d+L?$", "", ps.apply(i).toString())
+            for i in range(ps.size())
+        ]
+        if not all(n in _LOW_CARD_COLS for n in names):
+            continue  # any computed/cell/high-card column spreads the shuffle
+        has_agg = any(
+            ch.getClass().getSimpleName() == "Aggregate"
+            for ch in _iter_logical(node.child())
+        )
+        if not has_agg:
+            out.append(
+                f"low-cardinality funnel window: partitionBy({names}) "
+                "over un-aggregated input"
+            )
+    return out
+
+
 def _unpartitioned_window_input_counts(df) -> list[int]:
     """For each unpartitioned ordered Window in the OPTIMIZED logical
     plan, rebuild its child as a fresh DataFrame (``Dataset.ofRows`` —
@@ -210,6 +262,7 @@ def test_all_registry_plans_hold_scale_invariants(spark):
             failures[name] = [f"build error: {type(e).__name__}: {e}"]
             continue
         issues = _window_violations(plan)
+        issues.extend(_funnel_windows(df))
         if "CartesianProduct" in plan:
             issues.append("CartesianProduct (non-broadcast cross join)")
         if "BatchEvalPython" in plan:

@@ -50,15 +50,21 @@ def test_regression_slope_is_one_partial_aggregate(spark):
     assert "partial" in _plan(df)
 
 
-def test_cusum_broadcasts_totals_one_window_shuffle(spark):
-    # Totals (5 rows) broadcast; the only hash exchanges are the totals
-    # aggregate and the per-type window — the window's partitioning is
-    # reused by the final max/min aggregate.
+def test_cusum_broadcasts_totals_single_fact_shuffle(spark):
+    # Totals (5 rows) broadcast; the fact stream is shuffled exactly
+    # once — into the (type, day-cell) window of the banded-extrema
+    # form, whose partitioning the per-cell collapse reuses. The other
+    # two exchanges are the 5-row totals aggregate and the cell-grain
+    # offsets window; nothing past the single window pass is
+    # fact-grain.
     df = events_cusum_drift(spark, SF)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "Window" in plan
-    assert count_exchanges(df) <= 2
+    assert count_exchanges(df) <= 3
+    # the per-cell collapse must NOT re-shuffle: partial agg directly
+    # on the window output
+    assert "partial" in plan
 
 
 def test_bigram_score_no_cartesian(spark):
@@ -68,12 +74,26 @@ def test_bigram_score_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_twap_one_window_shuffle(spark):
+def test_twap_banded_lead_no_type_funnel(spark):
+    # banded_next form: every fact-grain exchange lands on (type, day
+    # cell) — data-proportional — and the cross-cell stitch/hourly
+    # segment aggregates are cell/hour grain. No window may be
+    # partitioned by event_type alone (the 5-task funnel class).
+    import re
+
     from tile_processor_spark.plans.timeseries_ops import events_twap_hourly
 
     df = events_twap_hourly(spark, SF)
-    assert count_exchanges(df) == 1
-    assert "Window" in _plan(df)
+    plan = _plan(df)
+    assert "Window" in plan
+    assert count_exchanges(df) <= 4
+    for s in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        cols = [c.strip() for c in s.split(",")]
+        if cols and cols[0].startswith("event_type"):
+            rest = ",".join(cols[1:])
+            assert "_cell" in rest or "_chunk" in rest, (
+                f"window partitioned by event_type alone: {s[:90]}"
+            )
 
 
 def test_corr_matrix_zero_shuffles(spark):
@@ -85,12 +105,29 @@ def test_corr_matrix_zero_shuffles(spark):
     assert count_exchanges(lineitem_corr_matrix(spark, SF)) == 0
 
 
-def test_ewma_single_window(spark):
+def test_ewma_halo_chunked_no_type_funnel(spark):
+    # halo-chunked lag form (banded_row_index + chunked_frame): the
+    # trailing-lag window must be partitioned by (event_type, _chunk),
+    # and no window may be partitioned by event_type alone. The plan
+    # has more exchange NODES than the old single-window form (the
+    # union's halo branches re-plan the index subtree; identical
+    # shuffles dedupe at runtime via ReusedExchange) — every one is on
+    # (type, cell|chunk), never a 5-task funnel.
+    import re
+
     from tile_processor_spark.plans.timeseries_ops import events_ewma_approx
 
     df = events_ewma_approx(spark, SF)
-    assert count_exchanges(df) == 1
-    assert "Window" in _plan(df)
+    plan = _plan(df)
+    wspecs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("_chunk" in s for s in wspecs), "chunked lag window missing"
+    for s in wspecs:
+        cols = [c.strip() for c in s.split(",")]
+        if cols and cols[0].startswith("event_type"):
+            rest = ",".join(cols[1:])
+            assert "_cell" in rest or "_chunk" in rest, (
+                f"window partitioned by event_type alone: {s[:90]}"
+            )
 
 
 def test_rolling_median_halo_chunked(spark):

@@ -237,13 +237,22 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "sampling"),
 )
 def sample_per_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.plans.chunked_windows import banded_row_index
+
     d = _docs(spark, sf_dir)
-    h = hash32(F.col("doc_id").cast("string"))
-    keep = W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    # rank via HASH-banded global row indexes: lang has a handful of
+    # values, so the naive per-lang rank window is the low-cardinality
+    # funnel class (docs/SCALE.md §sf10). The hash's top 10 bits give
+    # 1024 cells bounded by the hash domain at any corpus size.
+    hashed = d.select("lang", "doc_id").withColumn(
+        "_h", hash32(F.col("doc_id").cast("string"))
+    )
     return (
-        d.withColumn("rk", F.row_number().over(keep).cast("long"))
-        .filter(F.col("rk") <= TOPK_PER_GROUP)
-        .select("lang", "doc_id", "rk")
+        banded_row_index(
+            hashed, ["lang"], ["_h", "doc_id"], F.shiftright(F.col("_h"), 22)
+        )
+        .filter(F.col("r") <= TOPK_PER_GROUP)
+        .select("lang", "doc_id", F.col("r").cast("long").alias("rk"))
     )
 
 
@@ -378,10 +387,23 @@ def curate_quality_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = text_quality_scores(spark, sf_dir).select("doc_id", "quality")
     e = load_table(spark, "embeddings", sf_dir).select("vec_id", "label")
     j = q.join(e, q["doc_id"] == e["vec_id"]).select("label", "doc_id", "quality")
-    w = W.partitionBy("label").orderBy(F.desc("quality"), "doc_id")
+    # rank via QUALITY-banded global row indexes: cluster labels are
+    # few, so the naive per-label rank window is the low-cardinality
+    # funnel class (docs/SCALE.md §sf10). quality is in [0, 1]; the
+    # negated 1/64 bands are a 65-cell monotone coarsening of the
+    # DESC order at any corpus size.
+    from tile_processor_spark.plans.chunked_windows import banded_row_index
+
+    neg = j.withColumn("_negq", -F.col("quality"))
     return (
-        j.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= CURATE_TOPK)
+        banded_row_index(
+            neg,
+            ["label"],
+            ["_negq", "doc_id"],
+            F.floor(F.col("_negq") * 64).cast("long"),
+        )
+        .filter(F.col("r") <= CURATE_TOPK)
+        .select("label", "doc_id", "quality", F.col("r").cast("long").alias("rk"))
     )
 
 
@@ -555,13 +577,22 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(
         F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0
     )
-    w = (
-        W.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    from tile_processor_spark.plans.chunked_windows import banded_running_sum
+
     t = d.select("doc_id", "lang", F.size(toks).cast("long").alias("n_tokens"))
-    c = t.withColumn("tok_start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    # per-lang running token offsets via the banded prefix sum: lang
+    # has a handful of values, so the naive per-lang running-sum
+    # window is the low-cardinality funnel class (docs/SCALE.md
+    # §sf10); doc_id is numeric, so id-div cells are a monotone
+    # coarsening with ~8k rows per (lang, cell).
+    c = banded_running_sum(
+        t,
+        ["lang"],
+        ["doc_id"],
+        (F.col("doc_id") / 8192).cast("long"),
+        "n_tokens",
+        "_cum",
+    ).withColumn("tok_start", F.col("_cum") - F.col("n_tokens"))
     return c.filter(F.col("n_tokens") > 0).select(
         "doc_id",
         "lang",

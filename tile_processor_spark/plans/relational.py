@@ -399,14 +399,26 @@ def priority_dedup_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("operator", "window", "topk"),
 )
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.plans.chunked_windows import banded_row_index
+
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
-    w = W.partitionBy("n_name").orderBy(F.desc("s_acctbal"), "s_suppkey")
+    # rank via BALANCE-banded global row indexes: 25 nations make the
+    # naive per-nation rank window the low-cardinality funnel class
+    # (docs/SCALE.md §sf10) while suppliers scale with the data; the
+    # negated acctbal/64 cells are bounded by the balance domain.
+    joined = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).withColumn("_nb", -F.col("s_acctbal"))
     return (
-        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        banded_row_index(
+            joined,
+            ["n_name"],
+            ["_nb", "s_suppkey"],
+            F.floor(F.col("_nb") / F.lit(64)).cast("long"),
+        )
         .withColumn("total_bal", F.col("s_acctbal").cast("decimal(18,4)").cast("double"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 2)
+        .filter(F.col("r") <= 2)
         .select("n_name", "s_name", "total_bal")
     )
 

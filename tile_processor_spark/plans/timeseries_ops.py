@@ -418,14 +418,24 @@ PCTL_PS = (50, 90, 99)
     tags=("relational-ext", "window", "stats"),
 )
 def orders_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.plans.chunked_windows import banded_row_index
+
     o = load_table(spark, "orders", sf_dir)
-    wr = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    wn = W.partitionBy("o_orderpriority")
-    ranked = o.select(
-        "o_orderpriority",
-        "o_totalprice",
-        F.row_number().over(wr).alias("rk"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    # o_orderpriority has 5 values: a rank window partitioned by it
+    # alone is the low-cardinality funnel class (docs/SCALE.md §sf10).
+    # Rank via PRICE-banded global row indexes instead — cells =
+    # floor(price/1000) are bounded by the price domain, counts come
+    # from a partial-aggregable groupBy.
+    ns = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        banded_row_index(
+            o.select("o_orderpriority", "o_totalprice", "o_orderkey"),
+            ["o_orderpriority"],
+            ["o_totalprice", "o_orderkey"],
+            F.floor(F.col("o_totalprice") / F.lit(1000)).cast("long"),
+        )
+        .withColumnRenamed("r", "rk")
+        .join(F.broadcast(ns), "o_orderpriority")
     ).localCheckpoint()  # ranked feeds the group list and both probes
     groups = ranked.select("o_orderpriority", "n").distinct()
     ps = F.array(*[F.lit(p) for p in PCTL_PS])

@@ -118,7 +118,16 @@ def hist_quantile_estimate(
     first bin whose cumulative count reaches ceil(q·n), the ceil as
     exact integer (n·q + 99) div 100 — identical rule to the batch
     sketch."""
-    store = read_hist_store(spark, store_path)
+    # collapse to one row per (type, bin) before the CDF window: a
+    # no-op on the store's unique bins, but it keeps the window input
+    # structurally grouped (≤ HIST_STREAM_BINS rows per type even if a
+    # future store version carries per-commit rows) — the bounded-
+    # grain shape the plan-invariant funnel check verifies.
+    store = (
+        read_hist_store(spark, store_path)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
     cum = store.select(
         "event_type",
         "bin",

@@ -130,6 +130,35 @@ def gen_documents(rng: np.random.Generator) -> pa.Table:
     )
 
 
+N_ORDERS = 1_500_000  # 10x the sf0.1 orders table
+N_CUSTOMERS = 15_000
+ORDER_PRIORITIES = np.array(
+    ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+)
+ORDER_STATUSES = np.array(["F", "O", "P"])
+
+
+def gen_orders(rng: np.random.Generator) -> pa.Table:
+    """10x orders on the MORE-ORDERS axis (driver schema, uniform
+    priorities like TPC-H): the scaling point for the rank-by-priority
+    migrations (orders_percentile_cont / median_disc_by_priority),
+    whose former per-priority windows were the 5-task funnel class."""
+    n = N_ORDERS
+    span_us = 7 * 365 * 86_400_000_000
+    dates = rng.integers(0, span_us, n) + T0_US - span_us
+    price = np.round(rng.uniform(1000.0, 500_000.0, n), 2)
+    return pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(1, n + 1), pa.int64()),
+            "o_custkey": pa.array(rng.integers(1, N_CUSTOMERS + 1, n), pa.int64()),
+            "o_orderstatus": pa.array(ORDER_STATUSES[rng.integers(0, 3, n)]),
+            "o_totalprice": pa.array(price, pa.float64()),
+            "o_orderdate": pa.array(dates, pa.timestamp("us")),
+            "o_orderpriority": pa.array(ORDER_PRIORITIES[rng.integers(0, 5, n)]),
+        }
+    )
+
+
 def gen_embeddings(rng: np.random.Generator) -> pa.Table:
     centers = rng.standard_normal((N_CLUSTERS, DIM))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
@@ -151,10 +180,11 @@ def main() -> None:
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(SEED)
     tables = [("events", gen_events(rng, mult))]
-    if mult == 1:  # docs/embeddings only at the base sf1 scale
+    if mult == 1:  # docs/embeddings/orders only at the base sf1 scale
         tables += [
             ("documents", gen_documents(rng)),
             ("embeddings", gen_embeddings(rng)),
+            ("orders", gen_orders(rng)),
         ]
     for name, tbl in tables:
         path = os.path.join(out, f"{name}.parquet")

@@ -182,3 +182,10 @@ def test_banded_running_sums_two_columns(frame):
         two, ["k"], ["t", "id"], _cell(), {"v": "rv", "w": "rw"}
     ).select("k", "t", "id", "rv", "rw")
     assert sorted(naive.collect()) == sorted(banded.collect())
+
+
+def test_banded_running_sums_rejects_cell_name_collision(frame):
+    with pytest.raises(ValueError, match="collides"):
+        banded_running_sums(
+            frame, ["k"], ["t", "id"], _cell(), {"v": "rs"}, cell_name="v"
+        )

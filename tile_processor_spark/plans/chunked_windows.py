@@ -193,6 +193,11 @@ def banded_running_sums(
     cell series, so name the cell after its bounded grain via
     ``cell_name`` (e.g. ``"day"``) to state the claim the
     plan-invariant sweep verifies with its growth probe."""
+    if cell_name in df.columns:
+        raise ValueError(
+            f"cell_name {cell_name!r} collides with an input column — "
+            "it would be silently overwritten and dropped"
+        )
     keys, order = list(key_cols), list(order_cols)
     b = df.withColumn(cell_name, cell)
     wloc = (

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from tile_processor_spark.plans.chunked_windows import (
+    banded_rank_pick,
     banded_running_extrema,
     banded_running_sums,
     banded_next,
@@ -189,3 +190,32 @@ def test_banded_running_sums_rejects_cell_name_collision(frame):
         banded_running_sums(
             frame, ["k"], ["t", "id"], _cell(), {"v": "rs"}, cell_name="v"
         )
+
+
+def test_banded_rank_pick_matches_window_ranks(frame):
+    # median + both winsorize cuts must equal the rows the naive
+    # global rank window selects; an out-of-range rank yields no row.
+    wo = W.partitionBy("k").orderBy("t", "id")
+    wn = W.partitionBy("k")
+    exprs = {
+        "med": F.expr("(n + 1) div 2"),
+        "p05": F.expr("(n * 5 + 99) div 100"),
+        "p95": F.expr("(n * 95 + 99) div 100"),
+        "oob": F.col("n") + 1,
+    }
+    naive_ranked = frame.select(
+        "k", "t", "id", "v",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    naive = {}
+    for lbl, e in exprs.items():
+        rows = naive_ranked.filter(F.col("rn") == e).select("k", "t", "id", "v").collect()
+        for r in rows:
+            naive[(r["k"], lbl)] = (r["t"], r["id"], r["v"])
+    picked = banded_rank_pick(
+        frame, ["k"], ["t", "id"], _cell(), exprs
+    ).collect()
+    got = {(r["k"], r["pick"]): (r["t"], r["id"], r["v"]) for r in picked}
+    assert got == naive
+    assert not any(lbl == "oob" for (_, lbl) in got)

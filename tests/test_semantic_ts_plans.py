@@ -154,13 +154,27 @@ def test_rolling_median_halo_chunked(spark):
             )
 
 
-def test_percentile_cont_broadcasts_rank_probes(spark):
+def test_percentile_cont_rank_pick_never_sorts_facts(spark):
+    # banded_rank_pick form: the bracketing rows come from counting
+    # cells (partial-aggregable) and row-ranking ONLY the target
+    # cells; every join is broadcast and no window runs over the raw
+    # order stream — the only row_number window is on the broadcast-
+    # filtered candidate cells.
+    import re
+
     from tile_processor_spark.plans.timeseries_ops import orders_percentile_cont
 
     df = orders_percentile_cont(spark, SF)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
-    assert count_exchanges(df) <= 1
+    assert "SortMergeJoin" not in plan
+    assert "partial" in plan
+    for s in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        cols = [c.strip() for c in s.split(",")]
+        if cols and cols[0].startswith("o_orderpriority"):
+            assert "_cell" in ",".join(cols[1:]), (
+                f"window partitioned by priority alone: {s[:90]}"
+            )
 
 
 def test_bm25_no_cartesian_on_data_paths(spark):

@@ -247,6 +247,71 @@ def banded_running_sum(
     )
 
 
+def banded_rank_pick(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    cell: Column,
+    rank_exprs: dict[str, Column],
+) -> DataFrame:
+    """Per key, the rows sitting at requested GLOBAL ranks (1-based in
+    ``order_cols`` order) — median, percentile brackets, winsorize
+    cuts — WITHOUT ranking or shuffling the fact stream. Per-cell
+    counts (a partial-aggregable groupBy) locate the one cell whose
+    exclusive-offset range covers each target rank; only those cells'
+    rows are pulled (broadcast semi-filter) and row-ranked, so the
+    heavy data is scanned twice but the only fact-grain shuffle
+    carries ~|picks| cells of rows. ``rank_exprs`` maps a label to a
+    rank expression over the per-key total count column ``n`` (e.g.
+    ``F.expr("(n + 1) div 2")``). Returns, per (key, label): the
+    picked row's ``df`` columns plus ``pick`` (the label) and ``n``.
+    A rank outside [1, n] yields no row for that label. ``cell`` must
+    be a monotone coarsening of the first order column."""
+    keys, order = list(key_cols), list(order_cols)
+    b = df.withColumn("_cell", cell)
+    counts = b.groupBy(*keys, "_cell").agg(F.count(F.lit(1)).alias("_bc"))
+    woff = (
+        W.partitionBy(*keys)
+        .orderBy("_cell")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cells = counts.select(
+        *keys,
+        "_cell",
+        "_bc",
+        F.coalesce(F.sum("_bc").over(woff), F.lit(0)).alias("_off"),
+    )
+    tot = counts.groupBy(*keys).agg(F.sum("_bc").alias("n"))
+    picks = F.array(
+        *[
+            F.struct(F.lit(lbl).alias("pick"), expr.cast("long").alias("_rk"))
+            for lbl, expr in rank_exprs.items()
+        ]
+    )
+    ranks = tot.select(*keys, "n", F.explode(picks).alias("_p")).select(
+        *keys, "n", "_p.pick", "_p._rk"
+    )
+    # exactly one cell covers each in-range rank
+    targets = (
+        ranks.join(cells, keys)
+        .filter(
+            (F.col("_rk") > F.col("_off"))
+            & (F.col("_rk") <= F.col("_off") + F.col("_bc"))
+        )
+        .select(*keys, "_cell", "pick", "_rk", "_off", "n")
+    )
+    cand = b.join(
+        F.broadcast(targets.select(*keys, "_cell").distinct()), [*keys, "_cell"]
+    )
+    wloc = W.partitionBy(*keys, "_cell").orderBy(*order)
+    ranked = cand.withColumn("_lrk", F.row_number().over(wloc))
+    return (
+        ranked.join(F.broadcast(targets), [*keys, "_cell"])
+        .filter(F.col("_off") + F.col("_lrk") == F.col("_rk"))
+        .drop("_cell", "_lrk", "_rk", "_off", "_bc")
+    )
+
+
 def banded_running_extrema(
     df: DataFrame,
     key_cols: Sequence[str],

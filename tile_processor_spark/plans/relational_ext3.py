@@ -390,29 +390,25 @@ def stats_second_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational-ext", "window", "agg"),
 )
 def median_disc_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tile_processor_spark.plans.chunked_windows import banded_row_index
+    from tile_processor_spark.plans.chunked_windows import banded_rank_pick
 
     o = _t(spark, sf_dir, "orders")
-    # rank-pick via PRICE-banded global row indexes: o_orderpriority
-    # has 5 values, so the naive per-priority rank window is the
-    # low-cardinality funnel class (docs/SCALE.md §sf10); price cells
-    # are bounded by the value domain and counts come from a
-    # partial-aggregable groupBy.
-    ns = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
-    return (
-        banded_row_index(
-            o.select("o_orderpriority", "o_totalprice", "o_orderkey"),
-            ["o_orderpriority"],
-            ["o_totalprice", "o_orderkey"],
-            F.floor(F.col("o_totalprice") / F.lit(1000)).cast("long"),
-        )
-        .join(F.broadcast(ns), "o_orderpriority")
-        .filter(F.col("r") == F.expr("(cnt + 1) div 2"))
-        .select(
-            "o_orderpriority",
-            F.col("o_totalprice").alias("median_price"),
-            F.col("cnt").alias("n_orders"),
-        )
+    # exact discrete median WITHOUT ranking or shuffling the fact
+    # stream: per-(priority, floor(price/1000)) counts locate the one
+    # price cell holding rank (n+1) div 2, only that cell's rows are
+    # row-ranked (banded_rank_pick) — o_orderpriority has 5 values, so
+    # any full-stream per-priority rank is the low-cardinality funnel
+    # class (docs/SCALE.md §sf10).
+    return banded_rank_pick(
+        o.select("o_orderpriority", "o_totalprice", "o_orderkey"),
+        ["o_orderpriority"],
+        ["o_totalprice", "o_orderkey"],
+        F.floor(F.col("o_totalprice") / F.lit(1000)).cast("long"),
+        {"med": F.expr("(n + 1) div 2")},
+    ).select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("median_price"),
+        F.col("n").alias("n_orders"),
     )
 
 

@@ -252,41 +252,32 @@ def robust_center_by_type(ev: DataFrame) -> DataFrame:
     median and MAD per event type — THE one derivation shared by
     events_mad_by_type and timeseries_ops.events_anomaly_intervals (a
     tie-break or rank fix here reaches both operators)."""
-    from tile_processor_spark.plans.chunked_windows import banded_row_index
+    from tile_processor_spark.plans.chunked_windows import banded_rank_pick
 
-    # Exact rank-picked medians via VALUE-banded global ranks: local
-    # row_number within (type, floor(value)) cells + broadcast
-    # exclusive cell offsets (chunked_windows.banded_row_index). Cell
-    # count is bounded by the value DOMAIN, so per-cell sorts stay
-    # data-proportional — the naive event_type-only rank window sorts
-    # the whole fact stream in |event_type| tasks (the 5-task funnel
-    # class, docs/SCALE.md §sf10). Counts come from a
-    # partial-aggregable groupBy, not an unordered per-type window.
-    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
-    med = (
-        banded_row_index(
-            ev.select("event_type", "value", "event_id"),
-            ["event_type"],
-            ["value", "event_id"],
-            F.floor("value").cast("long"),
-        )
-        .join(F.broadcast(counts), "event_type")
-        .filter(F.col("r") == F.expr("(cnt + 1) div 2"))
-        .select("event_type", F.col("value").alias("med_value"), "cnt")
-    )
+    # Exact rank-picked medians WITHOUT shuffling the fact stream
+    # (chunked_windows.banded_rank_pick): per-(type, floor(value))
+    # counts locate the one value cell holding rank (n+1) div 2; only
+    # that cell's rows are pulled and row-ranked. The naive
+    # event_type-only rank window sorts the whole fact stream in
+    # |event_type| tasks (the 5-task funnel class, docs/SCALE.md
+    # §sf10); the earlier banded_row_index form still shuffled every
+    # fact into (type, cell) sorts.
+    med_rank = {"med": F.expr("(n + 1) div 2")}
+    med = banded_rank_pick(
+        ev.select("event_type", "value", "event_id"),
+        ["event_type"],
+        ["value", "event_id"],
+        F.floor("value").cast("long"),
+        med_rank,
+    ).select("event_type", F.col("value").alias("med_value"), F.col("n").alias("cnt"))
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
         F.abs(F.col("value") - F.col("med_value")).alias("ad"),
         "event_id",
     )
-    mad = (
-        banded_row_index(
-            dev, ["event_type"], ["ad", "event_id"], F.floor("ad").cast("long")
-        )
-        .join(F.broadcast(counts), "event_type")
-        .filter(F.col("r") == F.expr("(cnt + 1) div 2"))
-        .select("event_type", F.col("ad").alias("mad_value"))
-    )
+    mad = banded_rank_pick(
+        dev, ["event_type"], ["ad", "event_id"], F.floor("ad").cast("long"), med_rank
+    ).select("event_type", F.col("ad").alias("mad_value"))
     return med.join(mad, "event_type").select(
         "event_type", "med_value", "mad_value", "cnt"
     )

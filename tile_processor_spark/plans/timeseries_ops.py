@@ -11,7 +11,7 @@ evaluate identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -418,59 +418,51 @@ PCTL_PS = (50, 90, 99)
     tags=("relational-ext", "window", "stats"),
 )
 def orders_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tile_processor_spark.plans.chunked_windows import banded_row_index
+    from tile_processor_spark.plans.chunked_windows import banded_rank_pick
 
     o = load_table(spark, "orders", sf_dir)
-    # o_orderpriority has 5 values: a rank window partitioned by it
-    # alone is the low-cardinality funnel class (docs/SCALE.md §sf10).
-    # Rank via PRICE-banded global row indexes instead — cells =
-    # floor(price/1000) are bounded by the price domain, counts come
-    # from a partial-aggregable groupBy.
-    ns = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
-    ranked = (
-        banded_row_index(
-            o.select("o_orderpriority", "o_totalprice", "o_orderkey"),
-            ["o_orderpriority"],
-            ["o_totalprice", "o_orderkey"],
-            F.floor(F.col("o_totalprice") / F.lit(1000)).cast("long"),
+    # The six bracketing rows ((n-1)*p split into lo/hi ranks for each
+    # p) are pulled WITHOUT ranking or shuffling the fact stream:
+    # per-(priority, floor(price/1000)) counts locate each rank's
+    # price cell, only those cells' rows are row-ranked
+    # (banded_rank_pick) — o_orderpriority has 5 values, so any plan
+    # that ranks the full stream per priority is the low-cardinality
+    # funnel class (docs/SCALE.md §sf10).
+    exprs: dict[str, Column] = {}
+    for p in PCTL_PS:
+        exprs[f"lo_{p}"] = 1 + ((F.col("n") - 1) * p / 100).cast("long")
+        exprs[f"hi_{p}"] = (
+            F.when(
+                ((F.col("n") - 1) * p) % 100 == 0,
+                1 + ((F.col("n") - 1) * p / 100).cast("long"),
+            ).otherwise(2 + ((F.col("n") - 1) * p / 100).cast("long"))
         )
-        .withColumnRenamed("r", "rk")
-        .join(F.broadcast(ns), "o_orderpriority")
-    ).localCheckpoint()  # ranked feeds the group list and both probes
-    groups = ranked.select("o_orderpriority", "n").distinct()
-    ps = F.array(*[F.lit(p) for p in PCTL_PS])
-    pos = groups.select(
-        "o_orderpriority", "n", F.explode(ps).alias("p")
+    picked = banded_rank_pick(
+        o.select("o_orderpriority", "o_totalprice", "o_orderkey"),
+        ["o_orderpriority"],
+        ["o_totalprice", "o_orderkey"],
+        F.floor(F.col("o_totalprice") / F.lit(1000)).cast("long"),
+        exprs,
     ).select(
         "o_orderpriority",
-        "p",
-        (1 + ((F.col("n") - 1) * F.col("p") / 100).cast("long")).alias("lo_rk"),
-        F.when(
-            ((F.col("n") - 1) * F.col("p")) % 100 == 0,
-            1 + ((F.col("n") - 1) * F.col("p") / 100).cast("long"),
-        )
-        .otherwise(2 + ((F.col("n") - 1) * F.col("p") / 100).cast("long"))
-        .alias("hi_rk"),
-        (((F.col("n") - 1) * F.col("p")) % 100).alias("frac_pct"),
+        "n",
+        F.split("pick", "_").getItem(0).alias("kind"),
+        F.split("pick", "_").getItem(1).cast("int").alias("p"),
+        "o_totalprice",
     )
-    lo = ranked.select(
-        "o_orderpriority", F.col("rk").alias("lo_rk"), F.col("o_totalprice").alias("lo_v")
+    pairs = picked.groupBy("o_orderpriority", "n", "p").agg(
+        F.min(F.when(F.col("kind") == "lo", F.col("o_totalprice"))).alias("lo_v"),
+        F.min(F.when(F.col("kind") == "hi", F.col("o_totalprice"))).alias("hi_v"),
     )
-    hi = ranked.select(
-        "o_orderpriority", F.col("rk").alias("hi_rk"), F.col("o_totalprice").alias("hi_v")
-    )
-    return (
-        pos.join(lo, ["o_orderpriority", "lo_rk"])
-        .join(hi, ["o_orderpriority", "hi_rk"])
-        .select(
-            "o_orderpriority",
-            F.col("p").cast("long").alias("p"),
-            (
-                F.col("lo_v").cast("double")
-                + (F.col("frac_pct").cast("double") / 100.0)
-                * (F.col("hi_v").cast("double") - F.col("lo_v").cast("double"))
-            ).alias("pctl_cont"),
-        )
+    frac = ((F.col("n") - 1) * F.col("p")) % 100
+    return pairs.select(
+        "o_orderpriority",
+        F.col("p").cast("long").alias("p"),
+        (
+            F.col("lo_v").cast("double")
+            + (frac.cast("double") / 100.0)
+            * (F.col("hi_v").cast("double") - F.col("lo_v").cast("double"))
+        ).alias("pctl_cont"),
     )
 
 
@@ -1258,46 +1250,41 @@ def events_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "100, ties by event_id), values clamped to the cutoffs, then "
         "clip counts and the winsorized mean through the decimal-"
         "accumulate discipline (one double division at the end). Two "
-        "passes over the fact: one rank window per type to find the two "
-        "cutoff rows, one clamp+aggregate; at 100 TB replace the rank "
-        "window with the histogram-sketch cutoffs "
-        "(sketch_histogram_quantiles) — same clamp pass, no sort."
+        "scans over the fact and NO fact-grain shuffle: per-cell "
+        "counts locate the two cutoff ranks' value cells and only "
+        "those cells' rows are row-ranked (banded_rank_pick), then the "
+        "clamp+aggregate pass runs with the cuts broadcast. The "
+        "approximate twin (sketch_histogram_quantiles) remains the "
+        "single-scan option when exact cuts aren't required."
     ),
     tags=("events", "stats", "robust"),
 )
 def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tile_processor_spark.plans.chunked_windows import banded_row_index
+    from tile_processor_spark.plans.chunked_windows import banded_rank_pick
 
     ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
-    # value-banded global rank: local row_number within (type,
-    # floor(value)) cells + broadcast exclusive cell offsets — the cell
-    # count is bounded by the VALUE domain, so no per-type fact sort;
-    # counts come from a partial-aggregable groupBy instead of an
-    # unordered per-type window (same 5-task funnel otherwise)
-    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    ranked = (
-        banded_row_index(
-            ev, ["event_type"], ["value", "event_id"], F.floor("value").cast("long")
-        )
-        .join(F.broadcast(counts), "event_type")
-        .select("event_type", "value", F.col("r").alias("rn"), "n")
+    # exact p05/p95 cut VALUES without shuffling the fact stream:
+    # per-(type, floor(value)) counts locate the two cut ranks' cells,
+    # only those cells' rows are row-ranked (banded_rank_pick); the
+    # clamp+aggregate pass then runs over the RAW stream with the two
+    # cuts broadcast — two scans, no fact-grain shuffle at all.
+    picked = banded_rank_pick(
+        ev,
+        ["event_type"],
+        ["value", "event_id"],
+        F.floor("value").cast("long"),
+        {
+            "p05": F.expr("(n * 5 + 99) div 100"),
+            "p95": F.expr("(n * 95 + 99) div 100"),
+        },
     )
-    cuts = (
-        ranked.groupBy("event_type", "n")
-        .agg(
-            F.min(
-                F.when(F.col("rn") == F.expr("(n * 5 + 99) div 100"), F.col("value"))
-            ).alias("p05_cut"),
-            F.min(
-                F.when(F.col("rn") == F.expr("(n * 95 + 99) div 100"), F.col("value"))
-            ).alias("p95_cut"),
-        )
-        .withColumnRenamed("n", "n_type")  # disambiguate from ranked.n
+    cuts = picked.groupBy("event_type", F.col("n").alias("n_type")).agg(
+        F.min(F.when(F.col("pick") == "p05", F.col("value"))).alias("p05_cut"),
+        F.min(F.when(F.col("pick") == "p95", F.col("value"))).alias("p95_cut"),
     )
     clamped = F.greatest(F.least(F.col("value"), F.col("p95_cut")), F.col("p05_cut"))
     return (
-        ranked.drop("n")
-        .join(F.broadcast(cuts), "event_type")
+        ev.join(F.broadcast(cuts), "event_type")
         .groupBy("event_type", "n_type", "p05_cut", "p95_cut")
         .agg(
             F.sum((F.col("value") < F.col("p05_cut")).cast("long")).alias(

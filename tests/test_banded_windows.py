@@ -17,6 +17,7 @@ from pyspark.sql import Window as W
 
 from tile_processor_spark.plans.chunked_windows import (
     banded_rank_pick,
+    banded_weighted_pick,
     banded_running_extrema,
     banded_running_sums,
     banded_next,
@@ -217,5 +218,47 @@ def test_banded_rank_pick_matches_window_ranks(frame):
         frame, ["k"], ["t", "id"], _cell(), exprs
     ).collect()
     got = {(r["k"], r["pick"]): (r["t"], r["id"], r["v"]) for r in picked}
+    assert got == naive
+    assert not any(lbl == "oob" for (_, lbl) in got)
+
+
+def test_banded_weighted_pick_matches_cumulative_crossing(frame):
+    # weighted median + q25/q75 against the naive cumulative-weight
+    # window; weights include zeros (a zero-weight row never hosts a
+    # crossing it didn't earn) and a threshold over W yields no row.
+    wtd = frame.withColumn("wt", (F.col("v") % 4).cast("long"))
+    wo = (
+        W.partitionBy("k")
+        .orderBy("t", "id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = W.partitionBy("k")
+    cum = wtd.select(
+        "k", "t", "id", "wt",
+        F.sum("wt").over(wo).alias("cumw"),
+        F.sum("wt").over(wn).alias("w_total"),
+    )
+    exprs = {
+        "q25": (F.col("w_total") + 3) / 4,
+        "wmed": F.expr("(w_total + 1) div 2"),
+        "q75": F.col("w_total") * 3 / 4,
+        "oob": F.col("w_total") + 1,
+    }
+    naive = {}
+    for lbl, e in exprs.items():
+        rows = (
+            cum.filter(F.col("cumw") >= e)
+            .withColumn("rn", F.row_number().over(W.partitionBy("k").orderBy("t", "id")))
+            .filter(F.col("rn") == 1)
+            .collect()
+        )
+        for r in rows:
+            naive[(r["k"], lbl)] = (r["t"], r["id"])
+    got = {
+        (r["k"], r["pick"]): (r["t"], r["id"])
+        for r in banded_weighted_pick(
+            wtd, ["k"], ["t", "id"], _cell(), "wt", exprs
+        ).collect()
+    }
     assert got == naive
     assert not any(lbl == "oob" for (_, lbl) in got)

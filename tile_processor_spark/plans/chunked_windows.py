@@ -312,6 +312,81 @@ def banded_rank_pick(
     )
 
 
+def banded_weighted_pick(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    cell: Column,
+    weight_col: str,
+    thresh_exprs: dict[str, Column],
+) -> DataFrame:
+    """Per key, the FIRST row (in ``order_cols`` order) whose
+    inclusive cumulative ``weight_col`` reaches each requested
+    threshold — the weighted order statistic (weighted median at
+    T = W/2, weighted percentiles at T = q·W) — without ranking or
+    shuffling the fact stream: per-cell weight sums locate the one
+    cell whose cumulative range covers each threshold, and only those
+    cells' rows get a local cumulative-weight window. ``thresh_exprs``
+    maps a label to a threshold expression over the per-key total
+    weight column ``w_total`` (e.g. ``F.col("w_total") / 2``). Weights must be
+    non-negative; a threshold outside (0, w_total] yields no row for that
+    label. Returns, per (key, label): the picked row's ``df`` columns
+    plus ``pick`` (the label) and ``W``. ``cell`` must be a monotone
+    coarsening of the first order column."""
+    keys, order = list(key_cols), list(order_cols)
+    b = df.withColumn("_cell", cell)
+    counts = b.groupBy(*keys, "_cell").agg(F.sum(weight_col).alias("_bw"))
+    woff = (
+        W.partitionBy(*keys)
+        .orderBy("_cell")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cells = counts.select(
+        *keys,
+        "_cell",
+        "_bw",
+        F.coalesce(F.sum("_bw").over(woff), F.lit(0)).alias("_offw"),
+    )
+    tot = counts.groupBy(*keys).agg(F.sum("_bw").alias("w_total"))
+    picks = F.array(
+        *[
+            F.struct(F.lit(lbl).alias("pick"), expr.alias("_t"))
+            for lbl, expr in thresh_exprs.items()
+        ]
+    )
+    thresh = tot.select(*keys, "w_total", F.explode(picks).alias("_p")).select(
+        *keys, "w_total", "_p.pick", "_p._t"
+    )
+    # the crossing cell: cumulative weight enters [_t, ...] inside it
+    targets = (
+        thresh.join(cells, keys)
+        .filter(
+            (F.col("_t") > F.col("_offw"))
+            & (F.col("_t") <= F.col("_offw") + F.col("_bw"))
+        )
+        .select(*keys, "_cell", "pick", "_t", "_offw", "w_total")
+    )
+    cand = b.join(
+        F.broadcast(targets.select(*keys, "_cell").distinct()), [*keys, "_cell"]
+    )
+    wloc = (
+        W.partitionBy(*keys, "_cell")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wrow = W.partitionBy(*keys, "_cell", "pick").orderBy(*order)
+    crossed = (
+        cand.withColumn("_lcw", F.sum(weight_col).over(wloc))
+        .join(F.broadcast(targets), [*keys, "_cell"])
+        .filter(F.col("_offw") + F.col("_lcw") >= F.col("_t"))
+    )
+    return (
+        crossed.withColumn("_first", F.row_number().over(wrow))
+        .filter(F.col("_first") == 1)
+        .drop("_cell", "_lcw", "_t", "_offw", "_bw", "_first")
+    )
+
+
 def banded_running_extrema(
     df: DataFrame,
     key_cols: Sequence[str],

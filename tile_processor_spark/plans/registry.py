@@ -134,10 +134,15 @@ _GATE_PRIORITY: tuple[str, ...] = (
 )
 
 # Round-9 rotation candidates, in priority order: (a) any row that is
-# red in CORRECTNESS_r08; (b) rows whose code changes in round 9;
-# (c) the 12 r4 rows past this round's cut — embedding_normalize,
+# red in CORRECTNESS_r08; (b) rows added or re-planned late in round 8
+# and never driver-gated — lineitem_weighted_median (new,
+# banded_weighted_pick), and the rank-pick re-plans of
+# events_winsorized_stats / events_mad_by_type /
+# orders_percentile_cont / median_disc_by_priority if they miss this
+# round's window; (c) rows whose code changes in round 9; (d) the 12
+# r4 rows past this round's cut — embedding_normalize,
 # spatial_zorder_keys, and the 10 stale names after position 50 above
-# (regexp_extract_ids .. window_running_sum); (d) the stalest r5 rows
+# (regexp_extract_ids .. window_running_sum); (e) the stalest r5 rows
 # by last-verified round (the 49 rows last green in round 5 — spatial
 # gate family, dedup family, ...).
 

@@ -413,6 +413,64 @@ def median_disc_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lineitem_weighted_median",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag, l_extendedprice,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cumw,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS w_total
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS wmedian_price,
+           CAST(MIN(w_total) AS BIGINT) AS total_qty
+    FROM q WHERE 2 * cumw >= w_total GROUP BY l_returnflag
+    """,
+    doc=(
+        "QUANTITY-weighted median extended price per return flag — the "
+        "weighted order statistic (lower weighted median: first value "
+        "whose cumulative weight reaches half the total). Weights are "
+        "integral quantities cast to BIGINT so both engines cross the "
+        "threshold in exact integer arithmetic (2*cum >= W, never a "
+        "float cumulative). Spark side is banded_weighted_pick "
+        "(chunked_windows.py): per-(flag, price-cell) weight sums "
+        "locate the crossing cell — facts scanned, never shuffled; "
+        "only the crossing cells' rows get a cumulative-weight window. "
+        "l_returnflag has 3 values, so any full-stream per-flag rank "
+        "is the low-cardinality funnel class (docs/SCALE.md §sf10)."
+    ),
+    tags=("relational-ext", "agg", "window", "weighted"),
+)
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.plans.chunked_windows import banded_weighted_pick
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    return banded_weighted_pick(
+        li,
+        ["l_returnflag"],
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        F.floor(F.col("l_extendedprice") / F.lit(1000)).cast("long"),
+        "w",
+        # lower weighted median: ceil(W/2) in integers — first row with
+        # 2*cum >= W
+        {"wmed": F.expr("(w_total + 1) div 2")},
+    ).select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("wmedian_price"),
+        F.col("w_total").alias("total_qty"),
+    )
+
+
+@register(
     "weekly_revenue_wow",
     oracle="""
     WITH weekly AS (

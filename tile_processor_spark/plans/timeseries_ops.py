@@ -901,6 +901,11 @@ def events_anomaly_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             > ANOMALY_K * F.col("mad_value")
         )
         .select("event_type", F.unix_micros("ts").alias("ts_us"), "event_id")
+        # the banded helpers reference their input twice each; without
+        # a checkpoint the whole upstream (median/MAD picks + the full
+        # scan-and-filter) is re-evaluated up to 4x. flagged is the
+        # sparse anomaly set, so materializing it is cheap.
+        .localCheckpoint()
     )
     from tile_processor_spark.plans.chunked_windows import (
         DAY_US,

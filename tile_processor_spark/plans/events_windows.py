@@ -706,8 +706,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Cohort retention matrix: users grouped by first-activity day, "
         "counted at each later activity-day offset - the standard "
         "retention triangle. Two user_id-keyed aggregations plus one "
-        "join; the per-user firsts frame is tiny (O(users)) and "
-        "broadcastable at any event volume."
+        "user_id equi-join; the per-user firsts frame SCALES with the "
+        "user population, so its join strategy is left to size stats + "
+        "AQE (auto-broadcast at bench scale, shuffle join when users "
+        "number in the billions — a forced hint would OOM there)."
     ),
     tags=("events", "retention"),
 )
@@ -716,7 +718,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
     active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
     return (
-        active.join(F.broadcast(firsts), "user_id")
+        active.join(firsts, "user_id")
         .groupBy(
             F.col("cohort_day").cast("string").alias("cohort_day"),
             F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"),

@@ -262,3 +262,84 @@ def test_banded_weighted_pick_matches_cumulative_crossing(frame):
     }
     assert got == naive
     assert not any(lbl == "oob" for (_, lbl) in got)
+
+
+def test_banded_primitives_randomized_frames(spark):
+    """Three seeded random frames (duplicate timestamps, empty cells,
+    singleton keys, negative values) — every banded primitive must
+    match its naive single-window form on all of them. Deterministic
+    seeds keep the suite stable; the frames are adversarial in shape,
+    not in size."""
+    import random
+
+    for seed in (7, 23, 1009):
+        rng = random.Random(seed)
+        n_keys = rng.randint(1, 4)
+        rows = []
+        i = 0
+        for k in range(n_keys):
+            for _ in range(rng.randint(1, 120)):
+                t = rng.randint(0, 99)
+                rows.append((f"k{k}", t, i, rng.randint(-10, 10)))
+                i += 1
+        df = spark.createDataFrame(rows, "k string, t long, id long, v long")
+        cell = (F.col("t") / rng.choice([3, 7, 10])).cast("long")
+        wo = W.partitionBy("k").orderBy("t", "id")
+        wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+
+        naive_prev = sorted(
+            df.select("k", "id", F.lag("v").over(wo).alias("p")).collect()
+        )
+        got_prev = sorted(
+            banded_prev(df, ["k"], ["t", "id"], cell, ["v"])
+            .select("k", "id", F.col("_prev_v").alias("p"))
+            .collect()
+        )
+        assert got_prev == naive_prev, f"banded_prev mismatch, seed={seed}"
+
+        naive_rs = sorted(
+            df.select("k", "id", F.sum("v").over(wrun).alias("rs")).collect()
+        )
+        got_rs = sorted(
+            banded_running_sum(df, ["k"], ["t", "id"], cell, "v", "rs")
+            .select("k", "id", "rs")
+            .collect()
+        )
+        assert got_rs == naive_rs, f"banded_running_sum mismatch, seed={seed}"
+
+        naive_ex = sorted(
+            df.select("k", F.sum("v").over(wrun).alias("rs"))
+            .groupBy("k")
+            .agg(F.max("rs").alias("mx"), F.min("rs").alias("mn"))
+            .collect()
+        )
+        got_ex = sorted(
+            banded_running_extrema(
+                df, ["k"], ["t", "id"], cell, "v", "mx", "mn"
+            ).collect()
+        )
+        assert got_ex == naive_ex, f"banded_running_extrema mismatch, seed={seed}"
+
+        naive_med = sorted(
+            df.select(
+                "k",
+                "v",
+                F.row_number().over(wo.orderBy("v", "id")).alias("rn"),
+                F.count(F.lit(1)).over(W.partitionBy("k")).alias("n"),
+            )
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("k", "v")
+            .collect()
+        )
+        got_med = sorted(
+            banded_rank_pick(
+                df,
+                ["k"],
+                ["v", "id"],
+                (F.col("v") / 4).cast("long"),
+                {"med": F.expr("(n + 1) div 2")},
+            )
+            .select("k", "v")
+            .collect()
+        )
+        assert got_med == naive_med, f"banded_rank_pick mismatch, seed={seed}"

@@ -17,6 +17,7 @@ from pyspark.sql import Window as W
 
 from tile_processor_spark.plans.chunked_windows import (
     banded_rank_pick,
+    banded_topk,
     banded_weighted_pick,
     banded_running_extrema,
     banded_running_sums,
@@ -343,3 +344,22 @@ def test_banded_primitives_randomized_frames(spark):
             .collect()
         )
         assert got_med == naive_med, f"banded_rank_pick mismatch, seed={seed}"
+
+
+def test_banded_topk_matches_window_topk(frame):
+    # k larger than some cells, smaller than others; ranks must carry
+    # through exactly, including across the key confined to one cell.
+    wo = W.partitionBy("k").orderBy("t", "id")
+    for k in (1, 5, 37):
+        naive = sorted(
+            frame.withColumn("r", F.row_number().over(wo))
+            .filter(F.col("r") <= k)
+            .select("k", "t", "id", "r")
+            .collect()
+        )
+        got = sorted(
+            banded_topk(frame, ["k"], ["t", "id"], _cell(), k)
+            .select("k", "t", "id", "r")
+            .collect()
+        )
+        assert got == naive, f"banded_topk mismatch at k={k}"

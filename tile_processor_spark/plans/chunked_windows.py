@@ -312,6 +312,47 @@ def banded_rank_pick(
     )
 
 
+def banded_topk(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    cell: Column,
+    k: int,
+    rank_name: str = "r",
+) -> DataFrame:
+    """Per key, the first ``k`` rows in ``order_cols`` order with their
+    global ranks — WITHOUT ranking or shuffling the full stream: a row
+    can be in the top k only if its cell's exclusive count offset is
+    below ``k``, so per-cell counts (partial-aggregable) prune the
+    candidate set to ~k rows per key before any row-level window.
+    Equivalent to ``row_number() <= k`` over the naive per-key window.
+    ``cell`` must be a monotone coarsening of the first order column
+    (ascending; negate columns for descending order)."""
+    keys, order = list(key_cols), list(order_cols)
+    b = df.withColumn("_cell", cell)
+    counts = b.groupBy(*keys, "_cell").agg(F.count(F.lit(1)).alias("_bc"))
+    woff = (
+        W.partitionBy(*keys)
+        .orderBy("_cell")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    lead_cells = (
+        counts.select(
+            *keys,
+            "_cell",
+            F.coalesce(F.sum("_bc").over(woff), F.lit(0)).alias("_off"),
+        )
+        .filter(F.col("_off") < k)
+    )
+    cand = b.join(F.broadcast(lead_cells), [*keys, "_cell"])
+    wloc = W.partitionBy(*keys, "_cell").orderBy(*order)
+    return (
+        cand.withColumn(rank_name, F.col("_off") + F.row_number().over(wloc))
+        .filter(F.col(rank_name) <= k)
+        .drop("_cell", "_off")
+    )
+
+
 def banded_weighted_pick(
     df: DataFrame,
     key_cols: Sequence[str],

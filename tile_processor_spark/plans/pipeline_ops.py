@@ -237,23 +237,26 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "sampling"),
 )
 def sample_per_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tile_processor_spark.plans.chunked_windows import banded_row_index
+    from tile_processor_spark.plans.chunked_windows import banded_topk
 
     d = _docs(spark, sf_dir)
-    # rank via HASH-banded global row indexes: lang has a handful of
-    # values, so the naive per-lang rank window is the low-cardinality
-    # funnel class (docs/SCALE.md §sf10). The hash's top 10 bits give
-    # 1024 cells bounded by the hash domain at any corpus size.
+    # top-k by hash order via cell-count pruning (banded_topk): lang
+    # has a handful of values, so the naive per-lang rank window is
+    # the low-cardinality funnel class (docs/SCALE.md §sf10); the
+    # hash's top 10 bits give 1024 cells bounded by the hash domain at
+    # any corpus size, and only cells whose count offset is below k
+    # ever reach a row-level window — the corpus is scanned, never
+    # shuffled.
     hashed = d.select("lang", "doc_id").withColumn(
         "_h", hash32(F.col("doc_id").cast("string"))
     )
-    return (
-        banded_row_index(
-            hashed, ["lang"], ["_h", "doc_id"], F.shiftright(F.col("_h"), 22)
-        )
-        .filter(F.col("r") <= TOPK_PER_GROUP)
-        .select("lang", "doc_id", F.col("r").cast("long").alias("rk"))
-    )
+    return banded_topk(
+        hashed,
+        ["lang"],
+        ["_h", "doc_id"],
+        F.shiftright(F.col("_h"), 22),
+        TOPK_PER_GROUP,
+    ).select("lang", "doc_id", F.col("r").cast("long").alias("rk"))
 
 
 @register(
@@ -387,24 +390,22 @@ def curate_quality_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = text_quality_scores(spark, sf_dir).select("doc_id", "quality")
     e = load_table(spark, "embeddings", sf_dir).select("vec_id", "label")
     j = q.join(e, q["doc_id"] == e["vec_id"]).select("label", "doc_id", "quality")
-    # rank via QUALITY-banded global row indexes: cluster labels are
-    # few, so the naive per-label rank window is the low-cardinality
-    # funnel class (docs/SCALE.md §sf10). quality is in [0, 1]; the
-    # negated 1/64 bands are a 65-cell monotone coarsening of the
-    # DESC order at any corpus size.
-    from tile_processor_spark.plans.chunked_windows import banded_row_index
+    # top-k by quality via cell-count pruning (banded_topk): cluster
+    # labels are few, so the naive per-label rank window is the
+    # low-cardinality funnel class (docs/SCALE.md §sf10). quality is
+    # in [0, 1]; the negated 1/64 bands are a 65-cell monotone
+    # coarsening of the DESC order, and only cells whose count offset
+    # is below k reach a row-level window.
+    from tile_processor_spark.plans.chunked_windows import banded_topk
 
     neg = j.withColumn("_negq", -F.col("quality"))
-    return (
-        banded_row_index(
-            neg,
-            ["label"],
-            ["_negq", "doc_id"],
-            F.floor(F.col("_negq") * 64).cast("long"),
-        )
-        .filter(F.col("r") <= CURATE_TOPK)
-        .select("label", "doc_id", "quality", F.col("r").cast("long").alias("rk"))
-    )
+    return banded_topk(
+        neg,
+        ["label"],
+        ["_negq", "doc_id"],
+        F.floor(F.col("_negq") * 64).cast("long"),
+        CURATE_TOPK,
+    ).select("label", "doc_id", "quality", F.col("r").cast("long").alias("rk"))
 
 
 _SQL_GRAMS2 = """

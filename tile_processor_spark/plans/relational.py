@@ -402,26 +402,27 @@ def priority_dedup_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("operator", "window", "topk"),
 )
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tile_processor_spark.plans.chunked_windows import banded_row_index
+    from tile_processor_spark.plans.chunked_windows import banded_topk
 
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
-    # rank via BALANCE-banded global row indexes: 25 nations make the
-    # naive per-nation rank window the low-cardinality funnel class
-    # (docs/SCALE.md §sf10) while suppliers scale with the data; the
-    # negated acctbal/64 cells are bounded by the balance domain.
+    # top-2 by balance via cell-count pruning (banded_topk): 25 nations
+    # make the naive per-nation rank window the low-cardinality funnel
+    # class (docs/SCALE.md §sf10) while suppliers scale with the data;
+    # the negated acctbal/64 cells are bounded by the balance domain,
+    # and only cells whose count offset is below k reach a row window.
     joined = supp.join(
         F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
     ).withColumn("_nb", -F.col("s_acctbal"))
     return (
-        banded_row_index(
+        banded_topk(
             joined,
             ["n_name"],
             ["_nb", "s_suppkey"],
             F.floor(F.col("_nb") / F.lit(64)).cast("long"),
+            2,
         )
         .withColumn("total_bal", F.col("s_acctbal").cast("decimal(18,4)").cast("double"))
-        .filter(F.col("r") <= 2)
         .select("n_name", "s_name", "total_bal")
     )
 

@@ -165,6 +165,7 @@ _LOW_CARD_COLS = {
     "label",
     "n_name",
     "r_name",
+    "shard",  # N_SHARDS is a fixed constant — docs-per-shard scales
 }
 
 

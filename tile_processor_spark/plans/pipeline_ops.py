@@ -748,22 +748,28 @@ N_SHARDS = 64  # training shards; real runs size this to loader parallelism
         "Training-shard layout: every doc gets a deterministic shard id "
         "and a within-shard position from independent md5-prefix hashes "
         "of doc_id — the 'global shuffle' a training loader needs, "
-        "reproducible row-by-row with no stored permutation table. One "
-        "shuffle (the per-shard position window); at 100 TB shards are "
-        "written with partitionBy(shard) sortWithinPartitions(pos) so "
-        "the loader streams each shard in order."
+        "reproducible row-by-row with no stored permutation table. "
+        "N_SHARDS is FIXED, so docs-per-shard scales with the corpus: "
+        "positions come from hash-banded global row indexes "
+        "(banded_row_index — the per-(shard, hash-cell) grain spreads "
+        "the sort), never a per-shard rank window. At 100 TB shards "
+        "are written with partitionBy(shard) sortWithinPartitions(pos) "
+        "so the loader streams each shard in order."
     ),
     tags=("llm", "sampling", "layout"),
 )
 def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.plans.chunked_windows import banded_row_index
+
     d = _docs(spark, sf_dir)
     shard = hash32(F.concat(F.lit("shard#"), F.col("doc_id").cast("string"))) % N_SHARDS
     pos_key = hash32(F.concat(F.lit("pos#"), F.col("doc_id").cast("string")))
-    w = W.partitionBy("shard").orderBy("pos_key", "doc_id")
-    return (
-        d.select("doc_id", shard.alias("shard"), pos_key.alias("pos_key"))
-        .withColumn("pos", F.row_number().over(w).cast("long"))
-    )
+    return banded_row_index(
+        d.select("doc_id", shard.alias("shard"), pos_key.alias("pos_key")),
+        ["shard"],
+        ["pos_key", "doc_id"],
+        F.shiftright(F.col("pos_key"), 22),
+    ).select("doc_id", "shard", "pos_key", F.col("r").cast("long").alias("pos"))
 
 
 @register(

@@ -18,7 +18,13 @@ sf0.001, must satisfy
    An absolute ceiling ``_WINDOW_ABS_CAP`` backstops grains that are
    technically span-bounded but already too large to single-sort;
 3. no ``CartesianProduct`` (a cross join that is not a broadcast);
-4. no ``BatchEvalPython`` (row-at-a-time Python UDF) anywhere.
+4. no ``BatchEvalPython`` (row-at-a-time Python UDF) anywhere;
+5. no window partitioned ONLY by known low-cardinality columns over
+   un-aggregated input (the 5-task funnel class, docs/SCALE.md §sf10);
+6. no explicitly BROADCAST-hinted join side that scans a data-scaling
+   table without a bounding node beneath (the forced-broadcast OOM
+   class, docs/SCALE.md §broadcast-hint policy) — stats/AQE-chosen
+   broadcasts carry no hint and are never flagged.
 
 Known limits (the checks are proxies, not proofs): the name check is a
 column-name heuristic; the growth probe measures one 10× step, so a
@@ -169,6 +175,80 @@ _LOW_CARD_COLS = {
 }
 
 
+# Tables whose ROW COUNT scales with the data volume: an explicit
+# broadcast hint on a frame that scans one of these without first
+# reducing it (aggregate / limit / dedup) is an OOM commitment at
+# 100 TB. nation/region/tile-config frames are domain-bounded.
+# Matched against scan rootPaths — both the driver layout
+# (<sf>/<table>.parquet) and the shm ingest layout (.../<key>-<table>).
+_SCALING_TABLE = re.compile(
+    r"[-/](lineitem|orders|customer|supplier|part|events|documents|embeddings)"
+    r"(\.parquet)?/?$"
+)
+
+
+def _scans_scaling_table(node) -> bool:
+    for n in _iter_logical(node):
+        if n.getClass().getSimpleName() != "LogicalRelation":
+            continue
+        try:
+            paths = n.relation().location().rootPaths()
+            root_strs = [paths.apply(i).toString() for i in range(paths.size())]
+        except Exception:
+            continue  # non-file relation — can't classify, skip
+        if any(_SCALING_TABLE.search(p) for p in root_strs):
+            return True
+    return False
+
+#: node classes that bound (or hide) the hinted side's cardinality:
+#: aggregates/dedup reduce grain, limits cap rows, local relations are
+#: literals, LogicalRDD is a checkpoint boundary (blind spot, same as
+#: the window sweep's).
+_BOUNDING_NODES = {
+    "Aggregate",
+    "GlobalLimit",
+    "Deduplicate",
+    "LocalRelation",
+    "LogicalRDD",
+}
+
+
+def _hinted_broadcast_violations(df) -> list[str]:
+    """Joins in the OPTIMIZED logical plan carrying an explicit
+    BROADCAST hint whose hinted side scans a data-scaling table with
+    no bounding node beneath — the forced-broadcast OOM class the
+    round-8 audit removed (docs/SCALE.md §broadcast-hint policy).
+    Size-statistics/AQE broadcasts carry no hint and are never
+    flagged."""
+    root = df._jdf.queryExecution().optimizedPlan()
+    out = []
+    for node in _iter_logical(root):
+        if node.getClass().getSimpleName() != "Join":
+            continue
+        h = node.hint()
+        for side_name, hint_opt, child in (
+            ("left", h.leftHint(), node.left()),
+            ("right", h.rightHint(), node.right()),
+        ):
+            if not hint_opt.isDefined():
+                continue
+            strat = hint_opt.get().strategy()
+            if not strat.isDefined():
+                continue
+            if "BROADCAST" not in strat.get().toString().upper():
+                continue
+            bounded = any(
+                n.getClass().getSimpleName() in _BOUNDING_NODES
+                for n in _iter_logical(child)
+            )
+            if not bounded and _scans_scaling_table(child):
+                out.append(
+                    f"forced broadcast of an unbounded scaling-table frame "
+                    f"({side_name} side of a join)"
+                )
+    return out
+
+
 def _funnel_windows(df) -> list[str]:
     """Windows in the OPTIMIZED logical plan partitioned ONLY by known
     low-cardinality columns over un-aggregated input — the 5-task
@@ -264,6 +344,7 @@ def test_all_registry_plans_hold_scale_invariants(spark):
             continue
         issues = _window_violations(plan)
         issues.extend(_funnel_windows(df))
+        issues.extend(_hinted_broadcast_violations(df))
         if "CartesianProduct" in plan:
             issues.append("CartesianProduct (non-broadcast cross join)")
         if "BatchEvalPython" in plan:
@@ -299,3 +380,37 @@ def test_probe_catches_aliased_fact_grain(spark):
     assert not _window_violations(plan), "name proxy should be fooled by the alias"
     issues = _window_growth_issues(build)
     assert issues and any("scales with data" in i for i in issues)
+
+
+def test_detector_catches_funnel_window(spark):
+    """Deliberate counter-example: a rank window partitioned by
+    event_type alone over raw facts must be flagged, and the same
+    window over an hourly aggregate must be exempt."""
+    ev = load_table(spark, "events", SF)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    bad = ev.withColumn("rn", F.row_number().over(w))
+    assert _funnel_windows(bad), "raw-fact funnel window not flagged"
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ok = hourly.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("h")),
+    )
+    assert not _funnel_windows(ok), "grouped-series window wrongly flagged"
+
+
+def test_detector_catches_forced_scaling_broadcast(spark):
+    """Deliberate counter-examples for the broadcast-hint check: a
+    forced broadcast of raw supplier is flagged; the same join without
+    the hint (stats/AQE choose) and a hinted broadcast of a supplier
+    AGGREGATE are both exempt."""
+    li = load_table(spark, "lineitem", SF).select("l_suppkey", "l_quantity")
+    supp = load_table(spark, "supplier", SF).select("s_suppkey", "s_acctbal")
+    bad = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    assert _hinted_broadcast_violations(bad), "forced scaling broadcast not flagged"
+    unhinted = li.join(supp, li.l_suppkey == supp.s_suppkey)
+    assert not _hinted_broadcast_violations(unhinted), "stats-chosen join flagged"
+    agg = supp.groupBy("s_suppkey").agg(F.max("s_acctbal").alias("m"))
+    bounded = li.join(F.broadcast(agg), li.l_suppkey == agg.s_suppkey)
+    assert not _hinted_broadcast_violations(bounded), "bounded broadcast flagged"

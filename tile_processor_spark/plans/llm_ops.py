@@ -551,11 +551,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", quantized_col(F.col("embedding")).alias("q"))
     e = e.withColumn("norm", dot_col(F.col("q"), F.col("q")))
-    queries = e.filter(
-        (F.col("vec_id") % BRUTE_QUERY_STRIDE == 0)
-        & (F.col("vec_id") < BRUTE_QUERY_STRIDE * BRUTE_QUERY_CAP)
-    ).select(
-        F.col("vec_id").alias("q_id"), F.col("q").alias("qv"), F.col("norm").alias("nq")
+    queries = (
+        e.filter(
+            (F.col("vec_id") % BRUTE_QUERY_STRIDE == 0)
+            & (F.col("vec_id") < BRUTE_QUERY_STRIDE * BRUTE_QUERY_CAP)
+        )
+        # the filter already caps rows at BRUTE_QUERY_CAP; the limit is
+        # a no-op that makes the bound STRUCTURAL, so the broadcast
+        # below is provably ≤64 rows (plan-invariant broadcast check)
+        .limit(BRUTE_QUERY_CAP)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("q").alias("qv"),
+            F.col("norm").alias("nq"),
+        )
     )
     pairs = e.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
     scored = pairs.withColumn("dot", dot_col(F.col("q"), F.col("qv"))).withColumn(
@@ -1212,10 +1221,21 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Norms ride the vector projections (one scan each side) instead of
     # separate n2 scans joined back — 2 fewer FileScans + 2 fewer joins.
-    qv = e.select(
-        F.col("vec_id").alias("q_id"),
-        F.col("q").alias("qvec"),
-        dot_col(F.col("q"), F.col("q")).alias("nq"),
+    # qv is the BROADCAST side: restrict it to the capped probe query
+    # ids (the filter bounds it at BRUTE_QUERY_CAP rows; the limit
+    # makes the bound structural) — broadcasting the full embeddings
+    # frame here would scale with the corpus.
+    qv = (
+        e.filter(
+            (F.col("vec_id") % BRUTE_QUERY_STRIDE == 0)
+            & (F.col("vec_id") < BRUTE_QUERY_STRIDE * BRUTE_QUERY_CAP)
+        )
+        .limit(BRUTE_QUERY_CAP)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("q").alias("qvec"),
+            dot_col(F.col("q"), F.col("q")).alias("nq"),
+        )
     )
     vv = e.select(
         "vec_id",

@@ -526,8 +526,13 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"), "s"
     )
     corpus = ex.filter(F.col("doc_id") % BENCHMARK_MOD != 0)
+    # the benchmark side is a modulo SAMPLE of the corpus, so it scales
+    # with the data — its join strategy is left to size stats + AQE
+    # (auto-broadcast at bench scale; shingle-key shuffle at 100 TB). A
+    # real decontamination run substitutes a fixed eval suite here,
+    # which stats would then broadcast on their own.
     hits = (
-        corpus.join(F.broadcast(bench), "s")
+        corpus.join(bench, "s")
         .select("doc_id", "bench_id")
         .distinct()
     )

@@ -470,7 +470,10 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, child, ckey, parent, pkey in _FK_CHECKS:
         c = _t(spark, sf_dir, child)
         p = _t(spark, sf_dir, parent).select(F.col(pkey).alias(ckey))
-        orphans = c.join(F.broadcast(p), ckey, "left_anti")
+        # parent key sets SCALE with the data (orders, customer, ...):
+        # the anti-join strategy is left to size stats + AQE rather
+        # than a forced broadcast that would OOM at 100 TB
+        orphans = c.join(p, ckey, "left_anti")
         row = (
             c.agg(F.count(F.lit(1)).cast("long").alias("n_child_rows"))
             .crossJoin(

@@ -363,3 +363,76 @@ def test_banded_topk_matches_window_topk(frame):
             .collect()
         )
         assert got == naive, f"banded_topk mismatch at k={k}"
+
+
+def test_halo_width_precondition_rejected(frame):
+    from tile_processor_spark.plans.chunked_windows import chunked_trailing_frame
+
+    idx = banded_row_index(frame, ["k"], ["t", "id"], _cell())
+    with pytest.raises(ValueError, match="chunk_rows"):
+        chunked_trailing_frame(
+            idx, ["k"], 64, lambda d, w: d.withColumn("s", F.sum("v").over(w)),
+            chunk_rows=64,
+        )
+    with pytest.raises(ValueError, match="chunk_rows"):
+        chunked_frame(
+            idx, ["k"], 64, 0,
+            lambda d, w: d.withColumn("s", F.sum("v").over(w.rowsBetween(-64, 0))),
+            chunk_rows=64,
+        )
+    with pytest.raises(ValueError, match="chunk_rows"):
+        chunked_frame(
+            idx, ["k"], 0, 70,
+            lambda d, w: d.withColumn("s", F.sum("v").over(w.rowsBetween(0, 70))),
+            chunk_rows=64,
+        )
+    # one under the bound is fine and exact
+    wo = W.partitionBy("k").orderBy("t", "id").rowsBetween(-63, 0)
+    naive = sorted(
+        frame.select("k", "id", F.sum("v").over(wo).alias("s")).collect()
+    )
+    got = sorted(
+        chunked_trailing_frame(
+            idx, ["k"], 63,
+            lambda d, w: d.withColumn("s", F.sum("v").over(w)),
+            chunk_rows=64,
+        ).select("k", "id", "s").collect()
+    )
+    assert got == naive
+
+
+def test_banded_column_collision_guards(frame):
+    # every banded helper must refuse input frames already carrying its
+    # temp/output names instead of silently overwriting and dropping them
+    cell = _cell()
+    with pytest.raises(ValueError, match="collide"):
+        banded_row_index(frame.withColumn("r", F.lit(0)), ["k"], ["t", "id"], cell)
+    with pytest.raises(ValueError, match="collide"):
+        banded_row_index(frame.withColumn("_cell", F.lit(0)), ["k"], ["t", "id"], cell)
+    with pytest.raises(ValueError, match="collide"):
+        banded_prev(
+            frame.withColumn("_prev_v", F.lit(0)), ["k"], ["t", "id"], cell, ["v"]
+        )
+    with pytest.raises(ValueError, match="collide"):
+        banded_next(
+            frame.withColumn("_adj_v", F.lit(0)), ["k"], ["t", "id"], cell, ["v"]
+        )
+    with pytest.raises(ValueError, match="collide"):
+        banded_rank_pick(
+            frame.withColumn("pick", F.lit(0)), ["k"], ["v", "id"], cell,
+            {"med": F.expr("(n + 1) div 2")},
+        )
+    with pytest.raises(ValueError, match="collide"):
+        banded_topk(frame.withColumn("_off", F.lit(0)), ["k"], ["t", "id"], cell, 3)
+    with pytest.raises(ValueError, match="collide"):
+        banded_topk(frame, ["k"], ["t", "id"], cell, 3, rank_name="v")
+    with pytest.raises(ValueError, match="collide"):
+        banded_weighted_pick(
+            frame.withColumn("w_total", F.lit(0)), ["k"], ["v", "id"], cell,
+            "v", {"med": F.col("w_total") / 2},
+        )
+    with pytest.raises(ValueError, match="collide"):
+        banded_running_extrema(
+            frame.withColumn("_lsum", F.lit(0)), ["k"], ["t", "id"], cell,
+            "v", "mx", "mn",
+        )

@@ -51,6 +51,30 @@ CHUNK_ROWS = 8192
 DAY_US = 86_400_000_000
 
 
+def _check_collisions(df: DataFrame, names: Sequence[str], where: str) -> None:
+    """Fail loudly when a helper's temp/output column name already exists
+    on the input frame — ``withColumn`` would silently overwrite it and
+    the trailing ``drop`` would then destroy the caller's column."""
+    bad = [n for n in names if n in df.columns]
+    if bad:
+        raise ValueError(
+            f"{where}: column name(s) {bad} collide with input columns — "
+            "they would be silently overwritten and dropped"
+        )
+
+
+def _check_halo_width(width: int, what: str, chunk_rows: int) -> None:
+    """Halo exactness precondition: each chunk carries at most the
+    adjacent chunk's rows as halo, so a frame reaching ``chunk_rows`` or
+    further would be silently truncated (wrong) — reject it."""
+    if width >= chunk_rows:
+        raise ValueError(
+            f"{what}={width} >= chunk_rows={chunk_rows}: the single-chunk "
+            "halo cannot supply that many adjacent rows, frames would be "
+            "silently truncated — raise chunk_rows or narrow the frame"
+        )
+
+
 def banded_row_index(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -63,6 +87,7 @@ def banded_row_index(
     only cross-cell window runs on the per-key cell series (calendar-
     bounded), so no fact-grain data ever funnels through few tasks.
     ``cell`` must be a monotone coarsening of the first order column."""
+    _check_collisions(df, ["_cell", "_lrk", "_off", "r"], "banded_row_index")
     keys = list(key_cols)
     order = list(order_cols)
     b = df.withColumn("_cell", cell)
@@ -110,6 +135,13 @@ def _banded_adjacent(
     """Shared body of banded_prev/banded_next: local lag/lead within
     (key, cell) + a broadcast stitch carrying the previous (next)
     occupied cell's last (first) row values across cell boundaries."""
+    _check_collisions(
+        df,
+        ["_cell"]
+        + [prefix + c for c in cols]
+        + ["_adj_" + c for c in cols],
+        "banded_prev/banded_next",
+    )
     keys, order, carry = list(key_cols), list(order_cols), list(cols)
     b = df.withColumn("_cell", cell)
     wloc = W.partitionBy(*keys, "_cell").orderBy(*order)
@@ -267,6 +299,11 @@ def banded_rank_pick(
     picked row's ``df`` columns plus ``pick`` (the label) and ``n``.
     A rank outside [1, n] yields no row for that label. ``cell`` must
     be a monotone coarsening of the first order column."""
+    _check_collisions(
+        df,
+        ["_cell", "_bc", "_off", "_rk", "_lrk", "pick", "n"],
+        "banded_rank_pick",
+    )
     keys, order = list(key_cols), list(order_cols)
     b = df.withColumn("_cell", cell)
     counts = b.groupBy(*keys, "_cell").agg(F.count(F.lit(1)).alias("_bc"))
@@ -328,6 +365,7 @@ def banded_topk(
     Equivalent to ``row_number() <= k`` over the naive per-key window.
     ``cell`` must be a monotone coarsening of the first order column
     (ascending; negate columns for descending order)."""
+    _check_collisions(df, ["_cell", "_bc", "_off", rank_name], "banded_topk")
     keys, order = list(key_cols), list(order_cols)
     b = df.withColumn("_cell", cell)
     counts = b.groupBy(*keys, "_cell").agg(F.count(F.lit(1)).alias("_bc"))
@@ -372,8 +410,13 @@ def banded_weighted_pick(
     weight column ``w_total`` (e.g. ``F.col("w_total") / 2``). Weights must be
     non-negative; a threshold outside (0, w_total] yields no row for that
     label. Returns, per (key, label): the picked row's ``df`` columns
-    plus ``pick`` (the label) and ``W``. ``cell`` must be a monotone
-    coarsening of the first order column."""
+    plus ``pick`` (the label) and ``w_total`` (the per-key total weight).
+    ``cell`` must be a monotone coarsening of the first order column."""
+    _check_collisions(
+        df,
+        ["_cell", "_bw", "_offw", "_t", "_lcw", "_first", "pick", "w_total"],
+        "banded_weighted_pick",
+    )
     keys, order = list(key_cols), list(order_cols)
     b = df.withColumn("_cell", cell)
     counts = b.groupBy(*keys, "_cell").agg(F.sum(weight_col).alias("_bw"))
@@ -449,6 +492,11 @@ def banded_running_extrema(
     Saves the 10M-row offset join and the fact-grain re-aggregation
     of the sum-then-max form: the only frames past the single window
     pass are cell-grain."""
+    _check_collisions(
+        df,
+        ["_cell", "_lsum", "_ct", "_lmax", "_lmin", "_gmax", "_gmin"],
+        "banded_running_extrema",
+    )
     keys, order = list(key_cols), list(order_cols)
     b = df.withColumn("_cell", cell)
     wloc = (
@@ -495,7 +543,13 @@ def chunked_frame(
     UNFRAMED chunk-local spec ``W.partitionBy(keys, _chunk).orderBy(r)``
     (apply ``.rowsBetween`` yourself if needed — lag/lead reject an
     explicit frame) and must RETAIN all input columns (add via
-    withColumn / select("*", ...))."""
+    withColumn / select("*", ...)).
+
+    Precondition: ``before < chunk_rows`` and ``after < chunk_rows`` —
+    the halo carries at most the adjacent chunk's rows, so a wider
+    frame would be silently truncated; such calls raise ValueError."""
+    _check_halo_width(before, "before", chunk_rows)
+    _check_halo_width(after, "after", chunk_rows)
     keys = list(key_cols)
     base = indexed.withColumn(
         "_chunk", F.floor((F.col("r") - 1) / chunk_rows)
@@ -534,7 +588,12 @@ def chunked_trailing_frame(
     ``banded_row_index``), chunked for data-proportional parallelism.
     ``frame_fn(df, w)`` receives the haloed frame and the chunk-local
     WindowSpec and must return ``df`` plus its frame columns; halo rows
-    (whose frames would be incomplete) are dropped afterwards."""
+    (whose frames would be incomplete) are dropped afterwards.
+
+    Precondition: ``window < chunk_rows`` — the halo carries at most
+    the previous chunk's rows, so a wider trailing frame would be
+    silently truncated; such calls raise ValueError."""
+    _check_halo_width(window, "window", chunk_rows)
     keys = list(key_cols)
     base = indexed.withColumn(
         "_chunk", F.floor((F.col("r") - 1) / chunk_rows)

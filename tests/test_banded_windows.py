@@ -436,3 +436,25 @@ def test_banded_column_collision_guards(frame):
             frame.withColumn("_lsum", F.lit(0)), ["k"], ["t", "id"], cell,
             "v", "mx", "mn",
         )
+
+
+def test_banded_topk_size_dispatch_equivalence(frame):
+    # the naive branch (bound under NAIVE_TOPK_ROWS) and the banded
+    # branch must agree exactly — same rows, same ranks, same schema
+    naive_rows = banded_topk(
+        frame, ["k"], ["t", "id"], _cell(), 5, input_rows_bound=500
+    )
+    banded_rows = banded_topk(frame, ["k"], ["t", "id"], _cell(), 5)
+    assert naive_rows.schema == banded_rows.schema
+    got_naive = sorted(naive_rows.select("k", "t", "id", "r").collect())
+    got_banded = sorted(banded_rows.select("k", "t", "id", "r").collect())
+    assert got_naive == got_banded
+    # a bound over the threshold falls through to the banded plan
+    from tile_processor_spark.plans.chunked_windows import NAIVE_TOPK_ROWS
+
+    over = banded_topk(
+        frame, ["k"], ["t", "id"], _cell(), 5,
+        input_rows_bound=NAIVE_TOPK_ROWS + 1,
+    )
+    assert "GlobalLimit" not in over._jdf.queryExecution().optimizedPlan().toString()
+    assert sorted(over.select("k", "t", "id", "r").collect()) == got_banded

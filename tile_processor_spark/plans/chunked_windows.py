@@ -48,6 +48,13 @@ from pyspark.sql import Window as W
 #: the per-chunk halo duplication (window/chunk_rows) is noise.
 CHUNK_ROWS = 8192
 
+#: size-dispatch threshold for :func:`banded_topk`: when the caller can
+#: bound the input under this many rows, the naive per-key rank window
+#: (one scan, one shuffle, single sort task per key) beats the banded
+#: plan's two scans of an expensive upstream. 1M short rows sort in
+#: well under a second on one task, so the funnel is harmless below it.
+NAIVE_TOPK_ROWS = 1_000_000
+
 DAY_US = 86_400_000_000
 
 
@@ -356,6 +363,7 @@ def banded_topk(
     cell: Column,
     k: int,
     rank_name: str = "r",
+    input_rows_bound: int | None = None,
 ) -> DataFrame:
     """Per key, the first ``k`` rows in ``order_cols`` order with their
     global ranks — WITHOUT ranking or shuffling the full stream: a row
@@ -364,9 +372,32 @@ def banded_topk(
     candidate set to ~k rows per key before any row-level window.
     Equivalent to ``row_number() <= k`` over the naive per-key window.
     ``cell`` must be a monotone coarsening of the first order column
-    (ascending; negate columns for descending order)."""
-    _check_collisions(df, ["_cell", "_bc", "_off", rank_name], "banded_topk")
+    (ascending; negate columns for descending order).
+
+    Size dispatch: when the caller supplies ``input_rows_bound`` — a
+    cheaply-obtained UPPER bound on ``df``'s row count (e.g. the row
+    count of a pre-join table; a bound BELOW the true count silently
+    truncates rows, so it must be a real upper bound) — and that bound
+    is at most :data:`NAIVE_TOPK_ROWS`, the naive per-key rank window
+    is served instead. The banded plan scans ``df`` twice (cell counts
+    + candidates), which loses when the upstream is an expensive join
+    at small scale; the naive plan scans once. The input is capped via
+    ``limit(input_rows_bound)`` (a no-op for a true upper bound), so
+    the plan itself carries a GlobalLimit proving the window's input
+    is bounded — which is how the CI funnel sweep distinguishes this
+    measured-small case from an unintentional low-cardinality funnel."""
     keys, order = list(key_cols), list(order_cols)
+    if input_rows_bound is not None and input_rows_bound <= NAIVE_TOPK_ROWS:
+        _check_collisions(df, [rank_name], "banded_topk")
+        wnaive = W.partitionBy(*keys).orderBy(*order)
+        return (
+            df.limit(input_rows_bound)
+            # cast matches the banded branch (_off + row_number is long),
+            # so the output schema is dispatch-independent
+            .withColumn(rank_name, F.row_number().over(wnaive).cast("long"))
+            .filter(F.col(rank_name) <= k)
+        )
+    _check_collisions(df, ["_cell", "_bc", "_off", rank_name], "banded_topk")
     b = df.withColumn("_cell", cell)
     counts = b.groupBy(*keys, "_cell").agg(F.count(F.lit(1)).alias("_bc"))
     woff = (

@@ -395,9 +395,16 @@ def curate_quality_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # low-cardinality funnel class (docs/SCALE.md §sf10). quality is
     # in [0, 1]; the negated 1/64 bands are a 65-cell monotone
     # coarsening of the DESC order, and only cells whose count offset
-    # is below k reach a row-level window.
+    # is below k reach a row-level window. The banded plan scans the
+    # quality join TWICE, which dominates at bench scale — so pass the
+    # embeddings row count (an upper bound on the inner join: vec_id is
+    # the embeddings key; read from the parquet footer, no Spark job)
+    # and let banded_topk serve the naive window under NAIVE_TOPK_ROWS,
+    # the banded plan above it.
     from tile_processor_spark.plans.chunked_windows import banded_topk
+    from tile_processor_spark.sources.tables import table_row_count
 
+    emb_rows = table_row_count("embeddings", sf_dir)
     neg = j.withColumn("_negq", -F.col("quality"))
     return banded_topk(
         neg,
@@ -405,6 +412,7 @@ def curate_quality_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["_negq", "doc_id"],
         F.floor(F.col("_negq") * 64).cast("long"),
         CURATE_TOPK,
+        input_rows_bound=emb_rows,
     ).select("label", "doc_id", "quality", F.col("r").cast("long").alias("rk"))
 
 

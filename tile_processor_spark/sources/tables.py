@@ -201,6 +201,18 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return laid if laid is not None else df
 
 
+def table_row_count(name: str, sf_dir: str = DEFAULT_SF_DIR) -> int:
+    """Exact row count of a source table from the parquet footer —
+    no Spark job, ~ms. Used for size dispatches (e.g. banded_topk's
+    naive-under-threshold branch) where a cheap, exact upper bound on
+    an input's cardinality picks the plan."""
+    import pyarrow.parquet as pq
+
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
 

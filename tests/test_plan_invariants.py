@@ -26,13 +26,20 @@ sf0.001, must satisfy
    class, docs/SCALE.md §broadcast-hint policy) — stats/AQE-chosen
    broadcasts carry no hint and are never flagged.
 
-Known limits (the checks are proxies, not proofs): the name check is a
-column-name heuristic; the growth probe measures one 10× step, so a
-grain that scales with data only beyond sf0.01 (e.g. a dimension that
-saturates at small SF) passes; and plan segments hidden behind
-``localCheckpoint`` (PQ recall's cached ground truth, the sweep's
-sessionize frame) are invisible here — those are pinned by their own
-per-query plan tests at build time.
+Plan segments behind ``localCheckpoint`` are covered by interception:
+during the sweep, ``DataFrame.localCheckpoint`` is patched to run the
+shape checks (window/funnel/broadcast-hint/cartesian/BatchEvalPython)
+on the PRE-checkpoint plan before taking the checkpoint, so a
+scale-killer inside a checkpointed subplan fails CI like any other
+(test_checkpoint_interception_catches_bad_subplan is the
+counter-example). Remaining limits (the checks are proxies, not
+proofs): the name check is a column-name heuristic; the growth probe
+measures one 10× step, so a grain that scales with data only beyond
+sf0.01 (e.g. a dimension that saturates at small SF) passes, and it
+does not descend into checkpointed segments; and per-session caches
+(PQ fit, IVF routing) skip their checkpoints on warm builds, so those
+segments are only intercepted on the first cold build in a session —
+their per-query plan pins remain the primary gate.
 
 This generalizes the per-query pins (test_distributed_rank_plans,
 test_semantic_ts_plans, test_ann_pq) into one registry-wide gate: a new
@@ -43,8 +50,11 @@ round the judge reads its plan.
 from __future__ import annotations
 
 import re
+from contextlib import contextmanager
 
 import pyspark.sql.functions as F
+from pyspark.sql import DataFrame as PyDataFrame
+from pyspark.sql.classic.dataframe import DataFrame as ClassicDataFrame
 from pyspark.sql.window import Window
 
 from tile_processor_spark.plans.registry import all_specs
@@ -249,15 +259,37 @@ def _hinted_broadcast_violations(df) -> list[str]:
     return out
 
 
+def _globallimit_bound(node) -> int | None:
+    """Smallest literal GlobalLimit in the subtree, or None. A
+    GlobalLimit is a plan-level proof the window's input cardinality is
+    capped regardless of data volume — banded_topk's size dispatch
+    emits one (limit = the caller's measured row bound) exactly so this
+    sweep can tell an intentionally-small naive window from a funnel."""
+    best = None
+    for ch in _iter_logical(node):
+        if ch.getClass().getSimpleName() != "GlobalLimit":
+            continue
+        m = re.match(r"^(\d+)$", ch.limitExpr().toString())
+        if m:
+            v = int(m.group(1))
+            best = v if best is None else min(best, v)
+    return best
+
+
 def _funnel_windows(df) -> list[str]:
     """Windows in the OPTIMIZED logical plan partitioned ONLY by known
     low-cardinality columns over un-aggregated input — the 5-task
     funnel class. A window whose child subtree contains an Aggregate
     is exempt: its input is a grouped series (hourly buckets, cell
-    counts, histogram bins), bounded per partition key. Name-proxy
-    caveats: a low-card column hiding under an alias, an Aggregate
-    that doesn't actually reduce grain, and plan segments behind
-    localCheckpoint are all invisible to this check."""
+    counts, histogram bins), bounded per partition key. A child
+    subtree carrying a literal GlobalLimit of at most NAIVE_TOPK_ROWS
+    is also exempt: the input is row-capped in the plan itself
+    (banded_topk's size dispatch). Name-proxy caveats: a low-card
+    column hiding under an alias, an Aggregate that doesn't actually
+    reduce grain, and plan segments behind localCheckpoint are all
+    invisible to this check."""
+    from tile_processor_spark.plans.chunked_windows import NAIVE_TOPK_ROWS
+
     root = df._jdf.queryExecution().optimizedPlan()
     out = []
     for node in _iter_logical(root):
@@ -276,6 +308,9 @@ def _funnel_windows(df) -> list[str]:
             ch.getClass().getSimpleName() == "Aggregate"
             for ch in _iter_logical(node.child())
         )
+        bound = _globallimit_bound(node.child())
+        if bound is not None and bound <= NAIVE_TOPK_ROWS:
+            continue  # row-capped input: intentionally-small naive window
         if not has_agg:
             out.append(
                 f"low-cardinality funnel window: partitionBy({names}) "
@@ -331,18 +366,70 @@ def _window_growth_issues(build_fn) -> list[str]:
     return issues
 
 
+def _shape_issues(df) -> list[str]:
+    """All plan-SHAPE invariants (everything except the runtime growth
+    probe) for one DataFrame — shared by the main sweep and the
+    localCheckpoint interception."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    issues = _window_violations(plan)
+    issues.extend(_funnel_windows(df))
+    issues.extend(_hinted_broadcast_violations(df))
+    if "CartesianProduct" in plan:
+        issues.append("CartesianProduct (non-broadcast cross join)")
+    if "BatchEvalPython" in plan:
+        issues.append("BatchEvalPython (row-at-a-time Python UDF)")
+    return issues
+
+
+@contextmanager
+def _checked_checkpoints(sink: list[str]):
+    """Patch DataFrame.localCheckpoint to shape-check the
+    PRE-checkpoint plan (checkpointing replaces the lineage with a
+    LogicalRDD, making the subplan invisible to any later check) and
+    append violations to ``sink`` before taking the real checkpoint.
+    Both the abstract base and the concrete ``classic.DataFrame``
+    define localCheckpoint, so patch every class in the MRO that owns
+    one — patching only the base would be shadowed by the subclass."""
+    owners = [
+        klass
+        for klass in (ClassicDataFrame, PyDataFrame)
+        if "localCheckpoint" in klass.__dict__
+    ]
+    origs = {klass: klass.localCheckpoint for klass in owners}
+
+    def make_patched(orig):
+        def patched(self, *args, **kwargs):
+            sink.extend(
+                f"checkpointed subplan: {i}" for i in _shape_issues(self)
+            )
+            return orig(self, *args, **kwargs)
+
+        return patched
+
+    for klass, orig in origs.items():
+        klass.localCheckpoint = make_patched(orig)
+    try:
+        yield
+    finally:
+        for klass, orig in origs.items():
+            klass.localCheckpoint = orig
+
+
 def test_all_registry_plans_hold_scale_invariants(spark):
     specs = all_specs()
     assert len(specs) >= 187
     failures: dict[str, list[str]] = {}
     for name, spec in specs.items():
+        ckpt_issues: list[str] = []
         try:
-            df = spec.spark_fn(spark, SF)
+            with _checked_checkpoints(ckpt_issues):
+                df = spec.spark_fn(spark, SF)
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # a query that cannot even plan is a failure
             failures[name] = [f"build error: {type(e).__name__}: {e}"]
             continue
-        issues = _window_violations(plan)
+        issues = ckpt_issues
+        issues.extend(_window_violations(plan))
         issues.extend(_funnel_windows(df))
         issues.extend(_hinted_broadcast_violations(df))
         if "CartesianProduct" in plan:
@@ -398,6 +485,12 @@ def test_detector_catches_funnel_window(spark):
         F.row_number().over(Window.partitionBy("event_type").orderBy("h")),
     )
     assert not _funnel_windows(ok), "grouped-series window wrongly flagged"
+    # a row-capped input (banded_topk's size dispatch emits the limit)
+    # is exempt; an oversized cap is NOT a boundedness proof
+    capped = ev.limit(1000).withColumn("rn", F.row_number().over(w))
+    assert not _funnel_windows(capped), "limit-bounded window wrongly flagged"
+    toobig = ev.limit(5_000_000).withColumn("rn", F.row_number().over(w))
+    assert _funnel_windows(toobig), "oversized limit accepted as bound"
 
 
 def test_detector_catches_forced_scaling_broadcast(spark):
@@ -414,3 +507,26 @@ def test_detector_catches_forced_scaling_broadcast(spark):
     agg = supp.groupBy("s_suppkey").agg(F.max("s_acctbal").alias("m"))
     bounded = li.join(F.broadcast(agg), li.l_suppkey == agg.s_suppkey)
     assert not _hinted_broadcast_violations(bounded), "bounded broadcast flagged"
+
+
+def test_checkpoint_interception_catches_bad_subplan(spark):
+    """Deliberate counter-example: a funnel window hidden behind
+    localCheckpoint is invisible to every post-hoc plan check (the
+    lineage is a LogicalRDD), but the interception sees the
+    PRE-checkpoint plan and flags it — while a clean checkpointed
+    subplan passes untouched and still checkpoints for real."""
+    ev = load_table(spark, "events", SF)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    sink: list[str] = []
+    with _checked_checkpoints(sink):
+        bad = ev.withColumn("rn", F.row_number().over(w)).localCheckpoint()
+    assert sink and any("funnel" in s for s in sink), sink
+    # post-hoc check on the checkpointed frame is blind — the reason
+    # the interception exists
+    assert not _funnel_windows(bad)
+    assert bad.count() > 0  # the checkpoint itself still happened
+    sink.clear()
+    with _checked_checkpoints(sink):
+        ok = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+    assert not sink, sink
+    assert ok.count() > 0

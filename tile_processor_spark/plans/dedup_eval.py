@@ -27,10 +27,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tile_processor_spark.plans.llm_ops import (
+    AUDIT_SAMPLE_PCT,
     MINHASH_EMIT_THRESHOLD,
     MINHASH_PRIME,
+    SQL_AUDIT_SLICE,
     SQL_TOKENS,
     _docs,
+    audit_slice,
     exact_jaccard_pairs,
     minhash_bands,
     minhash_candidates,
@@ -38,9 +41,10 @@ from tile_processor_spark.plans.llm_ops import (
 )
 from tile_processor_spark.plans.registry import register
 
-_RECALL_ORACLE = f"""
+def _recall_oracle(doc_filter: str = "TRUE") -> str:
+    return f"""
     WITH words AS (
-      SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+      SELECT doc_id, {SQL_TOKENS} AS w FROM documents WHERE {doc_filter}
     ),
     sh AS (
       SELECT doc_id,
@@ -93,6 +97,9 @@ _RECALL_ORACLE = f"""
 """
 
 
+_RECALL_ORACLE = _recall_oracle()
+
+
 @register(
     "dedup_minhash_recall",
     oracle=_RECALL_ORACLE,
@@ -111,7 +118,34 @@ _RECALL_ORACLE = f"""
     tags=("llm", "dedup", "eval"),
 )
 def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_recall_frame(spark, sf_dir, sampled=False)
+
+
+@register(
+    "dedup_minhash_recall_sampled",
+    oracle=_recall_oracle(SQL_AUDIT_SLICE.format(pct=AUDIT_SAMPLE_PCT)),
+    doc=(
+        "Sampled-slice audit mode of dedup_minhash_recall: the full "
+        "LSH-vs-exact-truth metric computed on a deterministic "
+        "audit_slice of the corpus — the quadratic truth side (the "
+        "thing LSH exists to avoid) shrinks by pct² while recall and "
+        "precision stay exact ON the slice, which is an unbiased "
+        "estimate of the banding's corpus-wide behavior. This is the "
+        "form that stays runnable as the corpus scales; gate-pinned "
+        "at 50%."
+    ),
+    tags=("llm", "dedup", "eval", "sampled"),
+)
+def dedup_minhash_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_recall_frame(spark, sf_dir, sampled=True)
+
+
+def _minhash_recall_frame(
+    spark: SparkSession, sf_dir: str, sampled: bool
+) -> DataFrame:
     d = _docs(spark, sf_dir)
+    if sampled:
+        d = audit_slice(d)
     # Zero-shingle documents (< 3 tokens) get the sentinel all-PRIME
     # signature and would bucket-collide with each other in every band,
     # while the oracle's sigs CTE simply has no rows for them — exclude

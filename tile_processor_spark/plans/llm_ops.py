@@ -736,9 +736,36 @@ def text_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NGRAM_JACCARD_ORACLE = f"""
+#: sampled-slice audit percentage for the quadratic truth operators —
+#: the registered *_sampled rows pin the mechanism at 50% (so the gate
+#: corpus still contains near-dup pairs to check); at production scale
+#: callers pass 1-5% and the quadratic cost drops by pct².
+AUDIT_SAMPLE_PCT = 50
+
+#: DuckDB twin of :func:`audit_slice` — identical md5-prefix bucket.
+SQL_AUDIT_SLICE = (
+    "CAST('0x' || substr(md5('audit#' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    " AS BIGINT) % 100 < {pct}"
+)
+
+
+def audit_slice(d: DataFrame, pct: int = AUDIT_SAMPLE_PCT) -> DataFrame:
+    """Deterministic ~pct% corpus slice for the quadratic audit
+    operators (exact Jaccard truth, prefix-filter recall, LSH recall):
+    membership is the md5-prefix hash of ``'audit#' + doc_id`` — a pure
+    map (no shuffle), reproducible at any partition count, and computed
+    identically by the DuckDB oracle via :data:`SQL_AUDIT_SLICE`.
+    Sampling DOCUMENTS (not pairs) keeps both ends of every surviving
+    pair in the slice, so pair-level metrics (jaccard, recall,
+    precision) are exact on the sampled sub-corpus."""
+    bucket = hash32(F.concat(F.lit("audit#"), F.col("doc_id").cast("string"))) % 100
+    return d.filter(bucket < pct)
+
+
+def _ngram_jaccard_oracle(doc_filter: str = "TRUE") -> str:
+    return f"""
     WITH words AS (
-      SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+      SELECT doc_id, {SQL_TOKENS} AS w FROM documents WHERE {doc_filter}
     ),
     sh AS (
       SELECT doc_id,
@@ -760,6 +787,9 @@ _NGRAM_JACCARD_ORACLE = f"""
     JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
     WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= {NEAR_DUP_THRESHOLD}
 """
+
+
+_NGRAM_JACCARD_ORACLE = _ngram_jaccard_oracle()
 
 
 @pandas_udf(T.ArrayType(T.LongType()))
@@ -790,12 +820,34 @@ def _shingle_hashes_udf(text: pd.Series) -> pd.Series:
         "scale this join needs the standard prefix filter (drop shingles "
         "with document frequency above a cap) to bound the self-join, "
         "which changes recall, so we keep it exact here and gate-check "
-        "it exactly."
+        "it exactly. Past gate scale, run dedup_ngram_jaccard_sampled: "
+        "the same exact join on a deterministic audit_slice."
     ),
     tags=("llm", "dedup"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return exact_jaccard_pairs(d, NEAR_DUP_THRESHOLD)
+
+
+@register(
+    "dedup_ngram_jaccard_sampled",
+    oracle=_ngram_jaccard_oracle(SQL_AUDIT_SLICE.format(pct=AUDIT_SAMPLE_PCT)),
+    doc=(
+        "Sampled-slice audit mode of dedup_ngram_jaccard: the exact "
+        "quadratic Jaccard join restricted to a deterministic "
+        "md5-bucket slice of the corpus (audit_slice, both engines "
+        "computing identical membership), which is how the exact-truth "
+        "operator stays runnable as the corpus grows — the join cost "
+        "drops by pct² while every pair INSIDE the slice keeps its "
+        "exact jaccard. Gate-pinned at 50% so the slice still holds "
+        "near-dup pairs; production audits run 1-5%."
+    ),
+    tags=("llm", "dedup", "sampled"),
+)
+def dedup_ngram_jaccard_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = audit_slice(_docs(spark, sf_dir))
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return exact_jaccard_pairs(d, NEAR_DUP_THRESHOLD)
 

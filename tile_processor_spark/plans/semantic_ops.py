@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 from tile_processor_spark.plans import llm_ops  # registers embedding_near_dup_pairs
 from tile_processor_spark.plans.cc_star import connected_components_star
 from tile_processor_spark.plans.llm_ops import (
+    AUDIT_SAMPLE_PCT,
+    SQL_AUDIT_SLICE,
     SQL_QUANT,
     SQL_TOKENS,
     quantized_col,
@@ -417,11 +419,10 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHINGLE_DF_CAP = 3  # prefix filter: join only through shingles in <= 3 docs
 
 
-@register(
-    "dedup_jaccard_prefix_filtered",
-    oracle=f"""
+def _prefix_filter_oracle(doc_filter: str = "TRUE") -> str:
+    return f"""
     WITH words AS (
-      SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+      SELECT doc_id, {SQL_TOKENS} AS w FROM documents WHERE {doc_filter}
     ),
     sh AS (
       SELECT doc_id,
@@ -458,7 +459,12 @@ SHINGLE_DF_CAP = 3  # prefix filter: join only through shingles in <= 3 docs
                      / (SELECT COUNT(*) FROM truth) END AS recall,
            CAST((SELECT COUNT(*) FROM cand) AS DOUBLE)
              / (SELECT COUNT(*) FROM inter) AS candidate_ratio
-    """,
+    """
+
+
+@register(
+    "dedup_jaccard_prefix_filtered",
+    oracle=_prefix_filter_oracle(),
     doc=(
         "The documented 100 TB path for exact-Jaccard dedup, made real "
         "and AUDITED: a document-frequency prefix filter drops shingles "
@@ -474,9 +480,38 @@ SHINGLE_DF_CAP = 3  # prefix filter: join only through shingles in <= 3 docs
     tags=("llm", "dedup"),
 )
 def dedup_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tile_processor_spark.plans.llm_ops import shingle_pair_stats, shingle_tokens
+    return _prefix_filter_frame(spark, sf_dir, sampled=False)
+
+
+@register(
+    "dedup_jaccard_prefix_filtered_sampled",
+    oracle=_prefix_filter_oracle(SQL_AUDIT_SLICE.format(pct=AUDIT_SAMPLE_PCT)),
+    doc=(
+        "Sampled-slice audit mode of dedup_jaccard_prefix_filtered: the "
+        "prefix-filter recall/cost audit on a deterministic audit_slice "
+        "of the corpus. The audit's quadratic truth side shrinks by "
+        "pct² while recall and candidate_ratio stay exact ON the slice "
+        "— the form that stays runnable at sf1+ (docs/SCALE.md §sf1). "
+        "Gate-pinned at 50%; production audits run 1-5%."
+    ),
+    tags=("llm", "dedup", "sampled"),
+)
+def dedup_jaccard_prefix_filtered_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _prefix_filter_frame(spark, sf_dir, sampled=True)
+
+
+def _prefix_filter_frame(spark: SparkSession, sf_dir: str, sampled: bool) -> DataFrame:
+    from tile_processor_spark.plans.llm_ops import (
+        audit_slice,
+        shingle_pair_stats,
+        shingle_tokens,
+    )
 
     d = load_table(spark, "documents", sf_dir)
+    if sampled:
+        d = audit_slice(d)
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     # ONE shingle pass (checkpointed) feeds the df table, the filtered
     # candidate join, the unfiltered pair stats, and the exact truth.

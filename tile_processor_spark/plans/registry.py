@@ -47,79 +47,35 @@ def register(
 
 
 # The external correctness gate records only the FIRST 50 registry entries,
-# so ordering is part of the verification contract. Rotation policy: a
-# query that is driver-green in TWO consecutive rounds yields its slot to
-# queries that have never had a driver row (or whose code path changed).
-# Round-8 window: q1 (flagship) + the 7 NEW round-8 rows (five
-# streaming-sketch store read paths + the watermark sessionization row
-# + the approx-percentile scale twin) + events_interval_overlap (code
-# changed this round: cell-size trim — standing changed-row policy) +
-# 41 of the 43 rows whose latest driver-green is round 4. The window
-# holds 50, so TWO r4 rows defer to round 9 (first in line there):
-# embedding_normalize and spatial_zorder_keys — chosen as the two
-# lowest-drift pure projections (both deterministic, both pinned by
-# the full-registry pytest oracle gate every round).
+# so ordering is part of the verification contract. The window is no
+# longer hand-curated prose: ``tools/gate_rotation.py`` derives it from
+# the CORRECTNESS_r*.json history (flagship → red rows → declared
+# changed rows → never-gated rows → stalest-first), and
+# ``tests/test_gate_rotation.py::test_current_gate_priority_matches_derived_window``
+# pins that this list IS the tool's output for the checked-in history +
+# ``_ROUND_CHANGED`` — regenerate with
+#   python tools/gate_rotation.py --changed <names>
+# whenever the round's changed-row set or the correctness history moves.
+
+#: rows whose CODE was re-planned this round (plan changed, oracle
+#: unchanged) — the standing re-verify policy's explicit input.
+#: Round 9: curate_quality_by_cluster gained the banded_topk size
+#: dispatch (naive window under a row-capped input at bench scale).
+_ROUND_CHANGED: tuple[str, ...] = ("curate_quality_by_cluster",)
+
+# Round-9 window: q1 (flagship) + the dispatch re-plan + the 4
+# never-gated rows (lineitem_weighted_median from round-8 close, the
+# three sampled-slice audit twins added this round) + the 12 rows whose
+# latest driver-green is round 4 + the 32 stalest round-5 rows. After
+# this round every registry row's driver evidence is round 5 or newer
+# and the r4 backlog retires.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # flagship
     "q1_pricing_summary",
-    # new round-8 rows (never driver-gated)
-    "stream_kmv_distinct_users",
-    "stream_hll_distinct_users",
-    "stream_cms_event_type_counts",
-    "stream_hist_quantiles",
-    "stream_topk_heavy_users",
-    "stream_sessionize_late_events",
-    "spatial_percentile_heights_approx",
-    # code changed this round — re-verify (standing policy). The six
-    # banded-window migrations (chunked_windows.py) keep their oracles
-    # unchanged; rolling_distinct_hll is new (never driver-gated);
-    # rolling_median / minhash / rolling_7d were re-planned after the
-    # sf1/sf10 rehearsals.
-    "events_interval_overlap",
-    "events_twap_hourly",
-    "events_cusum_drift",
-    "events_ewma_approx",
-    "events_anomaly_intervals",
-    "events_winsorized_stats",
-    "events_mad_by_type",
-    "rolling_distinct_hll",
-    "events_rolling_median",
-    "dedup_minhash_pairs",
-    "rolling_7d_distinct_users",
-    # stalest rows: latest driver-green is round 4 (first 31 of 43;
-    # the window holds 50, so the last 10 below sit past the cut and
-    # rotate in round 9 with embedding_normalize / spatial_zorder_keys)
-    "anti_join_missing",
-    "array_agg_group",
-    "cube_segment_priority",
-    "decontaminate_overlap",
-    "distinct_projection",
-    "events_asof_forward",
-    "events_band_join",
-    "events_daily_profile",
-    "events_funnel",
-    "events_gapfill_locf",
-    "events_hypertable_rollup",
-    "events_json_props",
-    "events_ohlc_hourly",
-    "events_retention_cohorts",
-    "events_session_window",
-    "events_sliding_window",
-    "groupby_month_rollup",
-    "isin_filter",
-    "multimodal_frame_sample",
-    "null_guard_filter",
-    "pack_sequences",
-    "priority_dedup_ties",
-    "q11_important_parts",
-    "q13_order_count_distribution",
-    "q2_min_price_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation",
+    "curate_quality_by_cluster",
+    "lineitem_weighted_median",
+    "dedup_ngram_jaccard_sampled",
+    "dedup_minhash_recall_sampled",
+    "dedup_jaccard_prefix_filtered_sampled",
     "regexp_extract_ids",
     "rollup_order_stats",
     "semi_join_intersection",
@@ -130,21 +86,42 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "union_dedup",
     "window_order_gaps",
     "window_running_sum",
+    "embedding_normalize",
+    "spatial_zorder_keys",
+    "q12_priority_by_status",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q22_idle_customers",
+    "window_rank_family",
+    "grouping_sets_order_stats",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q20_substantial_suppliers",
+    "q21_waiting_suppliers",
+    "lateral_top_order_per_customer",
+    "dedup_simhash",
+    "ann_lsh_buckets",
+    "ann_ivf_search",
+    "text_chunk_windows",
+    "dedup_connected_components",
+    "dedup_keep_canonical",
+    "sample_stratified",
+    "sample_per_group_topk",
+    "sample_split_assign",
+    "embedding_dim_stats",
+    "corpus_shard_assign",
+    "text_doc_frequency_score",
+    "dedup_connected_components_star",
+    "sample_temperature_mixture",
+    "corpus_curation_manifest",
+    "ann_kmeans_fit",
+    "spatial_point_in_tile_join",
+    "spatial_within_extent",
+    "spatial_tiles_intersecting_extent",
     # everything else follows in registration order
 )
-
-# Round-9 rotation candidates, in priority order: (a) any row that is
-# red in CORRECTNESS_r08; (b) rows added or re-planned late in round 8
-# and never driver-gated — lineitem_weighted_median (new,
-# banded_weighted_pick), and the rank-pick re-plans of
-# events_winsorized_stats / events_mad_by_type /
-# orders_percentile_cont / median_disc_by_priority if they miss this
-# round's window; (c) rows whose code changes in round 9; (d) the 12
-# r4 rows past this round's cut — embedding_normalize,
-# spatial_zorder_keys, and the 10 stale names after position 50 above
-# (regexp_extract_ids .. window_running_sum); (e) the stalest r5 rows
-# by last-verified round (the 49 rows last green in round 5 — spatial
-# gate family, dedup family, ...).
 
 
 def all_specs() -> dict[str, QuerySpec]:

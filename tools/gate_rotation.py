@@ -1,0 +1,131 @@
+"""Derive the next round's ``_GATE_PRIORITY`` window from the recorded
+CORRECTNESS_r*.json history, so the hand-maintained 50-name list in
+``plans/registry.py`` cannot drift from the rotation policy.
+
+Policy (the prose at ``registry.py`` made executable):
+
+1. the flagship ``q1_pricing_summary`` always holds slot 1;
+2. rows that are RED in their most recent driver record (never healed)
+   come next — a red row must be re-gated before anything else;
+3. caller-declared ``changed`` rows (code re-planned this round — the
+   tool cannot detect plan changes, so this stays an explicit input),
+   in the given order;
+4. rows that have NEVER had a driver record, in registry order;
+5. everything else, stalest first (ascending latest-green round),
+   tie-broken by registry order.
+
+The window is the first ``size`` names of that ordering. Run as a
+script to print the proposed window for review:
+
+    python tools/gate_rotation.py --changed a,b,c
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from collections.abc import Sequence
+
+FLAGSHIP = "q1_pricing_summary"
+WINDOW_SIZE = 50
+
+
+def record_is_green(rec: dict) -> bool:
+    """A driver correctness record is green when rows and schema match
+    and the value hash matches (hash may be absent for rows-only
+    checks of non-SQL-expressible ops)."""
+    return bool(
+        rec.get("rows_match")
+        and rec.get("schema_match")
+        and rec.get("hash_match") in (True, None)
+    )
+
+
+def load_history(repo_dir: str) -> tuple[dict[str, int], dict[str, int]]:
+    """Scan CORRECTNESS_r*.json; return (latest_green, latest_any):
+    per query name, the highest round with a green record and the
+    highest round with any record at all."""
+    latest_green: dict[str, int] = {}
+    latest_any: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            records = json.load(f)
+        for name, rec in records.items():
+            latest_any[name] = max(latest_any.get(name, 0), rnd)
+            if record_is_green(rec):
+                latest_green[name] = max(latest_green.get(name, 0), rnd)
+    return latest_green, latest_any
+
+
+def propose_window(
+    registry_names: Sequence[str],
+    latest_green: dict[str, int],
+    latest_any: dict[str, int],
+    changed: Sequence[str] = (),
+    size: int = WINDOW_SIZE,
+) -> list[str]:
+    """The next gate window under the rotation policy (see module doc).
+    ``registry_names`` is the full registry in registration order;
+    ``changed`` lists rows whose code was re-planned this round.
+    Unknown ``changed`` names raise (same misspelling hazard the
+    registry's own unknown-name check guards against)."""
+    known = set(registry_names)
+    unknown = [c for c in changed if c not in known]
+    if unknown:
+        raise ValueError(f"changed names not in registry: {unknown}")
+    reg_order = {n: i for i, n in enumerate(registry_names)}
+
+    def tier(name: str) -> tuple:
+        if name == FLAGSHIP:
+            return (0, 0)
+        green, any_rec = latest_green.get(name), latest_any.get(name)
+        if any_rec is not None and (green is None or green < any_rec):
+            return (1, reg_order[name])  # red in its latest record
+        if name in changed:
+            return (2, list(changed).index(name))
+        if any_rec is None:
+            return (3, reg_order[name])  # never driver-gated
+        return (4, green, reg_order[name])  # stalest first
+
+    ordered = sorted(registry_names, key=tier)
+    return ordered[:size]
+
+
+def main(argv: Sequence[str] | None = None) -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--changed",
+        default="",
+        help="comma-separated rows whose code was re-planned this round",
+    )
+    ap.add_argument("--size", type=int, default=WINDOW_SIZE)
+    ap.add_argument(
+        "--repo", default=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    ns = ap.parse_args(argv)
+
+    import sys
+
+    sys.path.insert(0, ns.repo)
+    from tile_processor_spark.plans.registry import all_specs
+
+    names = list(all_specs())
+    latest_green, latest_any = load_history(ns.repo)
+    changed = [c for c in ns.changed.split(",") if c]
+    window = propose_window(names, latest_green, latest_any, changed, ns.size)
+    for i, name in enumerate(window, 1):
+        green = latest_green.get(name)
+        tag = f"green r{green}" if green else "never gated"
+        print(f"{i:3d}  {name}  [{tag}]")
+
+
+if __name__ == "__main__":
+    main()

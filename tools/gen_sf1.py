@@ -27,7 +27,7 @@ sensitive to:
 Only the three tables the five rehearsal queries read are generated;
 everything is written with a fixed seed so reruns are reproducible.
 
-Usage: python tools/gen_sf1.py [out_dir [events_mult]]
+Usage: python tools/gen_sf1.py [out_dir [events_mult [--relational]]]
     out_dir      default /tmp/sf1
     events_mult  scale the EVENTS axis a further N× beyond sf1 (rows
                  and time span together, users fixed — the same
@@ -36,6 +36,13 @@ Usage: python tools/gen_sf1.py [out_dir [events_mult]]
                  scaling point on the events family. documents and
                  embeddings stay at sf1 scale (symlink or regenerate
                  separately if needed).
+    --relational generate the TPC-H-ish star (lineitem 600k x mult,
+                 orders 1.5M x mult, customer 15k x mult, supplier
+                 1k x mult + copied nation/region) in the 1995-2001
+                 date epoch the relational queries target — the
+                 q1/q3/q4/q5/q10 rehearsal dataset. events_mult is
+                 the star's scale (1 = bench grain, 10 = the 10x
+                 rehearsal point).
 """
 
 from __future__ import annotations
@@ -130,7 +137,8 @@ def gen_documents(rng: np.random.Generator) -> pa.Table:
     )
 
 
-N_ORDERS = 1_500_000  # 10x the sf0.1 orders table
+N_ORDERS = 1_500_000  # 10x the round-8 sf0.1 orders table (150k then;
+# the driver regenerated sf0.1 orders at this size mid-round-9)
 N_CUSTOMERS = 15_000
 ORDER_PRIORITIES = np.array(
     ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
@@ -138,23 +146,137 @@ ORDER_PRIORITIES = np.array(
 ORDER_STATUSES = np.array(["F", "O", "P"])
 
 
-def gen_orders(rng: np.random.Generator) -> pa.Table:
+def gen_orders(
+    rng: np.random.Generator, n: int = N_ORDERS, n_customers: int = N_CUSTOMERS
+) -> pa.Table:
     """10x orders on the MORE-ORDERS axis (driver schema, uniform
     priorities like TPC-H): the scaling point for the rank-by-priority
     migrations (orders_percentile_cont / median_disc_by_priority),
     whose former per-priority windows were the 5-task funnel class."""
-    n = N_ORDERS
     span_us = 7 * 365 * 86_400_000_000
     dates = rng.integers(0, span_us, n) + T0_US - span_us
     price = np.round(rng.uniform(1000.0, 500_000.0, n), 2)
     return pa.table(
         {
             "o_orderkey": pa.array(np.arange(1, n + 1), pa.int64()),
-            "o_custkey": pa.array(rng.integers(1, N_CUSTOMERS + 1, n), pa.int64()),
+            "o_custkey": pa.array(rng.integers(1, n_customers + 1, n), pa.int64()),
             "o_orderstatus": pa.array(ORDER_STATUSES[rng.integers(0, 3, n)]),
             "o_totalprice": pa.array(price, pa.float64()),
             "o_orderdate": pa.array(dates, pa.timestamp("us")),
             "o_orderpriority": pa.array(ORDER_PRIORITIES[rng.integers(0, 5, n)]),
+        }
+    )
+
+
+# --- relational (TPC-H-ish) rehearsal tables.
+# Base (scale=1) matches the sf0.1 bench grain: lineitem 600k, orders
+# 1.5M, customer 15k, supplier 1k; scale=10 is the 10x rehearsal point.
+# Both points come from THIS generator (the driver's own sf0.1 orders
+# table switched to a 2017-2023 date epoch mid-build, which makes the
+# 1996/1997 predicates of q3/q4/q5/q10 select nothing there — a
+# degenerate baseline), with o_orderdate/l_shipdate in the 1995-2001
+# epoch the queries target. lineitem.l_orderkey spans only the first
+# 10% of o_orderkey — the structural join selectivity the driver data
+# has at sf0.01. Value domains match the driver marginals (quantity
+# 1..50, discount 0..0.10, tax 0..0.08, flags uniform over the
+# observed combos).
+REL_LINEITEM = 600_000
+REL_ORDERS = 1_500_000
+REL_CUSTOMERS = 15_000
+REL_SUPPLIERS = 1_000
+REL_PARTS = 20_000
+SHIP_T0_US = 788_918_400_000_000  # 1995-01-02T00:00:00Z
+ORDER_T0_US = 788_832_000_000_000  # 1995-01-01T00:00:00Z
+RETURN_FLAGS = np.array(["A", "N", "R"])
+LINE_STATUSES = np.array(["F", "O"])
+MKT_SEGMENTS = np.array(
+    ["MACHINERY", "BUILDING", "AUTOMOBILE", "HOUSEHOLD", "FURNITURE"]
+)
+
+
+def gen_rel_orders(rng: np.random.Generator, scale: int = 1) -> pa.Table:
+    """Orders for the relational rehearsal star: same schema as
+    gen_orders but in the 1995-2001 epoch so the q3/q4/q5/q10 date
+    predicates select real windows."""
+    n = REL_ORDERS * scale
+    span_us = int(6.6 * 365 * 86_400_000_000)
+    dates = rng.integers(0, span_us, n) + ORDER_T0_US
+    price = np.round(rng.uniform(1000.0, 500_000.0, n), 2)
+    return pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(1, n + 1), pa.int64()),
+            "o_custkey": pa.array(
+                rng.integers(1, REL_CUSTOMERS * scale + 1, n), pa.int64()
+            ),
+            "o_orderstatus": pa.array(ORDER_STATUSES[rng.integers(0, 3, n)]),
+            "o_totalprice": pa.array(price, pa.float64()),
+            "o_orderdate": pa.array(dates, pa.timestamp("us")),
+            "o_orderpriority": pa.array(ORDER_PRIORITIES[rng.integers(0, 5, n)]),
+        }
+    )
+
+
+def gen_lineitem(rng: np.random.Generator, scale: int = 1) -> pa.Table:
+    n = REL_LINEITEM * scale
+    ship_span_us = int(6.8 * 365 * 86_400_000_000)
+    return pa.table(
+        {
+            "l_orderkey": pa.array(
+                rng.integers(0, REL_ORDERS * scale // 10, n), pa.int64()
+            ),
+            "l_partkey": pa.array(
+                rng.integers(0, REL_PARTS * scale, n), pa.int64()
+            ),
+            "l_suppkey": pa.array(
+                rng.integers(0, REL_SUPPLIERS * scale, n), pa.int64()
+            ),
+            "l_linenumber": pa.array(rng.integers(1, 8, n), pa.int32()),
+            "l_quantity": pa.array(
+                rng.integers(1, 51, n).astype(np.float64), pa.float64()
+            ),
+            "l_extendedprice": pa.array(
+                np.round(rng.uniform(900.0, 105_000.0, n), 2), pa.float64()
+            ),
+            "l_discount": pa.array(
+                np.round(rng.integers(0, 11, n) / 100.0, 2), pa.float64()
+            ),
+            "l_tax": pa.array(
+                np.round(rng.integers(0, 9, n) / 100.0, 2), pa.float64()
+            ),
+            "l_returnflag": pa.array(RETURN_FLAGS[rng.integers(0, 3, n)]),
+            "l_linestatus": pa.array(LINE_STATUSES[rng.integers(0, 2, n)]),
+            "l_shipdate": pa.array(
+                rng.integers(0, ship_span_us, n) + SHIP_T0_US, pa.timestamp("us")
+            ),
+        }
+    )
+
+
+def gen_customer(rng: np.random.Generator, scale: int = 1) -> pa.Table:
+    n = REL_CUSTOMERS * scale
+    return pa.table(
+        {
+            "c_custkey": pa.array(np.arange(1, n + 1), pa.int64()),
+            "c_name": pa.array([f"Customer#{i:09d}" for i in range(1, n + 1)]),
+            "c_nationkey": pa.array(rng.integers(0, 25, n), pa.int32()),
+            "c_acctbal": pa.array(
+                np.round(rng.uniform(-999.99, 9999.99, n), 2), pa.float64()
+            ),
+            "c_mktsegment": pa.array(MKT_SEGMENTS[rng.integers(0, 5, n)]),
+        }
+    )
+
+
+def gen_supplier(rng: np.random.Generator, scale: int = 1) -> pa.Table:
+    n = REL_SUPPLIERS * scale
+    return pa.table(
+        {
+            "s_suppkey": pa.array(np.arange(n), pa.int64()),
+            "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n)]),
+            "s_nationkey": pa.array(rng.integers(0, 25, n), pa.int32()),
+            "s_acctbal": pa.array(
+                np.round(rng.uniform(-999.99, 9999.99, n), 2), pa.float64()
+            ),
         }
     )
 
@@ -177,15 +299,32 @@ def gen_embeddings(rng: np.random.Generator) -> pa.Table:
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    relational = len(sys.argv) > 3 and sys.argv[3] == "--relational"
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(SEED)
-    tables = [("events", gen_events(rng, mult))]
-    if mult == 1:  # docs/embeddings/orders only at the base sf1 scale
-        tables += [
-            ("documents", gen_documents(rng)),
-            ("embeddings", gen_embeddings(rng)),
-            ("orders", gen_orders(rng)),
+    if relational:
+        # a self-consistent 10x TPC-H-ish star for q1/q3/q4/q5/q10:
+        # nation/region are domain-bounded — copy the driver files.
+        import shutil
+
+        scale = mult
+        tables = [
+            ("lineitem", gen_lineitem(rng, scale)),
+            ("orders", gen_rel_orders(rng, scale)),
+            ("customer", gen_customer(rng, scale)),
+            ("supplier", gen_supplier(rng, scale)),
         ]
+        for dim in ("nation", "region"):
+            shutil.copy(f"{SRC}/{dim}.parquet", os.path.join(out, f"{dim}.parquet"))
+            print(f"copied {dim}.parquet from {SRC}")
+    else:
+        tables = [("events", gen_events(rng, mult))]
+        if mult == 1:  # docs/embeddings/orders only at the base sf1 scale
+            tables += [
+                ("documents", gen_documents(rng)),
+                ("embeddings", gen_embeddings(rng)),
+                ("orders", gen_orders(rng)),
+            ]
     for name, tbl in tables:
         path = os.path.join(out, f"{name}.parquet")
         pq.write_table(tbl, path)

@@ -117,3 +117,43 @@ def test_compaction_folds_delta_into_new_generation(spark, band_index, tmp_path)
 
     with _pytest.raises(ValueError):
         compact_band_index(spark, "band_index_v2", "x", "band_index_v2", "y", 8)
+
+
+def test_incremental_screened_candidates_match_batch_screen(spark, band_index, tmp_path):
+    """The screened incremental path (band probe + signature-agreement
+    estimate) must equal the batch pipeline's screen applied to the
+    same (new, existing) pairs — and the screen must actually drop
+    low-estimate collisions (be a strict subset when any exist)."""
+    from tile_processor_spark.plans.llm_ops import (
+        incremental_screened_candidates,
+        minhash_estimate_filter,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    existing = docs.filter(F.col("doc_id") < 440)
+    sig_old = minhash_signatures(existing)
+    spark.sql("DROP TABLE IF EXISTS sig_index_test")
+    write_bucketed(
+        sig_old, "sig_index_test", ["doc_id"], 8, str(tmp_path / "sigs"),
+        sort_cols=["doc_id"],
+    )
+
+    got = {
+        (r.new_id, r.existing_id)
+        for r in incremental_screened_candidates(
+            spark, "band_index_test", "sig_index_test", band_index
+        ).collect()
+    }
+
+    # ground truth: unscreened incremental candidates, screened by the
+    # batch path's own estimate filter over the full signature table
+    unscreened = incremental_band_candidates(
+        spark, "band_index_test", band_index
+    ).select(F.col("new_id").alias("d1"), F.col("existing_id").alias("d2"))
+    all_sigs = minhash_signatures(docs)
+    want = {
+        (r.d1, r.d2)
+        for r in minhash_estimate_filter(unscreened, all_sigs).collect()
+    }
+    assert got == want
+    assert got, "held-out near-dups must survive the screen"

@@ -194,11 +194,23 @@ class Engine:
 
         write_zordered(df, path, xi_col, yi_col, **kw)
 
-    def dedup_probe(self, bands_table: str, new_docs: DataFrame) -> DataFrame:
+    def dedup_probe(
+        self, bands_table: str, new_docs: DataFrame, sig_table: str | None = None
+    ) -> DataFrame:
         """Incremental near-dup candidates: a new ingest batch against
-        the materialized band index (docs/SCALE.md §2.1)."""
-        from tile_processor_spark.plans.llm_ops import incremental_band_candidates
+        the materialized band index (docs/SCALE.md §2.1). With
+        ``sig_table`` (the (doc_id, sig) table built alongside the
+        index), candidates are screened by signature-agreement estimate
+        before they reach exact verify — the mega-bucket defense."""
+        from tile_processor_spark.plans.llm_ops import (
+            incremental_band_candidates,
+            incremental_screened_candidates,
+        )
 
+        if sig_table is not None:
+            return incremental_screened_candidates(
+                self.spark, bands_table, sig_table, new_docs
+            )
         return incremental_band_candidates(self.spark, bands_table, new_docs)
 
     def curate(self, sf_dir: str, out_path: str) -> DataFrame:

@@ -393,16 +393,21 @@ def minhash_estimate_filter(
     when bucket collisions are quadratic (mega-buckets)."""
     s1 = sig.select(F.col("doc_id").alias("d1"), F.col("sig").alias("_sig1"))
     s2 = sig.select(F.col("doc_id").alias("d2"), F.col("sig").alias("_sig2"))
-    agree = F.aggregate(
-        F.zip_with("_sig1", "_sig2", lambda a, b: F.when(a == b, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
     return (
         cand.join(s1, "d1")
         .join(s2, "d2")
-        .filter(agree >= F.lit(int(min_est * NUM_PERM)))
+        .filter(_sig_agreement() >= F.lit(int(min_est * NUM_PERM)))
         .select("d1", "d2")
+    )
+
+
+def _sig_agreement(a: str = "_sig1", b: str = "_sig2") -> Column:
+    """Signature-agreement count (matching positions of two 128-long
+    MinHash signatures) — JVM-side zip_with + aggregate, no Python."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
 
 
@@ -431,6 +436,52 @@ def incremental_band_candidates(
             F.col("e.doc_id").alias("existing_id"),
         )
         .distinct()
+    )
+
+
+def incremental_screened_candidates(
+    spark: SparkSession,
+    bands_table: str,
+    sig_table: str,
+    new_docs: DataFrame,
+    min_est: float = MINHASH_EST_PREFILTER,
+) -> DataFrame:
+    """:func:`incremental_band_candidates` plus the signature-agreement
+    screen — the full mega-bucket defense on the incremental path
+    (docs/SCALE.md §2.1: boilerplate-heavy deliveries hit the same
+    quadratic buckets the sf1 rehearsal measured on the batch path).
+
+    ``sig_table`` is the (doc_id, sig) table materialized next to the
+    band index at build time (same Arrow pass produces both — bucket it
+    by doc_id so the screen's existing-side join rides the layout).
+    The new batch's signatures are computed once and reused for its
+    band keys AND its screen side; only pairs whose estimated Jaccard
+    (agreement/128) reaches ``min_est`` survive to exact verify, so
+    verify stays OUTPUT-bound per delivery. Doc ids must be disjoint
+    between the new batch and the indexed corpus (ingest batches are).
+    Returns (new_id, existing_id)."""
+    sig_new = minhash_signatures(new_docs).localCheckpoint()
+    new_bands = minhash_bands(sig_new)
+    idx = spark.table(bands_table)
+    cand = (
+        new_bands.alias("n")
+        .join(idx.alias("e"), "bk")
+        .filter(F.col("n.doc_id") != F.col("e.doc_id"))
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("e.doc_id").alias("existing_id"),
+        )
+        .distinct()
+    )
+    s_new = sig_new.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("_sig1"))
+    s_old = spark.table(sig_table).select(
+        F.col("doc_id").alias("existing_id"), F.col("sig").alias("_sig2")
+    )
+    return (
+        cand.join(s_new, "new_id")
+        .join(s_old, "existing_id")
+        .filter(_sig_agreement() >= F.lit(int(min_est * NUM_PERM)))
+        .select("new_id", "existing_id")
     )
 
 

@@ -199,7 +199,15 @@ def _pq_exact_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % BRUTE_QUERY_STRIDE == 0)
         & (F.col("vec_id") < BRUTE_QUERY_STRIDE * BRUTE_QUERY_CAP)
     )
-    qfull = qset.select(F.col("vec_id").alias("q_id"), F.col("q").alias("qq"))
+    # structural row cap: the stride/cap filter already bounds the set
+    # to ≤ BRUTE_QUERY_CAP rows, so the limit keeps every row — but it
+    # puts a GlobalLimit in the plan, which is what makes the broadcast
+    # provably safe (the checkpoint-intercepting CI sweep flagged the
+    # filter-only form as an unbounded forced broadcast — r8's hint
+    # audit fixed the same shape on the non-checkpointed ANN queries)
+    qfull = qset.select(F.col("vec_id").alias("q_id"), F.col("q").alias("qq")).limit(
+        BRUTE_QUERY_CAP
+    )
     exact_scored = (
         e.crossJoin(F.broadcast(qfull))
         .filter(F.col("vec_id") != F.col("q_id"))

@@ -60,18 +60,25 @@ def register(
 #: rows whose CODE was re-planned this round (plan changed, oracle
 #: unchanged) — the standing re-verify policy's explicit input.
 #: Round 9: curate_quality_by_cluster gained the banded_topk size
-#: dispatch (naive window under a row-capped input at bench scale).
-_ROUND_CHANGED: tuple[str, ...] = ("curate_quality_by_cluster",)
+#: dispatch (naive window under a row-capped input at bench scale);
+#: ann_pq_adc_recall's cached exact-truth query frame gained a
+#: structural limit (the checkpoint-intercepting sweep flagged its
+#: filter-only broadcast bound on first run).
+_ROUND_CHANGED: tuple[str, ...] = (
+    "curate_quality_by_cluster",
+    "ann_pq_adc_recall",
+)
 
-# Round-9 window: q1 (flagship) + the dispatch re-plan + the 4
-# never-gated rows (lineitem_weighted_median from round-8 close, the
-# three sampled-slice audit twins added this round) + the 12 rows whose
-# latest driver-green is round 4 + the 32 stalest round-5 rows. After
+# Round-9 window: q1 (flagship) + the 2 re-plans + the 4 never-gated
+# rows (lineitem_weighted_median from round-8 close, the three
+# sampled-slice audit twins added this round) + the 12 rows whose
+# latest driver-green is round 4 + the 31 stalest round-5 rows. After
 # this round every registry row's driver evidence is round 5 or newer
 # and the r4 backlog retires.
 _GATE_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "curate_quality_by_cluster",
+    "ann_pq_adc_recall",
     "lineitem_weighted_median",
     "dedup_ngram_jaccard_sampled",
     "dedup_minhash_recall_sampled",
@@ -119,7 +126,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "ann_kmeans_fit",
     "spatial_point_in_tile_join",
     "spatial_within_extent",
-    "spatial_tiles_intersecting_extent",
     # everything else follows in registration order
 )
 

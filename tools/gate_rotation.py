@@ -110,6 +110,12 @@ def main(argv: Sequence[str] | None = None) -> None:
     ap.add_argument(
         "--repo", default=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
+    ap.add_argument(
+        "--report",
+        action="store_true",
+        help="print the staleness histogram and red/never-gated rows "
+        "instead of a window proposal",
+    )
     ns = ap.parse_args(argv)
 
     import sys
@@ -119,6 +125,27 @@ def main(argv: Sequence[str] | None = None) -> None:
 
     names = list(all_specs())
     latest_green, latest_any = load_history(ns.repo)
+
+    if ns.report:
+        from collections import Counter
+
+        hist = Counter(latest_green.get(n) for n in names)
+        print("latest-green histogram (None = never driver-gated):")
+        for rnd in sorted(hist, key=lambda r: (r is None, r)):
+            print(f"  r{rnd}: {hist[rnd]}" if rnd else f"  never: {hist[rnd]}")
+        red = [
+            n
+            for n in names
+            if latest_any.get(n) is not None
+            and latest_green.get(n, -1) < latest_any[n]
+        ]
+        if red:
+            print("RED in latest record:", red)
+        never = [n for n in names if n not in latest_any]
+        if never:
+            print("never gated:", never)
+        return
+
     changed = [c for c in ns.changed.split(",") if c]
     window = propose_window(names, latest_green, latest_any, changed, ns.size)
     for i, name in enumerate(window, 1):

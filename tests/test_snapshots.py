@@ -172,3 +172,37 @@ def test_snapshot_diff_schema_drift_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="schema drift"):
         snapshot_diff(spark, tbl, v1, v2, ["k"])
+
+
+def test_upsert_schema_evolution(spark, tmp_path):
+    from tile_processor_spark.sources.snapshots import snapshot_diff, upsert_snapshot
+
+    tbl = str(tmp_path / "evolve_tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string"), tbl
+    )
+    delta = spark.createDataFrame(
+        [(2, "B", 9.0), (3, "c", 7.0)], "k long, name string, score double"
+    )
+    # extra column without the flag is rejected
+    with pytest.raises(ValueError, match="allow_new_columns"):
+        upsert_snapshot(delta, tbl, ["k"])
+    # a delta missing an existing column is ALWAYS rejected
+    with pytest.raises(ValueError, match="missing existing columns"):
+        upsert_snapshot(
+            spark.createDataFrame([(2, 9.0)], "k long, score double"),
+            tbl, ["k"], allow_new_columns=True,
+        )
+    v2 = upsert_snapshot(delta, tbl, ["k"], allow_new_columns=True)
+    got = _rows(read_snapshot(spark, tbl, v2).select("k", "name", "score"))
+    assert got == [(1, "a", None), (2, "B", 9.0), (3, "c", 7.0)]
+    # strict diff still raises across the evolution; evolve classifies
+    with pytest.raises(ValueError, match="schema drift"):
+        snapshot_diff(spark, tbl, 1, 2, ["k"])
+    diff = _rows(
+        snapshot_diff(spark, tbl, 1, 2, ["k"], on_schema_drift="evolve")
+    )
+    assert diff == [(2, "update"), (3, "insert")]  # k=1 carried: no change
+    # on_schema_drift only accepts the two documented modes
+    with pytest.raises(ValueError, match="on_schema_drift"):
+        snapshot_diff(spark, tbl, 1, 2, ["k"], on_schema_drift="merge")

@@ -69,12 +69,12 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "ann_pq_adc_recall",
 )
 
-# Round-9 window: q1 (flagship) + the 2 re-plans + the 4 never-gated
+# Round-9 window: q1 (flagship) + the 2 re-plans + the 6 never-gated
 # rows (lineitem_weighted_median from round-8 close, the three
-# sampled-slice audit twins added this round) + the 12 rows whose
-# latest driver-green is round 4 + the 31 stalest round-5 rows. After
-# this round every registry row's driver evidence is round 5 or newer
-# and the r4 backlog retires.
+# sampled-slice audit twins, the two snapshot schema-evolution rows
+# added this round) + the 12 rows whose latest driver-green is round 4
+# + the 29 stalest round-5 rows. After this round every registry row's
+# driver evidence is round 5 or newer and the r4 backlog retires.
 _GATE_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "curate_quality_by_cluster",
@@ -83,6 +83,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard_sampled",
     "dedup_minhash_recall_sampled",
     "dedup_jaccard_prefix_filtered_sampled",
+    "snapshot_schema_evolution_state",
+    "snapshot_schema_evolution_diff",
     "regexp_extract_ids",
     "rollup_order_stats",
     "semi_join_intersection",
@@ -124,8 +126,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sample_temperature_mixture",
     "corpus_curation_manifest",
     "ann_kmeans_fit",
-    "spatial_point_in_tile_join",
-    "spatial_within_extent",
     # everything else follows in registration order
 )
 

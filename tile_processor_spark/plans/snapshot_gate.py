@@ -162,3 +162,133 @@ def snapshot_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(spark, table, 1, 2, ["custkey"]).select(
         "custkey", "change_type"
     )
+
+
+# --- additive schema evolution (round 9) -----------------------------------
+
+_EVOLVE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _delta_with_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1996 per-customer state PLUS a column v1 never had:
+    last_order_day (days since 1970-01-01 of the latest 1996 order —
+    BIGINT via a timezone-independent NTZ→DATE cast, so both engines
+    hash it identically on any session timezone)."""
+    o = load_table(spark, "orders", sf_dir)
+    f = o.filter(
+        (F.col("o_orderdate") >= _V1_BEFORE) & (F.col("o_orderdate") < _V2_BEFORE)
+    )
+    return f.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("spend"),
+        F.datediff(
+            F.max("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        )
+        .cast("long")
+        .alias("last_order_day"),
+    )
+
+
+def _build_evolved_versions(spark: SparkSession, sf_dir: str) -> str:
+    """v1 = pre-1996 state (3 columns); v2 = MERGE of the 1996 state
+    carrying a NEW column (allow_new_columns=True) — carried-over rows
+    get NULL for it. Own table: the two-version build above must keep
+    exactly two schema-stable versions for its rows."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _EVOLVE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    table = tempfile.mkdtemp(prefix="tps_snap_evolve_")
+    shutil.rmtree(table)
+    atexit.register(shutil.rmtree, table, ignore_errors=True)
+    v1 = write_snapshot(_period_state(spark, sf_dir, None, _V1_BEFORE), table)
+    assert v1 == 1
+    v2 = upsert_snapshot(
+        _delta_with_last_order(spark, sf_dir),
+        table,
+        ["custkey"],
+        allow_new_columns=True,
+    )
+    assert v2 == 2
+    _EVOLVE_CACHE[key] = table
+    return table
+
+
+_ORACLE_PERIODS_EVOLVED = f"""
+    WITH p1 AS (
+      SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+      FROM orders WHERE o_orderdate < DATE '{_V1_BEFORE}'
+      GROUP BY o_custkey
+    ),
+    p2 AS (
+      SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend,
+             CAST(CAST(MAX(o_orderdate) AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS last_order_day
+      FROM orders WHERE o_orderdate >= DATE '{_V1_BEFORE}'
+                    AND o_orderdate < DATE '{_V2_BEFORE}'
+      GROUP BY o_custkey
+    )
+"""
+
+
+@register(
+    "snapshot_schema_evolution_state",
+    oracle=f"""
+    {_ORACLE_PERIODS_EVOLVED}
+    SELECT COALESCE(p2.custkey, p1.custkey) AS custkey,
+           COALESCE(p2.n_orders, p1.n_orders) AS n_orders,
+           COALESCE(p2.spend, p1.spend) AS spend,
+           p2.last_order_day AS last_order_day
+    FROM p1 FULL OUTER JOIN p2 ON p1.custkey = p2.custkey
+    """,
+    doc=(
+        "ADDITIVE SCHEMA EVOLUTION through the snapshot store: v1 has "
+        "(custkey, n_orders, spend); the v2 MERGE delta carries a new "
+        "last_order_day column (allow_new_columns=True — Delta's "
+        "mergeSchema semantics), so carried-over customers read back "
+        "with NULL for it while updated/inserted ones carry the value. "
+        "The oracle recomputes the evolved state from the raw periods; "
+        "a store that dropped the new column, NULL-filled the wrong "
+        "side, or rejected the union breaks parity. This is the "
+        "long-lived-table primitive a 100 TB corpus needs: columns are "
+        "added over years without rewriting history."
+    ),
+    tags=("snapshot", "merge", "schema-evolution"),
+)
+def snapshot_schema_evolution_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _build_evolved_versions(spark, sf_dir)
+    return read_snapshot(spark, table).select(
+        "custkey", "n_orders", "spend", "last_order_day"
+    )
+
+
+@register(
+    "snapshot_schema_evolution_diff",
+    oracle=f"""
+    {_ORACLE_PERIODS_EVOLVED}
+    SELECT p2.custkey AS custkey,
+           CASE WHEN p1.custkey IS NULL THEN 'insert' ELSE 'update' END
+             AS change_type
+    FROM p2 LEFT JOIN p1 ON p1.custkey = p2.custkey
+    """,
+    doc=(
+        "CDC ACROSS a schema change: snapshot_diff(1, 2, "
+        "on_schema_drift='evolve') NULL-fills the old side's missing "
+        "last_order_day, so every 1996-active customer classifies as an "
+        "update (NULL -> value under eqNullSafe) or insert, and "
+        "carried-over customers (identical values, NULL on both sides "
+        "of the new column) correctly emit nothing. The strict mode "
+        "raising on drift is pinned by unit test; this row pins the "
+        "evolve path's classification under the external oracle."
+    ),
+    tags=("snapshot", "cdc", "schema-evolution"),
+)
+def snapshot_schema_evolution_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _build_evolved_versions(spark, sf_dir)
+    return snapshot_diff(
+        spark, table, 1, 2, ["custkey"], on_schema_drift="evolve"
+    ).select("custkey", "change_type")

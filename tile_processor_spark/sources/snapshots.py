@@ -175,7 +175,10 @@ def vacuum(table_path: str, keep_last: int = 2) -> dict:
 
 
 def upsert_snapshot(
-    df: DataFrame, table_path: str, key_cols: list[str]
+    df: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    allow_new_columns: bool = False,
 ) -> int:
     """MERGE INTO for snapshot tables: rows in ``df`` replace
     same-keyed rows of the latest version (update) or append (insert);
@@ -183,6 +186,15 @@ def upsert_snapshot(
     next version — the previous version stays readable (time travel),
     so a bad upsert is one `read_snapshot(version=n-1)` away from
     rollback.
+
+    Schema evolution is ADDITIVE and opt-in: with
+    ``allow_new_columns=True`` the delta may carry columns the current
+    version lacks — carried-over rows get NULL for them (Delta's
+    ``mergeSchema`` semantics). Without the flag, extra columns raise.
+    A delta MISSING existing columns always raises: silently writing
+    NULLs into updated rows' unmentioned columns is data loss, not
+    evolution (drop a column by rewriting the full state via
+    write_snapshot instead).
 
     Shape: one left-anti join (existing rows not being updated) + one
     union — the core of Delta's MERGE without the transaction log,
@@ -202,8 +214,21 @@ def upsert_snapshot(
         )
     if list_versions(table_path):
         current = read_snapshot(spark, table_path)
+        missing = [c for c in current.columns if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"upsert delta is missing existing columns {missing}; "
+                "a MERGE may add columns but never silently drop them"
+            )
+        extra = [c for c in df.columns if c not in current.columns]
+        if extra and not allow_new_columns:
+            raise ValueError(
+                f"upsert delta adds new columns {extra}; pass "
+                "allow_new_columns=True to evolve the schema "
+                "(carried-over rows get NULL for them)"
+            )
         carried = current.join(df.select(*key_cols), key_cols, "left_anti")
-        merged = carried.unionByName(df)
+        merged = carried.unionByName(df, allowMissingColumns=bool(extra))
     else:
         merged = df
     return write_snapshot(merged, table_path)
@@ -215,6 +240,7 @@ def snapshot_diff(
     from_version: int,
     to_version: int,
     key_cols: list[str],
+    on_schema_drift: str = "error",
 ) -> DataFrame:
     """CDC between two committed versions: one row per key whose state
     changed, with ``change_type`` in {'insert', 'delete', 'update'}.
@@ -222,7 +248,14 @@ def snapshot_diff(
     (``eqNullSafe``): a key containing NULL matches itself across
     versions, and a column going NULL ↔ value is an update, not a
     miss. Mismatched schemas between the two versions raise loudly
-    rather than failing inside a select.
+    rather than failing inside a select — unless
+    ``on_schema_drift="evolve"``: columns only in the NEWER version
+    (an additive upsert_snapshot evolution) are then NULL-filled on
+    the old side, so a row whose only change is a backfilled new
+    column classifies as 'update' (NULL → value under eqNullSafe).
+    Columns only in the OLD version still raise: the diff's schema is
+    the newer version's, and silently ignoring a dropped column would
+    hide deletions of its values.
 
     Shape: one full-outer join on the key — the canonical snapshot-diff
     plan. Both sides are manifest-pinned file sets, so the diff is
@@ -231,16 +264,21 @@ def snapshot_diff(
     answer). At 100 TB: partition both snapshots on a key prefix and
     the join co-locates; file-level pruning skips partitions whose
     manifests share identical files."""
+    if on_schema_drift not in ("error", "evolve"):
+        raise ValueError(f"on_schema_drift must be 'error' or 'evolve', got {on_schema_drift!r}")
     old = read_snapshot(spark, table_path, version=from_version)
     new = read_snapshot(spark, table_path, version=to_version)
     only_old = [c for c in old.columns if c not in new.columns]
     only_new = [c for c in new.columns if c not in old.columns]
-    if only_old or only_new:
+    if only_old or (only_new and on_schema_drift == "error"):
         raise ValueError(
             f"snapshot_diff: schema drift between v{from_version} and "
             f"v{to_version} — columns only in old: {only_old}, only in "
-            f"new: {only_new}; diff requires matching schemas"
+            f"new: {only_new}; pass on_schema_drift='evolve' for "
+            "additive (new-columns-only) drift"
         )
+    for c in only_new:  # evolve: old side never had the column → NULL
+        old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
     val_cols = [c for c in new.columns if c not in key_cols]
     o = old.select(
         *[F.col(c).alias(f"o_{c}") for c in key_cols],

@@ -206,3 +206,52 @@ def test_upsert_schema_evolution(spark, tmp_path):
     # on_schema_drift only accepts the two documented modes
     with pytest.raises(ValueError, match="on_schema_drift"):
         snapshot_diff(spark, tbl, 1, 2, ["k"], on_schema_drift="merge")
+
+
+def test_partitioned_snapshot_manifest_pruning(spark, tmp_path):
+    from tile_processor_spark.sources.snapshots import _read_manifest
+
+    tbl = str(tmp_path / "part_tbl")
+    df = spark.createDataFrame(
+        [("F", 1, 10.0), ("F", 2, 20.0), ("O", 3, 30.0), ("P", 4, 40.0)],
+        "status string, k long, v double",
+    )
+    v = write_snapshot(df, tbl, partition_by=["status"])
+    man = _read_manifest(tbl, v)
+    assert man["partition_by"] == ["status"]
+
+    full = read_snapshot(spark, tbl)
+    assert sorted(full.columns) == ["k", "status", "v"]  # basePath re-derives
+    assert full.count() == 4
+
+    pruned = read_snapshot(spark, tbl, partition_filter={"status": "F"})
+    assert _rows(pruned.select("status", "k", "v")) == [("F", 1, 10.0), ("F", 2, 20.0)]
+    # the pruning is MANIFEST-level: fewer files reach the reader
+    f_files = [f for f in man["files"] if "status=F" in f]
+    assert 0 < len(f_files) < len(man["files"])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "status=O" not in plan
+
+    # empty match -> empty frame with the committed schema
+    none = read_snapshot(spark, tbl, partition_filter={"status": "X"})
+    assert none.count() == 0 and sorted(none.columns) == ["k", "status", "v"]
+
+    # non-partition column raises instead of silently scanning all
+    with pytest.raises(ValueError, match="non-partition"):
+        read_snapshot(spark, tbl, partition_filter={"k": 1})
+    # unpartitioned versions reject partition filters too
+    tbl2 = str(tmp_path / "plain_tbl")
+    write_snapshot(df, tbl2)
+    with pytest.raises(ValueError, match="non-partition"):
+        read_snapshot(spark, tbl2, partition_filter={"status": "F"})
+
+
+def test_vacuum_cleans_partition_dirs(spark, tmp_path):
+    tbl = str(tmp_path / "vac_part_tbl")
+    df = spark.createDataFrame([("F", 1), ("O", 2)], "status string, k long")
+    write_snapshot(df, tbl, partition_by=["status"])
+    write_snapshot(df.filter("k = 1"), tbl, partition_by=["status"])
+    out = vacuum(tbl, keep_last=1)
+    assert out["retired_versions"] == [1] and out["files_removed"] > 0
+    # v2 still reads; v1's partition dirs are gone from data/
+    assert read_snapshot(spark, tbl).count() == 1

@@ -257,21 +257,34 @@ class Engine:
             return compact_dir(self.spark, path, **kw)
         return compact_partitioned(self.spark, path, partition_col, **kw)
 
-    def commit_snapshot(self, df: DataFrame, table_path: str) -> int:
+    def commit_snapshot(
+        self,
+        df: DataFrame,
+        table_path: str,
+        partition_by: list[str] | None = None,
+    ) -> int:
         """Commit ``df`` as the next version of a manifest-pinned
-        snapshot table (sources/snapshots.py); returns the version."""
+        snapshot table (sources/snapshots.py); returns the version.
+        ``partition_by`` lays data out Hive-style so later reads can
+        prune whole files from the manifest."""
         from tile_processor_spark.sources.snapshots import write_snapshot
 
-        return write_snapshot(df, table_path)
+        return write_snapshot(df, table_path, partition_by=partition_by)
 
     def read_table_snapshot(
-        self, table_path: str, version: int | None = None
+        self,
+        table_path: str,
+        version: int | None = None,
+        partition_filter: dict[str, object] | None = None,
     ) -> DataFrame:
         """Read a committed snapshot version (default latest) — time
-        travel for corpus/dimension reproducibility."""
+        travel for corpus/dimension reproducibility. ``partition_filter``
+        prunes files at the manifest (partitioned versions only)."""
         from tile_processor_spark.sources.snapshots import read_snapshot
 
-        return read_snapshot(self.spark, table_path, version)
+        return read_snapshot(
+            self.spark, table_path, version, partition_filter=partition_filter
+        )
 
     # --- capability registry ----------------------------------------------
 

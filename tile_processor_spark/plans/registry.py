@@ -69,12 +69,13 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "ann_pq_adc_recall",
 )
 
-# Round-9 window: q1 (flagship) + the 2 re-plans + the 6 never-gated
-# rows (lineitem_weighted_median from round-8 close, the three
-# sampled-slice audit twins, the two snapshot schema-evolution rows
-# added this round) + the 12 rows whose latest driver-green is round 4
-# + the 29 stalest round-5 rows. After this round every registry row's
-# driver evidence is round 5 or newer and the r4 backlog retires.
+# Round-9 window: q1 (flagship) + the 2 re-plans + the 7 never-gated
+# rows (lineitem_weighted_median from round-8 close; the three
+# sampled-slice audit twins, the two snapshot schema-evolution rows,
+# and the manifest partition-pruning row added this round) + the 12
+# rows whose latest driver-green is round 4 + the 28 stalest round-5
+# rows. After this round every registry row's driver evidence is
+# round 5 or newer and the r4 backlog retires.
 _GATE_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "curate_quality_by_cluster",
@@ -85,6 +86,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_jaccard_prefix_filtered_sampled",
     "snapshot_schema_evolution_state",
     "snapshot_schema_evolution_diff",
+    "snapshot_partition_pruned_read",
     "regexp_extract_ids",
     "rollup_order_stats",
     "semi_join_intersection",
@@ -125,7 +127,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_connected_components_star",
     "sample_temperature_mixture",
     "corpus_curation_manifest",
-    "ann_kmeans_fit",
     # everything else follows in registration order
 )
 

@@ -292,3 +292,68 @@ def snapshot_schema_evolution_diff(spark: SparkSession, sf_dir: str) -> DataFram
     return snapshot_diff(
         spark, table, 1, 2, ["custkey"], on_schema_drift="evolve"
     ).select("custkey", "change_type")
+
+
+# --- manifest-level partition pruning (round 9) -----------------------------
+
+_PARTITIONED_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _build_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """One committed version of per-(status, customer) order state,
+    Hive-partitioned by o_orderstatus — three partitions whose file
+    sets the manifest can prune independently."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PARTITIONED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    table = tempfile.mkdtemp(prefix="tps_snap_part_")
+    shutil.rmtree(table)
+    atexit.register(shutil.rmtree, table, ignore_errors=True)
+    o = load_table(spark, "orders", sf_dir)
+    state = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_custkey").alias("custkey"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("spend"),
+    )
+    v = write_snapshot(state, table, partition_by=["status"])
+    assert v == 1
+    _PARTITIONED_CACHE[key] = table
+    return table
+
+
+@register(
+    "snapshot_partition_pruned_read",
+    oracle="""
+    SELECT o_orderstatus AS status, o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderstatus, o_custkey
+    """,
+    doc=(
+        "MANIFEST-LEVEL PARTITION PRUNING through the snapshot store: "
+        "the committed version is Hive-partitioned by order status, and "
+        "read_snapshot(partition_filter={'status': 'F'}) drops the "
+        "other partitions' files from the manifest DRIVER-SIDE — the "
+        "skipped files never reach Spark's scan planning (the "
+        "Iceberg-style file skip; at 100 TB the difference between "
+        "reading one partition and listing the table). The oracle "
+        "recomputes the F-partition state from raw orders; a pruner "
+        "that dropped the wrong files, lost the partition column "
+        "(basePath re-derivation), or read stale state breaks parity. "
+        "tests/test_snapshots.py pins that the pruned file list is "
+        "strictly smaller and that filtering a non-partition column "
+        "raises."
+    ),
+    tags=("snapshot", "partition-pruning", "storage"),
+)
+def snapshot_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _build_partitioned(spark, sf_dir)
+    return read_snapshot(
+        spark, table, partition_filter={"status": "F"}
+    ).select("status", "custkey", "n_orders", "spend")

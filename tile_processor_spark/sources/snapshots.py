@@ -67,7 +67,9 @@ def _read_manifest(table_path: str, version: int) -> dict:
         return json.load(f)
 
 
-def write_snapshot(df: DataFrame, table_path: str) -> int:
+def write_snapshot(
+    df: DataFrame, table_path: str, partition_by: list[str] | None = None
+) -> int:
     """Commit ``df`` as the next table version; returns the version.
 
     The data lands in a fresh uuid-named subdirectory of ``data/``
@@ -77,16 +79,27 @@ def write_snapshot(df: DataFrame, table_path: str) -> int:
     the version number; the loser's ``os.link``-style exclusive create
     fails and raises rather than silently clobbering (single-writer is
     the supported mode, like a Hive table without a metastore lock).
+
+    With ``partition_by``, data files land in Hive-style ``col=value``
+    subdirectories and the manifest records the partition scheme —
+    ``read_snapshot(partition_filter=...)`` then prunes whole files
+    from the MANIFEST (driver-side, before any Spark scan is planned):
+    the Iceberg-style partition skip, the difference between reading
+    one partition and listing 100 TB.
     """
     table_path = os.path.abspath(table_path)
     os.makedirs(os.path.join(table_path, _DATA_DIR), exist_ok=True)
     snap_dir = os.path.join(table_path, _DATA_DIR, uuid.uuid4().hex)
-    df.write.mode("error").parquet(snap_dir)
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(snap_dir)
     # Manifest paths are absolute so later vacuum/read calls resolve the
     # same strings regardless of the caller's cwd or path spelling.
     files = sorted(
-        os.path.join(snap_dir, n)
-        for n in os.listdir(snap_dir)
+        os.path.join(root, n)
+        for root, _dirs, names in os.walk(snap_dir)
+        for n in names
         if n.endswith(".parquet")
     )
     versions = list_versions(table_path)
@@ -96,6 +109,8 @@ def write_snapshot(df: DataFrame, table_path: str) -> int:
         "committed_at": time.time(),
         "files": files,
         "schema": df.schema.json(),
+        "base": snap_dir,
+        "partition_by": list(partition_by or []),
     }
     tmp = os.path.join(table_path, f".manifest.tmp.{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
@@ -115,12 +130,38 @@ def write_snapshot(df: DataFrame, table_path: str) -> int:
     return version
 
 
+def _partition_values(file_path: str, base: str) -> dict[str, str]:
+    """Hive-style ``col=value`` pairs from a data file's path under the
+    snapshot base dir, with Hive's percent-escaping decoded."""
+    from urllib.parse import unquote
+
+    rel = os.path.relpath(file_path, base)
+    out: dict[str, str] = {}
+    for seg in rel.split(os.sep)[:-1]:  # last segment is the file name
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[unquote(k)] = unquote(v)
+    return out
+
+
 def read_snapshot(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    partition_filter: dict[str, object] | None = None,
 ) -> DataFrame:
     """Read one committed version (default: latest). The file list is
     resolved HERE, once — the returned frame keeps reading this
-    version's files even if later commits or vacuums happen mid-query."""
+    version's files even if later commits or vacuums happen mid-query.
+
+    ``partition_filter`` (only valid on versions committed with
+    ``partition_by``) keeps ONLY the data files whose Hive-style path
+    values match every given column — manifest-level pruning: the
+    skipped files never reach Spark's scan planning at all. Values are
+    compared as strings (Hive path encoding). Filtering on a
+    non-partition column raises rather than silently scanning
+    everything. A filter matching nothing returns an empty frame with
+    the version's schema."""
     versions = list_versions(table_path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
@@ -128,7 +169,34 @@ def read_snapshot(
     if v not in versions:
         raise FileNotFoundError(f"version {v} not in {versions} at {table_path}")
     manifest = _read_manifest(table_path, v)
-    return spark.read.parquet(*manifest["files"])
+    files = manifest["files"]
+    part_cols = manifest.get("partition_by") or []
+    if partition_filter:
+        bad = [c for c in partition_filter if c not in part_cols]
+        if bad:
+            raise ValueError(
+                f"partition_filter on non-partition column(s) {bad}; "
+                f"version {v} is partitioned by {part_cols or 'nothing'}"
+            )
+        base = manifest["base"]
+        files = [
+            f
+            for f in files
+            if all(
+                _partition_values(f, base).get(k) == str(val)
+                for k, val in partition_filter.items()
+            )
+        ]
+    if part_cols:
+        # partition columns live in dir names, not the data files —
+        # basePath makes Spark re-derive them as real columns
+        reader = spark.read.option("basePath", manifest["base"])
+        if not files:
+            from pyspark.sql import types as T
+
+            return spark.createDataFrame([], T.StructType.fromJson(json.loads(manifest["schema"])))
+        return reader.parquet(*files)
+    return spark.read.parquet(*files)
 
 
 def vacuum(table_path: str, keep_last: int = 2) -> dict:
@@ -169,8 +237,10 @@ def vacuum(table_path: str, keep_last: int = 2) -> dict:
                     ):
                         os.unlink(p)
                         removed += 1
-            if not any(os.scandir(snap_dir)):
-                os.rmdir(snap_dir)
+            # bottom-up: partition subdirs empty out before their snap dir
+            for root, _dirs, _fnames in os.walk(snap_dir, topdown=False):
+                if not any(os.scandir(root)):
+                    os.rmdir(root)
     return {"retired_versions": retired, "kept_versions": kept, "files_removed": removed}
 
 

@@ -255,3 +255,29 @@ def test_vacuum_cleans_partition_dirs(spark, tmp_path):
     assert out["retired_versions"] == [1] and out["files_removed"] > 0
     # v2 still reads; v1's partition dirs are gone from data/
     assert read_snapshot(spark, tbl).count() == 1
+
+
+def test_upsert_preserves_partition_layout(spark, tmp_path):
+    from tile_processor_spark.sources.snapshots import _read_manifest, upsert_snapshot
+
+    tbl = str(tmp_path / "part_upsert_tbl")
+    df = spark.createDataFrame(
+        [("F", 1, 10.0), ("O", 2, 20.0)], "status string, k long, v double"
+    )
+    write_snapshot(df, tbl, partition_by=["status"])
+    delta = spark.createDataFrame([("F", 1, 99.0), ("P", 5, 50.0)], df.schema)
+    v2 = upsert_snapshot(delta, tbl, ["k"])
+    assert _read_manifest(tbl, v2)["partition_by"] == ["status"]
+    pruned = read_snapshot(spark, tbl, partition_filter={"status": "F"})
+    assert _rows(pruned.select("k", "v")) == [(1, 99.0)]
+    assert read_snapshot(spark, tbl).count() == 3
+
+
+def test_partition_filter_in_list(spark, tmp_path):
+    tbl = str(tmp_path / "inlist_tbl")
+    df = spark.createDataFrame(
+        [("F", 1), ("O", 2), ("P", 3)], "status string, k long"
+    )
+    write_snapshot(df, tbl, partition_by=["status"])
+    got = read_snapshot(spark, tbl, partition_filter={"status": ["F", "P"]})
+    assert _rows(got.select("status", "k")) == [("F", 1), ("P", 3)]

@@ -157,11 +157,12 @@ def read_snapshot(
     ``partition_filter`` (only valid on versions committed with
     ``partition_by``) keeps ONLY the data files whose Hive-style path
     values match every given column — manifest-level pruning: the
-    skipped files never reach Spark's scan planning at all. Values are
-    compared as strings (Hive path encoding). Filtering on a
-    non-partition column raises rather than silently scanning
-    everything. A filter matching nothing returns an empty frame with
-    the version's schema."""
+    skipped files never reach Spark's scan planning at all. A value
+    may be a list/tuple/set (IN-list semantics). Values are compared
+    as strings (Hive path encoding). Filtering on a non-partition
+    column raises rather than silently scanning everything. A filter
+    matching nothing returns an empty frame with the version's
+    schema."""
     versions = list_versions(table_path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
@@ -179,12 +180,16 @@ def read_snapshot(
                 f"version {v} is partitioned by {part_cols or 'nothing'}"
             )
         base = manifest["base"]
+        wanted = {
+            k: {str(v) for v in (val if isinstance(val, (list, tuple, set)) else [val])}
+            for k, val in partition_filter.items()
+        }
         files = [
             f
             for f in files
             if all(
-                _partition_values(f, base).get(k) == str(val)
-                for k, val in partition_filter.items()
+                _partition_values(f, base).get(k) in vals
+                for k, vals in wanted.items()
             )
         ]
     if part_cols:
@@ -299,9 +304,15 @@ def upsert_snapshot(
             )
         carried = current.join(df.select(*key_cols), key_cols, "left_anti")
         merged = carried.unionByName(df, allowMissingColumns=bool(extra))
+        # a partitioned table stays partitioned across MERGEs — losing
+        # the layout would silently break later partition_filter reads
+        part_by = _read_manifest(table_path, list_versions(table_path)[-1]).get(
+            "partition_by"
+        )
     else:
         merged = df
-    return write_snapshot(merged, table_path)
+        part_by = None
+    return write_snapshot(merged, table_path, partition_by=part_by or None)
 
 
 def snapshot_diff(

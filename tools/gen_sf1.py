@@ -102,14 +102,14 @@ def lang_vocabs() -> dict[str, list[str]]:
     return {lang: sorted(ws) for lang, ws in rows}
 
 
-def gen_documents(rng: np.random.Generator) -> pa.Table:
+def gen_documents(rng: np.random.Generator, n_docs: int = N_DOCS) -> pa.Table:
     vocabs = lang_vocabs()
     langs = list(LANG_WEIGHTS)
-    lang_pick = rng.choice(len(langs), N_DOCS, p=list(LANG_WEIGHTS.values()))
-    n_words = rng.integers(8, 96, N_DOCS)
+    lang_pick = rng.choice(len(langs), n_docs, p=list(LANG_WEIGHTS.values()))
+    n_words = rng.integers(8, 96, n_docs)
     texts: list[str] = []
     doc_langs: list[str] = []
-    for i in range(N_DOCS):
+    for i in range(n_docs):
         lang = langs[lang_pick[i]]
         vocab = vocabs[lang]
         if i > 0 and rng.random() < NEAR_DUP_FRAC:
@@ -128,10 +128,10 @@ def gen_documents(rng: np.random.Generator) -> pa.Table:
         doc_langs.append(lang)
     return pa.table(
         {
-            "doc_id": pa.array(np.arange(N_DOCS), pa.int64()),
+            "doc_id": pa.array(np.arange(n_docs), pa.int64()),
             "text": pa.array(texts),
             "lang": pa.array(doc_langs),
-            "source": pa.array([f"src{i % 20}" for i in rng.integers(0, 20, N_DOCS)]),
+            "source": pa.array([f"src{i % 20}" for i in rng.integers(0, 20, n_docs)]),
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )

@@ -71,19 +71,33 @@ def test_stale_tie_breaks_by_registry_order():
     assert got == [FLAGSHIP, "b", "a"]  # same round → registration order
 
 
+def test_load_history_before_round_bound():
+    latest_green, latest_any = load_history(REPO, before_round=9)
+    full_green, full_any = load_history(REPO)
+    assert all(r < 9 for r in latest_green.values())
+    assert all(r < 9 for r in latest_any.values())
+    # the bound only removes/ages entries, never adds
+    assert set(latest_any) <= set(full_any)
+
+
 def test_current_gate_priority_matches_derived_window():
     """The committed _GATE_PRIORITY's first WINDOW_SIZE names must be
-    exactly the tool's proposal for the checked-in correctness history
-    plus the round's declared changed-row list (kept in
-    registry._ROUND_CHANGED so the declaration is code, not prose)."""
+    exactly the tool's proposal for the correctness history AS OF the
+    round the window was staged for (registry._STAGED_FOR_ROUND), plus
+    the round's declared changed-row list (registry._ROUND_CHANGED).
+    Deriving from rounds < _STAGED_FOR_ROUND keeps this green when the
+    driver deposits the staged round's own CORRECTNESS file mid-round
+    (the round-9 lifecycle bug: the pin went stale the moment
+    CORRECTNESS_r09.json landed)."""
     from tile_processor_spark.plans.registry import (
         _GATE_PRIORITY,
         _ROUND_CHANGED,
+        _STAGED_FOR_ROUND,
         all_specs,
     )
 
     names = list(all_specs())
-    latest_green, latest_any = load_history(REPO)
+    latest_green, latest_any = load_history(REPO, before_round=_STAGED_FOR_ROUND)
     derived = propose_window(
         names, latest_green, latest_any, changed=_ROUND_CHANGED, size=WINDOW_SIZE
     )

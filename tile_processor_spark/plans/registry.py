@@ -57,76 +57,79 @@ def register(
 #   python tools/gate_rotation.py --changed <names>
 # whenever the round's changed-row set or the correctness history moves.
 
+#: the round this gate window was staged FOR: the window is derived
+#: from CORRECTNESS rounds strictly below this, so the driver
+#: depositing this round's own file mid-round cannot retroactively
+#: invalidate the committed window (round-9 lifecycle bug). Bump this
+#: and regenerate the window together at each round start.
+_STAGED_FOR_ROUND: int = 10
+
 #: rows whose CODE was re-planned this round (plan changed, oracle
 #: unchanged) — the standing re-verify policy's explicit input.
-#: Round 9: curate_quality_by_cluster gained the banded_topk size
-#: dispatch (naive window under a row-capped input at bench scale);
-#: ann_pq_adc_recall's cached exact-truth query frame gained a
-#: structural limit (the checkpoint-intercepting sweep flagged its
-#: filter-only broadcast bound on first run).
+#: Round 10: the snapshot rows' partitioned read path changed
+#: (partition-column dtype now cast to the committed manifest schema
+#: instead of Spark path inference, ADVICE r9 item 4).
 _ROUND_CHANGED: tuple[str, ...] = (
-    "curate_quality_by_cluster",
-    "ann_pq_adc_recall",
-)
-
-# Round-9 window: q1 (flagship) + the 2 re-plans + the 7 never-gated
-# rows (lineitem_weighted_median from round-8 close; the three
-# sampled-slice audit twins, the two snapshot schema-evolution rows,
-# and the manifest partition-pruning row added this round) + the 12
-# rows whose latest driver-green is round 4 + the 28 stalest round-5
-# rows. After this round every registry row's driver evidence is
-# round 5 or newer and the r4 backlog retires.
-_GATE_PRIORITY: tuple[str, ...] = (
-    "q1_pricing_summary",
-    "curate_quality_by_cluster",
-    "ann_pq_adc_recall",
-    "lineitem_weighted_median",
-    "dedup_ngram_jaccard_sampled",
-    "dedup_minhash_recall_sampled",
-    "dedup_jaccard_prefix_filtered_sampled",
+    "snapshot_partition_pruned_read",
     "snapshot_schema_evolution_state",
     "snapshot_schema_evolution_diff",
+)
+
+# Round-10 window: q1 (flagship) + the 3 snapshot re-plans + all 20
+# rows whose latest driver-green is round 5 + the 26 stalest round-6
+# rows. After this round no registry row's driver evidence is older
+# than round 6.
+_GATE_PRIORITY: tuple[str, ...] = (
+    "q1_pricing_summary",
     "snapshot_partition_pruned_read",
-    "regexp_extract_ids",
-    "rollup_order_stats",
-    "semi_join_intersection",
-    "spatial_tin_simplify",
-    "text_repetition_stats",
-    "text_top_terms",
-    "topk_per_group",
-    "union_dedup",
-    "window_order_gaps",
-    "window_running_sum",
-    "embedding_normalize",
-    "spatial_zorder_keys",
-    "q12_priority_by_status",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q19_disjunctive_pred",
-    "q22_idle_customers",
-    "window_rank_family",
-    "grouping_sets_order_stats",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q17_small_quantity_revenue",
-    "q20_substantial_suppliers",
-    "q21_waiting_suppliers",
-    "lateral_top_order_per_customer",
-    "dedup_simhash",
-    "ann_lsh_buckets",
-    "ann_ivf_search",
-    "text_chunk_windows",
-    "dedup_connected_components",
-    "dedup_keep_canonical",
-    "sample_stratified",
-    "sample_per_group_topk",
-    "sample_split_assign",
-    "embedding_dim_stats",
-    "corpus_shard_assign",
-    "text_doc_frequency_score",
-    "dedup_connected_components_star",
-    "sample_temperature_mixture",
-    "corpus_curation_manifest",
+    "snapshot_schema_evolution_state",
+    "snapshot_schema_evolution_diff",
+    "ann_kmeans_fit",
+    "spatial_point_in_tile_join",
+    "spatial_within_extent",
+    "spatial_tiles_intersecting_extent",
+    "spatial_dissolve_union_area",
+    "spatial_match_elevation_versions",
+    "spatial_version_not_boundary",
+    "spatial_versions",
+    "spatial_version_boundary",
+    "spatial_alpha_shape",
+    "spatial_knn_tile_center",
+    "events_rolling_zscore",
+    "events_pivot_hourly",
+    "events_unpivot_hourly",
+    "events_click_purchase_outer",
+    "events_value_histogram",
+    "sketch_count_min",
+    "sketch_cms_point_queries",
+    "sketch_kmv_distinct",
+    "ann_ivf_recall",
+    "window_range_frame_spend",
+    "scd2_snapshot_values",
+    "sessionize_gap_ids",
+    "islands_active_days",
+    "price_band_assign",
+    "argmax_order_per_customer",
+    "stats_second_moments",
+    "median_disc_by_priority",
+    "weekly_revenue_wow",
+    "mode_priority_by_status",
+    "events_first_touch",
+    "multiset_except_intersect",
+    "cumulative_distinct_users",
+    "revenue_share_by_nation",
+    "leave_one_out_customer_mean",
+    "order_quantity_array_hof",
+    "window_nth_value",
+    "skyline_orders_2d",
+    "dq_referential_integrity",
+    "customer_rfm_segments",
+    "pareto_abc_parts",
+    "ann_pq_codes",
+    "sketch_hll_distinct",
+    "sketch_bloom_membership",
+    "sketch_histogram_quantiles",
+    "dedup_minhash_recall",
     # everything else follows in registration order
 )
 

@@ -43,10 +43,19 @@ def record_is_green(rec: dict) -> bool:
     )
 
 
-def load_history(repo_dir: str) -> tuple[dict[str, int], dict[str, int]]:
+def load_history(
+    repo_dir: str, before_round: int | None = None
+) -> tuple[dict[str, int], dict[str, int]]:
     """Scan CORRECTNESS_r*.json; return (latest_green, latest_any):
     per query name, the highest round with a green record and the
-    highest round with any record at all."""
+    highest round with any record at all.
+
+    ``before_round`` bounds the history to rounds strictly below it.
+    A window staged for round N is derived from rounds < N, so the
+    driver depositing CORRECTNESS_rN.json mid-round cannot retroactively
+    invalidate the committed window (the round-9 lifecycle bug: the
+    pin test was red by construction the moment the new round's file
+    landed)."""
     latest_green: dict[str, int] = {}
     latest_any: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))):
@@ -54,6 +63,8 @@ def load_history(repo_dir: str) -> tuple[dict[str, int], dict[str, int]]:
         if not m:
             continue
         rnd = int(m.group(1))
+        if before_round is not None and rnd >= before_round:
+            continue
         with open(path) as f:
             records = json.load(f)
         for name, rec in records.items():
@@ -103,8 +114,9 @@ def main(argv: Sequence[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "--changed",
-        default="",
-        help="comma-separated rows whose code was re-planned this round",
+        default=None,
+        help="comma-separated rows whose code was re-planned this round "
+        "(default: the registry's _ROUND_CHANGED)",
     )
     ap.add_argument("--size", type=int, default=WINDOW_SIZE)
     ap.add_argument(
@@ -116,15 +128,29 @@ def main(argv: Sequence[str] | None = None) -> None:
         help="print the staleness histogram and red/never-gated rows "
         "instead of a window proposal",
     )
+    ap.add_argument(
+        "--staged-round",
+        type=int,
+        default=None,
+        help="derive from CORRECTNESS rounds strictly below this round "
+        "(default: the registry's _STAGED_FOR_ROUND; 0 = all rounds)",
+    )
     ns = ap.parse_args(argv)
 
     import sys
 
     sys.path.insert(0, ns.repo)
-    from tile_processor_spark.plans.registry import all_specs
+    from tile_processor_spark.plans.registry import (
+        _ROUND_CHANGED,
+        _STAGED_FOR_ROUND,
+        all_specs,
+    )
 
     names = list(all_specs())
-    latest_green, latest_any = load_history(ns.repo)
+    staged = ns.staged_round if ns.staged_round is not None else _STAGED_FOR_ROUND
+    latest_green, latest_any = load_history(
+        ns.repo, before_round=staged if staged else None
+    )
 
     if ns.report:
         from collections import Counter
@@ -146,7 +172,11 @@ def main(argv: Sequence[str] | None = None) -> None:
             print("never gated:", never)
         return
 
-    changed = [c for c in ns.changed.split(",") if c]
+    changed = (
+        list(_ROUND_CHANGED)
+        if ns.changed is None
+        else [c for c in ns.changed.split(",") if c]
+    )
     window = propose_window(names, latest_green, latest_any, changed, ns.size)
     for i, name in enumerate(window, 1):
         green = latest_green.get(name)

@@ -458,3 +458,24 @@ def test_banded_topk_size_dispatch_equivalence(frame):
     )
     assert "GlobalLimit" not in over._jdf.queryExecution().optimizedPlan().toString()
     assert sorted(over.select("k", "t", "id", "r").collect()) == got_banded
+
+
+def test_curate_topk_bound_contract(spark):
+    """curate_quality_by_cluster passes table_row_count('embeddings')
+    as banded_topk's input_rows_bound; that is a true upper bound on
+    the doc⋈embeddings join ONLY while text_quality_scores stays one
+    row per doc_id (vec_id is the embeddings key). If this grain ever
+    breaks, the naive branch's limit() would silently drop curate rows
+    (r9 advice) — pin the grain and the bound here."""
+    from tile_processor_spark.plans.llm_ops import text_quality_scores
+    from tile_processor_spark.plans.pipeline_ops import curate_quality_by_cluster
+    from tile_processor_spark.sources.tables import table_row_count
+
+    sf = "/root/testdata/sf0.001"
+    q = text_quality_scores(spark, sf)
+    assert q.count() == q.select("doc_id").distinct().count(), (
+        "text_quality_scores is no longer one row per doc_id; "
+        "curate_quality_by_cluster's input_rows_bound is now unsound"
+    )
+    joined = curate_quality_by_cluster(spark, sf)
+    assert joined.count() <= table_row_count("embeddings", sf) * 1  # bound holds

@@ -259,21 +259,46 @@ def _hinted_broadcast_violations(df) -> list[str]:
     return out
 
 
+# Single-child nodes whose output row count is at most their input's:
+# a GlobalLimit seen through ONLY these still bounds the ancestor.
+_CARD_NONINCREASING = {
+    "Project",
+    "Filter",
+    "Sort",
+    "SubqueryAlias",
+    "ResolvedHint",
+    "Repartition",
+    "RepartitionByExpression",
+    "Window",
+    "WindowGroupLimit",
+    "Deduplicate",
+    "Distinct",
+    "Sample",
+    "LocalLimit",
+}
+
+
 def _globallimit_bound(node) -> int | None:
-    """Smallest literal GlobalLimit in the subtree, or None. A
+    """Literal GlobalLimit on the window input's SPINE, or None. A
     GlobalLimit is a plan-level proof the window's input cardinality is
     capped regardless of data volume — banded_topk's size dispatch
     emits one (limit = the caller's measured row bound) exactly so this
-    sweep can tell an intentionally-small naive window from a funnel."""
-    best = None
-    for ch in _iter_logical(node):
-        if ch.getClass().getSimpleName() != "GlobalLimit":
-            continue
-        m = re.match(r"^(\d+)$", ch.limitExpr().toString())
-        if m:
-            v = int(m.group(1))
-            best = v if best is None else min(best, v)
-    return best
+    sweep can tell an intentionally-small naive window from a funnel.
+    Only a limit reached through single-child cardinality-nonincreasing
+    nodes counts: a limit() buried under one side of a join (or any
+    multiplying node like Generate/Expand/Union) does NOT bound the
+    window's input, so honoring the smallest limit ANYWHERE in the
+    subtree let a limited dimension side exempt a genuinely unbounded
+    fact-grain window (r9 advice)."""
+    cur = node
+    while True:
+        name = cur.getClass().getSimpleName()
+        if name == "GlobalLimit":
+            m = re.match(r"^(\d+)$", cur.limitExpr().toString())
+            return int(m.group(1)) if m else None
+        if name not in _CARD_NONINCREASING or cur.children().size() != 1:
+            return None
+        cur = cur.children().apply(0)
 
 
 def _funnel_windows(df) -> list[str]:
@@ -491,6 +516,30 @@ def test_detector_catches_funnel_window(spark):
     assert not _funnel_windows(capped), "limit-bounded window wrongly flagged"
     toobig = ev.limit(5_000_000).withColumn("rn", F.row_number().over(w))
     assert _funnel_windows(toobig), "oversized limit accepted as bound"
+    # a limit on ONE JOIN INPUT does not bound the join's output: the
+    # fact side is still unbounded, so the window must stay flagged
+    # (r9 advice: smallest-limit-anywhere was a false-negative hole)
+    dim = (
+        load_table(spark, "nation", SF)
+        .limit(5)
+        .select(F.col("n_nationkey").alias("value"))
+    )
+    joined = ev.join(dim, "value").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("event_id")
+        ),
+    )
+    assert _funnel_windows(joined), "limited join input accepted as bound"
+    # but a limit ABOVE the join (on the window's direct spine) is a
+    # genuine bound and still exempts
+    joined_capped = ev.join(dim, "value").limit(1000).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("event_id")
+        ),
+    )
+    assert not _funnel_windows(joined_capped), "spine limit wrongly flagged"
 
 
 def test_detector_catches_forced_scaling_broadcast(spark):

@@ -281,3 +281,37 @@ def test_partition_filter_in_list(spark, tmp_path):
     write_snapshot(df, tbl, partition_by=["status"])
     got = read_snapshot(spark, tbl, partition_filter={"status": ["F", "P"]})
     assert _rows(got.select("status", "k")) == [("F", 1), ("P", 3)]
+
+
+def test_partition_dtype_and_order_survive_path_inference(spark, tmp_path):
+    """Numeric-looking partition values must read back with the
+    COMMITTED dtype (Spark path inference would guess int from the
+    directory string), in the committed column order, identically for
+    empty-match and non-empty reads — and upserts across that read
+    must not silently evolve the partition column's type."""
+    from tile_processor_spark.sources.snapshots import upsert_snapshot
+
+    tbl = str(tmp_path / "numpart_tbl")
+    df = spark.createDataFrame(
+        [("2024", 1, 10.0), ("2025", 2, 20.0)], "yr string, k long, v double"
+    )
+    write_snapshot(df, tbl, partition_by=["yr"])
+
+    full = read_snapshot(spark, tbl)
+    assert [(f.name, f.dataType.simpleString()) for f in full.schema.fields] == [
+        ("yr", "string"), ("k", "bigint"), ("v", "double"),
+    ]
+    assert _rows(full.select("yr", "k")) == [("2024", 1), ("2025", 2)]
+
+    # empty partition match: same schema, same order
+    none = read_snapshot(spark, tbl, partition_filter={"yr": "1999"})
+    assert none.schema == full.schema
+
+    # a MERGE after the read keeps the committed string dtype
+    upd = spark.createDataFrame([("2024", 1, 11.0)], "yr string, k long, v double")
+    v2 = upsert_snapshot(upd, tbl, ["k"])
+    again = read_snapshot(spark, tbl, version=v2)
+    assert again.schema == full.schema
+    assert _rows(again.select("yr", "k", "v")) == [
+        ("2024", 1, 11.0), ("2025", 2, 20.0),
+    ]

@@ -44,14 +44,74 @@ def make_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_payload(payload: bytes, kind: str) -> np.ndarray:
-    """Decode an asset payload to a sample array.
+_BMP_FILE_HEADER = 14
+_BMP_INFO_HEADER = 40
 
-    REAL decoders (Pillow / soundfile / av) are not available in this
-    environment. A deterministic fake — the raw bytes as uint8 — keeps
-    every downstream operator (features, resize, frame sampling) real
-    and testable; swap this single function when codecs exist.
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an H×W×3 uint8 RGB array as an uncompressed 24-bit BI_RGB
+    Windows BMP: bottom-up rows, BGR byte order, rows padded to 4-byte
+    boundaries. Dependency-free and byte-exact — the fixture side of
+    the real decode path (``decode_bmp`` must invert this bit-for-bit,
+    padding included)."""
+    import struct
+
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError(f"expected H×W×3 uint8 RGB, got {pixels.shape} {pixels.dtype}")
+    h, w = pixels.shape[:2]
+    row = w * 3
+    pad = (-row) % 4
+    img_size = (row + pad) * h
+    out = bytearray()
+    out += struct.pack(
+        "<2sIHHI", b"BM", _BMP_FILE_HEADER + _BMP_INFO_HEADER + img_size, 0, 0,
+        _BMP_FILE_HEADER + _BMP_INFO_HEADER,
+    )
+    out += struct.pack(
+        "<IiiHHIIiiII", _BMP_INFO_HEADER, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    for y in range(h - 1, -1, -1):
+        out += pixels[y, :, ::-1].tobytes() + b"\x00" * pad
+    return bytes(out)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BI_RGB BMP to an H×W×3 uint8 RGB
+    array. The one REAL (non-fake) decoder in the container: no codec
+    libraries exist here, and uncompressed BMP is the standard raster
+    container that needs none. Other BMP variants (palettized, RLE,
+    top-down, 16/32-bpp) raise loudly rather than mis-decode."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if hdr_size < _BMP_INFO_HEADER or bpp != 24 or comp != 0 or w <= 0 or h <= 0:
+        raise NotImplementedError(
+            f"only bottom-up uncompressed 24-bpp BMP supported "
+            f"(got header={hdr_size} bpp={bpp} compression={comp} w={w} h={h})"
+        )
+    row = w * 3
+    stride = row + ((-row) % 4)
+    if data_off + stride * h > len(payload):
+        raise ValueError("BMP payload truncated")
+    a = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    # bottom-up rows → top-down; strip padding; BGR → RGB
+    return a.reshape(h, stride)[::-1, :row].reshape(h, w, 3)[:, :, ::-1].copy()
+
+
+def decode_payload(payload: bytes, kind: str) -> np.ndarray:
+    """Decode an asset payload to a 1-D sample array.
+
+    ``bmp`` payloads go through the REAL decoder (``decode_bmp``;
+    flattened row-major RGB samples). For jpeg/png/wav the container
+    has no codec libraries, so a deterministic fake — the raw bytes as
+    uint8 — keeps every downstream operator (features, resize, frame
+    sampling) real and testable; swap those branches when codecs exist.
     """
+    if kind == "bmp":
+        return decode_bmp(payload).reshape(-1)
     if kind in ("jpeg", "png", "wav"):
         return np.frombuffer(payload, dtype=np.uint8)
     raise NotImplementedError(f"no decoder for asset kind {kind!r}")

@@ -398,9 +398,12 @@ def curate_quality_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is below k reach a row-level window. The banded plan scans the
     # quality join TWICE, which dominates at bench scale — so pass the
     # embeddings row count (an upper bound on the inner join: vec_id is
-    # the embeddings key; read from the parquet footer, no Spark job)
-    # and let banded_topk serve the naive window under NAIVE_TOPK_ROWS,
-    # the banded plan above it.
+    # the embeddings key AND text_quality_scores is one row per doc_id
+    # — that grain is load-bearing for the bound and pinned by
+    # tests/test_banded_windows.py::test_curate_topk_bound_contract;
+    # read from the parquet footer, no Spark job) and let banded_topk
+    # serve the naive window under NAIVE_TOPK_ROWS, the banded plan
+    # above it.
     from tile_processor_spark.plans.chunked_windows import banded_topk
     from tile_processor_spark.sources.tables import table_row_count
 

@@ -193,14 +193,29 @@ def read_snapshot(
             )
         ]
     if part_cols:
-        # partition columns live in dir names, not the data files —
-        # basePath makes Spark re-derive them as real columns
-        reader = spark.read.option("basePath", manifest["base"])
-        if not files:
-            from pyspark.sql import types as T
+        from pyspark.sql import types as T
 
-            return spark.createDataFrame([], T.StructType.fromJson(json.loads(manifest["schema"])))
-        return reader.parquet(*files)
+        committed = T.StructType.fromJson(json.loads(manifest["schema"]))
+        if not files:
+            return spark.createDataFrame([], committed)
+        # partition columns live in dir names, not the data files —
+        # basePath makes Spark re-derive them as real columns. Path
+        # inference guesses their dtype from the directory STRING (a
+        # numeric-looking value comes back as int/date), which would
+        # silently diverge from the committed schema — and upsert's
+        # name-only schema check would then evolve the column type
+        # across MERGEs. Cast re-derived partition columns back to the
+        # committed dtype and restore the committed column order, so
+        # empty-match and non-empty reads have identical shape.
+        out = spark.read.option("basePath", manifest["base"]).parquet(*files)
+        return out.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in part_cols
+                else F.col(f.name)
+                for f in committed.fields
+            ]
+        )
     return spark.read.parquet(*files)
 
 
@@ -303,7 +318,12 @@ def upsert_snapshot(
                 "(carried-over rows get NULL for them)"
             )
         carried = current.join(df.select(*key_cols), key_cols, "left_anti")
-        merged = carried.unionByName(df, allowMissingColumns=bool(extra))
+        # USING-style joins move key columns to the front; restore the
+        # committed column order (new columns append, additive) so the
+        # merged commit's schema doesn't shuffle across MERGEs.
+        merged = carried.unionByName(df, allowMissingColumns=bool(extra)).select(
+            *current.columns, *extra
+        )
         # a partitioned table stays partitioned across MERGEs — losing
         # the layout would silently break later partition_filter reads
         part_by = _read_manifest(table_path, list_versions(table_path)[-1]).get(

@@ -1,0 +1,89 @@
+"""The dependency-free BMP codec: the one REAL decoder in the container
+(no codec libs), so its byte-level contract is pinned here — row order,
+channel order, 4-byte row padding, and loud failure on every BMP variant
+it does not speak. The Spark-side path (make_bmp_assets → mapInPandas
+decode → features) is pinned against the DuckDB closed-form oracle."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from tile_processor_spark.multimodal.ops import (
+    decode_bmp,
+    decode_payload,
+    encode_bmp,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_roundtrip_various_shapes():
+    rng = np.random.default_rng(7)
+    # w=3 → 9-byte rows need 3 pad bytes; w=4 → none; w=1 → 1 pad byte
+    for shape in [(6, 8, 3), (5, 3, 3), (1, 1, 3), (4, 7, 3), (2, 4, 3)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(a)) == a).all(), shape
+
+
+def test_handbuilt_bytes_decode_exactly():
+    """A 2×1 image built byte-by-byte (not via encode_bmp): row padding
+    present, bottom-up storage, BGR order — decode must undo all
+    three. Top row RGB=(1,2,3), bottom row RGB=(4,5,6)."""
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + 8, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 1, 2, 1, 24, 0, 8, 0, 0, 0, 0)
+    # bottom-up: bottom row first; BGR; 3-byte row padded to 4
+    pixels = bytes([6, 5, 4, 0]) + bytes([3, 2, 1, 0])
+    got = decode_bmp(hdr + info + pixels)
+    assert got.shape == (2, 1, 3)
+    assert got[0, 0].tolist() == [1, 2, 3]
+    assert got[1, 0].tolist() == [4, 5, 6]
+
+
+def test_unsupported_variants_raise():
+    a = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = bytearray(encode_bmp(a))
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"XX" + bytes(good[2:]))
+    bpp32 = bytearray(good)
+    struct.pack_into("<H", bpp32, 28, 32)
+    with pytest.raises(NotImplementedError, match="24-bpp"):
+        decode_bmp(bytes(bpp32))
+    rle = bytearray(good)
+    struct.pack_into("<I", rle, 30, 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(rle))
+    topdown = bytearray(good)
+    struct.pack_into("<i", topdown, 22, -2)  # negative height = top-down
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(topdown))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(bytes(good[:-3]))
+    with pytest.raises(ValueError, match="uint8"):
+        encode_bmp(np.zeros((2, 2, 3), dtype=np.int64))
+
+
+def test_decode_payload_routes_bmp():
+    a = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    flat = decode_payload(encode_bmp(a), "bmp")
+    assert flat.tolist() == list(range(24))  # row-major RGB samples
+    with pytest.raises(NotImplementedError, match="kind"):
+        decode_payload(b"\x00", "mp4")
+
+
+def test_bmp_gate_row_matches_closed_form(spark):
+    """The Spark plan decodes what it encoded; the expected features
+    come from doc_id arithmetic alone (same formula as the DuckDB
+    oracle the driver runs)."""
+    from tile_processor_spark.plans.multimodal_gate import multimodal_bmp_decode
+
+    got = {
+        r["asset_id"]: r
+        for r in multimodal_bmp_decode(spark, SF).collect()
+    }
+    assert got
+    for did, r in got.items():
+        assert r["n_bytes"] == 144 and r["n_frames"] == 21 and r["kind"] == "bmp"
+        assert r["byte_sum"] == sum((did * 31 + k) % 256 for k in range(144))

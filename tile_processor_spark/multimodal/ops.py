@@ -183,3 +183,50 @@ def resize(assets: DataFrame, out_len: int = RESIZE_BINS) -> DataFrame:
             yield pd.DataFrame({"asset_id": pdf["asset_id"].to_numpy(), "resized": rows})
 
     return assets.mapInPandas(_batches, "asset_id long, resized string")
+
+
+_BMP_W, _BMP_H = 8, 6
+
+
+def make_bmp_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset table whose payloads are REAL encoded images: per doc_id a
+    deterministic 8×6 RGB raster (flattened pixel k carries value
+    ``(doc_id·31 + k) mod 256``) encoded as an uncompressed 24-bit BMP.
+    Downstream decode recovers the exact pixels, so the gate oracle can
+    recompute every feature from doc_id arithmetic alone — the
+    encode→decode roundtrip is pinned against closed form, not against
+    itself. Same mapInPandas batch shape as the opaque-payload path."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+    n = _BMP_W * _BMP_H * 3
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = np.arange(n, dtype=np.int64)
+        for pdf in it:
+            payloads = [
+                encode_bmp(
+                    ((int(did) * 31 + k) % 256)
+                    .astype(np.uint8)
+                    .reshape(_BMP_H, _BMP_W, 3)
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].to_numpy(),
+                    "kind": "bmp",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    flat = d.mapInPandas(
+        _gen, "asset_id long, kind string, payload binary, n_bytes long"
+    )
+    return flat.select(
+        "asset_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.col("n_bytes"), F.col("kind").alias("declared_kind")
+        ).alias("meta"),
+    )

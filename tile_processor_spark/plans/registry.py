@@ -75,15 +75,15 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "snapshot_schema_evolution_diff",
 )
 
-# Round-10 window: q1 (flagship) + the 3 snapshot re-plans + all 20
-# rows whose latest driver-green is round 5 + the 26 stalest round-6
-# rows. After this round no registry row's driver evidence is older
-# than round 6.
+# Round-10 window: q1 (flagship) + the 3 snapshot re-plans + the
+# never-gated rows added this round + all 20 rows whose latest
+# driver-green is round 5 + the stalest round-6 rows.
 _GATE_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "snapshot_partition_pruned_read",
     "snapshot_schema_evolution_state",
     "snapshot_schema_evolution_diff",
+    "multimodal_bmp_decode",
     "ann_kmeans_fit",
     "spatial_point_in_tile_join",
     "spatial_within_extent",
@@ -129,7 +129,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sketch_hll_distinct",
     "sketch_bloom_membership",
     "sketch_histogram_quantiles",
-    "dedup_minhash_recall",
     # everything else follows in registration order
 )
 

@@ -315,3 +315,86 @@ def test_partition_dtype_and_order_survive_path_inference(spark, tmp_path):
     assert _rows(again.select("yr", "k", "v")) == [
         ("2024", 1, 11.0), ("2025", 2, 20.0),
     ]
+
+
+def test_compact_manifest_read_equivalence(spark, tmp_path):
+    """compact_manifest rewrites the manifest into the two-level
+    grouped layout (data files untouched, committed as a new version);
+    full reads, pruned reads, empty-match reads, and time travel to
+    the flat source version must all be unchanged."""
+    from tile_processor_spark.sources.snapshots import (
+        _read_manifest,
+        compact_manifest,
+    )
+
+    tbl = str(tmp_path / "grp_tbl")
+    df = spark.createDataFrame(
+        [("F", 1, 10.0), ("F", 2, 20.0), ("O", 3, 30.0), ("P", 4, 40.0)],
+        "status string, k long, v double",
+    )
+    v1 = write_snapshot(df, tbl, partition_by=["status"])
+    v2 = compact_manifest(tbl)
+    man = _read_manifest(tbl, v2)
+    assert "files" not in man and man["compacted_from"] == v1
+    assert sorted(g["values"]["status"] for g in man["groups"]) == ["F", "O", "P"]
+
+    flat = read_snapshot(spark, tbl, version=v1)
+    grouped = read_snapshot(spark, tbl, version=v2)
+    assert grouped.schema == flat.schema
+    assert _rows(grouped.select("status", "k", "v")) == _rows(
+        flat.select("status", "k", "v")
+    )
+    pruned = read_snapshot(spark, tbl, version=v2, partition_filter={"status": "F"})
+    assert _rows(pruned.select("k")) == [(1,), (2,)]
+    none = read_snapshot(spark, tbl, version=v2, partition_filter={"status": "X"})
+    assert none.count() == 0 and none.schema == flat.schema
+    # IN-list pruning through groups
+    two = read_snapshot(
+        spark, tbl, version=v2, partition_filter={"status": ["F", "P"]}
+    )
+    assert _rows(two.select("k")) == [(1,), (2,), (4,)]
+
+
+def test_compact_manifest_unpartitioned_chunks(spark, tmp_path):
+    from tile_processor_spark.sources.snapshots import (
+        _read_manifest,
+        compact_manifest,
+    )
+
+    tbl = str(tmp_path / "chunk_tbl")
+    df = spark.range(100).repartition(8).withColumn("v", F.col("id") * 2)
+    write_snapshot(df, tbl)
+    v2 = compact_manifest(tbl, group_files=3)
+    man = _read_manifest(tbl, v2)
+    n_files = sum(g["n_files"] for g in man["groups"])
+    assert len(man["groups"]) == -(-n_files // 3)  # ceil(files/3) groups
+    got = read_snapshot(spark, tbl, version=v2)
+    assert got.count() == 100
+    assert _rows(got.select("id", "v")) == _rows(read_snapshot(spark, tbl, version=1))
+
+
+def test_vacuum_respects_grouped_manifests(spark, tmp_path):
+    """A kept grouped manifest must protect its (shared) data files
+    from vacuum even when the flat source version retires; its group
+    side files retire with their manifest."""
+    import glob as g
+
+    from tile_processor_spark.sources.snapshots import compact_manifest, vacuum
+
+    tbl = str(tmp_path / "grpvac_tbl")
+    df = spark.createDataFrame(
+        [("F", 1), ("O", 2)], "status string, k long"
+    )
+    write_snapshot(df, tbl, partition_by=["status"])          # v1 (flat)
+    compact_manifest(tbl)                                     # v2 (grouped, shares v1 files)
+    write_snapshot(df.filter("k = 1"), tbl, partition_by=["status"])  # v3
+    res = vacuum(tbl, keep_last=2)  # retires v1; v2 still references its files
+    assert res["retired_versions"] == [1]
+    assert _rows(read_snapshot(spark, tbl, version=2).select("status", "k")) == [
+        ("F", 1), ("O", 2),
+    ]
+    # retire the grouped version too: its group side files must go
+    res2 = vacuum(tbl, keep_last=1)
+    assert res2["retired_versions"] == [2]
+    assert g.glob(str(tmp_path / "grpvac_tbl" / "groups" / "*.json")) == []
+    assert _rows(read_snapshot(spark, tbl).select("status", "k")) == [("F", 1)]

@@ -144,6 +144,129 @@ def _partition_values(file_path: str, base: str) -> dict[str, str]:
     return out
 
 
+_GROUPS_DIR = "groups"
+
+
+def _manifest_files(
+    manifest: dict, partition_filter: dict[str, object] | None = None
+) -> list[str]:
+    """Resolve a manifest's data-file list, through either layout:
+
+    - flat (``files``): every path inline — O(all files) to read the
+      manifest, the layout ``write_snapshot`` commits;
+    - grouped (``groups``, written by ``compact_manifest``): the
+      manifest holds one entry per group ``{values, path, n_files}``
+      and each group's file list lives in its own side file — the
+      Iceberg manifest-list layout. With a ``partition_filter``, only
+      MATCHING groups' side files are even opened: pruning cost drops
+      from O(all files) to O(n_groups + matching files).
+
+    ``partition_filter`` values must already be validated against the
+    manifest's ``partition_by`` by the caller; they are compared as
+    Hive path strings."""
+    wanted = None
+    if partition_filter:
+        wanted = {
+            k: {str(v) for v in (val if isinstance(val, (list, tuple, set)) else [val])}
+            for k, val in partition_filter.items()
+        }
+    if "groups" in manifest:
+        out: list[str] = []
+        for g in manifest["groups"]:
+            if wanted is not None and not all(
+                g["values"].get(k) in vals for k, vals in wanted.items()
+            ):
+                continue
+            with open(g["path"]) as f:
+                out.extend(json.load(f)["files"])
+        return out
+    files = manifest["files"]
+    if wanted is not None:
+        base = manifest["base"]
+        files = [
+            f
+            for f in files
+            if all(
+                _partition_values(f, base).get(k) in vals
+                for k, vals in wanted.items()
+            )
+        ]
+    return files
+
+
+def compact_manifest(
+    table_path: str, version: int | None = None, group_files: int = 100
+) -> int:
+    """Rewrite a committed version's manifest into the two-level
+    grouped layout and commit it as the NEXT version — data files are
+    untouched and shared with the source version (which stays readable:
+    same immutability contract as every commit).
+
+    This is the documented 100 TB extension the flat manifest needs:
+    one JSON naming every data file is O(files) per commit and per
+    read, the Iceberg manifest-list problem. After compaction the top
+    manifest holds one entry per GROUP — per partition value for a
+    partitioned table (so ``partition_filter`` reads open only the
+    matching groups' side files), else per ``group_files``-sized chunk
+    — bounding the top manifest at O(partitions) / O(files ÷ chunk).
+
+    Idempotent in effect: compacting an already-grouped version
+    re-commits the same grouping."""
+    table_path = os.path.abspath(table_path)
+    versions = list_versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot at {table_path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions} at {table_path}")
+    manifest = _read_manifest(table_path, v)
+    files = _manifest_files(manifest)
+    part_cols = manifest.get("partition_by") or []
+    base = manifest["base"]
+    buckets: dict[tuple, list[str]] = {}
+    if part_cols:
+        for f in files:
+            pv = _partition_values(f, base)
+            buckets.setdefault(tuple((c, pv.get(c)) for c in part_cols), []).append(f)
+    else:
+        ordered = sorted(files)
+        for i in range(0, len(ordered), group_files):
+            buckets[(("_chunk", str(i // group_files)),)] = ordered[i : i + group_files]
+    groups_dir = os.path.join(table_path, _GROUPS_DIR)
+    os.makedirs(groups_dir, exist_ok=True)
+    groups = []
+    for key, flist in sorted(buckets.items()):
+        gpath = os.path.join(groups_dir, f"{uuid.uuid4().hex}.json")
+        with open(gpath, "w") as f:
+            json.dump({"files": sorted(flist)}, f)
+        groups.append(
+            {"values": dict(key), "path": gpath, "n_files": len(flist)}
+        )
+    new_version = versions[-1] + 1
+    new_manifest = {
+        "version": new_version,
+        "committed_at": time.time(),
+        "groups": groups,
+        "schema": manifest["schema"],
+        "base": base,
+        "partition_by": list(part_cols),
+        "compacted_from": v,
+    }
+    tmp = os.path.join(table_path, f".manifest.tmp.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(new_manifest, f)
+    final = _manifest_path(table_path, new_version)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise RuntimeError(
+            f"version {new_version} already committed at {table_path}"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return new_version
+
+
 def read_snapshot(
     spark: SparkSession,
     table_path: str,
@@ -170,7 +293,6 @@ def read_snapshot(
     if v not in versions:
         raise FileNotFoundError(f"version {v} not in {versions} at {table_path}")
     manifest = _read_manifest(table_path, v)
-    files = manifest["files"]
     part_cols = manifest.get("partition_by") or []
     if partition_filter:
         bad = [c for c in partition_filter if c not in part_cols]
@@ -179,19 +301,7 @@ def read_snapshot(
                 f"partition_filter on non-partition column(s) {bad}; "
                 f"version {v} is partitioned by {part_cols or 'nothing'}"
             )
-        base = manifest["base"]
-        wanted = {
-            k: {str(v) for v in (val if isinstance(val, (list, tuple, set)) else [val])}
-            for k, val in partition_filter.items()
-        }
-        files = [
-            f
-            for f in files
-            if all(
-                _partition_values(f, base).get(k) in vals
-                for k, vals in wanted.items()
-            )
-        ]
+    files = _manifest_files(manifest, partition_filter)
     if part_cols:
         from pyspark.sql import types as T
 
@@ -234,13 +344,16 @@ def vacuum(table_path: str, keep_last: int = 2) -> dict:
     retired = versions[:-keep_last] if keep_last > 0 else versions
     kept = versions[len(retired) :]
     referenced: set[str] = set()
+    referenced_groups: set[str] = set()
     for v in kept:
         # abspath both sides: manifests written by current code store
         # absolute paths, but normalize anyway so a manifest with
         # relative/symlinked spellings can never cause a live file to
         # fail the membership test and be deleted.
-        referenced.update(
-            os.path.abspath(p) for p in _read_manifest(table_path, v)["files"]
+        man = _read_manifest(table_path, v)
+        referenced.update(os.path.abspath(p) for p in _manifest_files(man))
+        referenced_groups.update(
+            os.path.abspath(g["path"]) for g in man.get("groups", [])
         )
     for v in retired:
         os.unlink(_manifest_path(table_path, v))
@@ -261,6 +374,15 @@ def vacuum(table_path: str, keep_last: int = 2) -> dict:
             for root, _dirs, _fnames in os.walk(snap_dir, topdown=False):
                 if not any(os.scandir(root)):
                     os.rmdir(root)
+    # group side files (compact_manifest's manifest-list layout) are
+    # part of a version's manifest, so they retire with it
+    groups_root = os.path.join(table_path, _GROUPS_DIR)
+    if os.path.isdir(groups_root):
+        for n in sorted(os.listdir(groups_root)):
+            p = os.path.abspath(os.path.join(groups_root, n))
+            if n.endswith(".json") and p not in referenced_groups:
+                os.unlink(p)
+                removed += 1
     return {"retired_versions": retired, "kept_versions": kept, "files_removed": removed}
 
 

@@ -365,37 +365,79 @@ def test_banded_topk_matches_window_topk(frame):
         assert got == naive, f"banded_topk mismatch at k={k}"
 
 
-def test_halo_width_precondition_rejected(frame):
+def test_halo_chain_cap_rejected(frame):
+    """Widths needing more than MAX_HALO_CHAIN chained copies raise
+    (the duplication factor, not exactness, is the problem there)."""
+    from tile_processor_spark.plans.chunked_windows import (
+        MAX_HALO_CHAIN,
+        chunked_trailing_frame,
+    )
+
+    idx = banded_row_index(frame, ["k"], ["t", "id"], _cell())
+    too_wide = 16 * MAX_HALO_CHAIN + 1
+    with pytest.raises(ValueError, match="chained halo copies"):
+        chunked_trailing_frame(
+            idx, ["k"], too_wide,
+            lambda d, w: d.withColumn("s", F.sum("v").over(w)),
+            chunk_rows=16,
+        )
+    with pytest.raises(ValueError, match="chained halo copies"):
+        chunked_frame(
+            idx, ["k"], 0, too_wide,
+            lambda d, w: d.withColumn(
+                "s", F.sum("v").over(w.rowsBetween(0, too_wide))
+            ),
+            chunk_rows=16,
+        )
+
+
+def test_halo_chaining_wide_frames_exact(frame):
+    """Frames WIDER than a chunk (round-10 chaining) stay exact: the
+    trailing and two-sided chunked frames must match the naive per-key
+    window for widths spanning 2-4 chunks, including widths that are
+    exact chunk multiples and a width one past the old single-copy
+    bound."""
     from tile_processor_spark.plans.chunked_windows import chunked_trailing_frame
 
     idx = banded_row_index(frame, ["k"], ["t", "id"], _cell())
-    with pytest.raises(ValueError, match="chunk_rows"):
-        chunked_trailing_frame(
-            idx, ["k"], 64, lambda d, w: d.withColumn("s", F.sum("v").over(w)),
-            chunk_rows=64,
+    for window in (16, 17, 40, 48, 63):
+        wo = W.partitionBy("k").orderBy("t", "id").rowsBetween(-window, 0)
+        naive = sorted(
+            frame.select("k", "id", F.sum("v").over(wo).alias("s")).collect()
         )
-    with pytest.raises(ValueError, match="chunk_rows"):
-        chunked_frame(
-            idx, ["k"], 64, 0,
-            lambda d, w: d.withColumn("s", F.sum("v").over(w.rowsBetween(-64, 0))),
-            chunk_rows=64,
+        got = sorted(
+            chunked_trailing_frame(
+                idx, ["k"], window,
+                lambda d, w: d.withColumn("s", F.sum("v").over(w)),
+                chunk_rows=16,
+            ).select("k", "id", "s").collect()
         )
-    with pytest.raises(ValueError, match="chunk_rows"):
-        chunked_frame(
-            idx, ["k"], 0, 70,
-            lambda d, w: d.withColumn("s", F.sum("v").over(w.rowsBetween(0, 70))),
-            chunk_rows=64,
+        assert got == naive, f"window={window}"
+    for before, after in ((20, 35), (0, 33), (48, 0), (16, 16)):
+        wo = W.partitionBy("k").orderBy("t", "id").rowsBetween(-before, after)
+        naive = sorted(
+            frame.select("k", "id", F.sum("v").over(wo).alias("s")).collect()
         )
-    # one under the bound is fine and exact
-    wo = W.partitionBy("k").orderBy("t", "id").rowsBetween(-63, 0)
+        got = sorted(
+            chunked_frame(
+                idx, ["k"], before, after,
+                lambda d, w, b=before, a=after: d.withColumn(
+                    "s", F.sum("v").over(w.rowsBetween(-b, a))
+                ),
+                chunk_rows=16,
+            ).select("k", "id", "s").collect()
+        )
+        assert got == naive, f"frame=(-{before},{after})"
+    # the old single-copy sweet spot still works unchanged
+    wo = W.partitionBy("k").orderBy("t", "id").rowsBetween(-15, 0)
     naive = sorted(
         frame.select("k", "id", F.sum("v").over(wo).alias("s")).collect()
     )
     got = sorted(
         chunked_trailing_frame(
-            idx, ["k"], 63,
+            idx, ["k"], 15,
             lambda d, w: d.withColumn("s", F.sum("v").over(w)),
-            chunk_rows=64,
+            chunk_rows=16,
         ).select("k", "id", "s").collect()
     )
     assert got == naive

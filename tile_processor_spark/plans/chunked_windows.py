@@ -70,16 +70,32 @@ def _check_collisions(df: DataFrame, names: Sequence[str], where: str) -> None:
         )
 
 
-def _check_halo_width(width: int, what: str, chunk_rows: int) -> None:
-    """Halo exactness precondition: each chunk carries at most the
-    adjacent chunk's rows as halo, so a frame reaching ``chunk_rows`` or
-    further would be silently truncated (wrong) — reject it."""
-    if width >= chunk_rows:
+#: max chained halo copies per side: a frame ``width`` needs
+#: ``ceil(width / chunk_rows)`` neighbor-chunk copies of each row, so
+#: the replication factor grows linearly with width ÷ chunk size.
+#: Past this the caller should raise ``chunk_rows`` (fewer, larger
+#: chunks) instead of paying ~9×+ row duplication through the union.
+MAX_HALO_CHAIN = 8
+
+
+def _halo_copies(width: int, what: str, chunk_rows: int) -> int:
+    """Chained-halo copy count for a frame side of ``width`` rows:
+    chunk c needs rows from chunks c−1 … c−ceil(width/chunk_rows), so
+    each row replicates into up to that many later (or earlier) chunks.
+    Frames wider than a chunk are supported by this chaining (round-10
+    extension of the old single-copy halo, which rejected them);
+    widths needing more than :data:`MAX_HALO_CHAIN` copies still raise
+    — the duplication cost is then the dominant term and raising
+    ``chunk_rows`` is the right fix, not a deeper chain."""
+    copies = -(-width // chunk_rows) if width > 0 else 0
+    if copies > MAX_HALO_CHAIN:
         raise ValueError(
-            f"{what}={width} >= chunk_rows={chunk_rows}: the single-chunk "
-            "halo cannot supply that many adjacent rows, frames would be "
-            "silently truncated — raise chunk_rows or narrow the frame"
+            f"{what}={width} needs {copies} chained halo copies at "
+            f"chunk_rows={chunk_rows} (cap {MAX_HALO_CHAIN}): every row "
+            "would replicate that many times through the halo union — "
+            "raise chunk_rows so the frame spans fewer chunks"
         )
+    return copies
 
 
 def banded_row_index(
@@ -576,28 +592,35 @@ def chunked_frame(
     explicit frame) and must RETAIN all input columns (add via
     withColumn / select("*", ...)).
 
-    Precondition: ``before < chunk_rows`` and ``after < chunk_rows`` —
-    the halo carries at most the adjacent chunk's rows, so a wider
-    frame would be silently truncated; such calls raise ValueError."""
-    _check_halo_width(before, "before", chunk_rows)
-    _check_halo_width(after, "after", chunk_rows)
+    Frames WIDER than a chunk chain halos across
+    ``ceil(width / chunk_rows)`` neighbor chunks (each row replicates
+    once per chained copy — that replication is the cost knob; widths
+    needing more than :data:`MAX_HALO_CHAIN` copies per side raise,
+    pointing at ``chunk_rows`` instead)."""
+    before_copies = _halo_copies(before, "before", chunk_rows)
+    after_copies = _halo_copies(after, "after", chunk_rows)
     keys = list(key_cols)
     base = indexed.withColumn(
         "_chunk", F.floor((F.col("r") - 1) / chunk_rows)
     ).withColumn("_halo", F.lit(False))
     parts = [base]
-    if before > 0:
+    # copy j supplies chunk c+j (resp. c−j) with the slice of chunk c
+    # nearest the boundary; w_j is that slice's width — the whole
+    # chunk once the frame fully spans intermediate chunks
+    for j in range(1, before_copies + 1):
+        w_j = min(chunk_rows, before - (j - 1) * chunk_rows)
         parts.append(
-            base.filter(((F.col("r") - 1) % chunk_rows) >= chunk_rows - before)
-            .withColumn("_chunk", F.col("_chunk") + 1)
+            base.filter(((F.col("r") - 1) % chunk_rows) >= chunk_rows - w_j)
+            .withColumn("_chunk", F.col("_chunk") + j)
             .withColumn("_halo", F.lit(True))
         )
-    if after > 0:
+    for j in range(1, after_copies + 1):
+        w_j = min(chunk_rows, after - (j - 1) * chunk_rows)
         parts.append(
             base.filter(
-                (((F.col("r") - 1) % chunk_rows) < after) & (F.col("_chunk") > 0)
+                (((F.col("r") - 1) % chunk_rows) < w_j) & (F.col("_chunk") >= j)
             )
-            .withColumn("_chunk", F.col("_chunk") - 1)
+            .withColumn("_chunk", F.col("_chunk") - j)
             .withColumn("_halo", F.lit(True))
         )
     both = parts[0]
@@ -621,20 +644,23 @@ def chunked_trailing_frame(
     WindowSpec and must return ``df`` plus its frame columns; halo rows
     (whose frames would be incomplete) are dropped afterwards.
 
-    Precondition: ``window < chunk_rows`` — the halo carries at most
-    the previous chunk's rows, so a wider trailing frame would be
-    silently truncated; such calls raise ValueError."""
-    _check_halo_width(window, "window", chunk_rows)
+    Trailing frames WIDER than a chunk chain halos across
+    ``ceil(window / chunk_rows)`` previous chunks (one replica per
+    chained copy; more than :data:`MAX_HALO_CHAIN` copies raises —
+    raise ``chunk_rows`` instead)."""
+    copies = _halo_copies(window, "window", chunk_rows)
     keys = list(key_cols)
     base = indexed.withColumn(
         "_chunk", F.floor((F.col("r") - 1) / chunk_rows)
     ).withColumn("_halo", F.lit(False))
-    halo = (
-        base.filter(((F.col("r") - 1) % chunk_rows) >= chunk_rows - window)
-        .withColumn("_chunk", F.col("_chunk") + 1)
-        .withColumn("_halo", F.lit(True))
-    )
-    both = base.unionByName(halo)
+    both = base
+    for j in range(1, copies + 1):
+        w_j = min(chunk_rows, window - (j - 1) * chunk_rows)
+        both = both.unionByName(
+            base.filter(((F.col("r") - 1) % chunk_rows) >= chunk_rows - w_j)
+            .withColumn("_chunk", F.col("_chunk") + j)
+            .withColumn("_halo", F.lit(True))
+        )
     wch = (
         W.partitionBy(*keys, "_chunk")
         .orderBy("r")

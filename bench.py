@@ -45,6 +45,44 @@ CONTROL_QUERIES = (
 )
 
 
+# Epoch-consistent relational side star (round 10): the driver's
+# mid-round-9 sf0.1 orders regeneration moved o_orderdate to 2017-2023,
+# so the TPC-H date predicates (1996/1997) select nothing at sf0.1 and
+# the q3/q4/q5/q10 headline numbers measure a big scan feeding EMPTY
+# joins. The side star (tools/gen_sf1.py --relational, seed-pinned,
+# 1995-2001 epoch, same 600k-lineitem / 1.5M-orders scale) restores
+# non-empty join measurement; BASELINE.md records its baseline row.
+REL_STAR_QUERIES = (
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+)
+
+
+def _ensure_rel_star() -> str | None:
+    """Generate (once) the seed-pinned epoch-consistent relational star
+    and return its directory — or None when generation fails (the side
+    bench is diagnostics; it must never fail the bench)."""
+    import subprocess
+
+    rel_dir = os.environ.get("SPARK_GRAFT_REL_STAR_DIR", "/tmp/tps_rel_star_m1")
+    expected = ["lineitem", "orders", "customer", "supplier", "nation", "region"]
+    if all(os.path.exists(os.path.join(rel_dir, f"{t}.parquet")) for t in expected):
+        return rel_dir
+    gen = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "gen_sf1.py")
+    try:
+        subprocess.run(
+            [sys.executable, gen, rel_dir, "1", "--relational"],
+            capture_output=True,
+            timeout=300,
+            check=True,
+        )
+        return rel_dir
+    except Exception:
+        return None
+
+
 def _run_control() -> dict | None:
     """Measure the fixed control subset in its own fresh process BEFORE
     the main session exists (so the two JVMs never coexist). Returns the
@@ -174,6 +212,44 @@ def main() -> None:
             del df
             gc.collect()
 
+    # Relational-star side bench: same warmup + min-of-2-interleaved
+    # estimator, against the epoch-consistent star, so the join queries
+    # are measured doing joins (see REL_STAR_QUERIES note). Result row
+    # counts are recorded as the non-empty-join proof.
+    rel_out: dict | None = None
+    if run_control and not os.environ.get("SPARK_GRAFT_BENCH_NO_RELSTAR"):
+        rel_dir = _ensure_rel_star()
+        if rel_dir:
+            rel_names = [n for n in REL_STAR_QUERIES if n in specs]
+            for name in rel_names:  # unbilled warmup (same as main suite)
+                specs[name].spark_fn(spark, rel_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            spark._jvm.System.gc()
+            rel_timings = {name: float("inf") for name in rel_names}
+            for rnd in range(2):
+                for name in rel_names:
+                    t0 = time.perf_counter()
+                    specs[name].spark_fn(spark, rel_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    took = time.perf_counter() - t0
+                    rel_timings[name] = round(min(rel_timings[name], took), 4)
+                    print(
+                        f"[bench] rel-star round {rnd} {name}: {took:.2f}s",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+            rel_out = {
+                "relational_star_dir": rel_dir,
+                "relational_star_queries": rel_timings,
+                "relational_star_sum": round(sum(rel_timings.values()), 4),
+                "relational_star_rows": {
+                    name: specs[name].spark_fn(spark, rel_dir).count()
+                    for name in rel_names
+                },
+            }
+
     # Host-normalized headline: raw sum scaled by how fast THIS host runs
     # the fixed calibration workload relative to the pinned round-4
     # reference (0.485 s). A 2×-slower host halves its raw penalty;
@@ -198,6 +274,8 @@ def main() -> None:
         "calibration_ref_sec": CALIB_REF_SEC,
         "value_calibrated": round(total * (CALIB_REF_SEC / calib), 4) if calib > 0 else total,
     }
+    if rel_out:
+        out.update(rel_out)
 
     # Fresh-JVM control evidence (measured BEFORE this session started):
     # control_fresh vs control_insuite isolates shared-JVM suite-size

@@ -141,11 +141,14 @@ def dedup_minhash_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_recall_frame(
-    spark: SparkSession, sf_dir: str, sampled: bool
+    spark: SparkSession, sf_dir: str, sampled: bool, pct: int | None = None
 ) -> DataFrame:
+    """``pct`` overrides the gate's AUDIT_SAMPLE_PCT slice width — the
+    production audit mode (1-5%) measured in docs/SCALE.md runs through
+    here; the registered row keeps the pinned 50% default."""
     d = _docs(spark, sf_dir)
     if sampled:
-        d = audit_slice(d)
+        d = audit_slice(d) if pct is None else audit_slice(d, pct)
     # Zero-shingle documents (< 3 tokens) get the sentinel all-PRIME
     # signature and would bucket-collide with each other in every band,
     # while the oracle's sigs CTE simply has no rows for them — exclude

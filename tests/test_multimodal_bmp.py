@@ -87,3 +87,31 @@ def test_bmp_gate_row_matches_closed_form(spark):
     for did, r in got.items():
         assert r["n_bytes"] == 144 and r["n_frames"] == 21 and r["kind"] == "bmp"
         assert r["byte_sum"] == sum((did * 31 + k) % 256 for k in range(144))
+
+
+def test_resize2d_matches_closed_form(spark):
+    """2-D average pool over the decoded raster equals the doc_id
+    arithmetic the DuckDB oracle uses (same formula, no decode)."""
+    from tile_processor_spark.plans.multimodal_gate import multimodal_bmp_resize2d
+
+    got = {r["asset_id"]: r["resized2d"] for r in multimodal_bmp_resize2d(spark, SF).collect()}
+    assert got
+    for did, s in got.items():
+        vals = []
+        for by in range(2):
+            for bx in range(2):
+                for c in range(3):
+                    px = [
+                        (did * 31 + (y * 8 + x) * 3 + c) % 256
+                        for y in range(by * 3, by * 3 + 3)
+                        for x in range(bx * 4, bx * 4 + 4)
+                    ]
+                    vals.append(sum(px) // 12)
+        assert s == "-".join(map(str, vals)), did
+
+
+def test_resize2d_rejects_undecodable_kinds(spark):
+    from tile_processor_spark.multimodal.ops import make_assets, resize2d
+
+    with pytest.raises(Exception, match="real decoder"):
+        resize2d(make_assets(spark, SF)).collect()

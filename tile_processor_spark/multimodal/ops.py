@@ -230,3 +230,40 @@ def make_bmp_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_bytes"), F.col("kind").alias("declared_kind")
         ).alias("meta"),
     )
+
+
+def resize2d(assets: DataFrame, out_h: int = 2, out_w: int = 2) -> DataFrame:
+    """TRUE 2-D average-pool image resize over decoded BMP rasters:
+    bin (by, bx, c) is the floored integer mean of pixel block
+    ``[by·H/out_h, (by+1)·H/out_h) × [bx·W/out_w, (bx+1)·W/out_w)`` per
+    channel — the real form of the 1-D pooling algebra ``resize``
+    stands in with for opaque payloads. Emitted as a '-'-joined string
+    (row-major bins, RGB inner order) so the gate hash is type-stable.
+    Payloads must be BMP (the real decoder); other kinds raise."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for p, k in zip(pdf["payload"], pdf["kind"]):
+                if k != "bmp":
+                    raise NotImplementedError(
+                        f"resize2d needs decodable rasters; kind {k!r} has "
+                        "no real decoder"
+                    )
+                img = decode_bmp(bytes(p)).astype(np.int64)
+                h, w, _ = img.shape
+                ye = [(i * h) // out_h for i in range(out_h + 1)]
+                xe = [(i * w) // out_w for i in range(out_w + 1)]
+                vals = []
+                for by in range(out_h):
+                    for bx in range(out_w):
+                        block = img[ye[by] : ye[by + 1], xe[bx] : xe[bx + 1], :]
+                        npix = block.shape[0] * block.shape[1]
+                        for c in range(3):
+                            vals.append(int(block[:, :, c].sum() // npix))
+                rows.append("-".join(map(str, vals)))
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"].to_numpy(), "resized2d": rows}
+            )
+
+    return assets.mapInPandas(_batches, "asset_id long, resized2d string")

@@ -189,3 +189,34 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(make_bmp_assets(spark, sf_dir)).select(
         "asset_id", "kind", "n_bytes", "byte_sum", "n_frames"
     )
+
+
+@register(
+    "multimodal_bmp_resize2d",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           array_to_string(
+             flatten(list_transform(range(0, 2), by ->
+               flatten(list_transform(range(0, 2), bx ->
+                 list_transform(range(0, 3), c ->
+                   CAST(list_sum(flatten(list_transform(range(by*3, by*3 + 3), y ->
+                     list_transform(range(bx*4, bx*4 + 4), x ->
+                       (doc_id * 31 + (y*8 + x)*3 + c) % 256)))) // 12
+                     AS VARCHAR)))))),
+             '-') AS resized2d
+    FROM documents
+    """,
+    doc=(
+        "TRUE 2-D image resize gate: the 8×6 encoded BMP raster is "
+        "decoded and average-pooled to 2×2 bins per RGB channel "
+        "(floored integer means — exact). The oracle recomputes every "
+        "pooled bin from doc_id arithmetic, so this pins the 2-D "
+        "block-pooling geometry (row-major bins, per-channel means, "
+        "edge arithmetic) on top of the real decode path."
+    ),
+    tags=("multimodal", "udf"),
+)
+def multimodal_bmp_resize2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.multimodal.ops import make_bmp_assets, resize2d
+
+    return resize2d(make_bmp_assets(spark, sf_dir))

@@ -115,3 +115,47 @@ def test_resize2d_rejects_undecodable_kinds(spark):
 
     with pytest.raises(Exception, match="real decoder"):
         resize2d(make_assets(spark, SF)).collect()
+
+
+def test_wav_roundtrip_and_variants():
+    import struct
+
+    import numpy as np
+
+    from tile_processor_spark.multimodal.ops import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    for shape in [(120,), (55, 2), (1, 3)]:
+        a = rng.integers(-32768, 32767, shape, dtype=np.int16)
+        s, r = decode_wav(encode_wav(a, 44100))
+        exp = a[:, None] if a.ndim == 1 else a
+        assert r == 44100 and (s == exp).all(), shape
+    # an extra RIFF chunk before data must be skipped (chunk walking)
+    good = bytearray(encode_wav(np.array([5, -7], dtype=np.int16), 8000))
+    extra = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    payload = bytes(good[:12]) + extra + bytes(good[12:])
+    payload = payload[:4] + struct.pack("<I", len(payload) - 8) + payload[8:]
+    s, r = decode_wav(payload)
+    assert r == 8000 and s[:, 0].tolist() == [5, -7]
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"XXXX" + bytes(good[4:]))
+    # float-format WAV raises (format tag lives after the fmt chunk id)
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 20, 3)  # IEEE float
+    with pytest.raises(NotImplementedError, match="PCM"):
+        decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="int16"):
+        encode_wav(np.zeros(4, dtype=np.float32))
+
+
+def test_wav_gate_row_matches_closed_form(spark):
+    from tile_processor_spark.plans.multimodal_gate import multimodal_wav_decode
+
+    got = {r["asset_id"]: r for r in multimodal_wav_decode(spark, SF).collect()}
+    assert got
+    for did, r in got.items():
+        vals = [(did * 37 + k * 11) % 4096 - 2048 for k in range(120)]
+        assert r["n_samples"] == 120 and r["sample_rate"] == 8000
+        assert r["n_channels"] == 1
+        assert r["sample_sum"] == sum(vals)
+        assert r["peak_abs"] == max(abs(v) for v in vals)

@@ -267,3 +267,139 @@ def resize2d(assets: DataFrame, out_h: int = 2, out_w: int = 2) -> DataFrame:
             )
 
     return assets.mapInPandas(_batches, "asset_id long, resized2d string")
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode int16 PCM samples — shape (n,) mono or (n, ch) — as a
+    canonical RIFF/WAVE file (PCM format 1, 16-bit, little-endian
+    interleaved). The audio twin of ``encode_bmp``: a real container
+    format needing no codec libraries, byte-exactly invertible by
+    ``decode_wav``."""
+    import struct
+
+    if samples.dtype != np.int16:
+        raise ValueError(f"expected int16 PCM samples, got {samples.dtype}")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.ndim != 2:
+        raise ValueError(f"expected (n,) or (n, ch) samples, got {samples.shape}")
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()  # interleaved row-major
+    block_align = ch * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, ch, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    body = b"WAVE" + fmt + struct.pack("<4sI", b"data", len(data)) + data
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE payload to ``(samples (n, ch) int16,
+    sample_rate)``. Walks the chunk list (so extra chunks like LIST /
+    INFO are skipped, per the RIFF spec), requires PCM format 1 at 16
+    bits — compressed or float WAV variants raise loudly."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    audio_format, ch, sample_rate, _brate, _balign, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV supported (format={audio_format} bits={bits})"
+        )
+    n = len(data) // (ch * 2)
+    samples = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
+    return samples.astype(np.int16), sample_rate
+
+
+def wav_features(assets: DataFrame) -> DataFrame:
+    """Decode real WAV payloads and emit per-asset audio features:
+    sample/channel counts, rate, exact sample sum, and peak absolute
+    amplitude — the audio analogue of ``extract_features``, through
+    the same Arrow-batched ``mapInPandas`` path."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                s, rate = decode_wav(bytes(p))
+                rows.append(
+                    (
+                        int(aid),
+                        s.shape[0],
+                        rate,
+                        s.shape[1],
+                        int(s.astype(np.int64).sum()),
+                        int(np.abs(s.astype(np.int64)).max()) if s.size else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "n_samples", "sample_rate", "n_channels",
+                    "sample_sum", "peak_abs",
+                ],
+            )
+
+    return assets.mapInPandas(
+        _batches,
+        "asset_id long, n_samples long, sample_rate long, n_channels long, "
+        "sample_sum long, peak_abs long",
+    )
+
+
+_WAV_N, _WAV_RATE = 120, 8000
+
+
+def make_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset table whose payloads are REAL encoded audio: per doc_id a
+    deterministic 120-sample mono PCM stream (sample k carries
+    ``((doc_id·37 + k·11) mod 4096) − 2048``) encoded as 16-bit RIFF/
+    WAVE — the oracle recomputes every feature from doc_id arithmetic,
+    pinning the encode→decode roundtrip against closed form."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = np.arange(_WAV_N, dtype=np.int64)
+        for pdf in it:
+            payloads = [
+                encode_wav(
+                    (((int(did) * 37 + k * 11) % 4096) - 2048).astype(np.int16),
+                    _WAV_RATE,
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].to_numpy(),
+                    "kind": "wav",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    flat = d.mapInPandas(
+        _gen, "asset_id long, kind string, payload binary, n_bytes long"
+    )
+    return flat.select(
+        "asset_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.col("n_bytes"), F.col("kind").alias("declared_kind")
+        ).alias("meta"),
+    )

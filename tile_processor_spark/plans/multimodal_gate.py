@@ -220,3 +220,36 @@ def multimodal_bmp_resize2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tile_processor_spark.multimodal.ops import make_bmp_assets, resize2d
 
     return resize2d(make_bmp_assets(spark, sf_dir))
+
+
+@register(
+    "multimodal_wav_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(120 AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(list_sum(list_transform(range(0, 120),
+                    k -> (doc_id * 37 + k * 11) % 4096 - 2048)) AS BIGINT)
+             AS sample_sum,
+           CAST(list_max(list_transform(range(0, 120),
+                    k -> abs((doc_id * 37 + k * 11) % 4096 - 2048))) AS BIGINT)
+             AS peak_abs
+    FROM documents
+    """,
+    doc=(
+        "REAL audio decode gate: per doc a deterministic 120-sample "
+        "mono PCM stream (sample k = (doc_id·37+k·11) mod 4096 − 2048) "
+        "is ENCODED as a 16-bit RIFF/WAVE file, then DECODED by the "
+        "dependency-free chunk-walking WAV parser and featurized "
+        "(counts, rate, exact sum, peak amplitude). The oracle "
+        "recomputes every feature from doc_id arithmetic alone — the "
+        "audio twin of multimodal_bmp_decode, closing the decode-stub "
+        "gap for the second modality."
+    ),
+    tags=("multimodal", "udf"),
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.multimodal.ops import make_wav_assets, wav_features
+
+    return wav_features(make_wav_assets(spark, sf_dir))

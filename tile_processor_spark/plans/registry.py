@@ -85,6 +85,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "snapshot_schema_evolution_diff",
     "multimodal_bmp_decode",
     "multimodal_bmp_resize2d",
+    "multimodal_wav_decode",
     "ann_kmeans_fit",
     "spatial_point_in_tile_join",
     "spatial_within_extent",
@@ -128,7 +129,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "pareto_abc_parts",
     "ann_pq_codes",
     "sketch_hll_distinct",
-    "sketch_bloom_membership",
     # everything else follows in registration order
 )
 

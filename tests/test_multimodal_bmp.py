@@ -159,3 +159,99 @@ def test_wav_gate_row_matches_closed_form(spark):
         assert r["n_channels"] == 1
         assert r["sample_sum"] == sum(vals)
         assert r["peak_abs"] == max(abs(v) for v in vals)
+
+
+def test_png_roundtrip_and_filter_types():
+    """decode_png must undo ALL five PNG filter types — the test
+    re-encodes a known image with each filter per the spec (independent
+    of encode_png, which always uses filter 0) and decodes it."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from tile_processor_spark.multimodal.ops import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def encode_with_filter(pixels, ftype):
+        h, w, ch = pixels.shape
+        raw = bytearray()
+        prev = np.zeros(w * ch, dtype=np.int32)
+        for y in range(h):
+            cur = pixels[y].reshape(-1).astype(np.int32)
+            filt = np.zeros(w * ch, dtype=np.int32)
+            for i in range(w * ch):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[i] = (cur[i] - pred) & 0xFF
+            raw.append(ftype)
+            raw.extend(filt.astype(np.uint8).tobytes())
+            prev = cur
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            sig + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    for ftype in range(5):
+        got = decode_png(encode_with_filter(img, ftype))
+        assert (got == img).all(), f"filter {ftype}"
+
+
+def test_png_variant_rejection():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from tile_processor_spark.multimodal.ops import decode_png, encode_png
+
+    good = bytearray(encode_png(np.zeros((2, 2, 3), dtype=np.uint8)))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"X" + bytes(good[1:]))
+    # corrupt a data byte inside IHDR -> CRC catches it
+    bad = bytearray(good)
+    bad[16] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # 16-bit depth rejected (re-CRC the edited IHDR so CRC passes)
+    deep = bytearray(good)
+    deep[24] = 16
+    ihdr = bytes(deep[12:16]) + bytes(deep[16:29])
+    struct.pack_into(">I", deep, 29, zlib.crc32(ihdr) & 0xFFFFFFFF)
+    with pytest.raises(NotImplementedError, match="truecolor"):
+        decode_png(bytes(deep))
+
+
+def test_png_gate_row_matches_closed_form(spark):
+    from tile_processor_spark.plans.multimodal_gate import multimodal_png_decode
+
+    got = {r["asset_id"]: r for r in multimodal_png_decode(spark, SF).collect()}
+    assert got
+    for did, r in got.items():
+        assert (r["width"], r["height"], r["n_samples"]) == (8, 6, 144)
+        assert r["pixel_sum"] == sum((did * 29 + 7 * k) % 256 for k in range(144))

@@ -403,3 +403,186 @@ def make_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_bytes"), F.col("kind").alias("declared_kind")
         ).alias("meta"),
     )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an H×W×3 uint8 RGB array as a real PNG (8-bit truecolor,
+    non-interlaced, filter 0 rows, one zlib IDAT). PNG is the one
+    COMPRESSED raster format buildable with the stdlib alone (zlib) —
+    unlike BMP this exercises a real inflate on the decode side."""
+    import struct
+    import zlib
+
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError(f"expected H×W×3 uint8 RGB, got {pixels.shape} {pixels.dtype}")
+    h, w = pixels.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Undo PNG per-row filtering (all five filter types, Paeth
+    included) on the inflated scanline stream."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(
+            np.int32
+        )
+        pos += 1 + stride
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left context
+            cur = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                if ftype == 1:
+                    cur[i] = (row[i] + a) & 0xFF
+                elif ftype == 3:
+                    cur[i] = (row[i] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[i - ch] if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (row[i] + pr) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit truecolor (RGB or RGBA) non-interlaced PNG to an
+    H×W×ch uint8 array: chunk walk with CRC verification, zlib inflate,
+    full five-filter unfiltering. Palette/16-bit/interlaced variants
+    raise loudly rather than mis-decode."""
+    import struct
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG payload missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or color not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit truecolor non-interlaced PNG supported "
+            f"(depth={depth} color_type={color} interlace={interlace})"
+        )
+    ch = 3 if color == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (1 + w * ch):
+        raise ValueError("PNG scanline stream has wrong length")
+    return _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+
+
+def make_png_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset table with REAL compressed image payloads: per doc_id the
+    deterministic 8×6 raster (flat pixel k = ``(doc_id·29 + 7k) mod
+    256``) encoded as an 8-bit truecolor PNG — decode pays a real zlib
+    inflate + unfilter, and the gate oracle recomputes features from
+    doc_id arithmetic alone."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+    n = _BMP_W * _BMP_H * 3
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = np.arange(n, dtype=np.int64)
+        for pdf in it:
+            payloads = [
+                encode_png(
+                    ((int(did) * 29 + 7 * k) % 256)
+                    .astype(np.uint8)
+                    .reshape(_BMP_H, _BMP_W, 3)
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].to_numpy(),
+                    "kind": "png",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    flat = d.mapInPandas(
+        _gen, "asset_id long, kind string, payload binary, n_bytes long"
+    )
+    return flat.select(
+        "asset_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.col("n_bytes"), F.col("kind").alias("declared_kind")
+        ).alias("meta"),
+    )
+
+
+def png_features(assets: DataFrame) -> DataFrame:
+    """Decode PNG payloads (real inflate) and emit per-asset features:
+    dimensions, decoded sample count, and exact pixel sum."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_png(bytes(p)).astype(np.int64)
+                rows.append(
+                    (
+                        int(aid),
+                        img.shape[1],
+                        img.shape[0],
+                        int(img.size),
+                        int(img.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "width", "height", "n_samples", "pixel_sum"]
+            )
+
+    return assets.mapInPandas(
+        _batches,
+        "asset_id long, width long, height long, n_samples long, pixel_sum long",
+    )

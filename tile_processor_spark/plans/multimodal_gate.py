@@ -253,3 +253,32 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tile_processor_spark.multimodal.ops import make_wav_assets, wav_features
 
     return wav_features(make_wav_assets(spark, sf_dir))
+
+
+@register(
+    "multimodal_png_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(6 AS BIGINT) AS height,
+           CAST(144 AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(range(0, 144),
+                    k -> (doc_id * 29 + 7 * k) % 256)) AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+    doc=(
+        "REAL compressed-image decode gate: per doc a deterministic "
+        "8×6 raster is encoded as an 8-bit truecolor PNG and decoded "
+        "on the executor through a dependency-free parser — chunk walk "
+        "with CRC verification, zlib INFLATE (stdlib), and full "
+        "five-filter scanline unfiltering. The oracle recomputes "
+        "dimensions and the exact pixel sum from doc_id arithmetic, so "
+        "a defect anywhere in the compressed path breaks the hash. "
+        "With BMP and WAV this leaves jpeg as the only stubbed kind."
+    ),
+    tags=("multimodal", "udf"),
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.multimodal.ops import make_png_assets, png_features
+
+    return png_features(make_png_assets(spark, sf_dir))

@@ -86,6 +86,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_bmp_decode",
     "multimodal_bmp_resize2d",
     "multimodal_wav_decode",
+    "multimodal_png_decode",
     "ann_kmeans_fit",
     "spatial_point_in_tile_join",
     "spatial_within_extent",
@@ -128,7 +129,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "customer_rfm_segments",
     "pareto_abc_parts",
     "ann_pq_codes",
-    "sketch_hll_distinct",
     # everything else follows in registration order
 )
 

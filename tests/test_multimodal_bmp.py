@@ -255,3 +255,41 @@ def test_png_gate_row_matches_closed_form(spark):
     for did, r in got.items():
         assert (r["width"], r["height"], r["n_samples"]) == (8, 6, 144)
         assert r["pixel_sum"] == sum((did * 29 + 7 * k) % 256 for k in range(144))
+
+
+def test_png_stream_split_walks_without_decoding():
+    import numpy as np
+
+    from tile_processor_spark.multimodal.ops import (
+        decode_png,
+        encode_png,
+        split_png_stream,
+    )
+
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (3, 4, 3), dtype=np.uint8) for _ in range(4)]
+    stream = b"".join(encode_png(i) for i in imgs)
+    frames = split_png_stream(stream)
+    assert len(frames) == 4
+    for f, img in zip(frames, imgs):
+        assert (decode_png(f) == img).all()
+    with pytest.raises(ValueError, match="signature"):
+        split_png_stream(stream + b"junk")
+
+
+def test_video_gate_row_matches_closed_form(spark):
+    from tile_processor_spark.plans.multimodal_gate import (
+        multimodal_video_frame_sample,
+    )
+
+    got = {
+        r["asset_id"]: r for r in multimodal_video_frame_sample(spark, SF).collect()
+    }
+    assert got
+    for did, r in got.items():
+        assert (r["n_frames"], r["n_sampled"]) == (10, 4)
+        assert r["sampled_pixel_sum"] == sum(
+            (did * 13 + f * 101 + 3 * k) % 256
+            for f in (0, 3, 6, 9)
+            for k in range(36)
+        )

@@ -586,3 +586,102 @@ def png_features(assets: DataFrame) -> DataFrame:
         _batches,
         "asset_id long, width long, height long, n_samples long, pixel_sum long",
     )
+
+
+def split_png_stream(payload: bytes) -> list[bytes]:
+    """Split a concatenated-PNG stream (the engine's dependency-free
+    multi-frame 'video' container) into per-frame payloads by WALKING
+    chunk lengths — no inflate, no pixel work. This is the structural
+    pass frame sampling needs: at a large stride almost every frame is
+    skipped, and skipping must not cost a decode."""
+    import struct
+
+    frames = []
+    pos = 0
+    while pos < len(payload):
+        if payload[pos : pos + len(_PNG_SIG)] != _PNG_SIG:
+            raise ValueError(f"PNG stream: bad signature at offset {pos}")
+        start = pos
+        pos += len(_PNG_SIG)
+        while True:
+            (length,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            pos += 12 + length
+            if ctype == b"IEND":
+                break
+        frames.append(payload[start:pos])
+    return frames
+
+
+def video_frame_sample(assets: DataFrame, stride: int) -> DataFrame:
+    """Frame sampling over the multi-frame container: structurally walk
+    the stream (cheap), DECODE ONLY every ``stride``-th frame, and emit
+    per-asset totals — the video keyframe-sampling shape with its real
+    cost model (decode cost ∝ sampled frames, not stored frames)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                frames = split_png_stream(bytes(p))
+                sampled = frames[::stride]
+                pix = sum(
+                    int(decode_png(f).astype(np.int64).sum()) for f in sampled
+                )
+                rows.append((int(aid), len(frames), len(sampled), pix))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "n_frames", "n_sampled", "sampled_pixel_sum"],
+            )
+
+    return assets.mapInPandas(
+        _batches,
+        "asset_id long, n_frames long, n_sampled long, sampled_pixel_sum long",
+    )
+
+
+_VID_FRAMES, _VID_H, _VID_W, _VID_STRIDE = 10, 3, 4, 3
+
+
+def make_video_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset table whose payloads are multi-frame containers: 10
+    concatenated 4×3 PNG frames per doc, frame f's flat pixel k
+    carrying ``(doc_id·13 + f·101 + 3k) mod 256`` — closed-form
+    recomputable by the gate oracle."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+    n = _VID_H * _VID_W * 3
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = np.arange(n, dtype=np.int64)
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                frames = [
+                    encode_png(
+                        ((int(did) * 13 + f * 101 + 3 * k) % 256)
+                        .astype(np.uint8)
+                        .reshape(_VID_H, _VID_W, 3)
+                    )
+                    for f in range(_VID_FRAMES)
+                ]
+                payloads.append(b"".join(frames))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].to_numpy(),
+                    "kind": "png-stream",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    flat = d.mapInPandas(
+        _gen, "asset_id long, kind string, payload binary, n_bytes long"
+    )
+    return flat.select(
+        "asset_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.col("n_bytes"), F.col("kind").alias("declared_kind")
+        ).alias("meta"),
+    )

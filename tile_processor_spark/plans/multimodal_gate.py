@@ -282,3 +282,36 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tile_processor_spark.multimodal.ops import make_png_assets, png_features
 
     return png_features(make_png_assets(spark, sf_dir))
+
+
+@register(
+    "multimodal_video_frame_sample",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(10 AS BIGINT) AS n_frames,
+           CAST(4 AS BIGINT) AS n_sampled,
+           CAST(list_sum(flatten(list_transform([0, 3, 6, 9], f ->
+                  list_transform(range(0, 36),
+                    k -> (doc_id * 13 + f * 101 + 3 * k) % 256))))
+             AS BIGINT) AS sampled_pixel_sum
+    FROM documents
+    """,
+    doc=(
+        "REAL multi-frame sampling gate: per doc a 10-frame container "
+        "of concatenated PNGs; the operator structurally walks chunk "
+        "lengths to find frame boundaries (no decode for skipped "
+        "frames — the video cost model: decode ∝ sampled frames) and "
+        "decodes every 3rd frame through the real PNG path. The "
+        "oracle recomputes frame counts and the sampled pixel sum from "
+        "doc_id arithmetic alone."
+    ),
+    tags=("multimodal", "udf"),
+)
+def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.multimodal.ops import (
+        _VID_STRIDE,
+        make_video_assets,
+        video_frame_sample,
+    )
+
+    return video_frame_sample(make_video_assets(spark, sf_dir), _VID_STRIDE)

@@ -87,6 +87,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_bmp_resize2d",
     "multimodal_wav_decode",
     "multimodal_png_decode",
+    "multimodal_video_frame_sample",
     "ann_kmeans_fit",
     "spatial_point_in_tile_join",
     "spatial_within_extent",
@@ -128,7 +129,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dq_referential_integrity",
     "customer_rfm_segments",
     "pareto_abc_parts",
-    "ann_pq_codes",
     # everything else follows in registration order
 )
 

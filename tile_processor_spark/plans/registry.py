@@ -88,6 +88,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_wav_decode",
     "multimodal_png_decode",
     "multimodal_video_frame_sample",
+    "snapshot_datasource_read",
     "ann_kmeans_fit",
     "spatial_point_in_tile_join",
     "spatial_within_extent",
@@ -128,7 +129,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "skyline_orders_2d",
     "dq_referential_integrity",
     "customer_rfm_segments",
-    "pareto_abc_parts",
     # everything else follows in registration order
 )
 

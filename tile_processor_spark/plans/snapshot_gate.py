@@ -357,3 +357,39 @@ def snapshot_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFram
     return read_snapshot(
         spark, table, partition_filter={"status": "F"}
     ).select("status", "custkey", "n_orders", "spend")
+
+
+@register(
+    "snapshot_datasource_read",
+    oracle="""
+    SELECT o_orderstatus AS status, o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderstatus, o_custkey
+    """,
+    doc=(
+        "The snapshot store read through the Spark 4 Python Data "
+        "Source connector (spark.read.format('tps_snapshot')) instead "
+        "of the read_snapshot function: same committed version, same "
+        "manifest-level partition pruning (applied in the connector's "
+        "partitions() planning hook — pruned files never become input "
+        "partitions), same committed dtypes (partition values cast "
+        "from the Hive path to the manifest schema, no path "
+        "inference). Oracle identical to snapshot_partition_pruned_read "
+        "— the two read paths must be indistinguishable to a query."
+    ),
+    tags=("snapshot", "connector", "storage"),
+)
+def snapshot_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.sources.snapshot_datasource import register as reg_ds
+
+    table = _build_partitioned(spark, sf_dir)
+    reg_ds(spark)
+    return (
+        spark.read.format("tps_snapshot")
+        .option("path", table)
+        .option("partition_filter", '{"status": "F"}')
+        .load()
+        .select("status", "custkey", "n_orders", "spend")
+    )

@@ -90,3 +90,76 @@ def test_sql_using_clause(spark, tbl):
     assert [tuple(r) for r in got] == [
         ("2024", 1, 10.0), ("2024", 2, 20.0), ("2025", 3, 33.0),
     ]
+
+
+def test_append_snapshot_is_o_new_data(spark, tmp_path):
+    from tile_processor_spark.sources.snapshots import (
+        _read_manifest,
+        append_snapshot,
+    )
+
+    path = str(tmp_path / "app_tbl")
+    v1 = append_snapshot(
+        spark.createDataFrame([(1, "a")], "k long, s string"), path
+    )
+    v2 = append_snapshot(
+        spark.createDataFrame([(2, "b"), (3, "c")], "k long, s string"), path
+    )
+    m1, m2 = _read_manifest(path, v1), _read_manifest(path, v2)
+    # the append commit reuses v1's files untouched and adds only new ones
+    assert set(m1["files"]) < set(m2["files"])
+    assert m2["appended_to"] == v1
+    assert set(m2["appended_files"]) == set(m2["files"]) - set(m1["files"])
+    assert _rows(read_snapshot(spark, path)) == [(1, "a"), (2, "b"), (3, "c")]
+    assert _rows(read_snapshot(spark, path, version=v1)) == [(1, "a")]
+    with pytest.raises(ValueError, match="schema"):
+        append_snapshot(spark.createDataFrame([(9,)], "k long"), path)
+    part = str(tmp_path / "part_tbl")
+    write_snapshot(
+        spark.createDataFrame([("x", 1)], "p string, k long"), part,
+        partition_by=["p"],
+    )
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        append_snapshot(
+            spark.createDataFrame([("y", 2)], "p string, k long"), part
+        )
+
+
+def test_version_stream_emits_appended_batches(spark, tmp_path):
+    from tile_processor_spark.sources.snapshots import append_snapshot, upsert_snapshot
+
+    path = str(tmp_path / "stream_tbl")
+    append_snapshot(spark.createDataFrame([(1, "a")], "k long, s string"), path)
+    append_snapshot(spark.createDataFrame([(2, "b")], "k long, s string"), path)
+    register(spark)
+    q = (
+        spark.readStream.format("tps_snapshot")
+        .option("path", path)
+        .load()
+        .writeStream.format("memory")
+        .queryName("snap_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in spark.sql("SELECT * FROM snap_stream").collect())
+        assert got == [(1, "a"), (2, "b")]
+        append_snapshot(spark.createDataFrame([(3, "c")], "k long, s string"), path)
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in spark.sql("SELECT * FROM snap_stream").collect())
+        assert got == [(1, "a"), (2, "b"), (3, "c")]
+    finally:
+        q.stop()
+
+    # a rewrite version breaks the append-only contract: planning the
+    # next batch must raise, not re-emit or skip
+    from tile_processor_spark.sources.snapshot_datasource import SnapshotStreamReader
+
+    v_rewrite = upsert_snapshot(
+        spark.createDataFrame([(1, "z")], "k long, s string"), path, ["k"]
+    )
+    reader = SnapshotStreamReader(
+        read_snapshot(spark, path).schema, {"path": path}
+    )
+    with pytest.raises(ValueError, match="not an append commit"):
+        reader.partitions({"version": v_rewrite - 1}, {"version": v_rewrite})

@@ -27,7 +27,12 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 from tile_processor_spark.sources.snapshots import (
@@ -113,7 +118,77 @@ class SnapshotDataSource(DataSource):
     def reader(self, schema: StructType) -> SnapshotReader:
         return SnapshotReader(schema, self.options)
 
+    def streamReader(self, schema: StructType) -> "SnapshotStreamReader":
+        return SnapshotStreamReader(schema, self.options)
+
 
 def register(spark) -> None:
     """Idempotent format registration for the current session."""
     spark.dataSource.register(SnapshotDataSource)
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
+    """Version-stream over an append-only snapshot table: offsets are
+    COMMITTED VERSION NUMBERS, each micro-batch carries exactly the
+    rows of the versions in ``(start, end]`` — read from those
+    versions' ``appended_files``, so a batch is the appended delta,
+    never a re-emit of table history. Replayable by construction
+    (versions are immutable until vacuum), which is what makes the
+    offsets real checkpoint currency: a restarted query re-reads the
+    same versions and gets the same batches.
+
+    Non-append versions (write_snapshot rewrites, upserts, compaction)
+    have no ``appended_files``; streaming across one raises rather
+    than silently re-emitting or skipping data — the same contract as
+    Delta's streaming source without ``ignoreChanges``."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("tps_snapshot stream requires .option('path', ...)")
+        starting = options.get("starting_version")
+        self._initial = (
+            int(starting)
+            if starting is not None
+            else (list_versions(self._path) or [0])[-1] if options.get(
+                "latest_only", "false"
+            ).lower() == "true" else 0
+        )
+
+    def initialOffset(self) -> dict:
+        return {"version": self._initial}
+
+    def latestOffset(self) -> dict:
+        versions = list_versions(self._path)
+        return {"version": versions[-1] if versions else self._initial}
+
+    def partitions(self, start: dict, end: dict):
+        parts: list[_FilePartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            manifest = _read_manifest(self._path, v)
+            appended = manifest.get("appended_files")
+            if appended is None:
+                # version 1 of a table born by append_snapshot is a
+                # plain write: its full file list IS the appended delta
+                if manifest.get("version") == 1 and "files" in manifest:
+                    appended = manifest["files"]
+                else:
+                    raise ValueError(
+                        f"version {v} is not an append commit; the "
+                        "version stream cannot represent a rewrite "
+                        "without re-emitting history"
+                    )
+            parts.extend(_FilePartition(f, {}) for f in appended)
+        return parts
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self._schema)
+        tbl = pq.read_table(partition.file_path)
+        yield from tbl.select(target.names).cast(target).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # versions are retained until vacuum; nothing to ack

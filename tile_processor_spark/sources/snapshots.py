@@ -130,6 +130,81 @@ def write_snapshot(
     return version
 
 
+def _commit_manifest(table_path: str, manifest: dict, version: int) -> int:
+    """Atomically publish ``manifest`` as ``version``: tmp write + an
+    exclusive ``os.link`` (of two racing committers of the same version
+    number exactly one wins; the loser raises instead of clobbering)."""
+    tmp = os.path.join(table_path, f".manifest.tmp.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    final = _manifest_path(table_path, version)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise RuntimeError(
+            f"version {version} already committed at {table_path}"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return version
+
+
+def append_snapshot(df: DataFrame, table_path: str) -> int:
+    """APPEND ``df`` as the next version: the new manifest references
+    the previous version's data files UNCHANGED plus the delta's new
+    files — commit cost is O(new data), never O(table). This is the
+    fast path a 100 TB ingest needs (``upsert_snapshot`` rewrites the
+    full merged state; ``write_snapshot`` replaces it): a petabyte
+    table takes a million appends without ever re-writing a byte of
+    history, and every intermediate version stays time-travelable.
+    Schema must match the committed one exactly — an append is not the
+    place for silent evolution. Unpartitioned tables only for now: an
+    appended partitioned manifest would span multiple snap dirs, which
+    breaks Spark's single-basePath partition discovery; the extension
+    is a shared Hive tree for append deltas, raised loudly until built.
+    Also the commit shape the version-stream reader consumes: each
+    append version's NEW files hold exactly that batch's rows."""
+    table_path = os.path.abspath(table_path)
+    versions = list_versions(table_path)
+    if not versions:
+        return write_snapshot(df, table_path)
+    manifest = _read_manifest(table_path, versions[-1])
+    if manifest.get("partition_by"):
+        raise NotImplementedError(
+            "append_snapshot on a partitioned table: appended files "
+            "would span snap dirs and break basePath partition "
+            "discovery — use upsert_snapshot/write_snapshot, or ask "
+            "for the shared-Hive-tree append layout"
+        )
+    committed = json.loads(manifest["schema"])
+    names = [f["name"] for f in committed["fields"]]
+    if list(df.columns) != names and sorted(df.columns) != sorted(names):
+        raise ValueError(
+            f"append schema {df.columns} does not match committed {names}"
+        )
+    snap_dir = os.path.join(table_path, _DATA_DIR, uuid.uuid4().hex)
+    df.select(*names).write.mode("error").parquet(snap_dir)
+    new_files = sorted(
+        os.path.join(root, n)
+        for root, _dirs, fnames in os.walk(snap_dir)
+        for n in fnames
+        if n.endswith(".parquet")
+    )
+    prev_files = _manifest_files(manifest)
+    version = versions[-1] + 1
+    new_manifest = {
+        "version": version,
+        "committed_at": time.time(),
+        "files": prev_files + new_files,
+        "schema": manifest["schema"],
+        "base": manifest["base"],
+        "appended_files": new_files,
+        "appended_to": versions[-1],
+        "partition_by": [],
+    }
+    return _commit_manifest(table_path, new_manifest, version)
+
+
 def _partition_values(file_path: str, base: str) -> dict[str, str]:
     """Hive-style ``col=value`` pairs from a data file's path under the
     snapshot base dir, with Hive's percent-escaping decoded."""

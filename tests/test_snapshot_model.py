@@ -9,6 +9,8 @@ from __future__ import annotations
 import random
 
 from tile_processor_spark.sources.snapshots import (
+    append_snapshot,
+    compact_manifest,
     list_versions,
     read_snapshot,
     upsert_snapshot,
@@ -31,8 +33,15 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
     model: dict[int, str] = {}
     history: dict[int, dict[int, str]] = {}  # version -> state
     ver = 0
-    for step in range(12):
-        op = rng.choice(["commit", "upsert", "upsert", "vacuum"]) if ver else "commit"
+    next_key = 100  # append keys are fresh: appends must never collide
+    for step in range(16):
+        op = (
+            rng.choice(
+                ["commit", "upsert", "upsert", "vacuum", "append", "compact"]
+            )
+            if ver
+            else "commit"
+        )
         if op == "commit":
             model = {
                 rng.randint(0, 9): f"s{step}v{i}" for i in range(rng.randint(1, 6))
@@ -46,6 +55,17 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
             model = {**model, **delta}
             ver = upsert_snapshot(_frame(spark, delta), tbl, ["k"])
             history[ver] = dict(model)
+        elif op == "append":
+            delta = {
+                next_key + i: f"a{step}v{i}" for i in range(rng.randint(1, 3))
+            }
+            next_key += len(delta)
+            model = {**model, **delta}
+            ver = append_snapshot(_frame(spark, delta), tbl)
+            history[ver] = dict(model)
+        elif op == "compact":
+            ver = compact_manifest(tbl, group_files=rng.randint(1, 4))
+            history[ver] = dict(model)  # same state, grouped manifest
         else:
             keep = rng.randint(1, 3)
             res = vacuum(tbl, keep_last=keep)

@@ -1426,3 +1426,97 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens_col(F.col("chunk_text"))).cast("long").alias("n_tokens"),
         hash32(F.col("chunk_text")).alias("chunk_hash"),
     )
+
+
+#: PII patterns shared verbatim by both engines — kept to syntax valid
+#: in BOTH Java regex (Spark) and RE2 (DuckDB): no lookaround, no
+#: backreferences. Order matters: emails are redacted before IPs so an
+#: address-like local part cannot be double-redacted.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_CARD16 = r"\b\d{16}\b"
+
+#: deterministic synthetic-PII injection, built IDENTICALLY by the
+#: Spark plan and the DuckDB oracle: the gate corpus is clean vocab
+#: text, so without injection a redaction row would pass while
+#: matching nothing. Keys off doc_id only — pure string concat.
+_SQL_PII_TEXT = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' card 4111222233334444' ELSE '' END"
+)
+
+
+def _pii_text_col() -> Column:
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" card 4111222233334444")).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, {_SQL_PII_TEXT} AS t FROM documents
+    ),
+    red AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '{PII_EMAIL}')) AS n_emails,
+             len(regexp_extract_all(t, '{PII_IPV4}')) AS n_ips,
+             len(regexp_extract_all(t, '{PII_CARD16}')) AS n_cards,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '{PII_EMAIL}', '[EMAIL]', 'g'),
+               '{PII_IPV4}', '[IP]', 'g'),
+               '{PII_CARD16}', '[CARD]', 'g') AS redacted
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_ips AS BIGINT) AS n_ips,
+           CAST(n_cards AS BIGINT) AS n_cards,
+           md5(redacted) AS redacted_md5
+    FROM red
+    """,
+    doc=(
+        "PII redaction — the scrub stage every training corpus runs "
+        "before anything else: emails, IPv4 addresses, and 16-digit "
+        "card numbers replaced by typed placeholders, with per-type "
+        "match counts. Patterns are restricted to the Java-regex ∩ RE2 "
+        "dialect so both engines execute the SAME expressions; "
+        "deterministic synthetic PII is injected identically on both "
+        "sides (the vocab corpus is clean, and a redactor verified "
+        "against zero matches is not verified). The md5 of the fully "
+        "redacted text pins replacement order and boundaries, not just "
+        "counts. All JVM-side regexp_replace/regexp_count — no Python "
+        "in the hot path; at 100 TB this is a pure map stage, no "
+        "shuffle at all."
+    ),
+    tags=("llm", "text", "privacy"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", _pii_text_col().alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), F.lit(PII_EMAIL), F.lit("[EMAIL]")),
+            F.lit(PII_IPV4),
+            F.lit("[IP]"),
+        ),
+        F.lit(PII_CARD16),
+        F.lit("[CARD]"),
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(F.col("t"), F.lit(PII_CARD16)).cast("long").alias("n_cards"),
+        F.md5(F.encode(redacted, "UTF-8")).alias("redacted_md5"),
+    )

@@ -89,6 +89,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_png_decode",
     "multimodal_video_frame_sample",
     "snapshot_datasource_read",
+    "text_pii_redact",
     "ann_kmeans_fit",
     "spatial_point_in_tile_join",
     "spatial_within_extent",
@@ -128,7 +129,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "window_nth_value",
     "skyline_orders_2d",
     "dq_referential_integrity",
-    "customer_rfm_segments",
     # everything else follows in registration order
 )
 

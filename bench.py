@@ -68,7 +68,15 @@ def _ensure_rel_star() -> str | None:
 
     rel_dir = os.environ.get("SPARK_GRAFT_REL_STAR_DIR", "/tmp/tps_rel_star_m1")
     expected = ["lineitem", "orders", "customer", "supplier", "nation", "region"]
-    if all(os.path.exists(os.path.join(rel_dir, f"{t}.parquet")) for t in expected):
+    # stamp ties the cached star to the generator version: a generator
+    # change must regenerate, not silently reuse a stale /tmp cache
+    stamp_path = os.path.join(rel_dir, ".gen_stamp")
+    stamp = "gen_sf1-relational-v1-mult1"
+    if all(
+        os.path.exists(os.path.join(rel_dir, f"{t}.parquet")) for t in expected
+    ) and (
+        os.path.exists(stamp_path) and open(stamp_path).read().strip() == stamp
+    ):
         return rel_dir
     gen = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "gen_sf1.py")
     try:
@@ -78,6 +86,8 @@ def _ensure_rel_star() -> str | None:
             timeout=300,
             check=True,
         )
+        with open(stamp_path, "w") as f:
+            f.write(stamp)
         return rel_dir
     except Exception:
         return None

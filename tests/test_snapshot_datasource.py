@@ -163,3 +163,64 @@ def test_version_stream_emits_appended_batches(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not an append commit"):
         reader.partitions({"version": v_rewrite - 1}, {"version": v_rewrite})
+
+
+def test_writer_append_and_overwrite(spark, tmp_path):
+    from tile_processor_spark.sources.snapshots import _read_manifest, list_versions
+
+    path = str(tmp_path / "w_tbl")
+    register(spark)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    df1.write.format("tps_snapshot").option("path", path).mode("append").save()
+    assert _rows(read_snapshot(spark, path)) == [(1, "a"), (2, "b")]
+
+    # distributed append: previous files reused, delta recorded — the
+    # stream-consumable commit shape
+    df2 = spark.createDataFrame([(3, "c")], "k long, s string").repartition(2)
+    df2.write.format("tps_snapshot").option("path", path).mode("append").save()
+    v = list_versions(path)[-1]
+    man = _read_manifest(path, v)
+    assert man["appended_to"] == v - 1 and man["appended_files"]
+    assert _rows(read_snapshot(spark, path)) == [(1, "a"), (2, "b"), (3, "c")]
+    assert _rows(read_snapshot(spark, path, version=v - 1)) == [(1, "a"), (2, "b")]
+
+    # schema drift on append refuses
+    with pytest.raises(Exception, match="does not match committed"):
+        spark.createDataFrame([(9,)], "k long").write.format(
+            "tps_snapshot"
+        ).option("path", path).mode("append").save()
+
+    # overwrite replaces state; history still readable
+    spark.createDataFrame([(7, "z")], "k long, s string").write.format(
+        "tps_snapshot"
+    ).option("path", path).mode("overwrite").save()
+    assert _rows(read_snapshot(spark, path)) == [(7, "z")]
+    assert _rows(read_snapshot(spark, path, version=v)) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+
+
+def test_writer_feeds_version_stream(spark, tmp_path):
+    path = str(tmp_path / "ws_tbl")
+    register(spark)
+    spark.createDataFrame([(1, "a")], "k long, s string").write.format(
+        "tps_snapshot"
+    ).option("path", path).mode("append").save()
+    q = (
+        spark.readStream.format("tps_snapshot")
+        .option("path", path)
+        .load()
+        .writeStream.format("memory")
+        .queryName("ws_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame([(2, "b")], "k long, s string").write.format(
+            "tps_snapshot"
+        ).option("path", path).mode("append").save()
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in spark.sql("SELECT * FROM ws_stream").collect())
+        assert got == [(1, "a"), (2, "b")]
+    finally:
+        q.stop()

@@ -29,9 +29,11 @@ import json
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -121,6 +123,9 @@ class SnapshotDataSource(DataSource):
     def streamReader(self, schema: StructType) -> "SnapshotStreamReader":
         return SnapshotStreamReader(schema, self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "SnapshotWriter":
+        return SnapshotWriter(schema, self.options, overwrite)
+
 
 def register(spark) -> None:
     """Idempotent format registration for the current session."""
@@ -192,3 +197,119 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # versions are retained until vacuum; nothing to ack
+
+
+class _WriteMessage(WriterCommitMessage):
+    def __init__(self, file_path: str | None, rows: int):
+        self.file_path = file_path
+        self.rows = rows
+
+
+class SnapshotWriter(DataSourceArrowWriter):
+    """The write side of the connector — the real two-phase commit:
+    executors each write ONE parquet file into a task-private snap dir
+    and return its path as the commit message; the DRIVER then commits
+    a manifest referencing exactly the acknowledged files, in one
+    atomic rename. A task that fails or is speculated leaves an
+    unreferenced file (invisible; vacuum reclaims it) — the same
+    crash-safety argument as write_snapshot, now distributed.
+
+    ``mode('append')`` produces an append commit (previous files reused
+    untouched, ``appended_files`` recorded — so the version stream can
+    consume it); ``mode('overwrite')`` replaces the table state.
+    Appends onto partitioned tables raise, as in ``append_snapshot``."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        import os
+        import uuid
+
+        self._schema = schema
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("tps_snapshot write requires .option('path', ...)")
+        self._path = os.path.abspath(self._path)
+        self._overwrite = overwrite
+        self._snap_dir = os.path.join(
+            self._path, "data", uuid.uuid4().hex
+        )
+        if not overwrite:
+            versions = list_versions(self._path)
+            if versions:
+                manifest = _read_manifest(self._path, versions[-1])
+                if manifest.get("partition_by"):
+                    raise NotImplementedError(
+                        "append write on a partitioned snapshot table "
+                        "(appended files would break basePath partition "
+                        "discovery) — overwrite, or use upsert_snapshot"
+                    )
+                committed = json.loads(manifest["schema"])
+                want = [(f["name"], f["type"]) for f in committed["fields"]]
+                got = [
+                    (f.name, f.dataType.jsonValue()) for f in schema.fields
+                ]
+                if got != want:
+                    raise ValueError(
+                        f"append schema {got} does not match committed {want}"
+                    )
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        batches = list(iterator)
+        rows = sum(b.num_rows for b in batches)
+        if rows == 0:
+            return _WriteMessage(None, 0)
+        os.makedirs(self._snap_dir, exist_ok=True)
+        fpath = os.path.join(self._snap_dir, f"part-{uuid.uuid4().hex}.parquet")
+        target = to_arrow_schema(self._schema)
+        tbl = pa.Table.from_batches(batches).cast(target)
+        pq.write_table(tbl, fpath)
+        return _WriteMessage(fpath, rows)
+
+    def commit(self, messages) -> None:
+        import time
+
+        from tile_processor_spark.sources.snapshots import (
+            _commit_manifest,
+            _manifest_files,
+        )
+
+        new_files = sorted(
+            m.file_path for m in messages if m is not None and m.file_path
+        )
+        versions = list_versions(self._path)
+        version = (versions[-1] + 1) if versions else 1
+        if self._overwrite or not versions:
+            manifest = {
+                "version": version,
+                "committed_at": time.time(),
+                "files": new_files,
+                "schema": self._schema.json(),
+                "base": self._snap_dir,
+                "partition_by": [],
+            }
+        else:
+            prev = _read_manifest(self._path, versions[-1])
+            manifest = {
+                "version": version,
+                "committed_at": time.time(),
+                "files": _manifest_files(prev) + new_files,
+                "schema": prev["schema"],
+                "base": prev["base"],
+                "appended_files": new_files,
+                "appended_to": versions[-1],
+                "partition_by": [],
+            }
+        _commit_manifest(self._path, manifest, version)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and m.file_path and os.path.exists(m.file_path):
+                os.unlink(m.file_path)

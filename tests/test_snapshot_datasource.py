@@ -224,3 +224,60 @@ def test_writer_feeds_version_stream(spark, tmp_path):
         assert got == [(1, "a"), (2, "b")]
     finally:
         q.stop()
+
+
+def test_stream_sink_commits_versions(spark, tmp_path):
+    """rate-limited source → tps_snapshot sink: each micro-batch lands
+    as an append version; a replayed batchId is dropped (idempotent
+    commit). Uses the memory→file shape via a MemoryStream-less path:
+    readStream from one snapshot table INTO another — source and sink
+    both this connector."""
+    import time as _t
+
+    from tile_processor_spark.sources.snapshots import (
+        _read_manifest,
+        append_snapshot,
+        list_versions,
+    )
+
+    src_tbl = str(tmp_path / "src_tbl")
+    dst_tbl = str(tmp_path / "dst_tbl")
+    register(spark)
+    append_snapshot(spark.createDataFrame([(1, "a")], "k long, s string"), src_tbl)
+    q = (
+        spark.readStream.format("tps_snapshot")
+        .option("path", src_tbl)
+        .load()
+        .writeStream.format("tps_snapshot")
+        .option("path", dst_tbl)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        append_snapshot(
+            spark.createDataFrame([(2, "b")], "k long, s string"), src_tbl
+        )
+        q.processAllAvailable()
+        deadline = _t.time() + 30
+        while _t.time() < deadline:
+            if list_versions(dst_tbl) and sorted(
+                tuple(r) for r in read_snapshot(spark, dst_tbl).collect()
+            ) == [(1, "a"), (2, "b")]:
+                break
+            _t.sleep(0.5)
+        assert _rows(read_snapshot(spark, dst_tbl)) == [(1, "a"), (2, "b")]
+        man = _read_manifest(dst_tbl, list_versions(dst_tbl)[-1])
+        assert "stream_batch_id" in man and man["appended_files"]
+    finally:
+        q.stop()
+
+    # replayed batch id: committing the same batchId again is a no-op
+    from tile_processor_spark.sources.snapshot_datasource import SnapshotStreamWriter
+
+    schema = read_snapshot(spark, dst_tbl).schema
+    w = SnapshotStreamWriter(schema, {"path": dst_tbl}, overwrite=False)
+    last_batch = _read_manifest(dst_tbl, list_versions(dst_tbl)[-1])["stream_batch_id"]
+    before = list_versions(dst_tbl)
+    w.commit([], last_batch)
+    assert list_versions(dst_tbl) == before  # dropped, no new version

@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -125,6 +126,9 @@ class SnapshotDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> "SnapshotWriter":
         return SnapshotWriter(schema, self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "SnapshotStreamWriter":
+        return SnapshotStreamWriter(schema, self.options, overwrite)
 
 
 def register(spark) -> None:
@@ -308,6 +312,94 @@ class SnapshotWriter(DataSourceArrowWriter):
         _commit_manifest(self._path, manifest, version)
 
     def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and m.file_path and os.path.exists(m.file_path):
+                os.unlink(m.file_path)
+
+
+class SnapshotStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming SINK: every micro-batch lands as one append commit, so
+    the snapshot table is simultaneously a streaming source and sink —
+    a downstream query can stream FROM a table a pipeline streams INTO,
+    version by version. Exactly-once across micro-batch RETRIES: the
+    commit records its ``stream_batch_id``; a replayed batch whose id
+    already sits in the latest manifest is dropped at commit time (its
+    files stay orphans for vacuum), the standard idempotent-sink
+    contract (Delta's txnVersion/appId shape) built on the same atomic
+    manifest rename as every other commit."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        import os
+
+        self._schema = schema
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("tps_snapshot stream write requires .option('path', ...)")
+        self._path = os.path.abspath(self._path)
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        batches = list(iterator)
+        rows = sum(b.num_rows for b in batches)
+        if rows == 0:
+            return _WriteMessage(None, 0)
+        snap_dir = os.path.join(self._path, "data", f"stream-{uuid.uuid4().hex}")
+        os.makedirs(snap_dir, exist_ok=True)
+        fpath = os.path.join(snap_dir, f"part-{uuid.uuid4().hex}.parquet")
+        target = to_arrow_schema(self._schema)
+        pq.write_table(pa.Table.from_batches(batches).cast(target), fpath)
+        return _WriteMessage(fpath, rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        import time
+
+        from tile_processor_spark.sources.snapshots import (
+            _commit_manifest,
+            _manifest_files,
+        )
+
+        new_files = sorted(
+            m.file_path for m in messages if m is not None and m.file_path
+        )
+        versions = list_versions(self._path)
+        if versions:
+            prev = _read_manifest(self._path, versions[-1])
+            if prev.get("stream_batch_id") == batchId:
+                return  # replayed micro-batch: already committed, drop
+            if prev.get("partition_by"):
+                raise NotImplementedError(
+                    "stream append on a partitioned snapshot table"
+                )
+            files = _manifest_files(prev) + new_files
+            base, schema_json = prev["base"], prev["schema"]
+            appended_to = versions[-1]
+        else:
+            files, base, schema_json = new_files, self._path, self._schema.json()
+            appended_to = None
+        version = (versions[-1] + 1) if versions else 1
+        manifest = {
+            "version": version,
+            "committed_at": time.time(),
+            "files": files,
+            "schema": schema_json,
+            "base": base,
+            "appended_files": new_files,
+            "stream_batch_id": batchId,
+            "partition_by": [],
+        }
+        if appended_to is not None:
+            manifest["appended_to"] = appended_to
+        _commit_manifest(self._path, manifest, version)
+
+    def abort(self, messages, batchId: int) -> None:
         import os
 
         for m in messages:

@@ -281,3 +281,53 @@ def test_stream_sink_commits_versions(spark, tmp_path):
     before = list_versions(dst_tbl)
     w.commit([], last_batch)
     assert list_versions(dst_tbl) == before  # dropped, no new version
+
+
+def test_concurrent_appends_both_commit(spark, tmp_path):
+    """Two appends racing on the version number must BOTH land
+    (optimistic concurrency: appends commute; the race loser retries
+    on top of the winner) — the multi-writer ingest contract."""
+    import threading
+
+    from tile_processor_spark.sources.snapshots import append_snapshot
+
+    path = str(tmp_path / "race_tbl")
+    append_snapshot(spark.createDataFrame([(0, "seed")], "k long, s string"), path)
+
+    # force the interleaving deterministically: monkeypatch the commit
+    # helper so the FIRST committer sleeps between manifest build and
+    # link, guaranteeing the second lands first and the first retries
+    import tile_processor_spark.sources.snapshots as snaps
+
+    real_commit = snaps._commit_manifest
+    slow_once = threading.Event()
+
+    def contended_commit(table_path, manifest, version):
+        if not slow_once.is_set():
+            slow_once.set()
+            import time as _t
+
+            _t.sleep(1.5)  # the other thread commits this version first
+        return real_commit(table_path, manifest, version)
+
+    errs: list[Exception] = []
+
+    def do_append(tag):
+        try:
+            append_snapshot(
+                spark.createDataFrame([(hash(tag) % 100, tag)], "k long, s string"),
+                path,
+            )
+        except Exception as e:  # pragma: no cover - the failure case
+            errs.append(e)
+
+    snaps._commit_manifest = contended_commit
+    try:
+        t1 = threading.Thread(target=do_append, args=("alpha",))
+        t2 = threading.Thread(target=do_append, args=("beta",))
+        t1.start(); t2.start(); t1.join(); t2.join()
+    finally:
+        snaps._commit_manifest = real_commit
+    assert not errs, errs
+    got = {r.s for r in read_snapshot(spark, path).collect()}
+    assert got == {"seed", "alpha", "beta"}

@@ -280,15 +280,15 @@ class SnapshotWriter(DataSourceArrowWriter):
 
         from tile_processor_spark.sources.snapshots import (
             _commit_manifest,
-            _manifest_files,
+            commit_append,
         )
 
         new_files = sorted(
             m.file_path for m in messages if m is not None and m.file_path
         )
         versions = list_versions(self._path)
-        version = (versions[-1] + 1) if versions else 1
         if self._overwrite or not versions:
+            version = (versions[-1] + 1) if versions else 1
             manifest = {
                 "version": version,
                 "committed_at": time.time(),
@@ -297,19 +297,11 @@ class SnapshotWriter(DataSourceArrowWriter):
                 "base": self._snap_dir,
                 "partition_by": [],
             }
+            _commit_manifest(self._path, manifest, version)
         else:
-            prev = _read_manifest(self._path, versions[-1])
-            manifest = {
-                "version": version,
-                "committed_at": time.time(),
-                "files": _manifest_files(prev) + new_files,
-                "schema": prev["schema"],
-                "base": prev["base"],
-                "appended_files": new_files,
-                "appended_to": versions[-1],
-                "partition_by": [],
-            }
-        _commit_manifest(self._path, manifest, version)
+            # optimistic-concurrency append: commutes with concurrent
+            # appends, retried on a lost version race
+            commit_append(self._path, new_files)
 
     def abort(self, messages) -> None:
         import os
@@ -363,41 +355,34 @@ class SnapshotStreamWriter(DataSourceStreamArrowWriter):
 
         from tile_processor_spark.sources.snapshots import (
             _commit_manifest,
-            _manifest_files,
+            commit_append,
         )
 
         new_files = sorted(
             m.file_path for m in messages if m is not None and m.file_path
         )
         versions = list_versions(self._path)
-        if versions:
-            prev = _read_manifest(self._path, versions[-1])
-            if prev.get("stream_batch_id") == batchId:
-                return  # replayed micro-batch: already committed, drop
-            if prev.get("partition_by"):
-                raise NotImplementedError(
-                    "stream append on a partitioned snapshot table"
-                )
-            files = _manifest_files(prev) + new_files
-            base, schema_json = prev["base"], prev["schema"]
-            appended_to = versions[-1]
-        else:
-            files, base, schema_json = new_files, self._path, self._schema.json()
-            appended_to = None
-        version = (versions[-1] + 1) if versions else 1
-        manifest = {
-            "version": version,
-            "committed_at": time.time(),
-            "files": files,
-            "schema": schema_json,
-            "base": base,
-            "appended_files": new_files,
-            "stream_batch_id": batchId,
-            "partition_by": [],
-        }
-        if appended_to is not None:
-            manifest["appended_to"] = appended_to
-        _commit_manifest(self._path, manifest, version)
+        if not versions:
+            manifest = {
+                "version": 1,
+                "committed_at": time.time(),
+                "files": new_files,
+                "schema": self._schema.json(),
+                "base": self._path,
+                "appended_files": new_files,
+                "stream_batch_id": batchId,
+                "partition_by": [],
+            }
+            _commit_manifest(self._path, manifest, 1)
+            return
+        # optimistic append; the replayed-batch check re-runs on the
+        # fresh latest manifest inside every retry
+        commit_append(
+            self._path,
+            new_files,
+            extra={"stream_batch_id": batchId},
+            already_committed=lambda m: m.get("stream_batch_id") == batchId,
+        )
 
     def abort(self, messages, batchId: int) -> None:
         import os

@@ -163,7 +163,14 @@ def append_snapshot(df: DataFrame, table_path: str) -> int:
     breaks Spark's single-basePath partition discovery; the extension
     is a shared Hive tree for append deltas, raised loudly until built.
     Also the commit shape the version-stream reader consumes: each
-    append version's NEW files hold exactly that batch's rows."""
+    append version's NEW files hold exactly that batch's rows.
+
+    Appends are MULTI-WRITER safe via optimistic concurrency: two
+    appends commute (neither reads the other's rows), so on losing the
+    version-number race this re-reads the new latest manifest and
+    retries the commit with the same already-written delta files —
+    Delta's conflict-resolution shape. Non-commuting commits (a rewrite
+    or partition change landing mid-retry) still raise."""
     table_path = os.path.abspath(table_path)
     versions = list_versions(table_path)
     if not versions:
@@ -190,19 +197,58 @@ def append_snapshot(df: DataFrame, table_path: str) -> int:
         for n in fnames
         if n.endswith(".parquet")
     )
-    prev_files = _manifest_files(manifest)
-    version = versions[-1] + 1
-    new_manifest = {
-        "version": version,
-        "committed_at": time.time(),
-        "files": prev_files + new_files,
-        "schema": manifest["schema"],
-        "base": manifest["base"],
-        "appended_files": new_files,
-        "appended_to": versions[-1],
-        "partition_by": [],
-    }
-    return _commit_manifest(table_path, new_manifest, version)
+    return commit_append(table_path, new_files)
+
+
+_APPEND_RETRIES = 5
+
+
+def commit_append(
+    table_path: str,
+    new_files: list[str],
+    extra: dict | None = None,
+    already_committed=None,
+) -> int:
+    """Commit already-written data files as an append version, with
+    optimistic-concurrency retry: appends commute, so losing the
+    version race just means re-reading the new latest manifest and
+    committing on top of it (bounded attempts; a partitioned or
+    schema-changed table appearing mid-retry raises). Shared by
+    ``append_snapshot`` and the connector's batch/stream writers.
+    ``extra`` merges into the manifest (e.g. ``stream_batch_id``);
+    ``already_committed(latest_manifest) -> bool`` short-circuits a
+    replayed commit idempotently (the check re-runs on the FRESH latest
+    manifest inside every retry, so a replay that loses a race to its
+    own first attempt is still dropped)."""
+    last_err: Exception | None = None
+    for _ in range(_APPEND_RETRIES):
+        versions = list_versions(table_path)
+        manifest = _read_manifest(table_path, versions[-1])
+        if already_committed is not None and already_committed(manifest):
+            return manifest["version"]
+        if manifest.get("partition_by"):
+            raise NotImplementedError(
+                "append onto a partitioned snapshot table"
+            )
+        new_manifest = {
+            "version": versions[-1] + 1,
+            "committed_at": time.time(),
+            "files": _manifest_files(manifest) + new_files,
+            "schema": manifest["schema"],
+            "base": manifest["base"],
+            "appended_files": new_files,
+            "appended_to": versions[-1],
+            "partition_by": [],
+        }
+        new_manifest.update(extra or {})
+        try:
+            return _commit_manifest(table_path, new_manifest, versions[-1] + 1)
+        except RuntimeError as e:  # lost the version race — retry on top
+            last_err = e
+    raise RuntimeError(
+        f"append lost the commit race {_APPEND_RETRIES} times at "
+        f"{table_path}; giving up"
+    ) from last_err
 
 
 def _partition_values(file_path: str, base: str) -> dict[str, str]:

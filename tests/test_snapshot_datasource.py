@@ -331,3 +331,40 @@ def test_concurrent_appends_both_commit(spark, tmp_path):
     assert not errs, errs
     got = {r.s for r in read_snapshot(spark, path).collect()}
     assert got == {"seed", "alpha", "beta"}
+
+
+def test_binpacked_partitions_scale_with_bytes(spark, tmp_path):
+    """Task count must scale with BYTES, not file count: many small
+    files bin-pack into few input partitions at the default target,
+    split apart at a tiny target, and never group across a Hive
+    partition boundary."""
+    from tile_processor_spark.sources.snapshot_datasource import (
+        _FileGroupPartition,
+    )
+
+    path = str(tmp_path / "bp_tbl")
+    df = spark.createDataFrame(
+        [("a", i) for i in range(20)] + [("b", i) for i in range(20)],
+        "grp string, k long",
+    ).repartition(10)
+    write_snapshot(df, path, partition_by=["grp"])
+    register(spark)
+    schema = _read(spark, path).schema
+    default_parts = SnapshotReader(schema, {"path": path}).partitions()
+    n_files = sum(len(p.files) for p in default_parts)
+    assert n_files >= 10
+    # default 128 MB target: one group per Hive partition value
+    assert len(default_parts) == 2
+    assert all(isinstance(p, _FileGroupPartition) for p in default_parts)
+    values = {tuple(sorted(p.part_values.items())) for p in default_parts}
+    assert values == {(("grp", "a"),), (("grp", "b"),)}
+    # a 1-byte target forces one file per partition — the split works
+    tiny = SnapshotReader(
+        schema, {"path": path, "target_partition_bytes": "1"}
+    ).partitions()
+    assert len(tiny) == n_files
+    # rows and values identical either way
+    assert _rows(_read(spark, path)) == _rows(read_snapshot(spark, path))
+    assert _rows(
+        _read(spark, path, target_partition_bytes="1")
+    ) == _rows(read_snapshot(spark, path))

@@ -67,9 +67,21 @@ class _FilePartition(InputPartition):
         self.part_values = part_values
 
 
+class _FileGroupPartition(InputPartition):
+    """A bin-packed group of data files sharing one task — the
+    million-small-files defense: task count scales with BYTES, not
+    file count. Files in a group share identical partition values
+    (grouping never crosses a Hive partition boundary)."""
+
+    def __init__(self, files: list[str], part_values: dict):
+        self.files = files
+        self.part_values = part_values
+
+
 class SnapshotReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self._schema = schema
+        self._options = options
         self._manifest = _resolve_manifest(options)
         raw = options.get("partition_filter")
         self._filter = json.loads(raw) if raw else None
@@ -83,11 +95,37 @@ class SnapshotReader(DataSourceReader):
                 )
 
     def partitions(self):
-        # manifest-level pruning BEFORE Spark schedules a single task —
-        # the planning-time file skip, one input partition per data file
+        """Manifest-level pruning BEFORE Spark schedules a single task
+        (the planning-time file skip), then size-aware bin-packing:
+        files group into ~``target_partition_bytes`` (default 128 MB)
+        input partitions so TASK COUNT scales with data volume, not
+        file count — a million 1 MB files plan as ~8k tasks, not a
+        million. Groups never cross a Hive partition boundary."""
+        import os
+
         files = _manifest_files(self._manifest, self._filter)
         base = self._manifest["base"]
-        return [_FilePartition(f, _partition_values(f, base)) for f in files]
+        target = int(
+            self._options.get("target_partition_bytes", 128 * 1024 * 1024)
+        )
+        by_values: dict[tuple, list[str]] = {}
+        for f in files:
+            pv = _partition_values(f, base)
+            by_values.setdefault(tuple(sorted(pv.items())), []).append(f)
+        parts = []
+        for key, flist in sorted(by_values.items()):
+            group: list[str] = []
+            size = 0
+            for f in sorted(flist):
+                fsize = os.path.getsize(f)
+                if group and size + fsize > target:
+                    parts.append(_FileGroupPartition(group, dict(key)))
+                    group, size = [], 0
+                group.append(f)
+                size += fsize
+            if group:
+                parts.append(_FileGroupPartition(group, dict(key)))
+        return parts
 
     def read(self, partition):
         import pyarrow as pa
@@ -95,18 +133,24 @@ class SnapshotReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(self._schema)
-        tbl = pq.read_table(partition.file_path)
-        cols = []
-        for field in target:
-            if field.name in partition.part_values:
-                # constant Hive path value, cast to the COMMITTED dtype
-                val = pa.array(
-                    [partition.part_values[field.name]] * len(tbl), pa.string()
-                ).cast(field.type)
-                cols.append(val)
-            else:
-                cols.append(tbl.column(field.name).cast(field.type))
-        yield from pa.table(cols, schema=target).to_batches()
+        files = (
+            partition.files
+            if isinstance(partition, _FileGroupPartition)
+            else [partition.file_path]
+        )
+        for fpath in files:
+            tbl = pq.read_table(fpath)
+            cols = []
+            for field in target:
+                if field.name in partition.part_values:
+                    # constant Hive path value, cast to the COMMITTED dtype
+                    val = pa.array(
+                        [partition.part_values[field.name]] * len(tbl), pa.string()
+                    ).cast(field.type)
+                    cols.append(val)
+                else:
+                    cols.append(tbl.column(field.name).cast(field.type))
+            yield from pa.table(cols, schema=target).to_batches()
 
 
 class SnapshotDataSource(DataSource):

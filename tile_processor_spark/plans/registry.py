@@ -90,6 +90,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_video_frame_sample",
     "snapshot_datasource_read",
     "text_pii_redact",
+    "dq_column_profile",
+    "events_seasonal_hourly",
     "ann_kmeans_fit",
     "spatial_point_in_tile_join",
     "spatial_within_extent",
@@ -127,8 +129,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "leave_one_out_customer_mean",
     "order_quantity_array_hof",
     "window_nth_value",
-    "skyline_orders_2d",
-    "dq_referential_integrity",
     # everything else follows in registration order
 )
 

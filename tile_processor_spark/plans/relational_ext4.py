@@ -491,3 +491,78 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate")
+
+
+@register(
+    "dq_column_profile",
+    oracle="""
+    SELECT 'o_orderstatus' AS col,
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderstatus) AS VARCHAR) AS min_str,
+           CAST(MAX(o_orderstatus) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR),
+           CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(MIN(o_orderdate) AS VARCHAR),
+           CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders
+    """,
+    doc=(
+        "Column-profile data-quality report: per column, null count, "
+        "exact distinct count, and min/max rendered as strings — the "
+        "table-profiling pass every ingest pipeline runs before "
+        "trusting a new drop. ONE scan computes every column's "
+        "aggregates side by side (Spark evaluates them in a single "
+        "Aggregate; no per-column rescans), then the wide row unpivots "
+        "to the per-column report. String casts are restricted to "
+        "types both engines render identically (strings, integers, "
+        "dates) — profiling a double belongs in a typed column, not a "
+        "string cast. At 100 TB: one pass, map-side partial aggs; "
+        "distinct counts are the only shuffle, one per column."
+    ),
+    tags=("dq", "profiling"),
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"{c}__null"),
+            F.countDistinct(c).cast("long").alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__null").alias("n_null"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(entries).alias("e")).select("e.*")

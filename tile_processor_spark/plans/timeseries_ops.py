@@ -1315,3 +1315,113 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("n_type", "n")
     )
+
+
+#: seasonal decomposition quantization: trend is the only division in
+#: the pipeline, taken as INTEGER div of non-negative operands (where
+#: truncation == floor in both engines); everything downstream stays
+#: integer so partial-aggregation order cannot move a bit.
+SEASONAL_SCALE = 10_000
+SEASONAL_HALF = 12  # centered ±12h moving-average trend window
+
+
+@register(
+    "events_seasonal_hourly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, h, n,
+             SUM(n) OVER wtrend AS tsum,
+             COUNT(n) OVER wtrend AS tcnt
+      FROM hourly
+      WINDOW wtrend AS (PARTITION BY event_type ORDER BY h
+                        ROWS BETWEEN {SEASONAL_HALF} PRECEDING
+                                 AND {SEASONAL_HALF} FOLLOWING)
+    ),
+    det AS (
+      SELECT event_type, h, n,
+             (tsum * {SEASONAL_SCALE}) // tcnt AS trend_q,
+             n * {SEASONAL_SCALE} - (tsum * {SEASONAL_SCALE}) // tcnt AS det_q
+      FROM tr
+    ),
+    seas AS (
+      SELECT event_type, EXTRACT(hour FROM h) AS hod,
+             SUM(det_q) AS ssum, COUNT(*) AS scnt
+      FROM det GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.h,
+           CAST(d.n AS BIGINT) AS n,
+           CAST(d.trend_q AS BIGINT) AS trend_q,
+           CAST(d.det_q AS BIGINT) AS det_q,
+           CAST(s.ssum AS BIGINT) AS seasonal_sum,
+           CAST(s.scnt AS BIGINT) AS seasonal_cnt,
+           CAST(d.det_q * s.scnt - s.ssum AS BIGINT) AS resid_scaled
+    FROM det d JOIN seas s
+      ON d.event_type = s.event_type AND EXTRACT(hour FROM d.h) = s.hod
+    """,
+    doc=(
+        "Classical seasonal decomposition of the hourly event series: "
+        "centered ±12h moving-average trend, hour-of-day seasonal "
+        "component, residual — the additive decompose every capacity/"
+        "anomaly pipeline starts from. Numerics are EXACT: counts are "
+        "integers, the trend is one integer division of non-negative "
+        "operands (truncate == floor in both engines), the seasonal "
+        "mean is carried as (sum, count), and the residual is emitted "
+        "cross-multiplied (det·cnt − sum) so no float ever enters — "
+        "partial-agg order cannot move a bit, which is what makes a "
+        "hash gate possible on a statistics pipeline. Scale shape: "
+        "windows run on the HOURLY aggregate (calendar-bounded series "
+        "per type, exempt from the fact-grain funnel class by "
+        "construction); the seasonal table is types×24 rows, "
+        "broadcast-joined back."
+    ),
+    tags=("timeseries", "headline-adjacent"),
+)
+def events_seasonal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wtrend = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-SEASONAL_HALF, SEASONAL_HALF)
+    )
+    tr = hourly.withColumn("tsum", F.sum("n").over(wtrend)).withColumn(
+        "tcnt", F.count("n").over(wtrend)
+    )
+    det = tr.select(
+        "event_type",
+        "h",
+        "n",
+        F.expr(f"(tsum * {SEASONAL_SCALE}) div tcnt").alias("trend_q"),
+        F.expr(
+            f"n * {SEASONAL_SCALE} - (tsum * {SEASONAL_SCALE}) div tcnt"
+        ).alias("det_q"),
+    )
+    seas = det.groupBy(
+        "event_type", F.hour("h").alias("hod")
+    ).agg(
+        F.sum("det_q").alias("seasonal_sum"),
+        F.count(F.lit(1)).alias("seasonal_cnt"),
+    )
+    joined = det.join(
+        F.broadcast(seas),
+        (det["event_type"] == seas["event_type"])
+        & (F.hour(det["h"]) == seas["hod"]),
+    ).drop(seas["event_type"])
+    return joined.select(
+        "event_type",
+        "h",
+        F.col("n").cast("long").alias("n"),
+        F.col("trend_q").cast("long").alias("trend_q"),
+        F.col("det_q").cast("long").alias("det_q"),
+        F.col("seasonal_sum").cast("long").alias("seasonal_sum"),
+        F.col("seasonal_cnt").cast("long").alias("seasonal_cnt"),
+        (F.col("det_q") * F.col("seasonal_cnt") - F.col("seasonal_sum"))
+        .cast("long")
+        .alias("resid_scaled"),
+    )

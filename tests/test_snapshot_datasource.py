@@ -368,3 +368,41 @@ def test_binpacked_partitions_scale_with_bytes(spark, tmp_path):
     assert _rows(
         _read(spark, path, target_partition_bytes="1")
     ) == _rows(read_snapshot(spark, path))
+
+
+def test_version_stream_over_partitioned_appends(spark, tmp_path):
+    """The version stream must carry Hive partition values for
+    shared-tree partitioned appends (the data files themselves don't
+    store the partition column)."""
+    from tile_processor_spark.sources.snapshots import (
+        append_snapshot,
+        convert_to_shared_layout,
+    )
+
+    path = str(tmp_path / "pstream_tbl")
+    write_snapshot(
+        spark.createDataFrame([("a", 1)], "grp string, k long"),
+        path,
+        partition_by=["grp"],
+    )
+    v2 = convert_to_shared_layout(path)
+    register(spark)
+    q = (
+        spark.readStream.format("tps_snapshot")
+        .option("path", path)
+        .option("starting_version", str(v2))
+        .load()
+        .writeStream.format("memory")
+        .queryName("pstream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        append_snapshot(
+            spark.createDataFrame([("b", 2), ("a", 3)], "grp string, k long"), path
+        )
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in spark.sql("SELECT * FROM pstream").collect())
+        assert got == [("a", 3), ("b", 2)]
+    finally:
+        q.stop()

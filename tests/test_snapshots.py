@@ -398,3 +398,64 @@ def test_vacuum_respects_grouped_manifests(spark, tmp_path):
     assert res2["retired_versions"] == [2]
     assert g.glob(str(tmp_path / "grpvac_tbl" / "groups" / "*.json")) == []
     assert _rows(read_snapshot(spark, tbl).select("status", "k")) == [("F", 1)]
+
+
+def test_partitioned_append_via_shared_tree(spark, tmp_path):
+    """Partitioned appends: convert once to the shared Hive tree
+    (hard links — earlier versions keep their original paths), then
+    append O(new-data) with partition pruning, committed dtypes, and
+    time travel all intact. Vacuuming the pre-conversion version must
+    not break the converted one (links, not moves)."""
+    from tile_processor_spark.sources.snapshots import (
+        _read_manifest,
+        append_snapshot,
+        convert_to_shared_layout,
+        vacuum,
+    )
+
+    tbl = str(tmp_path / "ptree_tbl")
+    df = spark.createDataFrame(
+        [("2024", 1, 10.0), ("2025", 2, 20.0)], "yr string, k long, v double"
+    )
+    v1 = write_snapshot(df, tbl, partition_by=["yr"])
+    # appends refuse until converted
+    delta = spark.createDataFrame([("2025", 3, 30.0)], "yr string, k long, v double")
+    with pytest.raises(NotImplementedError, match="convert_to_shared_layout"):
+        append_snapshot(delta, tbl)
+
+    v2 = convert_to_shared_layout(tbl)
+    m2 = _read_manifest(tbl, v2)
+    assert m2["layout"] == "shared-tree" and m2["base"].endswith("tree")
+    assert _rows(read_snapshot(spark, tbl, version=v2)) == _rows(
+        read_snapshot(spark, tbl, version=v1)
+    )
+
+    v3 = append_snapshot(delta, tbl)
+    m3 = _read_manifest(tbl, v3)
+    assert m3["appended_to"] == v2 and m3["layout"] == "shared-tree"
+    got = read_snapshot(spark, tbl)
+    assert [(f.name, f.dataType.simpleString()) for f in got.schema.fields] == [
+        ("yr", "string"), ("k", "bigint"), ("v", "double"),
+    ]
+    assert _rows(got.select("yr", "k")) == [("2024", 1), ("2025", 2), ("2025", 3)]
+    # manifest-level pruning sees both old and appended 2025 files
+    pruned = read_snapshot(spark, tbl, partition_filter={"yr": "2025"})
+    assert _rows(pruned.select("k")) == [(2,), (3,)]
+    # unpartitioned-shaped delta refuses
+    with pytest.raises(ValueError, match="schema"):
+        append_snapshot(spark.createDataFrame([(9,)], "k long"), tbl)
+
+    # a second append stacks; ten-append histories stay readable
+    append_snapshot(
+        spark.createDataFrame([("2024", 4, 40.0)], "yr string, k long, v double"),
+        tbl,
+    )
+    assert read_snapshot(spark, tbl).count() == 4
+
+    # retire v1 (pre-conversion paths): hard links keep v2+ intact
+    res = vacuum(tbl, keep_last=3)
+    assert 1 in res["retired_versions"]
+    assert _rows(read_snapshot(spark, tbl).select("k")) == [(1,), (2,), (3,), (4,)]
+    assert _rows(read_snapshot(spark, tbl, version=v3).select("k")) == [
+        (1,), (2,), (3,),
+    ]

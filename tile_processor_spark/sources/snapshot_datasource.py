@@ -232,16 +232,33 @@ class SnapshotStreamReader(DataSourceStreamReader):
                         "version stream cannot represent a rewrite "
                         "without re-emitting history"
                     )
-            parts.extend(_FilePartition(f, {}) for f in appended)
+            base = manifest["base"]
+            parts.extend(
+                _FilePartition(f, _partition_values(f, base)) for f in appended
+            )
         return parts
 
     def read(self, partition):
+        import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(self._schema)
         tbl = pq.read_table(partition.file_path)
-        yield from tbl.select(target.names).cast(target).to_batches()
+        cols = []
+        for field in target:
+            if field.name in partition.part_values:
+                # Hive path value (shared-tree partitioned appends),
+                # cast to the committed dtype like the batch reader
+                cols.append(
+                    pa.array(
+                        [partition.part_values[field.name]] * len(tbl),
+                        pa.string(),
+                    ).cast(field.type)
+                )
+            else:
+                cols.append(tbl.column(field.name).cast(field.type))
+        yield from pa.table(cols, schema=target).to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # versions are retained until vacuum; nothing to ack

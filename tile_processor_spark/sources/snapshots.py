@@ -176,12 +176,13 @@ def append_snapshot(df: DataFrame, table_path: str) -> int:
     if not versions:
         return write_snapshot(df, table_path)
     manifest = _read_manifest(table_path, versions[-1])
-    if manifest.get("partition_by"):
+    part_cols = manifest.get("partition_by") or []
+    if part_cols and manifest.get("layout") != "shared-tree":
         raise NotImplementedError(
-            "append_snapshot on a partitioned table: appended files "
-            "would span snap dirs and break basePath partition "
-            "discovery — use upsert_snapshot/write_snapshot, or ask "
-            "for the shared-Hive-tree append layout"
+            "append_snapshot on a partitioned table needs the shared "
+            "Hive tree layout (appended files under a second snap dir "
+            "would break basePath partition discovery) — run "
+            "convert_to_shared_layout(table_path) once, then append"
         )
     committed = json.loads(manifest["schema"])
     names = [f["name"] for f in committed["fields"]]
@@ -190,17 +191,91 @@ def append_snapshot(df: DataFrame, table_path: str) -> int:
             f"append schema {df.columns} does not match committed {names}"
         )
     snap_dir = os.path.join(table_path, _DATA_DIR, uuid.uuid4().hex)
-    df.select(*names).write.mode("error").parquet(snap_dir)
-    new_files = sorted(
+    writer = df.select(*names).write.mode("error")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(snap_dir)
+    staged = sorted(
         os.path.join(root, n)
         for root, _dirs, fnames in os.walk(snap_dir)
         for n in fnames
         if n.endswith(".parquet")
     )
-    return commit_append(table_path, new_files)
+    if part_cols:
+        # re-home the delta into the shared tree (rename: the staged
+        # files are referenced by nothing yet), preserving the col=val
+        # chain verbatim; then clean the now-empty staging dirs
+        tree = manifest["base"]
+        new_files = []
+        for f in staged:
+            segs = os.path.relpath(f, snap_dir).split(os.sep)[:-1]
+            subdir = os.path.join(tree, *segs)
+            os.makedirs(subdir, exist_ok=True)
+            dst = os.path.join(
+                subdir, f"{uuid.uuid4().hex}-{os.path.basename(f)}"
+            )
+            os.replace(f, dst)
+            new_files.append(dst)
+        for root, _dirs, _fnames in os.walk(snap_dir, topdown=False):
+            if not any(os.scandir(root)):
+                os.rmdir(root)
+        new_files = sorted(new_files)
+    else:
+        new_files = staged
+    return commit_append(table_path, new_files, allow_partitioned=bool(part_cols))
 
 
 _APPEND_RETRIES = 5
+
+_TREE_SUBDIR = "tree"
+
+
+def convert_to_shared_layout(table_path: str) -> int:
+    """Re-home a partitioned table's CURRENT files into the stable
+    shared Hive tree ``data/tree/<col=val>/…`` and commit that as the
+    next version — the layout partitioned APPENDS require (every
+    version's files then live under ONE basePath, so Spark's partition
+    discovery stays consistent as appends accumulate).
+
+    Files are HARD-LINKED, not copied or moved: the bytes exist once,
+    the old paths stay valid, so every earlier version keeps reading
+    its original manifest unchanged (time travel survives conversion),
+    and vacuum reclaims each path independently — the inode is freed
+    when the last retained manifest referencing it retires."""
+    table_path = os.path.abspath(table_path)
+    versions = list_versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot at {table_path}")
+    manifest = _read_manifest(table_path, versions[-1])
+    part_cols = manifest.get("partition_by") or []
+    if not part_cols:
+        raise ValueError(
+            "convert_to_shared_layout is for partitioned tables; "
+            "unpartitioned tables append without any conversion"
+        )
+    base = manifest["base"]
+    tree = os.path.join(table_path, _DATA_DIR, _TREE_SUBDIR)
+    new_files = []
+    for f in _manifest_files(manifest):
+        # keep the col=val chain VERBATIM (no unquote/requote round
+        # trip — Hive escaping is preserved exactly as written)
+        segs = os.path.relpath(f, base).split(os.sep)[:-1]
+        subdir = os.path.join(tree, *segs)
+        os.makedirs(subdir, exist_ok=True)
+        dst = os.path.join(subdir, f"{uuid.uuid4().hex}-{os.path.basename(f)}")
+        os.link(f, dst)
+        new_files.append(dst)
+    new_manifest = {
+        "version": versions[-1] + 1,
+        "committed_at": time.time(),
+        "files": sorted(new_files),
+        "schema": manifest["schema"],
+        "base": tree,
+        "partition_by": list(part_cols),
+        "layout": "shared-tree",
+        "converted_from": versions[-1],
+    }
+    return _commit_manifest(table_path, new_manifest, versions[-1] + 1)
 
 
 def commit_append(
@@ -208,6 +283,7 @@ def commit_append(
     new_files: list[str],
     extra: dict | None = None,
     already_committed=None,
+    allow_partitioned: bool = False,
 ) -> int:
     """Commit already-written data files as an append version, with
     optimistic-concurrency retry: appends commute, so losing the
@@ -226,9 +302,18 @@ def commit_append(
         manifest = _read_manifest(table_path, versions[-1])
         if already_committed is not None and already_committed(manifest):
             return manifest["version"]
-        if manifest.get("partition_by"):
+        part_cols = manifest.get("partition_by") or []
+        if part_cols and not (
+            allow_partitioned and manifest.get("layout") == "shared-tree"
+        ):
+            # callers that place files into the shared tree themselves
+            # (append_snapshot) pass allow_partitioned; anything else
+            # would commit partition-column-less files into a
+            # partitioned table
             raise NotImplementedError(
-                "append onto a partitioned snapshot table"
+                "append onto a partitioned snapshot table (files must "
+                "be placed in the shared Hive tree first — use "
+                "append_snapshot after convert_to_shared_layout)"
             )
         new_manifest = {
             "version": versions[-1] + 1,
@@ -238,8 +323,10 @@ def commit_append(
             "base": manifest["base"],
             "appended_files": new_files,
             "appended_to": versions[-1],
-            "partition_by": [],
+            "partition_by": list(part_cols),
         }
+        if part_cols:
+            new_manifest["layout"] = "shared-tree"
         new_manifest.update(extra or {})
         try:
             return _commit_manifest(table_path, new_manifest, versions[-1] + 1)

@@ -158,12 +158,13 @@ def append_snapshot(df: DataFrame, table_path: str) -> int:
     table takes a million appends without ever re-writing a byte of
     history, and every intermediate version stays time-travelable.
     Schema must match the committed one exactly — an append is not the
-    place for silent evolution. Unpartitioned tables only for now: an
-    appended partitioned manifest would span multiple snap dirs, which
-    breaks Spark's single-basePath partition discovery; the extension
-    is a shared Hive tree for append deltas, raised loudly until built.
-    Also the commit shape the version-stream reader consumes: each
-    append version's NEW files hold exactly that batch's rows.
+    place for silent evolution. Partitioned tables append through the
+    shared Hive tree (run :func:`convert_to_shared_layout` once; an
+    unconverted partitioned table refuses with guidance, because an
+    appended manifest spanning snap dirs would break single-basePath
+    partition discovery). Also the commit shape the version-stream
+    reader consumes: each append version's NEW files hold exactly that
+    batch's rows.
 
     Appends are MULTI-WRITER safe via optimistic concurrency: two
     appends commute (neither reads the other's rows), so on losing the

@@ -459,3 +459,30 @@ def test_partitioned_append_via_shared_tree(spark, tmp_path):
     assert _rows(read_snapshot(spark, tbl, version=v3).select("k")) == [
         (1,), (2,), (3,),
     ]
+
+
+def test_shared_tree_survives_compaction(spark, tmp_path):
+    """Compacting a shared-tree table's manifest must keep it
+    appendable: the files are still in the tree, only the manifest
+    shape changed."""
+    from tile_processor_spark.sources.snapshots import (
+        append_snapshot,
+        compact_manifest,
+        convert_to_shared_layout,
+    )
+
+    tbl = str(tmp_path / "treecomp_tbl")
+    write_snapshot(
+        spark.createDataFrame([("a", 1), ("b", 2)], "grp string, k long"),
+        tbl,
+        partition_by=["grp"],
+    )
+    convert_to_shared_layout(tbl)
+    compact_manifest(tbl)
+    append_snapshot(
+        spark.createDataFrame([("b", 3)], "grp string, k long"), tbl
+    )
+    got = read_snapshot(spark, tbl)
+    assert _rows(got.select("grp", "k")) == [("a", 1), ("b", 2), ("b", 3)]
+    pruned = read_snapshot(spark, tbl, partition_filter={"grp": "b"})
+    assert _rows(pruned.select("k")) == [(2,), (3,)]

@@ -461,6 +461,10 @@ def compact_manifest(
         "partition_by": list(part_cols),
         "compacted_from": v,
     }
+    if manifest.get("layout"):
+        # a compacted shared-tree table must stay appendable: the
+        # files are still in the tree, only the manifest shape changed
+        new_manifest["layout"] = manifest["layout"]
     tmp = os.path.join(table_path, f".manifest.tmp.{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(new_manifest, f)

@@ -1520,3 +1520,158 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("t"), F.lit(PII_CARD16)).cast("long").alias("n_cards"),
         F.md5(F.encode(redacted, "UTF-8")).alias("redacted_md5"),
     )
+
+
+#: HTML wrapper injected identically by both engines (the vocab corpus
+#: is plain text; a stripper verified on tag-free input proves
+#: nothing). doc_id%4==0 docs also carry a <script> block that must be
+#: removed CONTENT AND ALL, not just de-tagged.
+_SQL_HTML_TEXT = (
+    "'<html><body class=\"c' || CAST(doc_id % 7 AS VARCHAR) || '\"><p>' || text"
+    " || '</p>' || CASE WHEN doc_id % 4 = 0"
+    " THEN '<script>var x = 1;</script>' ELSE '' END || '</body></html>'"
+)
+
+HTML_SCRIPT_RE = r"<script[^>]*>[^<]*</script>"
+HTML_TAG_RE = r"<[^>]+>"
+
+
+def _html_text_col() -> Column:
+    return F.concat(
+        F.lit('<html><body class="c'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('"><p>'),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.lit("<script>var x = 1;</script>")
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+
+
+@register(
+    "text_html_strip",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, {_SQL_HTML_TEXT} AS t FROM documents
+    ),
+    noscript AS (
+      SELECT doc_id, t,
+             regexp_replace(t, '{HTML_SCRIPT_RE}', '', 'g') AS ns
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(ns, '{HTML_TAG_RE}')) AS BIGINT) AS n_tags,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS had_script,
+           md5(trim(regexp_replace(ns, '{HTML_TAG_RE}', ' ', 'g'))) AS stripped_md5
+    FROM noscript
+    """,
+    doc=(
+        "HTML→text extraction — the CommonCrawl-shaped stage in front "
+        "of every web-scale corpus: <script> blocks removed content "
+        "and all (de-tagging a script would LEAK code into training "
+        "text — the classic stripper bug this row exists to catch), "
+        "remaining tags replaced by spaces, result trimmed. The "
+        "wrapper is injected identically in both engines; patterns sit "
+        "in the Java-regex ∩ RE2 dialect; the md5 of the stripped text "
+        "pins boundary handling, not just tag counts. Pure JVM regexp "
+        "map stage — zero shuffle at any scale."
+    ),
+    tags=("llm", "text", "curation"),
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", _html_text_col().alias("t"))
+    ns = F.regexp_replace(F.col("t"), F.lit(HTML_SCRIPT_RE), F.lit(""))
+    return t.select(
+        "doc_id",
+        F.regexp_count(ns, F.lit(HTML_TAG_RE)).cast("long").alias("n_tags"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("had_script"),
+        F.md5(
+            F.encode(
+                F.trim(F.regexp_replace(ns, F.lit(HTML_TAG_RE), F.lit(" "))),
+                "UTF-8",
+            )
+        ).alias("stripped_md5"),
+    )
+
+
+_SQL_URL_TEXT = (
+    "text || ' see https://site' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '.example.com/page/' || CAST(doc_id AS VARCHAR)"
+    " || CASE WHEN doc_id % 6 = 0"
+    " THEN ' and http://tracker.blocked.net/px' ELSE '' END"
+)
+
+URL_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+#: suffix blocklist — matched against the EXTRACTED domain, never the
+#: raw text, so 'blocked.net.example.com' does not false-positive
+URL_BLOCKLIST = ("blocked.net",)
+
+
+def _url_text_col() -> Column:
+    return F.concat(
+        F.col("text"),
+        F.lit(" see https://site"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/page/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.lit(" and http://tracker.blocked.net/px"),
+        ).otherwise(F.lit("")),
+    )
+
+
+@register(
+    "text_url_domains",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, {_SQL_URL_TEXT} AS t FROM documents
+    ),
+    ex AS (
+      SELECT doc_id,
+             regexp_extract_all(t, '{URL_DOMAIN_RE}', 1) AS domains
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(len(domains) AS BIGINT) AS n_urls,
+           CAST(len(list_filter(domains,
+                d -> d = 'blocked.net' OR suffix(d, '.blocked.net')))
+             AS BIGINT) AS n_blocked,
+           domains[1] AS first_domain
+    FROM ex
+    """,
+    doc=(
+        "URL domain extraction + suffix blocklist — the provenance "
+        "filter stage of a web corpus: domains pulled from the text by "
+        "one regex (group capture, identical pattern both engines), "
+        "blocklist matched against the EXTRACTED registrable suffix "
+        "(never substring-of-text, which would false-positive "
+        "'blocked.net.example.com'). Deterministic URL injection on "
+        "both sides; per-doc URL/blocked counts and the first domain "
+        "pin extraction order. JVM-side regexp + array HOFs, zero "
+        "shuffle."
+    ),
+    tags=("llm", "text", "curation"),
+)
+def text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", _url_text_col().alias("t"))
+    domains = F.regexp_extract_all(F.col("t"), F.lit(URL_DOMAIN_RE), F.lit(1))
+    blocked = F.filter(
+        domains,
+        lambda x: (x == F.lit("blocked.net"))
+        | x.endswith(F.lit(".blocked.net")),
+    )
+    return t.select(
+        "doc_id",
+        F.size(domains).cast("long").alias("n_urls"),
+        F.size(blocked).cast("long").alias("n_blocked"),
+        F.get(domains, 0).alias("first_domain"),
+    )

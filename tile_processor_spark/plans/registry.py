@@ -92,6 +92,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "text_pii_redact",
     "dq_column_profile",
     "events_seasonal_hourly",
+    "text_html_strip",
+    "text_url_domains",
     "ann_kmeans_fit",
     "spatial_point_in_tile_join",
     "spatial_within_extent",
@@ -127,8 +129,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "cumulative_distinct_users",
     "revenue_share_by_nation",
     "leave_one_out_customer_mean",
-    "order_quantity_array_hof",
-    "window_nth_value",
     # everything else follows in registration order
 )
 

@@ -406,3 +406,44 @@ def test_version_stream_over_partitioned_appends(spark, tmp_path):
         assert got == [("a", 3), ("b", 2)]
     finally:
         q.stop()
+
+
+def test_stream_replay_dropped_after_interleaved_append(spark, tmp_path):
+    """ADVICE r10: a replayed micro-batch is dropped even when another
+    append commits BETWEEN the batch's original commit and its replay —
+    the high-water mark is carried forward by every commit, so the
+    evidence survives (a latest-manifest-only marker check would not)."""
+    from tile_processor_spark.sources.snapshot_datasource import (
+        SnapshotStreamWriter,
+        _WriteMessage,
+    )
+    from tile_processor_spark.sources.snapshots import (
+        append_snapshot,
+        list_versions,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    append_snapshot(df, tbl)  # v1
+    w = SnapshotStreamWriter(df.schema, {"path": tbl}, overwrite=False)
+
+    def staged(tag):
+        d = tmp_path / tag
+        df.write.parquet(str(d))
+        return [
+            _WriteMessage(str(p), 1) for p in sorted(d.glob("*.parquet"))
+        ]
+
+    w.commit(staged("b0"), 0)  # v2: batch 0
+    append_snapshot(df, tbl)   # v3: interleaved non-stream append
+    before = list_versions(tbl)
+    rows_before = read_snapshot(spark, tbl).count()
+    w.commit(staged("b0_replay"), 0)  # replay of batch 0: must drop
+    assert list_versions(tbl) == before
+    assert read_snapshot(spark, tbl).count() == rows_before
+    # distinct app ids don't block each other
+    w2 = SnapshotStreamWriter(
+        df.schema, {"path": tbl, "stream_app_id": "other"}, overwrite=False
+    )
+    w2.commit(staged("other_b0"), 0)
+    assert read_snapshot(spark, tbl).count() == rows_before + 1

@@ -486,3 +486,153 @@ def test_shared_tree_survives_compaction(spark, tmp_path):
     assert _rows(got.select("grp", "k")) == [("a", 1), ("b", 2), ("b", 3)]
     pruned = read_snapshot(spark, tbl, partition_filter={"grp": "b"})
     assert _rows(pruned.select("k")) == [(2,), (3,)]
+
+
+def test_append_raises_when_rewrite_changes_schema_mid_retry(spark, tmp_path):
+    """ADVICE r10: commit_append re-validates the FRESH manifest's
+    schema against the one the delta files were written under — a
+    rewrite with a different schema racing an append raises instead of
+    committing a manifest whose declared schema doesn't match its
+    appended parquet files."""
+    from tile_processor_spark.sources.snapshots import (
+        _read_manifest,
+        commit_append,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df_a = spark.createDataFrame([(1, "x")], "k int, v string")
+    write_snapshot(df_a, tbl)
+    old_schema = _read_manifest(tbl, 1)["schema"]
+    # delta files written against schema A (simulated: any parquet path)
+    delta_dir = tmp_path / "delta"
+    df_a.write.parquet(str(delta_dir))
+    delta_files = sorted(
+        str(p) for p in delta_dir.glob("*.parquet")
+    )
+    # a rewrite with a DIFFERENT schema lands before the append commits
+    write_snapshot(
+        spark.createDataFrame([(1, 2.5)], "k int, v double"), tbl
+    )
+    with pytest.raises(ValueError, match="schema changed under the append"):
+        commit_append(tbl, delta_files, expected_schema=old_schema)
+    # same-schema append still commits fine
+    assert commit_append(tbl, [], expected_schema=_read_manifest(tbl, 2)["schema"]) == 3
+
+
+def test_stream_replay_dropped_despite_interleaved_appends(spark, tmp_path):
+    """ADVICE r10: the streaming sink's replay watermark is a per-app
+    HIGH-WATER mark carried in every manifest — a replayed batch is
+    dropped even when other appends (which would erase a
+    latest-manifest-only marker) landed in between."""
+    from tile_processor_spark.sources.snapshots import (
+        _read_manifest,
+        append_snapshot,
+        commit_append,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1,)], "k int")
+    write_snapshot(df, tbl)  # v1
+
+    def delta(tag):
+        d = tmp_path / f"delta_{tag}"
+        df.write.parquet(str(d))
+        return sorted(str(p) for p in d.glob("*.parquet"))
+
+    v2 = commit_append(tbl, delta("b0"), stream_mark=("appA", 0))
+    assert v2 == 2
+    append_snapshot(df, tbl)  # v3: an unrelated append interleaves
+    # the mark survived the interleaved commit
+    assert _read_manifest(tbl, 3)["stream_high_water"] == {"appA": 0}
+    # replay of batch 0 after the interleaving: dropped, no new version
+    got = commit_append(tbl, delta("b0_replay"), stream_mark=("appA", 0))
+    assert got == 3 and list_versions(tbl) == [1, 2, 3]
+    # table contents unchanged by the dropped replay (3 copies, not 4)
+    assert read_snapshot(spark, tbl).count() == 3
+    # a genuinely new batch advances the mark and commits
+    v4 = commit_append(tbl, delta("b1"), stream_mark=("appA", 1))
+    assert v4 == 4
+    assert _read_manifest(tbl, 4)["stream_high_water"] == {"appA": 1}
+    # an independent app id is not blocked by appA's mark
+    v5 = commit_append(tbl, delta("appB"), stream_mark=("appB", 0))
+    assert _read_manifest(tbl, 5)["stream_high_water"] == {"appA": 1, "appB": 0}
+    assert v5 == 5
+
+
+def test_high_water_survives_rewrite_and_compaction(spark, tmp_path):
+    """The replay watermark is carried forward by write_snapshot
+    (rewrites) and compact_manifest too — a replayed batch landing
+    after a rewrite must still be recognized as committed."""
+    from tile_processor_spark.sources.snapshots import (
+        _read_manifest,
+        compact_manifest,
+        commit_append,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1,)], "k int")
+    write_snapshot(df, tbl)  # v1
+    d = tmp_path / "d"
+    df.write.parquet(str(d))
+    files = sorted(str(p) for p in d.glob("*.parquet"))
+    commit_append(tbl, files, stream_mark=("app", 7))  # v2
+    write_snapshot(df, tbl)  # v3 rewrite
+    assert _read_manifest(tbl, 3)["stream_high_water"] == {"app": 7}
+    compact_manifest(tbl)  # v4
+    assert _read_manifest(tbl, 4)["stream_high_water"] == {"app": 7}
+    # replay of batch 7 post-rewrite: dropped
+    d2 = tmp_path / "d2"
+    df.write.parquet(str(d2))
+    files2 = sorted(str(p) for p in d2.glob("*.parquet"))
+    assert commit_append(tbl, files2, stream_mark=("app", 7)) == 4
+    assert list_versions(tbl) == [1, 2, 3, 4]
+
+
+def test_compact_non_latest_requires_rollback_flag(spark, tmp_path):
+    """ADVICE r10: compacting a non-latest version is a table rollback
+    in disguise — refused without the explicit flag."""
+    from tile_processor_spark.sources.snapshots import (
+        append_snapshot,
+        compact_manifest,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1,)], "k int")
+    write_snapshot(df, tbl)  # v1
+    append_snapshot(df, tbl)  # v2
+    with pytest.raises(ValueError, match="rolling back"):
+        compact_manifest(tbl, version=1)
+    # explicit opt-in: commits v1's file set as the new head (RESTORE)
+    v3 = compact_manifest(tbl, version=1, allow_rollback=True)
+    assert v3 == 3
+    assert read_snapshot(spark, tbl).count() == 1  # back to v1 contents
+    assert read_snapshot(spark, tbl, version=2).count() == 2  # v2 intact
+
+
+def test_read_snapshot_empty_unpartitioned_commit(spark, tmp_path):
+    """ADVICE r10: an unpartitioned version with an empty file list
+    (reachable via the connector committing all-empty tasks) reads as
+    an empty frame with the committed schema, like the partitioned
+    branch — not a zero-path spark.read.parquet() crash."""
+    import time as _time
+
+    from tile_processor_spark.sources.snapshots import _commit_manifest
+
+    tbl = str(tmp_path / "tbl")
+    os.makedirs(tbl)
+    schema_json = spark.createDataFrame([(1, "x")], "k int, v string").schema.json()
+    _commit_manifest(
+        tbl,
+        {
+            "version": 1,
+            "committed_at": _time.time(),
+            "files": [],
+            "schema": schema_json,
+            "base": tbl,
+            "partition_by": [],
+        },
+        1,
+    )
+    got = read_snapshot(spark, tbl)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["k", "v"]

@@ -297,6 +297,7 @@ class SnapshotWriter(DataSourceArrowWriter):
         self._snap_dir = os.path.join(
             self._path, "data", uuid.uuid4().hex
         )
+        self._expected_schema: str | None = None
         if not overwrite:
             versions = list_versions(self._path)
             if versions:
@@ -316,6 +317,10 @@ class SnapshotWriter(DataSourceArrowWriter):
                     raise ValueError(
                         f"append schema {got} does not match committed {want}"
                     )
+                # re-validated at commit time against the FRESH latest
+                # manifest: a rewrite racing this append must raise,
+                # not commit files written against the old schema
+                self._expected_schema = manifest["schema"]
 
     def write(self, iterator):
         import os
@@ -361,8 +366,11 @@ class SnapshotWriter(DataSourceArrowWriter):
             _commit_manifest(self._path, manifest, version)
         else:
             # optimistic-concurrency append: commutes with concurrent
-            # appends, retried on a lost version race
-            commit_append(self._path, new_files)
+            # appends, retried on a lost version race; schema
+            # re-validated against the fresh manifest inside the retry
+            commit_append(
+                self._path, new_files, expected_schema=self._expected_schema
+            )
 
     def abort(self, messages) -> None:
         import os
@@ -376,12 +384,17 @@ class SnapshotStreamWriter(DataSourceStreamArrowWriter):
     """Streaming SINK: every micro-batch lands as one append commit, so
     the snapshot table is simultaneously a streaming source and sink —
     a downstream query can stream FROM a table a pipeline streams INTO,
-    version by version. Exactly-once across micro-batch RETRIES: the
-    commit records its ``stream_batch_id``; a replayed batch whose id
-    already sits in the latest manifest is dropped at commit time (its
-    files stay orphans for vacuum), the standard idempotent-sink
-    contract (Delta's txnVersion/appId shape) built on the same atomic
-    manifest rename as every other commit."""
+    version by version. Exactly-once across micro-batch RETRIES: every
+    commit carries a per-app HIGH-WATER batch id forward
+    (``stream_high_water`` in the manifest, keyed by
+    ``.option("stream_app_id", ...)`` — default ``"default"``; set it
+    per query when several streams feed one table). A replayed batch
+    with id <= the stored high-water mark is dropped at commit time
+    (its files stay orphans for vacuum) — Delta's txnAppId/txnVersion
+    contract. The mark lives in EVERY manifest, carried forward by all
+    commit paths, so interleaved appends from other writers between a
+    batch's commit and its replay cannot erase the evidence (the
+    failure mode of checking only the latest manifest's own marker)."""
 
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
         import os
@@ -391,6 +404,7 @@ class SnapshotStreamWriter(DataSourceStreamArrowWriter):
         if not self._path:
             raise ValueError("tps_snapshot stream write requires .option('path', ...)")
         self._path = os.path.abspath(self._path)
+        self._app_id = options.get("stream_app_id", "default")
 
     def write(self, iterator):
         import os
@@ -432,17 +446,21 @@ class SnapshotStreamWriter(DataSourceStreamArrowWriter):
                 "base": self._path,
                 "appended_files": new_files,
                 "stream_batch_id": batchId,
+                "stream_high_water": {self._app_id: batchId},
                 "partition_by": [],
             }
             _commit_manifest(self._path, manifest, 1)
             return
-        # optimistic append; the replayed-batch check re-runs on the
-        # fresh latest manifest inside every retry
+        # optimistic append; the high-water replay check re-runs on the
+        # fresh latest manifest inside every retry, and the mark is
+        # carried forward by every other commit path, so intervening
+        # appends cannot turn a replay into a duplicate
         commit_append(
             self._path,
             new_files,
             extra={"stream_batch_id": batchId},
-            already_committed=lambda m: m.get("stream_batch_id") == batchId,
+            stream_mark=(self._app_id, batchId),
+            expected_schema=None,
         )
 
     def abort(self, messages, batchId: int) -> None:

@@ -67,6 +67,14 @@ def _read_manifest(table_path: str, version: int) -> dict:
         return json.load(f)
 
 
+def _schema_fields(schema_json: str) -> list[tuple[str, object]]:
+    """(name, type) pairs of a schema JSON string — the comparison key
+    for append-vs-committed schema checks (nullability differences are
+    representation noise, not drift: parquet files carry their own
+    nullability and Spark reconciles it at read)."""
+    return [(f["name"], f["type"]) for f in json.loads(schema_json)["fields"]]
+
+
 def write_snapshot(
     df: DataFrame, table_path: str, partition_by: list[str] | None = None
 ) -> int:
@@ -112,22 +120,15 @@ def write_snapshot(
         "base": snap_dir,
         "partition_by": list(partition_by or []),
     }
-    tmp = os.path.join(table_path, f".manifest.tmp.{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    final = _manifest_path(table_path, version)
-    try:
-        # os.link is atomic-exclusive: of two racing committers of the
-        # same version number, exactly one wins; the loser raises here
-        # instead of clobbering (os.replace would overwrite silently).
-        os.link(tmp, final)
-    except FileExistsError:
-        raise RuntimeError(
-            f"version {version} already committed at {table_path}"
-        ) from None
-    finally:
-        os.unlink(tmp)
-    return version
+    if versions:
+        # the streaming sink's replay watermark survives rewrites: a
+        # replayed micro-batch landing after a full-state rewrite must
+        # still be recognized as already-committed (its rows are part
+        # of the rewritten state), not appended a second time
+        hw = _read_manifest(table_path, versions[-1]).get("stream_high_water")
+        if hw:
+            manifest["stream_high_water"] = hw
+    return _commit_manifest(table_path, manifest, version)
 
 
 def _commit_manifest(table_path: str, manifest: dict, version: int) -> int:
@@ -230,7 +231,12 @@ def append_snapshot(df: DataFrame, table_path: str) -> int:
         new_files = sorted(new_files)
     else:
         new_files = staged
-    return commit_append(table_path, new_files, allow_partitioned=bool(part_cols))
+    return commit_append(
+        table_path,
+        new_files,
+        allow_partitioned=bool(part_cols),
+        expected_schema=manifest["schema"],
+    )
 
 
 _APPEND_RETRIES = 5
@@ -292,6 +298,8 @@ def commit_append(
     extra: dict | None = None,
     already_committed=None,
     allow_partitioned: bool = False,
+    expected_schema: str | None = None,
+    stream_mark: tuple[str, int] | None = None,
 ) -> int:
     """Commit already-written data files as an append version, with
     optimistic-concurrency retry: appends commute, so losing the
@@ -299,25 +307,56 @@ def commit_append(
     committing on top of it (bounded attempts; a partitioned or
     schema-changed table appearing mid-retry raises). Shared by
     ``append_snapshot`` and the connector's batch/stream writers.
-    ``extra`` merges into the manifest (e.g. ``stream_batch_id``);
-    ``already_committed(latest_manifest) -> bool`` short-circuits a
-    replayed commit idempotently (the check re-runs on the FRESH latest
-    manifest inside every retry, so a replay that loses a race to its
-    own first attempt is still dropped)."""
+
+    ``expected_schema`` is the committed schema (JSON string) the delta
+    files were WRITTEN against; every retry re-validates the FRESH
+    latest manifest against it by (name, type) pairs, so a rewrite with
+    a different schema racing this append raises instead of committing
+    a manifest whose declared schema doesn't match its appended files.
+
+    ``extra`` merges into the manifest (e.g. ``stream_batch_id``).
+
+    ``stream_mark=(app_id, batch_id)`` is the idempotent streaming-sink
+    contract (Delta's txnAppId/txnVersion shape): the per-app
+    high-water batch id lives in EVERY manifest (``stream_high_water``,
+    carried forward by all commit paths), so a replayed batch with
+    ``batch_id <= high_water[app_id]`` is dropped even when OTHER
+    commits landed between the original commit and the replay — the
+    multi-writer case where a latest-manifest-only marker check loses
+    the evidence. The check re-runs on the fresh manifest inside every
+    retry, so a replay that loses a race to its own first attempt is
+    still dropped.
+
+    ``already_committed(latest_manifest) -> bool`` is a custom
+    short-circuit hook for callers with their own idempotence key."""
     last_err: Exception | None = None
     for _ in range(_APPEND_RETRIES):
         versions = list_versions(table_path)
         manifest = _read_manifest(table_path, versions[-1])
+        high_water = dict(manifest.get("stream_high_water") or {})
+        if stream_mark is not None:
+            app_id, batch_id = stream_mark
+            if high_water.get(app_id, -1) >= batch_id:
+                return manifest["version"]  # replayed batch — drop
+            high_water[app_id] = batch_id
         if already_committed is not None and already_committed(manifest):
             return manifest["version"]
+        if expected_schema is not None and _schema_fields(
+            manifest["schema"]
+        ) != _schema_fields(expected_schema):
+            raise ValueError(
+                "append aborted: table schema changed under the append "
+                f"(a rewrite committed mid-append at {table_path}); the "
+                "delta files were written against the old schema"
+            )
         part_cols = manifest.get("partition_by") or []
         if part_cols and not (
             allow_partitioned and manifest.get("layout") == "shared-tree"
         ):
             # callers that place files into the shared tree themselves
-            # (append_snapshot) pass allow_partitioned; anything else
-            # would commit partition-column-less files into a
-            # partitioned table
+            # (append_snapshot, the connector writers) pass
+            # allow_partitioned; anything else would commit
+            # partition-column-less files into a partitioned table
             raise NotImplementedError(
                 "append onto a partitioned snapshot table (files must "
                 "be placed in the shared Hive tree first — use "
@@ -335,6 +374,8 @@ def commit_append(
         }
         if part_cols:
             new_manifest["layout"] = "shared-tree"
+        if high_water:
+            new_manifest["stream_high_water"] = high_water
         new_manifest.update(extra or {})
         try:
             return _commit_manifest(table_path, new_manifest, versions[-1] + 1)
@@ -411,7 +452,10 @@ def _manifest_files(
 
 
 def compact_manifest(
-    table_path: str, version: int | None = None, group_files: int = 100
+    table_path: str,
+    version: int | None = None,
+    group_files: int = 100,
+    allow_rollback: bool = False,
 ) -> int:
     """Rewrite a committed version's manifest into the two-level
     grouped layout and commit it as the NEXT version — data files are
@@ -427,7 +471,14 @@ def compact_manifest(
     — bounding the top manifest at O(partitions) / O(files ÷ chunk).
 
     Idempotent in effect: compacting an already-grouped version
-    re-commits the same grouping."""
+    re-commits the same grouping.
+
+    Compacting a NON-latest version would commit that older version's
+    file set as the new table head — a silent rollback wearing a
+    metadata-operation costume (appends after ``version`` would vanish
+    from the head). That requires the explicit ``allow_rollback=True``
+    (the Delta RESTORE shape); without it, only the latest version
+    compacts."""
     table_path = os.path.abspath(table_path)
     versions = list_versions(table_path)
     if not versions:
@@ -435,6 +486,13 @@ def compact_manifest(
     v = versions[-1] if version is None else version
     if v not in versions:
         raise FileNotFoundError(f"version {v} not in {versions} at {table_path}")
+    if v != versions[-1] and not allow_rollback:
+        raise ValueError(
+            f"compact_manifest(version={v}) would commit a non-latest "
+            f"version's file set as the new head (latest is "
+            f"{versions[-1]}), silently rolling back later appends; "
+            "pass allow_rollback=True for an explicit RESTORE"
+        )
     manifest = _read_manifest(table_path, v)
     files = _manifest_files(manifest)
     part_cols = manifest.get("partition_by") or []
@@ -472,19 +530,13 @@ def compact_manifest(
         # a compacted shared-tree table must stay appendable: the
         # files are still in the tree, only the manifest shape changed
         new_manifest["layout"] = manifest["layout"]
-    tmp = os.path.join(table_path, f".manifest.tmp.{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump(new_manifest, f)
-    final = _manifest_path(table_path, new_version)
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        raise RuntimeError(
-            f"version {new_version} already committed at {table_path}"
-        ) from None
-    finally:
-        os.unlink(tmp)
-    return new_version
+    # carry the streaming-sink replay watermark from the CURRENT head
+    # (not the compacted source — under allow_rollback they differ and
+    # the watermark must never move backwards)
+    hw = _read_manifest(table_path, versions[-1]).get("stream_high_water")
+    if hw:
+        new_manifest["stream_high_water"] = hw
+    return _commit_manifest(table_path, new_manifest, new_version)
 
 
 def read_snapshot(
@@ -522,12 +574,15 @@ def read_snapshot(
                 f"version {v} is partitioned by {part_cols or 'nothing'}"
             )
     files = _manifest_files(manifest, partition_filter)
-    if part_cols:
-        from pyspark.sql import types as T
+    from pyspark.sql import types as T
 
-        committed = T.StructType.fromJson(json.loads(manifest["schema"]))
-        if not files:
-            return spark.createDataFrame([], committed)
+    committed = T.StructType.fromJson(json.loads(manifest["schema"]))
+    if not files:
+        # an empty committed file list is legal (e.g. the connector
+        # committing an all-empty-task write): same contract as an
+        # empty partition_filter match — the version's schema, no rows
+        return spark.createDataFrame([], committed)
+    if part_cols:
         # partition columns live in dir names, not the data files —
         # basePath makes Spark re-derive them as real columns. Path
         # inference guesses their dtype from the directory STRING (a

@@ -46,7 +46,7 @@ def test_policy_tiers():
     got = propose_window(
         names, latest_green, latest_any, changed=["changed_a", "changed_b"], size=7
     )
-    # flagship, then reds (registry order), then changed (given order),
+    # flagship, then reds (registry order), then changed (stalest-first),
     # then never-gated, then stalest ascending
     assert got == [
         FLAGSHIP,
@@ -102,3 +102,156 @@ def test_current_gate_priority_matches_derived_window():
         names, latest_green, latest_any, changed=_ROUND_CHANGED, size=WINDOW_SIZE
     )
     assert list(_GATE_PRIORITY[:WINDOW_SIZE]) == derived
+
+
+# ---- mechanical changed-row derivation (VERDICT r10 item 1) ----
+
+from gate_rotation import (  # noqa: E402
+    derive_changed,
+    package_import_graph,
+    reverse_closure,
+)
+
+
+def test_reverse_closure_transitive():
+    graph = {
+        "a": set(),          # kernel
+        "b": {"a"},          # imports kernel
+        "c": {"b"},          # imports b → transitively a
+        "d": set(),          # unrelated
+    }
+    assert reverse_closure(graph, {"a"}) == {"a", "b", "c"}
+    assert reverse_closure(graph, {"d"}) == {"d"}
+    assert reverse_closure(graph, {"nope"}) == set()
+
+
+def test_package_import_graph_sees_deferred_imports():
+    """snapshot_gate consumes sources.snapshots (possibly via deferred
+    in-function imports); the static graph must see it so a snapshots.py
+    re-plan marks the snapshot gate rows."""
+    graph = package_import_graph(REPO)
+    gate = "tile_processor_spark.plans.snapshot_gate"
+    snaps = "tile_processor_spark.sources.snapshots"
+    assert gate in graph and snaps in graph
+    assert gate in reverse_closure(graph, {snaps})
+    # chunked-window kernel consumers (the r10 'what's wrong' case)
+    kern = "tile_processor_spark.plans.chunked_windows"
+    consumers = reverse_closure(graph, {kern})
+    assert "tile_processor_spark.plans.timeseries_ops" in consumers
+
+
+class _Fn:
+    def __init__(self, module: str, name: str):
+        self.__module__ = module
+        self.__name__ = name
+
+
+class _Spec:
+    def __init__(self, module: str, name: str):
+        self.spark_fn = _Fn(module, name)
+
+
+def _mini_repo(tmp_path):
+    """A throwaway git repo with a mini package: kernel.py (shared
+    helper), mod.py (two registered fns, one importing kernel inside
+    the function body), other.py (independent)."""
+    import subprocess
+
+    repo = tmp_path / "mini"
+    plans = repo / "tile_processor_spark" / "plans"
+    plans.mkdir(parents=True)
+    (repo / "tile_processor_spark" / "__init__.py").write_text("")
+    (plans / "__init__.py").write_text("")
+    (plans / "kernel.py").write_text("def helper(x):\n    return x + 1\n")
+    (plans / "mod.py").write_text(
+        "CONST = 1\n"
+        "\n"
+        "def f1(spark, sf):\n"
+        "    from tile_processor_spark.plans.kernel import helper\n"
+        "    return helper(1)\n"
+        "\n"
+        "def f2(spark, sf):\n"
+        "    return CONST\n"
+    )
+    (plans / "other.py").write_text("def g1(spark, sf):\n    return 0\n")
+    subprocess.run(["git", "init", "-q"], cwd=repo, check=True)
+    subprocess.run(["git", "add", "-A"], cwd=repo, check=True)
+    subprocess.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t", "commit", "-qm", "base"],
+        cwd=repo,
+        check=True,
+    )
+    specs = {
+        "row_f1": _Spec("tile_processor_spark.plans.mod", "f1"),
+        "row_f2": _Spec("tile_processor_spark.plans.mod", "f2"),
+        "row_g1": _Spec("tile_processor_spark.plans.other", "g1"),
+    }
+    return repo, plans, specs
+
+
+def test_derive_changed_function_granularity(tmp_path):
+    """An edit inside ONE registered def marks only that row."""
+    repo, plans, specs = _mini_repo(tmp_path)
+    src = (plans / "mod.py").read_text()
+    (plans / "mod.py").write_text(src.replace("helper(1)", "helper(2)"))
+    assert derive_changed(str(repo), "HEAD", specs) == ["row_f1"]
+
+
+def test_derive_changed_kernel_marks_consumers(tmp_path):
+    """A shared-kernel edit marks every row of every module that
+    (transitively, even via a deferred import) consumes it — and no
+    unrelated module's rows."""
+    repo, plans, specs = _mini_repo(tmp_path)
+    (plans / "kernel.py").write_text("def helper(x):\n    return x + 2\n")
+    assert derive_changed(str(repo), "HEAD", specs) == ["row_f1", "row_f2"]
+
+
+def test_derive_changed_module_level_edit_marks_all_rows(tmp_path):
+    """An edit OUTSIDE every registered def (module-level helper/const)
+    conservatively marks the whole module's rows."""
+    repo, plans, specs = _mini_repo(tmp_path)
+    src = (plans / "mod.py").read_text()
+    (plans / "mod.py").write_text(src.replace("CONST = 1", "CONST = 2"))
+    assert derive_changed(str(repo), "HEAD", specs) == ["row_f1", "row_f2"]
+
+
+def test_derive_changed_clean_tree_is_empty(tmp_path):
+    repo, _plans, specs = _mini_repo(tmp_path)
+    assert derive_changed(str(repo), "HEAD", specs) == []
+
+
+def test_derive_changed_dep_change_overrides_function_granularity(tmp_path):
+    """When a module's dep changed AND the module itself was edited in
+    one def, ALL its rows are marked (the dep feeds every row)."""
+    repo, plans, specs = _mini_repo(tmp_path)
+    (plans / "kernel.py").write_text("def helper(x):\n    return x + 3\n")
+    src = (plans / "mod.py").read_text()
+    (plans / "mod.py").write_text(src.replace("return CONST", "return CONST + 0"))
+    assert derive_changed(str(repo), "HEAD", specs) == ["row_f1", "row_f2"]
+
+
+def test_derive_changed_real_repo_smoke():
+    """Against the real repo/history: derives without error and returns
+    registry names only (content depends on git state, so assert shape,
+    not the exact set)."""
+    from tile_processor_spark.plans.registry import all_specs
+
+    names = set(all_specs())
+    got = derive_changed(REPO, "HEAD")
+    assert set(got) <= names
+
+
+def test_changed_tier_orders_stalest_first():
+    """Within the changed tier, the window budget goes to rows with the
+    OLDEST driver evidence (never-green first), not declaration order."""
+    names = [FLAGSHIP, "c_fresh", "c_stale", "c_never"]
+    latest_green = {FLAGSHIP: 9, "c_fresh": 9, "c_stale": 4}
+    latest_any = dict(latest_green)
+    got = propose_window(
+        names,
+        latest_green,
+        latest_any,
+        changed=["c_fresh", "c_stale", "c_never"],
+        size=4,
+    )
+    assert got == [FLAGSHIP, "c_never", "c_stale", "c_fresh"]

@@ -62,23 +62,18 @@ def register(
 #: depositing this round's own file mid-round cannot retroactively
 #: invalidate the committed window (round-9 lifecycle bug). Bump this
 #: and regenerate the window together at each round start.
-_STAGED_FOR_ROUND: int = 10
+_STAGED_FOR_ROUND: int = 11
 
-#: rows whose CODE was re-planned this round (plan changed, oracle
-#: unchanged) — the standing re-verify policy's explicit input.
-#: Round 10: the snapshot rows' partitioned read path changed
-#: (partition-column dtype now cast to the committed manifest schema
-#: instead of Spark path inference, ADVICE r9 item 4).
+#: rows whose CODE was re-planned since the previous staging commit —
+#: now DERIVED MECHANICALLY (tools/gate_rotation.py derive_changed:
+#: git diff 097a439..worktree -> modules -> reverse-import closure,
+#: with per-function granularity inside registered defs). Round 11:
+#: the r10 late-round re-plans (chunked_windows halo chaining,
+#: append-delta clustering) plus this round's snapshot commit
+#: hardening mark 183 rows; the window takes the stalest 49.
+#: To restage: python tools/gate_rotation.py --since <staging commit>
+#: (find it via: git log -S"_STAGED_FOR_ROUND: int = <N>").
 _ROUND_CHANGED: tuple[str, ...] = (
-    "snapshot_partition_pruned_read",
-    "snapshot_schema_evolution_state",
-    "snapshot_schema_evolution_diff",
-)
-
-# Round-10 window: q1 (flagship) + the 3 snapshot re-plans + the
-# never-gated rows added this round + all 20 rows whose latest
-# driver-green is round 5 + the stalest round-6 rows.
-_GATE_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "snapshot_partition_pruned_read",
     "snapshot_schema_evolution_state",
@@ -105,11 +100,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "spatial_version_boundary",
     "spatial_alpha_shape",
     "spatial_knn_tile_center",
-    "events_rolling_zscore",
-    "events_pivot_hourly",
-    "events_unpivot_hourly",
-    "events_click_purchase_outer",
-    "events_value_histogram",
     "sketch_count_min",
     "sketch_cms_point_queries",
     "sketch_kmv_distinct",
@@ -129,6 +119,199 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "cumulative_distinct_users",
     "revenue_share_by_nation",
     "leave_one_out_customer_mean",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q4_order_priority",
+    "q10_returned_items",
+    "distinct_projection",
+    "isin_filter",
+    "anti_join_missing",
+    "semi_join_intersection",
+    "array_agg_group",
+    "priority_dedup_ties",
+    "topk_per_group",
+    "regexp_extract_ids",
+    "union_dedup",
+    "null_guard_filter",
+    "groupby_month_rollup",
+    "q2_min_price_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q12_priority_by_status",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q22_idle_customers",
+    "window_running_sum",
+    "window_order_gaps",
+    "rollup_order_stats",
+    "window_rank_family",
+    "grouping_sets_order_stats",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q20_substantial_suppliers",
+    "cube_segment_priority",
+    "q21_waiting_suppliers",
+    "lateral_top_order_per_customer",
+    "lineitem_weighted_median",
+    "rolling_7d_distinct_users",
+    "order_quantity_array_hof",
+    "events_mad_by_type",
+    "window_nth_value",
+    "skyline_orders_2d",
+    "dq_referential_integrity",
+    "text_token_stats",
+    "text_quality_scores",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "embedding_cosine_topk",
+    "ann_lsh_buckets",
+    "text_langid",
+    "text_bpe_counts",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_sampled",
+    "text_fingerprint",
+    "embedding_near_dup_pairs",
+    "ann_ivf_assign",
+    "ann_ivf_search",
+    "text_chunk_windows",
+    "dedup_connected_components",
+    "dedup_keep_canonical",
+    "sample_stratified",
+    "sample_per_group_topk",
+    "sample_split_assign",
+    "embedding_dim_stats",
+    "curate_quality_by_cluster",
+    "text_repetition_stats",
+    "decontaminate_overlap",
+    "pack_sequences",
+    "text_top_terms",
+    "embedding_normalize",
+    "corpus_shard_assign",
+    "text_doc_frequency_score",
+    "dedup_connected_components_star",
+    "sample_temperature_mixture",
+    "corpus_curation_manifest",
+    "sample_weighted_priority",
+    "ann_pq_codes",
+    "ann_pq_adc_recall",
+    "dsir_importance_weights",
+    "spatial_version_boundary_region",
+    "spatial_percentile_heights",
+    "spatial_percentile_heights_approx",
+    "spatial_rasterize",
+    "tile_file_index",
+    "spatial_tin_simplify",
+    "spatial_las_class_mapping",
+    "spatial_zorder_keys",
+    "spatial_raster_smooth",
+    "spatial_region_labeling",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_dedup_binary",
+    "sketch_hll_distinct",
+    "sketch_bloom_membership",
+    "sketch_hll_by_type",
+    "rolling_distinct_hll",
+    "sketch_histogram_quantiles",
+    "sketch_kmv_set_ops",
+    "dedup_minhash_recall",
+    "dedup_minhash_recall_sampled",
+    "events_props_variant",
+    "spatial_quadtree_rollup",
+    "dedup_semantic_clusters",
+    "text_bigram_model_score",
+    "embedding_whiten",
+    "dedup_containment_pairs",
+    "text_bm25_scores",
+    "dedup_jaccard_prefix_filtered",
+    "dedup_jaccard_prefix_filtered_sampled",
+    "dedup_threshold_curve",
+    "snapshot_merge_upsert_state",
+    "snapshot_time_travel_diff",
+    "stream_kmv_distinct_users",
+    "stream_hll_distinct_users",
+    "stream_cms_event_type_counts",
+    "stream_hist_quantiles",
+    "stream_topk_heavy_users",
+    "stream_sessionize_late_events",
+    "events_interval_overlap",
+    "events_regression_slope",
+    "events_cusum_drift",
+    "events_markov_transitions",
+    "orders_percentile_cont",
+    "lineitem_corr_matrix",
+    "events_twap_hourly",
+    "events_rolling_median",
+    "events_ewma_approx",
+    "events_anomaly_intervals",
+    "events_sequence_match",
+    "events_active_sessions_sweep",
+    "events_sweep_partitioned",
+    "events_type_runs",
+    "events_winsorized_stats",
+)
+
+# Round-11 window: q1 (flagship) + the 49 stalest of the 183
+# mechanically-derived changed rows (driver evidence r6-r8).
+_GATE_PRIORITY: tuple[str, ...] = (
+    "q1_pricing_summary",
+    "order_quantity_array_hof",
+    "window_nth_value",
+    "skyline_orders_2d",
+    "dq_referential_integrity",
+    "ann_pq_codes",
+    "sketch_hll_distinct",
+    "sketch_bloom_membership",
+    "sketch_histogram_quantiles",
+    "dedup_minhash_recall",
+    "events_props_variant",
+    "spatial_quadtree_rollup",
+    "dedup_semantic_clusters",
+    "text_bigram_model_score",
+    "embedding_whiten",
+    "dedup_containment_pairs",
+    "events_regression_slope",
+    "events_markov_transitions",
+    "orders_percentile_cont",
+    "lineitem_corr_matrix",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "text_token_stats",
+    "text_quality_scores",
+    "dedup_exact",
+    "embedding_cosine_topk",
+    "text_langid",
+    "text_bpe_counts",
+    "dedup_ngram_jaccard",
+    "text_fingerprint",
+    "embedding_near_dup_pairs",
+    "ann_ivf_assign",
+    "sample_weighted_priority",
+    "dsir_importance_weights",
+    "spatial_version_boundary_region",
+    "spatial_percentile_heights",
+    "spatial_rasterize",
+    "tile_file_index",
+    "spatial_las_class_mapping",
+    "spatial_raster_smooth",
+    "spatial_region_labeling",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_dedup_binary",
+    "sketch_hll_by_type",
+    "sketch_kmv_set_ops",
+    "text_bm25_scores",
+    "dedup_jaccard_prefix_filtered",
+    "dedup_threshold_curve",
+    "snapshot_merge_upsert_state",
     # everything else follows in registration order
 )
 

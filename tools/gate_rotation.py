@@ -7,9 +7,17 @@ Policy (the prose at ``registry.py`` made executable):
 1. the flagship ``q1_pricing_summary`` always holds slot 1;
 2. rows that are RED in their most recent driver record (never healed)
    come next — a red row must be re-gated before anything else;
-3. caller-declared ``changed`` rows (code re-planned this round — the
-   tool cannot detect plan changes, so this stays an explicit input),
-   in the given order;
+3. ``changed`` rows (code re-planned this round), stalest driver
+   evidence first (never-green rows lead; ties by registry order) —
+   derived MECHANICALLY by ``derive_changed`` from the git diff since
+   the previous window's staging commit (``--since <ref>``): changed
+   files map to package modules, a transitive reverse-import closure
+   finds every plan module affected (so a re-planned shared kernel like
+   ``plans/chunked_windows.py`` or ``sources/snapshots.py`` marks its
+   consumers), and within a row's own defining module the granularity
+   is per-function (a change inside one registered ``def`` marks only
+   that row; a change outside every registered def conservatively marks
+   the whole module's rows);
 4. rows that have NEVER had a driver record, in registry order;
 5. everything else, stalest first (ascending latest-green round),
    tie-broken by registry order.
@@ -17,19 +25,33 @@ Policy (the prose at ``registry.py`` made executable):
 The window is the first ``size`` names of that ordering. Run as a
 script to print the proposed window for review:
 
-    python tools/gate_rotation.py --changed a,b,c
+    python tools/gate_rotation.py --since <staging-commit>
 """
 
 from __future__ import annotations
 
+import ast
 import glob
 import json
 import os
 import re
+import subprocess
 from collections.abc import Sequence
 
 FLAGSHIP = "q1_pricing_summary"
 WINDOW_SIZE = 50
+PACKAGE = "tile_processor_spark"
+
+#: modules that are GATE METADATA / pure wiring, removed from the
+#: import graph entirely (not just the seed set). registry.py is
+#: imported by every plan module (``register``) AND imports every plan
+#: module back (``all_specs``), so leaving it in the graph fuses all
+#: plan modules into one strongly-connected component — any edit
+#: anywhere would mark all 213 rows and the mechanical derivation
+#: would be useless. Its per-round window paste is also an
+#: every-round edit by design. A semantic change to the registration
+#: machinery is caught by the pin tests, not by re-gating every row.
+METADATA_MODULES = frozenset({f"{PACKAGE}.plans.registry"})
 
 
 def record_is_green(rec: dict) -> bool:
@@ -99,13 +121,246 @@ def propose_window(
         if any_rec is not None and (green is None or green < any_rec):
             return (1, reg_order[name])  # red in its latest record
         if name in changed:
-            return (2, list(changed).index(name))
+            # among re-planned rows, spend the window budget on those
+            # with the OLDEST driver evidence first (never-green rows
+            # lead); a large mechanical changed-set can exceed the
+            # window, and the freshest-evidence rows can wait a round
+            return (2, green if green is not None else -1, reg_order[name])
         if any_rec is None:
             return (3, reg_order[name])  # never driver-gated
         return (4, green, reg_order[name])  # stalest first
 
     ordered = sorted(registry_names, key=tier)
     return ordered[:size]
+
+
+def import_detail(
+    repo_dir: str,
+) -> tuple[dict[str, set[str]], dict[str, set[str]], dict[tuple[str, str], set[str]]]:
+    """Static import analysis of the package, three views:
+
+    - ``module_graph``: module → package modules it imports (any form);
+    - ``wholesale``: dep module → importers holding the MODULE OBJECT
+      (``import pkg.m`` / ``from pkg import m`` / ``from pkg.m import
+      *``) — these can reach any attribute, so any change in ``m``
+      affects them;
+    - ``symbol_importers``: (dep module, symbol) → importers of exactly
+      that symbol (``from pkg.m import f``) — a change confined to
+      ``f`` affects only these.
+
+    ``ast.walk`` sees imports in function bodies too, so deferred
+    imports count. ``METADATA_MODULES`` are removed from all views
+    (see the constant's doc: registry.py fuses the graph into one SCC)."""
+    root = os.path.join(repo_dir, PACKAGE)
+    raw: dict[str, list] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, repo_dir)
+            mod = rel[: -len(".py")].replace(os.sep, ".")
+            if mod.endswith(".__init__"):
+                mod = mod[: -len(".__init__")]
+            with open(path) as f:
+                raw[mod] = list(ast.walk(ast.parse(f.read(), filename=path)))
+    known = set(raw) - METADATA_MODULES
+    module_graph: dict[str, set[str]] = {m: set() for m in known}
+    wholesale: dict[str, set[str]] = {}
+    symbol_importers: dict[tuple[str, str], set[str]] = {}
+    for mod in known:
+        for node in raw[mod]:
+            if isinstance(node, ast.Import):
+                for a in node.names:
+                    if a.name in known and a.name != mod:
+                        module_graph[mod].add(a.name)
+                        wholesale.setdefault(a.name, set()).add(mod)
+            elif isinstance(node, ast.ImportFrom):
+                m0 = node.module or ""
+                if not m0.startswith(PACKAGE):
+                    continue
+                for a in node.names:
+                    sub = f"{m0}.{a.name}"
+                    if sub in known and sub != mod:
+                        # `from pkg.plans import llm_ops`: module object
+                        module_graph[mod].add(sub)
+                        wholesale.setdefault(sub, set()).add(mod)
+                    elif m0 in known and m0 != mod:
+                        module_graph[mod].add(m0)
+                        if a.name == "*":
+                            wholesale.setdefault(m0, set()).add(mod)
+                        else:
+                            symbol_importers.setdefault(
+                                (m0, a.name), set()
+                            ).add(mod)
+    return module_graph, wholesale, symbol_importers
+
+
+def package_import_graph(repo_dir: str) -> dict[str, set[str]]:
+    """Module → package-internal modules it imports (any import form);
+    see ``import_detail`` for the finer-grained views."""
+    return import_detail(repo_dir)[0]
+
+
+def reverse_closure(graph: dict[str, set[str]], seeds: set[str]) -> set[str]:
+    """``seeds`` plus every module that transitively imports one."""
+    rev: dict[str, set[str]] = {}
+    for m, deps in graph.items():
+        for d in deps:
+            rev.setdefault(d, set()).add(m)
+    out: set[str] = set()
+    stack = [s for s in seeds if s in graph]
+    while stack:
+        m = stack.pop()
+        if m in out:
+            continue
+        out.add(m)
+        stack.extend(rev.get(m, ()))
+    return out
+
+
+def _changed_new_lines(repo_dir: str, since_ref: str, rel_path: str) -> list[int]:
+    """New-side line numbers touched since ``since_ref`` (committed or
+    working-tree), from ``git diff -U0`` hunk headers."""
+    out = subprocess.run(
+        ["git", "diff", "-U0", since_ref, "--", rel_path],
+        cwd=repo_dir,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    lines: list[int] = []
+    for m in re.finditer(r"^@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@", out, re.M):
+        start = int(m.group(1))
+        count = int(m.group(2)) if m.group(2) is not None else 1
+        # a pure deletion has count 0 on the new side; the surrounding
+        # line still marks the touch point
+        lines.extend(range(start, start + max(count, 1)))
+    return lines
+
+
+def _rows_for_direct_change(
+    repo_dir: str, since_ref: str, mod: str, rows_by_fn: dict[str, list[str]]
+) -> list[str] | None:
+    """Function-level granularity for a registry row's OWN module: rows
+    whose registered ``def`` span (decorators included) contains a
+    changed line. Returns None (= mark the whole module) when any
+    changed line falls outside every registered def — a module-level
+    helper may feed any row."""
+    rel_path = mod.replace(".", os.sep) + ".py"
+    path = os.path.join(repo_dir, rel_path)
+    if not os.path.exists(path):
+        return None
+    changed = _changed_new_lines(repo_dir, since_ref, rel_path)
+    if not changed:
+        return []
+    with open(path) as f:
+        tree = ast.parse(f.read(), filename=path)
+    spans: dict[str, tuple[int, int]] = {}
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            start = min(
+                [node.lineno] + [d.lineno for d in node.decorator_list]
+            )
+            spans[node.name] = (start, node.end_lineno or node.lineno)
+    reg_spans = {fn: spans[fn] for fn in rows_by_fn if fn in spans}
+    hit_rows: list[str] = []
+    for line in changed:
+        owner = next(
+            (fn for fn, (a, b) in reg_spans.items() if a <= line <= b), None
+        )
+        if owner is None:
+            # inside an unregistered helper or at module level: we
+            # cannot know which rows depend on it — whole module
+            return None
+        hit_rows.extend(r for r in rows_by_fn[owner] if r not in hit_rows)
+    return hit_rows
+
+
+def derive_changed(
+    repo_dir: str, since_ref: str, specs: dict | None = None
+) -> list[str]:
+    """Registry rows whose plan code changed since ``since_ref``
+    (committed AND working-tree changes), derived mechanically:
+
+    - ``git diff --name-only`` → changed package files → modules;
+    - a DIRECTLY-changed module whose diff is confined to registered
+      ``def`` bodies marks only those rows, and propagates only to
+      modules importing those specific symbols (or the module
+      wholesale) — a registered gate query's body is not an API other
+      modules silently depend on;
+    - any other change (module-level helper, unregistered function, a
+      module with no registered rows — i.e. a shared kernel like
+      ``plans/chunked_windows.py`` or ``sources/snapshots.py``) seeds
+      the transitive reverse-import closure: every consumer module's
+      rows are marked;
+    - rows of transitively-affected modules are all marked.
+
+    Output is in registry order. ``specs`` defaults to the live
+    registry (injectable for tests)."""
+    if specs is None:
+        import sys
+
+        sys.path.insert(0, repo_dir)
+        from tile_processor_spark.plans.registry import all_specs
+
+        specs = all_specs()
+    rows_by_module: dict[str, dict[str, list[str]]] = {}
+    for name, spec in specs.items():
+        fn_name = spec.spark_fn.__name__
+        rows_by_module.setdefault(spec.spark_fn.__module__, {}).setdefault(
+            fn_name, []
+        ).append(name)
+    diff_files = subprocess.run(
+        ["git", "diff", "--name-only", since_ref, "--", PACKAGE],
+        cwd=repo_dir,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
+    changed_mods = {
+        f[: -len(".py")].replace("/", ".")
+        for f in diff_files
+        if f.endswith(".py")
+    }
+    changed_mods = {
+        m[: -len(".__init__")] if m.endswith(".__init__") else m
+        for m in changed_mods
+    } - METADATA_MODULES
+    if not changed_mods:
+        return []
+    graph, wholesale, symbol_importers = import_detail(repo_dir)
+    # pass 1: split each directly-changed module into (fn-confined row
+    # hits, propagation seeds)
+    full_seeds: set[str] = set()
+    fn_hit_rows: list[str] = []
+    for mod in sorted(changed_mods):
+        rows_by_fn = rows_by_module.get(mod)
+        hits = (
+            _rows_for_direct_change(repo_dir, since_ref, mod, rows_by_fn)
+            if rows_by_fn
+            else None
+        )
+        if hits is None:
+            full_seeds.add(mod)  # helper-level change: whole module + consumers
+            continue
+        fn_hit_rows.extend(hits)
+        # a changed registered def still affects modules that import
+        # that symbol (or the module wholesale) — seed from THEM
+        hit_fns = {
+            fn for fn, rows in rows_by_fn.items() if any(r in hits for r in rows)
+        }
+        for fn in hit_fns:
+            full_seeds.update(symbol_importers.get((mod, fn), ()))
+        if hit_fns:
+            full_seeds.update(wholesale.get(mod, ()))
+    affected = reverse_closure(graph, full_seeds)
+    out = list(fn_hit_rows)
+    for mod, rows_by_fn in rows_by_module.items():
+        if mod in affected:
+            out.extend(r for fns in rows_by_fn.values() for r in fns)
+    order = {n: i for i, n in enumerate(specs)}
+    return sorted(set(out), key=lambda n: order[n])
 
 
 def main(argv: Sequence[str] | None = None) -> None:
@@ -117,6 +372,13 @@ def main(argv: Sequence[str] | None = None) -> None:
         default=None,
         help="comma-separated rows whose code was re-planned this round "
         "(default: the registry's _ROUND_CHANGED)",
+    )
+    ap.add_argument(
+        "--since",
+        default=None,
+        help="derive the changed-row set mechanically from the git diff "
+        "since this ref (the previous window's staging commit) instead "
+        "of --changed/_ROUND_CHANGED",
     )
     ap.add_argument("--size", type=int, default=WINDOW_SIZE)
     ap.add_argument(
@@ -172,11 +434,17 @@ def main(argv: Sequence[str] | None = None) -> None:
             print("never gated:", never)
         return
 
-    changed = (
-        list(_ROUND_CHANGED)
-        if ns.changed is None
-        else [c for c in ns.changed.split(",") if c]
-    )
+    if ns.since is not None:
+        changed = derive_changed(ns.repo, ns.since)
+        print(f"# derived changed rows since {ns.since}: {len(changed)}")
+        for c in changed:
+            print(f"#   {c}")
+    else:
+        changed = (
+            list(_ROUND_CHANGED)
+            if ns.changed is None
+            else [c for c in ns.changed.split(",") if c]
+        )
     window = propose_window(names, latest_green, latest_any, changed, ns.size)
     for i, name in enumerate(window, 1):
         green = latest_green.get(name)

@@ -4,9 +4,11 @@ Delta/Iceberg commit protocol, built from two primitives:
 
 - data files are immutable once written (never rewritten in place);
 - the table state is a MANIFEST (an explicit file list), committed by
-  one atomic rename.
+  one atomic exclusive-create (``commit_fs.publish_exclusive``: a hard
+  link locally, a conditional PUT on an object store — every
+  filesystem-dependent operation routes through that interface).
 
-This gives, on any filesystem with atomic rename:
+This gives, on any store offering atomic create-if-absent:
 
 - **snapshot isolation**: a reader resolves the current manifest once
   and then reads exactly that file set — a concurrent commit cannot
@@ -81,12 +83,13 @@ def write_snapshot(
     """Commit ``df`` as the next table version; returns the version.
 
     The data lands in a fresh uuid-named subdirectory of ``data/``
-    (immutable once written), then ONE ``os.replace`` of the manifest
-    tmp file publishes the commit. A crash before the rename leaves an
-    orphan data dir no reader can see. Concurrent committers race on
-    the version number; the loser's ``os.link``-style exclusive create
-    fails and raises rather than silently clobbering (single-writer is
-    the supported mode, like a Hive table without a metastore lock).
+    (immutable once written), then ONE exclusive-create of the
+    manifest publishes the commit. A crash before the publish leaves
+    an orphan data dir no reader can see. Concurrent committers race
+    on the version number; the loser's exclusive create fails and
+    raises rather than silently clobbering (single-writer is the
+    supported mode for rewrites, like a Hive table without a metastore
+    lock; appends retry — see ``commit_append``).
 
     With ``partition_by``, data files land in Hive-style ``col=value``
     subdirectories and the manifest records the partition scheme —
@@ -133,14 +136,19 @@ def write_snapshot(
 
 def _commit_manifest(table_path: str, manifest: dict, version: int) -> int:
     """Atomically publish ``manifest`` as ``version``: tmp write + an
-    exclusive ``os.link`` (of two racing committers of the same version
-    number exactly one wins; the loser raises instead of clobbering)."""
+    exclusive publish (of two racing committers of the same version
+    number exactly one wins; the loser raises instead of clobbering).
+    Routed through the commit-FS interface (``sources/commit_fs.py``):
+    hard link locally, conditional PUT on an object store — the one
+    primitive the whole protocol's isolation rests on."""
+    from tile_processor_spark.sources.commit_fs import get_commit_fs
+
     tmp = os.path.join(table_path, f".manifest.tmp.{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     final = _manifest_path(table_path, version)
     try:
-        os.link(tmp, final)
+        get_commit_fs().publish_exclusive(tmp, final)
     except FileExistsError:
         raise RuntimeError(
             f"version {version} already committed at {table_path}"
@@ -211,9 +219,13 @@ def append_snapshot(df: DataFrame, table_path: str) -> int:
         if n.endswith(".parquet")
     )
     if part_cols:
-        # re-home the delta into the shared tree (rename: the staged
-        # files are referenced by nothing yet), preserving the col=val
-        # chain verbatim; then clean the now-empty staging dirs
+        # re-home the delta into the shared tree (the staged files are
+        # referenced by nothing yet, so no atomicity needed: rename
+        # locally, copy+delete on an object store), preserving the
+        # col=val chain verbatim; then clean the now-empty staging dirs
+        from tile_processor_spark.sources.commit_fs import get_commit_fs
+
+        fs = get_commit_fs()
         tree = manifest["base"]
         new_files = []
         for f in staged:
@@ -223,7 +235,7 @@ def append_snapshot(df: DataFrame, table_path: str) -> int:
             dst = os.path.join(
                 subdir, f"{uuid.uuid4().hex}-{os.path.basename(f)}"
             )
-            os.replace(f, dst)
+            fs.rehome(f, dst)
             new_files.append(dst)
         for root, _dirs, _fnames in os.walk(snap_dir, topdown=False):
             if not any(os.scandir(root)):
@@ -251,11 +263,15 @@ def convert_to_shared_layout(table_path: str) -> int:
     version's files then live under ONE basePath, so Spark's partition
     discovery stays consistent as appends accumulate).
 
-    Files are HARD-LINKED, not copied or moved: the bytes exist once,
-    the old paths stay valid, so every earlier version keeps reading
-    its original manifest unchanged (time travel survives conversion),
-    and vacuum reclaims each path independently — the inode is freed
-    when the last retained manifest referencing it retires."""
+    Files are SHARED, not moved: the old paths stay valid, so every
+    earlier version keeps reading its original manifest unchanged
+    (time travel survives conversion), and vacuum reclaims each path
+    independently. Locally ``share`` is a hard link (bytes exist once,
+    inode freed when the last referencing manifest retires); on an
+    object store it is a server-side copy — same contract, paid in
+    storage instead of inodes (see ``sources/commit_fs.py``)."""
+    from tile_processor_spark.sources.commit_fs import get_commit_fs
+
     table_path = os.path.abspath(table_path)
     versions = list_versions(table_path)
     if not versions:
@@ -277,7 +293,7 @@ def convert_to_shared_layout(table_path: str) -> int:
         subdir = os.path.join(tree, *segs)
         os.makedirs(subdir, exist_ok=True)
         dst = os.path.join(subdir, f"{uuid.uuid4().hex}-{os.path.basename(f)}")
-        os.link(f, dst)
+        get_commit_fs().share(f, dst)
         new_files.append(dst)
     new_manifest = {
         "version": versions[-1] + 1,

@@ -447,3 +447,203 @@ def test_stream_replay_dropped_after_interleaved_append(spark, tmp_path):
     )
     w2.commit(staged("other_b0"), 0)
     assert read_snapshot(spark, tbl).count() == rows_before + 1
+
+
+def test_partitioned_batch_append_via_connector(spark, tmp_path):
+    """VERDICT r10 worklist #3: mode('append') on a PARTITIONED
+    shared-tree table — tasks stage per-partition-value files, the
+    driver re-homes them into the tree, and pruned reads + time travel
+    keep working across appends."""
+    from tile_processor_spark.sources.snapshots import (
+        convert_to_shared_layout,
+        write_snapshot,
+    )
+
+    register(spark)
+    tbl = str(tmp_path / "ptbl")
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, grp string"),
+        tbl,
+        partition_by=["grp"],
+    )
+    # unconverted partitioned table still refuses, with guidance
+    with pytest.raises(Exception, match="shared Hive tree"):
+        spark.createDataFrame([(3, "a")], "k int, grp string").write.format(
+            "tps_snapshot"
+        ).option("path", tbl).mode("append").save()
+    convert_to_shared_layout(tbl)  # v2
+    spark.createDataFrame(
+        [(3, "a"), (4, "c")], "k int, grp string"
+    ).write.format("tps_snapshot").option("path", tbl).mode("append").save()  # v3
+    got = read_snapshot(spark, tbl)
+    assert _rows(got.select("k", "grp")) == [
+        (1, "a"), (2, "b"), (3, "a"), (4, "c")
+    ]
+    # manifest-level pruning sees the appended partition values
+    assert _rows(
+        read_snapshot(spark, tbl, partition_filter={"grp": "a"}).select("k")
+    ) == [(1,), (3,)]
+    assert _rows(
+        read_snapshot(spark, tbl, partition_filter={"grp": "c"}).select("k")
+    ) == [(4,)]
+    # time travel: pre-append state intact
+    assert read_snapshot(spark, tbl, version=2).count() == 2
+    # the connector READ path agrees (partition values from dir names)
+    via_connector = (
+        spark.read.format("tps_snapshot").option("path", tbl).load()
+    )
+    assert _rows(via_connector.select("k", "grp")) == [
+        (1, "a"), (2, "b"), (3, "a"), (4, "c")
+    ]
+
+
+def test_partitioned_table_to_table_stream(spark, tmp_path):
+    """Table-to-table streaming pipeline with a PARTITIONED sink: the
+    stream writer routes every micro-batch through the shared tree,
+    the appended version carries Hive partition values, and a pruned
+    read of the sink works."""
+    import time as _t
+
+    from tile_processor_spark.sources.snapshots import (
+        append_snapshot,
+        convert_to_shared_layout,
+        list_versions,
+        write_snapshot,
+    )
+
+    register(spark)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    append_snapshot(
+        spark.createDataFrame([(1, "a")], "k long, grp string"), src
+    )
+    # sink: partitioned, converted, starts with one row
+    write_snapshot(
+        spark.createDataFrame([(0, "a")], "k long, grp string"),
+        dst,
+        partition_by=["grp"],
+    )
+    convert_to_shared_layout(dst)
+    q = (
+        spark.readStream.format("tps_snapshot")
+        .option("path", src)
+        .load()
+        .writeStream.format("tps_snapshot")
+        .option("path", dst)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        append_snapshot(
+            spark.createDataFrame([(2, "b")], "k long, grp string"), src
+        )
+        q.processAllAvailable()
+        deadline = _t.time() + 30
+        while _t.time() < deadline:
+            if read_snapshot(spark, dst).count() == 3:
+                break
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+    assert _rows(read_snapshot(spark, dst).select("k", "grp")) == [
+        (0, "a"), (1, "a"), (2, "b")
+    ]
+    # pruned read of the streamed-into partition
+    assert _rows(
+        read_snapshot(spark, dst, partition_filter={"grp": "b"}).select("k")
+    ) == [(2,)]
+    # the appended versions are append commits (version-streamable)
+    from tile_processor_spark.sources.snapshots import _read_manifest
+
+    last = _read_manifest(dst, list_versions(dst)[-1])
+    assert last.get("appended_files") and last.get("layout") == "shared-tree"
+
+
+def test_partitioned_stream_replay_dropped(spark, tmp_path):
+    """Replay idempotence holds on the partitioned sink path too (the
+    staged files of a dropped replay stay invisible orphans)."""
+    from tile_processor_spark.sources.snapshot_datasource import (
+        SnapshotStreamWriter,
+    )
+    from tile_processor_spark.sources.snapshots import (
+        convert_to_shared_layout,
+        list_versions,
+        write_snapshot,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "k long, grp string")
+    write_snapshot(df, tbl, partition_by=["grp"])
+    convert_to_shared_layout(tbl)
+    w = SnapshotStreamWriter(df.schema, {"path": tbl}, overwrite=False)
+
+    def staged_msgs(tag):
+        # simulate one task's write() output
+        import pyarrow as pa
+
+        it = iter(
+            pa.Table.from_pylist(
+                [{"k": 2, "grp": "b"}],
+                schema=pa.schema([("k", pa.int64()), ("grp", pa.string())]),
+            ).to_batches()
+        )
+        return [w.write(it)]
+
+    w.commit(staged_msgs("b0"), 0)
+    assert read_snapshot(spark, tbl).count() == 2
+    before = list_versions(tbl)
+    w.commit(staged_msgs("b0_replay"), 0)  # replay: dropped
+    assert list_versions(tbl) == before
+    assert read_snapshot(spark, tbl).count() == 2
+
+
+def test_hive_chain_escaping_roundtrip(spark, tmp_path):
+    """Partition values with Hive-special characters ('=', '/', '%')
+    survive the connector append → dir chain → read round trip."""
+    from tile_processor_spark.sources.snapshots import (
+        convert_to_shared_layout,
+        write_snapshot,
+    )
+
+    register(spark)
+    tbl = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, "a=b/c%d")], "k int, grp string"),
+        tbl,
+        partition_by=["grp"],
+    )
+    convert_to_shared_layout(tbl)
+    spark.createDataFrame(
+        [(2, "a=b/c%d")], "k int, grp string"
+    ).write.format("tps_snapshot").option("path", tbl).mode("append").save()
+    assert _rows(read_snapshot(spark, tbl).select("k", "grp")) == [
+        (1, "a=b/c%d"), (2, "a=b/c%d")
+    ]
+    assert _rows(
+        read_snapshot(
+            spark, tbl, partition_filter={"grp": "a=b/c%d"}
+        ).select("k")
+    ) == [(1,), (2,)]
+
+
+def test_connector_append_null_partition_value_raises(spark, tmp_path):
+    from tile_processor_spark.sources.snapshots import (
+        convert_to_shared_layout,
+        write_snapshot,
+    )
+
+    register(spark)
+    tbl = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, grp string"),
+        tbl,
+        partition_by=["grp"],
+    )
+    convert_to_shared_layout(tbl)
+    with pytest.raises(Exception, match="NULL value for partition column"):
+        spark.createDataFrame(
+            [(2, None)], "k int, grp string"
+        ).write.format("tps_snapshot").option("path", tbl).mode(
+            "append"
+        ).save()

@@ -270,6 +270,60 @@ class _WriteMessage(WriterCommitMessage):
         self.rows = rows
 
 
+class _PartWriteMessage(WriterCommitMessage):
+    """Partitioned-append commit message: (Hive ``col=val`` dir chain,
+    staged file path) pairs — the driver re-homes each staged file into
+    the shared tree under its chain at commit time."""
+
+    def __init__(self, files: list[tuple[str, str]], rows: int):
+        self.files = files
+        self.rows = rows
+
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_chain(part_cols: list[str], values: dict) -> str:
+    """``grp=a/sub=b`` path chain with Hive-compatible percent-escaping
+    (decoded identically by our ``_partition_values`` and Spark's
+    ``unescapePathName``)."""
+    from urllib.parse import quote
+
+    segs = []
+    for c in part_cols:
+        v = values[c]
+        if v is None:
+            raise ValueError(
+                f"NULL value for partition column {c!r}: the connector "
+                f"append does not write {_HIVE_NULL} partitions — filter "
+                "nulls or route them to an explicit sentinel value"
+            )
+        segs.append(f"{quote(str(c), safe='')}={quote(str(v), safe='')}")
+    return "/".join(segs)
+
+
+def _split_by_partitions(tbl, part_cols: list[str]):
+    """Yield (values dict, sub-table WITHOUT partition columns) per
+    distinct partition-value combination — partition columns live in
+    the directory chain, not in the data files (Hive layout)."""
+    import pyarrow.compute as pc
+
+    combos: list[dict] = []
+    seen = set()
+    for row in tbl.select(part_cols).to_pylist():
+        key = tuple(row[c] for c in part_cols)
+        if key not in seen:
+            seen.add(key)
+            combos.append(row)
+    for values in combos:
+        mask = None
+        for c in part_cols:
+            v = values[c]
+            m = pc.is_null(tbl[c]) if v is None else pc.equal(tbl[c], v)
+            mask = m if mask is None else pc.and_(mask, m)
+        yield values, tbl.filter(mask).drop(part_cols)
+
+
 class SnapshotWriter(DataSourceArrowWriter):
     """The write side of the connector — the real two-phase commit:
     executors each write ONE parquet file into a task-private snap dir
@@ -282,7 +336,13 @@ class SnapshotWriter(DataSourceArrowWriter):
     ``mode('append')`` produces an append commit (previous files reused
     untouched, ``appended_files`` recorded — so the version stream can
     consume it); ``mode('overwrite')`` replaces the table state.
-    Appends onto partitioned tables raise, as in ``append_snapshot``."""
+    Appending onto a PARTITIONED table works through the shared Hive
+    tree (run ``convert_to_shared_layout`` once, same contract as
+    ``append_snapshot``): each task writes per-partition-value files
+    (partition columns in the directory chain, not the data files)
+    into a private staging dir, and the driver re-homes them into the
+    tree before the manifest commit — so pruned reads and basePath
+    partition discovery keep working as appends accumulate."""
 
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
         import os
@@ -298,15 +358,20 @@ class SnapshotWriter(DataSourceArrowWriter):
             self._path, "data", uuid.uuid4().hex
         )
         self._expected_schema: str | None = None
+        self._part_cols: list[str] = []
+        self._tree: str | None = None
         if not overwrite:
             versions = list_versions(self._path)
             if versions:
                 manifest = _read_manifest(self._path, versions[-1])
-                if manifest.get("partition_by"):
+                part_cols = manifest.get("partition_by") or []
+                if part_cols and manifest.get("layout") != "shared-tree":
                     raise NotImplementedError(
                         "append write on a partitioned snapshot table "
-                        "(appended files would break basePath partition "
-                        "discovery) — overwrite, or use upsert_snapshot"
+                        "needs the shared Hive tree layout (appended "
+                        "files under a second snap dir would break "
+                        "basePath partition discovery) — run "
+                        "convert_to_shared_layout(table_path) once"
                     )
                 committed = json.loads(manifest["schema"])
                 want = [(f["name"], f["type"]) for f in committed["fields"]]
@@ -321,6 +386,8 @@ class SnapshotWriter(DataSourceArrowWriter):
                 # manifest: a rewrite racing this append must raise,
                 # not commit files written against the old schema
                 self._expected_schema = manifest["schema"]
+                self._part_cols = list(part_cols)
+                self._tree = manifest["base"] if part_cols else None
 
     def write(self, iterator):
         import os
@@ -332,11 +399,26 @@ class SnapshotWriter(DataSourceArrowWriter):
 
         batches = list(iterator)
         rows = sum(b.num_rows for b in batches)
+        target = to_arrow_schema(self._schema)
+        if self._part_cols:
+            if rows == 0:
+                return _PartWriteMessage([], 0)
+            tbl = pa.Table.from_batches(batches).cast(target)
+            staged: list[tuple[str, str]] = []
+            for values, sub in _split_by_partitions(tbl, self._part_cols):
+                chain = _hive_chain(self._part_cols, values)
+                subdir = os.path.join(self._snap_dir, *chain.split("/"))
+                os.makedirs(subdir, exist_ok=True)
+                fpath = os.path.join(
+                    subdir, f"part-{uuid.uuid4().hex}.parquet"
+                )
+                pq.write_table(sub, fpath)
+                staged.append((chain, fpath))
+            return _PartWriteMessage(staged, rows)
         if rows == 0:
             return _WriteMessage(None, 0)
         os.makedirs(self._snap_dir, exist_ok=True)
         fpath = os.path.join(self._snap_dir, f"part-{uuid.uuid4().hex}.parquet")
-        target = to_arrow_schema(self._schema)
         tbl = pa.Table.from_batches(batches).cast(target)
         pq.write_table(tbl, fpath)
         return _WriteMessage(fpath, rows)
@@ -349,6 +431,15 @@ class SnapshotWriter(DataSourceArrowWriter):
             commit_append,
         )
 
+        if self._part_cols:
+            new_files = _rehome_staged(self._tree, messages)
+            commit_append(
+                self._path,
+                new_files,
+                allow_partitioned=True,
+                expected_schema=self._expected_schema,
+            )
+            return
         new_files = sorted(
             m.file_path for m in messages if m is not None and m.file_path
         )
@@ -373,11 +464,48 @@ class SnapshotWriter(DataSourceArrowWriter):
             )
 
     def abort(self, messages) -> None:
-        import os
+        _drop_staged(messages)
 
-        for m in messages:
-            if m is not None and m.file_path and os.path.exists(m.file_path):
-                os.unlink(m.file_path)
+
+def _staged_pairs(messages) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    for m in messages:
+        if m is None:
+            continue
+        if isinstance(m, _PartWriteMessage):
+            out.extend(m.files)
+        elif m.file_path:
+            out.append(("", m.file_path))
+    return out
+
+
+def _rehome_staged(tree: str, messages) -> list[str]:
+    """Move each task's staged files into the shared Hive tree under
+    their ``col=val`` chain (driver-side, before the manifest commit —
+    the staged files are referenced by nothing yet, so no atomicity is
+    needed; see ``commit_fs.rehome``)."""
+    import os
+    import uuid
+
+    from tile_processor_spark.sources.commit_fs import get_commit_fs
+
+    fs = get_commit_fs()
+    new_files: list[str] = []
+    for chain, f in _staged_pairs(messages):
+        subdir = os.path.join(tree, *chain.split("/")) if chain else tree
+        os.makedirs(subdir, exist_ok=True)
+        dst = os.path.join(subdir, f"{uuid.uuid4().hex}-{os.path.basename(f)}")
+        fs.rehome(f, dst)
+        new_files.append(dst)
+    return sorted(new_files)
+
+
+def _drop_staged(messages) -> None:
+    import os
+
+    for _chain, f in _staged_pairs(messages):
+        if os.path.exists(f):
+            os.unlink(f)
 
 
 class SnapshotStreamWriter(DataSourceStreamArrowWriter):
@@ -405,6 +533,24 @@ class SnapshotStreamWriter(DataSourceStreamArrowWriter):
             raise ValueError("tps_snapshot stream write requires .option('path', ...)")
         self._path = os.path.abspath(self._path)
         self._app_id = options.get("stream_app_id", "default")
+        # a PARTITIONED sink table routes batches through the shared
+        # Hive tree, exactly like the batch writer (the table must
+        # exist and be converted — a stream cannot bootstrap partition
+        # metadata out of nothing)
+        self._part_cols: list[str] = []
+        self._tree: str | None = None
+        versions = list_versions(self._path)
+        if versions:
+            manifest = _read_manifest(self._path, versions[-1])
+            part_cols = manifest.get("partition_by") or []
+            if part_cols and manifest.get("layout") != "shared-tree":
+                raise NotImplementedError(
+                    "streaming into a partitioned snapshot table needs "
+                    "the shared Hive tree layout — run "
+                    "convert_to_shared_layout(table_path) once"
+                )
+            self._part_cols = list(part_cols)
+            self._tree = manifest["base"] if part_cols else None
 
     def write(self, iterator):
         import os
@@ -416,12 +562,25 @@ class SnapshotStreamWriter(DataSourceStreamArrowWriter):
 
         batches = list(iterator)
         rows = sum(b.num_rows for b in batches)
+        target = to_arrow_schema(self._schema)
+        snap_dir = os.path.join(self._path, "data", f"stream-{uuid.uuid4().hex}")
+        if self._part_cols:
+            if rows == 0:
+                return _PartWriteMessage([], 0)
+            tbl = pa.Table.from_batches(batches).cast(target)
+            staged: list[tuple[str, str]] = []
+            for values, sub in _split_by_partitions(tbl, self._part_cols):
+                chain = _hive_chain(self._part_cols, values)
+                subdir = os.path.join(snap_dir, *chain.split("/"))
+                os.makedirs(subdir, exist_ok=True)
+                fpath = os.path.join(subdir, f"part-{uuid.uuid4().hex}.parquet")
+                pq.write_table(sub, fpath)
+                staged.append((chain, fpath))
+            return _PartWriteMessage(staged, rows)
         if rows == 0:
             return _WriteMessage(None, 0)
-        snap_dir = os.path.join(self._path, "data", f"stream-{uuid.uuid4().hex}")
         os.makedirs(snap_dir, exist_ok=True)
         fpath = os.path.join(snap_dir, f"part-{uuid.uuid4().hex}.parquet")
-        target = to_arrow_schema(self._schema)
         pq.write_table(pa.Table.from_batches(batches).cast(target), fpath)
         return _WriteMessage(fpath, rows)
 
@@ -433,6 +592,16 @@ class SnapshotStreamWriter(DataSourceStreamArrowWriter):
             commit_append,
         )
 
+        if self._part_cols:
+            new_files = _rehome_staged(self._tree, messages)
+            commit_append(
+                self._path,
+                new_files,
+                extra={"stream_batch_id": batchId},
+                stream_mark=(self._app_id, batchId),
+                allow_partitioned=True,
+            )
+            return
         new_files = sorted(
             m.file_path for m in messages if m is not None and m.file_path
         )
@@ -460,12 +629,7 @@ class SnapshotStreamWriter(DataSourceStreamArrowWriter):
             new_files,
             extra={"stream_batch_id": batchId},
             stream_mark=(self._app_id, batchId),
-            expected_schema=None,
         )
 
     def abort(self, messages, batchId: int) -> None:
-        import os
-
-        for m in messages:
-            if m is not None and m.file_path and os.path.exists(m.file_path):
-                os.unlink(m.file_path)
+        _drop_staged(messages)

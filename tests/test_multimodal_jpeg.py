@@ -1,0 +1,133 @@
+"""The dependency-free baseline JPEG codec: exactness on the
+block-constant-gray contract the gate oracle relies on, bounded loss on
+general content, restart-marker and 4:2:0 paths, and loud refusal of
+unsupported modes — never a silent mis-decode."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tile_processor_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+
+def _block_gray(values: np.ndarray) -> np.ndarray:
+    """H/8 × W/8 block values → H×W×3 gray RGB image."""
+    img = np.repeat(np.repeat(values.astype(np.uint8), 8, 0), 8, 1)
+    return np.stack([img, img, img], axis=-1)
+
+
+def test_block_constant_gray_is_bit_exact_420():
+    """The gate-oracle lever: gray (zero chroma) + per-block-constant
+    luma (lone integer DC) + all-ones quantizers = exact round trip,
+    through the full real path (Huffman, RST, IDCT, upsample)."""
+    rng = np.random.RandomState(11)
+    rgb = _block_gray(rng.randint(0, 256, (2, 4)))
+    for ri in (0, 1):
+        payload = encode_jpeg(
+            rgb, subsampling="420", lossless_tables=True, restart_interval=ri
+        )
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        assert np.array_equal(decode_jpeg(payload), rgb)
+
+
+def test_block_constant_gray_is_bit_exact_444():
+    rng = np.random.RandomState(13)
+    rgb = _block_gray(rng.randint(0, 256, (3, 5)))
+    payload = encode_jpeg(rgb, subsampling="444", lossless_tables=True)
+    assert np.array_equal(decode_jpeg(payload), rgb)
+
+
+def test_smooth_color_roundtrip_bounded_loss():
+    """Annex-K quantization on smooth content: lossy but bounded (the
+    standard JPEG contract) — a transform/zigzag/table bug shows up as
+    gross error, not ±10."""
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (128 + 40 * np.sin(yy / 9.0)).astype(np.uint8),
+            (128 + 40 * np.cos(xx / 11.0)).astype(np.uint8),
+            (128 + 20 * np.sin((xx + yy) / 13.0)).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    for sub, shape in (("444", img), ("420", img[:32, :32])):
+        out = decode_jpeg(encode_jpeg(shape, subsampling=sub)).astype(np.int32)
+        assert np.abs(out - shape.astype(np.int32)).max() <= 16
+        assert np.abs(out.mean() - shape.mean()) < 2.0
+
+
+def test_lossless_tables_noise_tight():
+    """All-ones quantizers on arbitrary content: the only loss is
+    coefficient/color rounding — a few counts, not quantization-scale."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, lossless_tables=True)).astype(np.int32)
+    assert np.abs(out - img.astype(np.int32)).max() <= 4
+
+
+def test_restart_markers_present_and_handled():
+    rng = np.random.RandomState(3)
+    rgb = _block_gray(rng.randint(0, 256, (2, 8)))  # 16×64: 4 MCUs at 4:2:0
+    payload = encode_jpeg(
+        rgb, subsampling="420", lossless_tables=True, restart_interval=1
+    )
+    assert b"\xff\xdd" in payload  # DRI segment
+    assert any(bytes([0xFF, 0xD0 + i]) in payload for i in range(8))
+    assert np.array_equal(decode_jpeg(payload), rgb)
+
+
+def test_refusals_are_loud():
+    rgb = _block_gray(np.array([[100]]))
+    payload = encode_jpeg(rgb, lossless_tables=True)
+    # progressive SOF2
+    bad = bytearray(payload)
+    bad[bytes(payload).find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(bad))
+    # arithmetic coding SOF9
+    bad = bytearray(payload)
+    bad[bytes(payload).find(b"\xff\xc0") + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        decode_jpeg(bytes(bad))
+    # not a JPEG at all
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    # odd dims at 4:2:0 refuse at encode time
+    with pytest.raises(ValueError, match="multiples"):
+        encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsampling="420")
+
+
+def test_grayscale_single_component_exact():
+    """A TRUE single-component (luma-only) stream decodes through the
+    gray branch to H×W×3 replicated channels — exactly, for
+    block-constant content with lossless tables."""
+    rgb = _block_gray(np.array([[50, 200], [0, 255]]))
+    payload = encode_jpeg(rgb, lossless_tables=True, grayscale=True)
+    # the stream really is 1-component: no chroma DQT/DHT ids
+    out = decode_jpeg(payload)
+    assert np.array_equal(out, rgb)
+    # and it's smaller than the equivalent 3-component stream
+    assert len(payload) < len(encode_jpeg(rgb, lossless_tables=True))
+
+
+def test_jpeg_features_spark(spark):
+    """The Spark surface: features computed on executors over real
+    payloads match the doc_id arithmetic the gate oracle uses."""
+    from tile_processor_spark.multimodal.ops import (
+        jpeg_features,
+        make_jpeg_assets,
+    )
+
+    assets = make_jpeg_assets(spark, "/root/testdata/sf0.001")
+    got = {
+        r["asset_id"]: r.asDict()
+        for r in jpeg_features(assets).limit(500).collect()
+    }
+    assert got
+    b = np.arange(8, dtype=np.int64)
+    for aid, row in list(got.items())[:20]:
+        expect = int(3 * 64 * ((aid * 23 + 41 * b) % 256).sum())
+        assert (row["width"], row["height"], row["n_samples"]) == (32, 16, 1536)
+        assert row["pixel_sum"] == expect

@@ -105,10 +105,13 @@ def decode_payload(payload: bytes, kind: str) -> np.ndarray:
     """Decode an asset payload to a 1-D sample array.
 
     ``bmp`` payloads go through the REAL decoder (``decode_bmp``;
-    flattened row-major RGB samples). For jpeg/png/wav the container
-    has no codec libraries, so a deterministic fake — the raw bytes as
-    uint8 — keeps every downstream operator (features, resize, frame
-    sampling) real and testable; swap those branches when codecs exist.
+    flattened row-major RGB samples). For jpeg/png/wav this LEGACY
+    feature path keeps the deterministic fake (raw bytes as uint8)
+    because ``make_assets`` fabricates payloads that are not real
+    containers — but every kind now HAS a real decoder used by its own
+    gate: ``decode_png``/``decode_wav`` here and ``decode_jpeg`` in
+    ``multimodal/jpeg.py`` (full baseline: Huffman, IDCT, 4:2:0,
+    restart markers). No stubbed codec kinds remain.
     """
     if kind == "bmp":
         return decode_bmp(payload).reshape(-1)
@@ -684,4 +687,90 @@ def make_video_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             F.col("n_bytes"), F.col("kind").alias("declared_kind")
         ).alias("meta"),
+    )
+
+
+# ---- JPEG (real baseline codec, multimodal/jpeg.py) --------------------
+
+_JPEG_H, _JPEG_W = 16, 32  # one 4:2:0 MCU row of two MCUs — 8 luma blocks
+
+
+def make_jpeg_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset table with REAL baseline-JPEG payloads: per doc_id a 16×32
+    grayscale raster, constant g_b = ``(doc_id·23 + 41b) mod 256``
+    within each of its 8 luma blocks (block index b row-major), encoded
+    4:2:0 with a restart marker and lossless (all-ones) quantization
+    tables. Block-constant gray round-trips bit-exactly through the
+    codec (see multimodal/jpeg.py), so the gate oracle recomputes the
+    decoded pixel sum from doc_id arithmetic alone — while the decode
+    still pays the full real path: marker walk, DHT Huffman decode,
+    RSTn handling, dequantize, IDCT, chroma upsample, YCbCr→RGB."""
+    from tile_processor_spark.multimodal.jpeg import encode_jpeg
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b = np.arange(8, dtype=np.int64)
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                g = ((int(did) * 23 + 41 * b) % 256).astype(np.uint8).reshape(2, 4)
+                img = np.repeat(np.repeat(g, 8, 0), 8, 1)
+                payloads.append(
+                    encode_jpeg(
+                        np.stack([img, img, img], axis=-1),
+                        subsampling="420",
+                        lossless_tables=True,
+                        restart_interval=1,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].to_numpy(),
+                    "kind": "jpeg",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    flat = d.mapInPandas(
+        _gen, "asset_id long, kind string, payload binary, n_bytes long"
+    )
+    return flat.select(
+        "asset_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.col("n_bytes"), F.col("kind").alias("declared_kind")
+        ).alias("meta"),
+    )
+
+
+def jpeg_features(assets: DataFrame) -> DataFrame:
+    """Decode JPEG payloads through the real baseline decoder and emit
+    per-asset features: dimensions, decoded sample count, exact pixel
+    sum — same shape as ``png_features``."""
+    from tile_processor_spark.multimodal.jpeg import decode_jpeg
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_jpeg(bytes(p)).astype(np.int64)
+                rows.append(
+                    (
+                        int(aid),
+                        img.shape[1],
+                        img.shape[0],
+                        int(img.size),
+                        int(img.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "width", "height", "n_samples", "pixel_sum"]
+            )
+
+    return assets.mapInPandas(
+        _batches,
+        "asset_id long, width long, height long, n_samples long, pixel_sum long",
     )

@@ -636,3 +636,66 @@ def test_read_snapshot_empty_unpartitioned_commit(spark, tmp_path):
     got = read_snapshot(spark, tbl)
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == ["k", "v"]
+
+
+def test_append_preserves_grouped_manifest(spark, tmp_path):
+    """Appending onto a compacted (manifest-list) version must keep the
+    two-level layout — commit cost O(groups + delta), not a silent
+    flatten back to O(files) — while reads, pruning, time travel, and
+    the version stream's appended_files all stay correct."""
+    import json as _json
+
+    from tile_processor_spark.sources.snapshots import (
+        _manifest_path,
+        _read_manifest,
+        append_snapshot,
+        compact_manifest,
+        convert_to_shared_layout,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, grp string"
+    )
+    write_snapshot(df, tbl, partition_by=["grp"])   # v1
+    convert_to_shared_layout(tbl)                    # v2
+    compact_manifest(tbl)                            # v3 grouped
+    append_snapshot(
+        spark.createDataFrame([(3, "a"), (4, "c")], "k int, grp string"), tbl
+    )                                                # v4 must stay grouped
+    man = _read_manifest(tbl, 4)
+    assert "groups" in man and "files" not in man
+    assert man["appended_files"] and len(man["appended_files"]) == 2
+    # top-level manifest stays O(groups): raw JSON names no parquet file
+    # except through side files
+    raw = open(_manifest_path(tbl, 4)).read()
+    assert raw.count(".parquet") == len(man["appended_files"])  # only appended_files
+    # delta groups carry partition values -> pruning skips others
+    got = read_snapshot(spark, tbl, partition_filter={"grp": "c"})
+    assert [tuple(r) for r in got.select("k").collect()] == [(4,)]
+    assert sorted(
+        tuple(r) for r in read_snapshot(spark, tbl).select("k").collect()
+    ) == [(1,), (2,), (3,), (4,)]
+    # a second append accumulates one more group per touched value
+    append_snapshot(
+        spark.createDataFrame([(5, "a")], "k int, grp string"), tbl
+    )                                                # v5
+    man5 = _read_manifest(tbl, 5)
+    assert len(man5["groups"]) == len(man["groups"]) + 1
+    # re-compaction merges the append groups back to one per value
+    compact_manifest(tbl)                            # v6
+    man6 = _read_manifest(tbl, 6)
+    assert len(man6["groups"]) == 3  # a, b, c
+    assert sorted(
+        tuple(r) for r in read_snapshot(spark, tbl).select("k").collect()
+    ) == [(1,), (2,), (3,), (4,), (5,)]
+    # unpartitioned grouped append too
+    tbl2 = str(tmp_path / "tbl2")
+    write_snapshot(spark.createDataFrame([(1,)], "k int"), tbl2)
+    compact_manifest(tbl2, group_files=1)
+    append_snapshot(spark.createDataFrame([(2,)], "k int"), tbl2)
+    m = _read_manifest(tbl2, 3)
+    assert "groups" in m and "files" not in m
+    assert sorted(
+        tuple(r) for r in read_snapshot(spark, tbl2).collect()
+    ) == [(1,), (2,)]

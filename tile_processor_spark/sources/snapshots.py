@@ -381,13 +381,25 @@ def commit_append(
         new_manifest = {
             "version": versions[-1] + 1,
             "committed_at": time.time(),
-            "files": _manifest_files(manifest) + new_files,
             "schema": manifest["schema"],
             "base": manifest["base"],
             "appended_files": new_files,
             "appended_to": versions[-1],
             "partition_by": list(part_cols),
         }
+        if "groups" in manifest:
+            # PRESERVE the two-level manifest-list layout across
+            # appends: the old group side files are shared verbatim and
+            # the delta lands as new group(s) — commit cost is
+            # O(groups + delta), never O(table files). Flattening here
+            # would silently undo compact_manifest and make every later
+            # append pay an O(files) manifest write (the Iceberg
+            # manifest-list point, measured in docs/SCALE.md).
+            new_manifest["groups"] = manifest["groups"] + _delta_groups(
+                table_path, manifest, new_files, versions[-1] + 1
+            )
+        else:
+            new_manifest["files"] = _manifest_files(manifest) + new_files
         if part_cols:
             new_manifest["layout"] = "shared-tree"
         if high_water:
@@ -465,6 +477,37 @@ def _manifest_files(
             )
         ]
     return files
+
+
+def _delta_groups(
+    table_path: str, manifest: dict, new_files: list[str], version: int
+) -> list[dict]:
+    """Write the appended delta as new manifest-list group side files:
+    one group per partition value present in the delta (so
+    ``partition_filter`` pruning keeps skipping whole groups), or a
+    single ``_chunk`` group for unpartitioned tables (filters are
+    rejected on those anyway). Old groups are never touched — periodic
+    ``compact_manifest`` merges the accumulated append groups."""
+    part_cols = manifest.get("partition_by") or []
+    buckets: dict[tuple, list[str]] = {}
+    if part_cols:
+        base = manifest["base"]
+        for f in new_files:
+            pv = _partition_values(f, base)
+            buckets.setdefault(
+                tuple((c, pv.get(c)) for c in part_cols), []
+            ).append(f)
+    else:
+        buckets[(("_chunk", f"append-v{version}"),)] = list(new_files)
+    groups_dir = os.path.join(table_path, _GROUPS_DIR)
+    os.makedirs(groups_dir, exist_ok=True)
+    out = []
+    for key, flist in sorted(buckets.items()):
+        gpath = os.path.join(groups_dir, f"{uuid.uuid4().hex}.json")
+        with open(gpath, "w") as f:
+            json.dump({"files": sorted(flist)}, f)
+        out.append({"values": dict(key), "path": gpath, "n_files": len(flist)})
+    return out
 
 
 def compact_manifest(

@@ -1,7 +1,23 @@
 """Run every registered query against its DuckDB oracle at sf0.01 —
-a strict local mirror of the driver's correctness gate."""
+a strict local mirror of the driver's correctness gate.
+
+This sweep dominates full-suite wall time as the registry grows
+(~200+ rows). It SHARDS via environment variables so parallel runners
+can split it without pytest-xdist:
+
+    SPARK_GRAFT_ORACLE_SHARDS=4 SPARK_GRAFT_ORACLE_SHARD=0 pytest tests/test_oracle_gate.py &
+    ... SHARD=1 ... &  # each in its own process/window
+
+Sharding is deterministic (sorted names, round-robin); the default
+(no env vars) runs everything, so plain `pytest tests/` is unchanged
+and CI that wants the time back opts in per-process. Measured round
+11 (214 rows): serial ~6-7 min; 4 concurrent shard processes finish
+in 3.7 min wall (shards 2:56-3:41 each) — correctness runs may
+overlap, only TIMING runs must not."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -12,8 +28,14 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 SPECS = all_specs()
 
+_N_SHARDS = int(os.environ.get("SPARK_GRAFT_ORACLE_SHARDS", "1"))
+_SHARD = int(os.environ.get("SPARK_GRAFT_ORACLE_SHARD", "0"))
+_NAMES = [
+    n for i, n in enumerate(sorted(SPECS)) if i % _N_SHARDS == _SHARD
+]
 
-@pytest.mark.parametrize("name", sorted(SPECS))
+
+@pytest.mark.parametrize("name", _NAMES)
 def test_oracle_match(spark, name):
     spec = SPECS[name]
     res = compare_query(spark, name, spec.spark_fn, spec.oracle, SF_ORACLE)

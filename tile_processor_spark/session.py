@@ -26,6 +26,9 @@ ENGINE_CONF: dict[str, str] = {
     # enough that a batch of WKB geometries fits comfortably in memory.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # let Python Data Sources (tps_postgres) receive pushFilters —
+    # off by default in Spark 4.1, required for server-side predicates
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.ui.enabled": "false",
 }
 

@@ -1,0 +1,256 @@
+"""Minimal pure-Python PostgreSQL v3 wire-protocol client — just
+enough for the ``tps_postgres`` Spark connector: startup (trust /
+cleartext / md5 auth), the simple query protocol (text results), and
+COPY FROM STDIN for bulk writes.
+
+Why this exists: the reference engine's production path reads/writes
+PostgreSQL (tile_processor/db.py), and the JDBC analogue here
+(`pipeline/output.py` DSN builder + the opt-in `tests/test_jdbc_live.py`
+tier) needs a JDBC driver jar the build container doesn't have — so
+the live-database path had never actually run. The protocol itself is
+small and fully documented (PostgreSQL Frontend/Backend Protocol,
+chapter 55); this client implements the subset the connector needs and
+refuses everything else loudly (no SSL negotiation, no SCRAM, no
+extended query protocol, no binary format).
+
+Scope notes:
+- one round-trip per ``query()`` (simple 'Q' message), text-format
+  results only — the connector parses values by column type OID;
+- ``copy_in()`` streams tab-separated COPY text with standard
+  backslash escaping — the bulk-ingest fast path (one network stream,
+  server-side parse, same as ``psql \\copy``);
+- errors surface as ``PGError`` with the server's message fields.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import socket
+import struct
+
+
+class PGError(RuntimeError):
+    pass
+
+
+# type OIDs the connector maps (pg_catalog.pg_type)
+OID_BOOL = 16
+OID_INT8 = 20
+OID_INT2 = 21
+OID_INT4 = 23
+OID_TEXT = 25
+OID_FLOAT4 = 700
+OID_FLOAT8 = 701
+OID_BPCHAR = 1042
+OID_VARCHAR = 1043
+OID_DATE = 1082
+OID_TIMESTAMP = 1114
+OID_TIMESTAMPTZ = 1184
+OID_NUMERIC = 1700
+
+
+class PGConnection:
+    """One TCP (or unix-socket) connection, simple-protocol only."""
+
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 5432,
+        user: str = "postgres",
+        database: str = "postgres",
+        password: str | None = None,
+        timeout: float = 30.0,
+    ):
+        self._password = password
+        self._user = user
+        if host.startswith("/"):
+            self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self._sock.settimeout(timeout)
+            self._sock.connect(f"{host}/.s.PGSQL.{port}")
+        else:
+            self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._buf = b""
+        params = (
+            b"user\x00" + user.encode() + b"\x00"
+            b"database\x00" + database.encode() + b"\x00"
+            b"client_encoding\x00UTF8\x00\x00"
+        )
+        self._send_raw(struct.pack(">II", 8 + len(params), 196608) + params)
+        self._auth()
+
+    # ---- framing ----
+
+    def _send_raw(self, data: bytes) -> None:
+        self._sock.sendall(data)
+
+    def _send(self, mtype: bytes, body: bytes = b"") -> None:
+        self._sock.sendall(mtype + struct.pack(">I", 4 + len(body)) + body)
+
+    def _recv_exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise PGError("server closed the connection")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def _recv_msg(self) -> tuple[bytes, bytes]:
+        head = self._recv_exact(5)
+        mtype = head[:1]
+        (length,) = struct.unpack(">I", head[1:5])
+        return mtype, self._recv_exact(length - 4)
+
+    @staticmethod
+    def _error_fields(body: bytes) -> str:
+        parts = {}
+        for fld in body.split(b"\x00"):
+            if fld:
+                parts[chr(fld[0])] = fld[1:].decode("utf-8", "replace")
+        return f"{parts.get('S', 'ERROR')}: {parts.get('M', '?')} ({parts.get('C', '')})"
+
+    # ---- startup / auth ----
+
+    def _auth(self) -> None:
+        while True:
+            mtype, body = self._recv_msg()
+            if mtype == b"R":
+                (code,) = struct.unpack_from(">I", body, 0)
+                if code == 0:  # AuthenticationOk
+                    continue
+                if code == 3:  # cleartext password
+                    if self._password is None:
+                        raise PGError("server wants a password; none given")
+                    self._send(b"p", self._password.encode() + b"\x00")
+                elif code == 5:  # md5
+                    if self._password is None:
+                        raise PGError("server wants a password; none given")
+                    salt = body[4:8]
+                    inner = hashlib.md5(
+                        self._password.encode() + self._user.encode()
+                    ).hexdigest()
+                    outer = hashlib.md5(inner.encode() + salt).hexdigest()
+                    self._send(b"p", b"md5" + outer.encode() + b"\x00")
+                else:
+                    raise NotImplementedError(
+                        f"auth method {code} not supported (trust/password/md5 only)"
+                    )
+            elif mtype == b"E":
+                raise PGError(self._error_fields(body))
+            elif mtype == b"Z":  # ReadyForQuery
+                return
+            # 'S' ParameterStatus / 'K' BackendKeyData / 'N' notices: skip
+
+    # ---- simple query ----
+
+    def query(
+        self, sql: str
+    ) -> tuple[list[tuple[str, int]], list[list[str | None]]]:
+        """Run one statement; return (columns as (name, type_oid),
+        rows as text values with None for SQL NULL)."""
+        self._send(b"Q", sql.encode() + b"\x00")
+        cols: list[tuple[str, int]] = []
+        rows: list[list[str | None]] = []
+        err: str | None = None
+        while True:
+            mtype, body = self._recv_msg()
+            if mtype == b"T":  # RowDescription
+                (n,) = struct.unpack_from(">H", body, 0)
+                pos = 2
+                cols = []
+                for _ in range(n):
+                    end = body.index(b"\x00", pos)
+                    name = body[pos:end].decode()
+                    pos = end + 1
+                    _tbl, _att, oid, _sz, _mod, _fmt = struct.unpack_from(
+                        ">IHIhih", body, pos
+                    )
+                    pos += 18
+                    cols.append((name, oid))
+            elif mtype == b"D":  # DataRow
+                (n,) = struct.unpack_from(">H", body, 0)
+                pos = 2
+                row: list[str | None] = []
+                for _ in range(n):
+                    (ln,) = struct.unpack_from(">i", body, pos)
+                    pos += 4
+                    if ln == -1:
+                        row.append(None)
+                    else:
+                        row.append(body[pos : pos + ln].decode())
+                        pos += ln
+                rows.append(row)
+            elif mtype == b"E":
+                err = self._error_fields(body)
+            elif mtype == b"Z":  # ReadyForQuery — statement done
+                if err:
+                    raise PGError(err)
+                return cols, rows
+            # 'C' CommandComplete / 'N' notice / 'I' empty query: skip
+
+    def execute(self, sql: str) -> None:
+        self.query(sql)
+
+    # ---- COPY FROM STDIN (bulk write) ----
+
+    @staticmethod
+    def copy_escape(v: str) -> str:
+        return (
+            v.replace("\\", "\\\\")
+            .replace("\t", "\\t")
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+        )
+
+    def copy_in(self, sql: str, lines) -> int:
+        """``COPY table (cols) FROM STDIN``: stream tab-separated text
+        lines (caller pre-escapes values with ``copy_escape`` and uses
+        ``\\N`` for NULL). Returns the row count the server reports."""
+        self._send(b"Q", sql.encode() + b"\x00")
+        mtype, body = self._recv_msg()
+        if mtype == b"E":
+            # consume until ready, then raise
+            err = self._error_fields(body)
+            while self._recv_msg()[0] != b"Z":
+                pass
+            raise PGError(err)
+        if mtype != b"G":  # CopyInResponse
+            raise PGError(f"expected CopyInResponse, got {mtype!r}")
+        buf = bytearray()
+        n = 0
+        for line in lines:
+            buf += line.encode() + b"\n"
+            n += 1
+            if len(buf) >= 1 << 20:
+                self._send(b"d", bytes(buf))
+                buf.clear()
+        if buf:
+            self._send(b"d", bytes(buf))
+        self._send(b"c")  # CopyDone
+        rows = n
+        err = None
+        while True:
+            mtype, body = self._recv_msg()
+            if mtype == b"C":  # CommandComplete: b"COPY <n>"
+                tag = body.rstrip(b"\x00").decode()
+                if tag.startswith("COPY "):
+                    rows = int(tag.split()[-1])
+            elif mtype == b"E":
+                err = self._error_fields(body)
+            elif mtype == b"Z":
+                if err:
+                    raise PGError(err)
+                return rows
+
+    def close(self) -> None:
+        try:
+            self._send(b"X")  # Terminate
+        except Exception:
+            pass
+        self._sock.close()
+
+    def __enter__(self) -> "PGConnection":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -131,3 +131,12 @@ def test_jpeg_features_spark(spark):
         expect = int(3 * 64 * ((aid * 23 + 41 * b) % 256).sum())
         assert (row["width"], row["height"], row["n_samples"]) == (32, 16, 1536)
         assert row["pixel_sum"] == expect
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """Legal 0xFF fill bytes preceding a marker (T.81 B.1.1.2) decode
+    transparently."""
+    img = np.full((8, 8, 3), 77, np.uint8)
+    p = encode_jpeg(img, lossless_tables=True)
+    i = p.find(b"\xff\xc0")
+    assert np.array_equal(decode_jpeg(p[:i] + b"\xff\xff\xff" + p[i:]), img)

@@ -435,6 +435,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # legal fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
         (seg_len,) = struct.unpack_from(">H", payload, pos + 2)

@@ -1675,3 +1675,135 @@ def text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(blocked).cast("long").alias("n_blocked"),
         F.get(domains, 0).alias("first_domain"),
     )
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle="""
+    WITH cps AS (
+      SELECT doc_id, text, length(text) AS n,
+             list_transform(range(1, length(text) + 1),
+                            i -> CAST(unicode(text[i]) AS BIGINT)) AS cp
+      FROM documents
+      WHERE length(text) >= 1
+    ), hashed AS (
+      SELECT doc_id, text, n,
+             list_filter(range(8, n),
+               p -> (cp[p-7] + cp[p-6]*31 + cp[p-5]*961 + cp[p-4]*29791 +
+                     cp[p-3]*923521 + cp[p-2]*28629151 + cp[p-1]*887503681 +
+                     cp[p]*27512614111) % 64 = 0
+             ) AS bpos
+      FROM cps
+    ), bounds AS (
+      SELECT doc_id, text, n,
+             list_concat([CAST(1 AS BIGINT)],
+                         list_transform(bpos, p -> p + 1)) AS starts,
+             list_concat(bpos, [CAST(n AS BIGINT)]) AS stops
+      FROM hashed
+    ), chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(starts) + 1),
+                    k -> substr(text, CAST(starts[k] AS INT),
+                                CAST(stops[k] - starts[k] + 1 AS INT)))) AS chunk
+      FROM bounds
+    ), hashes AS (
+      SELECT doc_id, chunk, md5(chunk) AS ch FROM chunks
+    ), dup AS (
+      SELECT ch AS dh FROM hashes GROUP BY ch
+      HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(length(chunk)) AS BIGINT) AS total_len,
+           CAST(count(DISTINCT ch) AS BIGINT) AS n_distinct,
+           CAST(sum(CASE WHEN dh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks
+    FROM hashes LEFT JOIN dup ON ch = dh
+    GROUP BY doc_id
+    """,
+    doc=(
+        "Content-defined chunking (CDC) dedup: split every document at "
+        "positions where a degree-7 polynomial rolling hash of the "
+        "trailing 8 characters is 0 mod 64 (Rabin-style boundaries — "
+        "STABLE under insertions/deletions, unlike fixed-width "
+        "chunking), fingerprint each chunk, and count per document the "
+        "chunk instances whose fingerprint recurs in other documents — "
+        "SUB-document duplication, the granularity boilerplate and "
+        "quoted-passage dedup needs where whole-doc MinHash sees "
+        "nothing. Entirely JVM-side higher-order functions (transform/"
+        "filter/sequence over the codepoint array — no Python in the "
+        "hot path); the oracle recomputes identical boundaries with "
+        "DuckDB list lambdas. At 100 TB: the map stage is "
+        "embarrassingly parallel; the one shuffle groups chunk "
+        "fingerprints (pre-aggregated per partition), and the dup-set "
+        "join stays on the groupBy partitioning."
+    ),
+    tags=("dedup", "llm", "cdc"),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.length("text") >= 1)
+        .select(
+            "doc_id",
+            "text",
+            F.length("text").alias("n"),
+            F.expr(
+                "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"
+            ).alias("cp"),
+        )
+    )
+    bounded = d.select(
+        "doc_id",
+        "text",
+        "n",
+        F.expr(
+            """
+            filter(sequence(1, n), p -> p >= 8 AND p < n AND
+              (element_at(cp, p-7) + element_at(cp, p-6)*31 +
+               element_at(cp, p-5)*961 + element_at(cp, p-4)*29791 +
+               element_at(cp, p-3)*923521 + element_at(cp, p-2)*28629151 +
+               element_at(cp, p-1)*887503681 +
+               element_at(cp, p)*27512614111) % 64 = 0)
+            """
+        ).alias("bpos"),
+    ).select(
+        "doc_id",
+        "text",
+        F.expr(
+            "concat(array(CAST(1 AS BIGINT)), transform(bpos, p -> CAST(p + 1 AS BIGINT)))"
+        ).alias("starts"),
+        F.expr(
+            "concat(transform(bpos, p -> CAST(p AS BIGINT)), array(CAST(n AS BIGINT)))"
+        ).alias("stops"),
+    )
+    chunks = bounded.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """
+                transform(sequence(1, size(starts)), k ->
+                  substring(text, CAST(element_at(starts, k) AS INT),
+                            CAST(element_at(stops, k) - element_at(starts, k) + 1 AS INT)))
+                """
+            )
+        ).alias("chunk"),
+    ).select("doc_id", "chunk", F.md5(F.encode("chunk", "UTF-8")).alias("ch"))
+    dup = (
+        chunks.groupBy("ch")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select(F.col("ch").alias("dh"))
+    )
+    return (
+        chunks.join(dup, chunks["ch"] == dup["dh"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.length("chunk")).cast("long").alias("total_len"),
+            F.countDistinct("ch").cast("long").alias("n_distinct"),
+            F.sum(
+                F.when(F.col("dh").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_dup_chunks"),
+        )
+    )

@@ -70,60 +70,65 @@ _STAGED_FOR_ROUND: int = 11
 #: with per-function granularity inside registered defs). Round 11:
 #: the r10 late-round re-plans (chunked_windows halo chaining,
 #: append-delta clustering) plus this round's snapshot commit
-#: hardening mark 183 rows; the window takes the stalest 49.
+#: hardening mark 185 rows (restaged at round close to fold in the
+#: JPEG decoder, PG connector, and grouped-append work); the
+#: window takes the never-gated row + the stalest 48.
 #: To restage: python tools/gate_rotation.py --since <staging commit>
 #: (find it via: git log -S"_STAGED_FOR_ROUND: int = <N>").
 _ROUND_CHANGED: tuple[str, ...] = (
     "q1_pricing_summary",
-    "snapshot_partition_pruned_read",
-    "snapshot_schema_evolution_state",
-    "snapshot_schema_evolution_diff",
-    "multimodal_bmp_decode",
-    "multimodal_bmp_resize2d",
-    "multimodal_wav_decode",
-    "multimodal_png_decode",
-    "multimodal_video_frame_sample",
-    "snapshot_datasource_read",
-    "text_pii_redact",
-    "dq_column_profile",
-    "events_seasonal_hourly",
-    "text_html_strip",
-    "text_url_domains",
-    "ann_kmeans_fit",
-    "spatial_point_in_tile_join",
-    "spatial_within_extent",
-    "spatial_tiles_intersecting_extent",
-    "spatial_dissolve_union_area",
-    "spatial_match_elevation_versions",
-    "spatial_version_not_boundary",
-    "spatial_versions",
-    "spatial_version_boundary",
-    "spatial_alpha_shape",
-    "spatial_knn_tile_center",
-    "sketch_count_min",
-    "sketch_cms_point_queries",
-    "sketch_kmv_distinct",
-    "ann_ivf_recall",
-    "window_range_frame_spend",
-    "scd2_snapshot_values",
-    "sessionize_gap_ids",
-    "islands_active_days",
-    "price_band_assign",
-    "argmax_order_per_customer",
-    "stats_second_moments",
-    "median_disc_by_priority",
-    "weekly_revenue_wow",
-    "mode_priority_by_status",
-    "events_first_touch",
-    "multiset_except_intersect",
-    "cumulative_distinct_users",
-    "revenue_share_by_nation",
-    "leave_one_out_customer_mean",
+    "multimodal_jpeg_decode",
+    "order_quantity_array_hof",
+    "window_nth_value",
+    "skyline_orders_2d",
+    "dq_referential_integrity",
+    "ann_pq_codes",
+    "sketch_hll_distinct",
+    "sketch_bloom_membership",
+    "sketch_histogram_quantiles",
+    "dedup_minhash_recall",
+    "events_props_variant",
+    "spatial_quadtree_rollup",
+    "dedup_semantic_clusters",
+    "text_bigram_model_score",
+    "embedding_whiten",
+    "dedup_containment_pairs",
+    "events_regression_slope",
+    "events_markov_transitions",
+    "orders_percentile_cont",
+    "lineitem_corr_matrix",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "text_token_stats",
+    "text_quality_scores",
+    "dedup_exact",
+    "embedding_cosine_topk",
+    "text_langid",
+    "text_bpe_counts",
+    "dedup_ngram_jaccard",
+    "text_fingerprint",
+    "embedding_near_dup_pairs",
+    "ann_ivf_assign",
+    "sample_weighted_priority",
+    "dsir_importance_weights",
+    "spatial_version_boundary_region",
+    "spatial_percentile_heights",
+    "spatial_rasterize",
+    "tile_file_index",
+    "spatial_las_class_mapping",
+    "spatial_raster_smooth",
+    "spatial_region_labeling",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_dedup_binary",
+    "sketch_hll_by_type",
+    "sketch_kmv_set_ops",
+    "text_bm25_scores",
+    "dedup_jaccard_prefix_filtered",
+    "dedup_threshold_curve",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q6_revenue_forecast",
     "q4_order_priority",
-    "q10_returned_items",
     "distinct_projection",
     "isin_filter",
     "anti_join_missing",
@@ -158,29 +163,35 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "cube_segment_priority",
     "q21_waiting_suppliers",
     "lateral_top_order_per_customer",
+    "window_range_frame_spend",
+    "scd2_snapshot_values",
+    "sessionize_gap_ids",
+    "islands_active_days",
+    "price_band_assign",
+    "argmax_order_per_customer",
+    "stats_second_moments",
+    "median_disc_by_priority",
     "lineitem_weighted_median",
+    "weekly_revenue_wow",
+    "mode_priority_by_status",
+    "events_first_touch",
+    "multiset_except_intersect",
+    "cumulative_distinct_users",
     "rolling_7d_distinct_users",
-    "order_quantity_array_hof",
+    "revenue_share_by_nation",
+    "leave_one_out_customer_mean",
     "events_mad_by_type",
-    "window_nth_value",
-    "skyline_orders_2d",
-    "dq_referential_integrity",
-    "text_token_stats",
-    "text_quality_scores",
-    "dedup_exact",
+    "dq_column_profile",
     "dedup_minhash_pairs",
     "dedup_simhash",
-    "embedding_cosine_topk",
     "ann_lsh_buckets",
-    "text_langid",
-    "text_bpe_counts",
-    "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_sampled",
-    "text_fingerprint",
-    "embedding_near_dup_pairs",
-    "ann_ivf_assign",
     "ann_ivf_search",
     "text_chunk_windows",
+    "text_pii_redact",
+    "text_html_strip",
+    "text_url_domains",
+    "dedup_cdc_chunks",
     "dedup_connected_components",
     "dedup_keep_canonical",
     "sample_stratified",
@@ -198,44 +209,40 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "dedup_connected_components_star",
     "sample_temperature_mixture",
     "corpus_curation_manifest",
-    "sample_weighted_priority",
-    "ann_pq_codes",
+    "ann_kmeans_fit",
     "ann_pq_adc_recall",
-    "dsir_importance_weights",
-    "spatial_version_boundary_region",
-    "spatial_percentile_heights",
+    "spatial_point_in_tile_join",
+    "spatial_within_extent",
+    "spatial_tiles_intersecting_extent",
+    "spatial_dissolve_union_area",
+    "spatial_match_elevation_versions",
+    "spatial_version_not_boundary",
+    "spatial_versions",
+    "spatial_version_boundary",
     "spatial_percentile_heights_approx",
-    "spatial_rasterize",
-    "tile_file_index",
+    "spatial_alpha_shape",
     "spatial_tin_simplify",
-    "spatial_las_class_mapping",
     "spatial_zorder_keys",
-    "spatial_raster_smooth",
-    "spatial_region_labeling",
-    "multimodal_features",
-    "multimodal_resize",
+    "spatial_knn_tile_center",
     "multimodal_frame_sample",
-    "multimodal_dedup_binary",
-    "sketch_hll_distinct",
-    "sketch_bloom_membership",
-    "sketch_hll_by_type",
+    "multimodal_bmp_decode",
+    "multimodal_bmp_resize2d",
+    "multimodal_wav_decode",
+    "multimodal_png_decode",
+    "multimodal_video_frame_sample",
+    "sketch_count_min",
+    "sketch_cms_point_queries",
+    "sketch_kmv_distinct",
     "rolling_distinct_hll",
-    "sketch_histogram_quantiles",
-    "sketch_kmv_set_ops",
-    "dedup_minhash_recall",
+    "ann_ivf_recall",
     "dedup_minhash_recall_sampled",
-    "events_props_variant",
-    "spatial_quadtree_rollup",
-    "dedup_semantic_clusters",
-    "text_bigram_model_score",
-    "embedding_whiten",
-    "dedup_containment_pairs",
-    "text_bm25_scores",
-    "dedup_jaccard_prefix_filtered",
     "dedup_jaccard_prefix_filtered_sampled",
-    "dedup_threshold_curve",
     "snapshot_merge_upsert_state",
     "snapshot_time_travel_diff",
+    "snapshot_schema_evolution_state",
+    "snapshot_schema_evolution_diff",
+    "snapshot_partition_pruned_read",
+    "snapshot_datasource_read",
     "stream_kmv_distinct_users",
     "stream_hll_distinct_users",
     "stream_cms_event_type_counts",
@@ -243,11 +250,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "stream_topk_heavy_users",
     "stream_sessionize_late_events",
     "events_interval_overlap",
-    "events_regression_slope",
     "events_cusum_drift",
-    "events_markov_transitions",
-    "orders_percentile_cont",
-    "lineitem_corr_matrix",
     "events_twap_hourly",
     "events_rolling_median",
     "events_ewma_approx",
@@ -257,12 +260,15 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "events_sweep_partitioned",
     "events_type_runs",
     "events_winsorized_stats",
+    "events_seasonal_hourly",
 )
 
 # Round-11 window: q1 (flagship) + the 49 stalest of the 183
 # mechanically-derived changed rows (driver evidence r6-r8).
 _GATE_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
+    "multimodal_jpeg_decode",
+    "dedup_cdc_chunks",
     "order_quantity_array_hof",
     "window_nth_value",
     "skyline_orders_2d",
@@ -310,8 +316,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sketch_kmv_set_ops",
     "text_bm25_scores",
     "dedup_jaccard_prefix_filtered",
-    "dedup_threshold_curve",
-    "snapshot_merge_upsert_state",
     # everything else follows in registration order
 )
 

@@ -140,3 +140,13 @@ def test_fill_bytes_before_markers_are_skipped():
     p = encode_jpeg(img, lossless_tables=True)
     i = p.find(b"\xff\xc0")
     assert np.array_equal(decode_jpeg(p[:i] + b"\xff\xff\xff" + p[i:]), img)
+
+
+def test_truncated_payload_raises_cleanly():
+    """Cutting the stream anywhere raises ValueError — never a crash
+    with a raw IndexError, never partial pixels."""
+    img = _block_gray(np.array([[10, 240]]))
+    p = encode_jpeg(img, lossless_tables=True)
+    for cut in (3, len(p) // 4, len(p) // 2, len(p) - 4):
+        with pytest.raises(ValueError):
+            decode_jpeg(p[:cut])

@@ -423,7 +423,16 @@ def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline JPEG to an H×W×3 uint8 RGB array (grayscale
-    inputs replicate to 3 channels). See the module doc for scope."""
+    inputs replicate to 3 channels). See the module doc for scope.
+    Truncated payloads raise ``ValueError``, never return partial
+    pixels."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, struct.error):
+        raise ValueError("truncated or corrupt JPEG payload") from None
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2

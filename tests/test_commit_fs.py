@@ -173,3 +173,51 @@ def test_local_fs_is_default_and_link_based(tmp_path):
     dst = tmp_path / "dst.txt"
     get_commit_fs().share(str(src), str(dst))
     assert os.stat(src).st_ino == os.stat(dst).st_ino  # same inode
+
+
+def test_publish_is_all_or_nothing(spark, tmp_path):
+    """The conditional-PUT emulation never exposes a partial manifest:
+    a crash mid-publish leaves the final path ABSENT (a stale .claim
+    only), the table head unchanged, readers unaffected — the same
+    observable state a real conditional PUT leaves."""
+    tbl = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1,)], "k int")
+    write_snapshot(df, tbl)  # healthy v1
+    fs = FaultInjectingCopyFS(crash_at="mid_publish")
+    prev = set_commit_fs(fs)
+    try:
+        with pytest.raises(FaultInjectingCopyFS.Crash):
+            write_snapshot(spark.createDataFrame([(2,)], "k int"), tbl)
+    finally:
+        set_commit_fs(prev)
+    assert list_versions(tbl) == [1]  # the claim is not a manifest
+    assert _rows(read_snapshot(spark, tbl)) == [(1,)]
+    # within the object-store world, the crashed claim blocks that
+    # version number (no clobber); removing it frees the version
+    import glob
+
+    claims = glob.glob(os.path.join(tbl, "*.claim"))
+    assert len(claims) == 1
+    prev = set_commit_fs(CopyCommitFS())
+    try:
+        with pytest.raises(RuntimeError, match="already committed"):
+            write_snapshot(spark.createDataFrame([(2,)], "k int"), tbl)
+        os.unlink(claims[0])
+        write_snapshot(spark.createDataFrame([(2,)], "k int"), tbl)
+    finally:
+        set_commit_fs(prev)
+    assert _rows(read_snapshot(spark, tbl)) == [(2,)]
+
+
+def test_copyfs_publish_never_partial_content(tmp_path, object_store_fs):
+    """Direct primitive check: at no point does the final path hold
+    anything but the complete content."""
+    from tile_processor_spark.sources.commit_fs import get_commit_fs
+
+    src = tmp_path / "src.json"
+    src.write_text("x" * 100_000)
+    dst = str(tmp_path / "dst.json")
+    get_commit_fs().publish_exclusive(str(src), dst)
+    assert open(dst).read() == "x" * 100_000
+    with pytest.raises(FileExistsError):
+        get_commit_fs().publish_exclusive(str(src), dst)

@@ -150,3 +150,21 @@ def test_truncated_payload_raises_cleanly():
     for cut in (3, len(p) // 4, len(p) // 2, len(p) - 4):
         with pytest.raises(ValueError):
             decode_jpeg(p[:cut])
+
+
+def test_fill_bytes_before_restart_marker():
+    """Fill 0xFFs immediately before an RSTn inside entropy data (also
+    legal per B.1.1.2) decode transparently — review r11 finding."""
+    rng = np.random.RandomState(21)
+    rgb = _block_gray(rng.randint(0, 256, (2, 4)))
+    p = encode_jpeg(
+        rgb, subsampling="420", lossless_tables=True, restart_interval=1
+    )
+    sos = p.find(b"\xff\xda")
+    for n in range(8):
+        rst = p.find(bytes([0xFF, 0xD0 + n]), sos)
+        if rst != -1:
+            break
+    assert rst != -1
+    padded = p[:rst] + b"\xff\xff" + p[rst:]
+    assert np.array_equal(decode_jpeg(padded), rgb)

@@ -699,3 +699,81 @@ def test_append_preserves_grouped_manifest(spark, tmp_path):
     assert sorted(
         tuple(r) for r in read_snapshot(spark, tbl2).collect()
     ) == [(1,), (2,)]
+
+
+def test_watermark_survives_connector_overwrite_and_conversion(spark, tmp_path):
+    """Review r11: the replay watermark must survive the connector's
+    overwrite path and convert_to_shared_layout — every commit path
+    carries it, so a replay after ANY intervening commit is dropped."""
+    from tile_processor_spark.sources.snapshot_datasource import register
+    from tile_processor_spark.sources.snapshots import (
+        _read_manifest,
+        commit_append,
+        convert_to_shared_layout,
+    )
+
+    register(spark)
+    tbl = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1,)], "k int")
+    write_snapshot(df, tbl)  # v1
+    d = tmp_path / "d"
+    df.write.parquet(str(d))
+    files = sorted(str(p) for p in d.glob("*.parquet"))
+    commit_append(tbl, files, stream_mark=("app", 3))  # v2
+    # connector overwrite (a rewrite) must carry the mark
+    spark.createDataFrame([(9,)], "k int").write.format("tps_snapshot").option(
+        "path", tbl
+    ).mode("overwrite").save()  # v3
+    assert _read_manifest(tbl, 3)["stream_high_water"] == {"app": 3}
+    # replay of batch 3 after the overwrite: dropped
+    d2 = tmp_path / "d2"
+    df.write.parquet(str(d2))
+    files2 = sorted(str(p) for p in d2.glob("*.parquet"))
+    assert commit_append(tbl, files2, stream_mark=("app", 3)) == 3
+    assert list_versions(tbl) == [1, 2, 3]
+    # conversion carries it too
+    tbl2 = str(tmp_path / "tbl2")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, grp string"),
+        tbl2,
+        partition_by=["grp"],
+    )
+    import json as _json
+
+    from tile_processor_spark.sources.snapshots import _commit_manifest
+
+    man = _read_manifest(tbl2, 1)
+    man2 = dict(man, version=2, stream_high_water={"s": 5})
+    _commit_manifest(tbl2, man2, 2)
+    convert_to_shared_layout(tbl2)  # v3
+    assert _read_manifest(tbl2, 3)["stream_high_water"] == {"s": 5}
+
+
+def test_legacy_stream_batch_id_still_drops_replay(spark, tmp_path):
+    """A head committed by the pre-high-water sink (stream_batch_id
+    only) still drops the first post-upgrade replay of that batch."""
+    import time as _time
+
+    from tile_processor_spark.sources.snapshots import (
+        _commit_manifest,
+        _read_manifest,
+        commit_append,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1,)], "k int")
+    write_snapshot(df, tbl)  # v1
+    man = _read_manifest(tbl, 1)
+    legacy = dict(
+        man,
+        version=2,
+        committed_at=_time.time(),
+        appended_files=man["files"],
+        stream_batch_id=7,
+    )
+    _commit_manifest(tbl, legacy, 2)
+    d = tmp_path / "d"
+    df.write.parquet(str(d))
+    files = sorted(str(p) for p in d.glob("*.parquet"))
+    assert commit_append(tbl, files, stream_mark=("default", 7)) == 2
+    assert list_versions(tbl) == [1, 2]

@@ -364,6 +364,10 @@ class _BitReader:
     def _fill(self) -> None:
         b = self.data[self.pos]
         if b == 0xFF:
+            # consecutive 0xFFs are legal fill bytes before a marker
+            # (T.81 B.1.1.2) — skip to the marker byte itself
+            while self.data[self.pos + 1] == 0xFF:
+                self.pos += 1
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -391,10 +395,14 @@ class _BitReader:
         return v
 
     def restart(self) -> None:
-        """Consume an expected RSTn: drop pad bits, eat the marker."""
+        """Consume an expected RSTn: drop pad bits, skip fill bytes,
+        eat the marker."""
         self.acc = 0
         self.nbits = 0
-        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] in (
+            0x00,
+            0xFF,  # fill byte before the marker (T.81 B.1.1.2)
+        ):
             self.pos += 1  # skip pad bits' bytes (already consumed logically)
         nxt = self.data[self.pos + 1]
         if not (0xD0 <= nxt <= 0xD7):
@@ -430,6 +438,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         return _decode_jpeg(payload)
     except (IndexError, struct.error):
         raise ValueError("truncated or corrupt JPEG payload") from None
+    except _RestartMarker:
+        # an RSTn where entropy data was expected: restart-interval
+        # mismatch or corruption — surface the documented error type,
+        # never the reader's internal control-flow exception
+        raise ValueError(
+            "unexpected restart marker in entropy data (corrupt stream "
+            "or DRI mismatch)"
+        ) from None
 
 
 def _decode_jpeg(payload: bytes) -> np.ndarray:

@@ -65,19 +65,42 @@ class LocalCommitFS:
 
 
 class CopyCommitFS:
-    """Object-store-shaped implementation: NO hard links, NO rename —
-    only whole-file copy and conditional create, the primitives every
-    store (S3/GCS/ABFS) actually offers. ``publish_exclusive`` models
-    conditional PUT with ``O_CREAT|O_EXCL`` (same contract: atomic
-    create-if-absent, ``FileExistsError`` on conflict)."""
+    """Object-store-shaped implementation: the PROTOCOL asks only for
+    whole-file copy and conditional create — the primitives every store
+    (S3/GCS/ABFS) actually offers. ``publish_exclusive`` models
+    conditional PUT's OBSERVABLE semantics: ALL-OR-NOTHING
+    create-if-absent — on a real store the object body and the
+    precondition commit together, so no reader can ever observe a
+    partial or empty object at the final path. The local emulation
+    reproduces exactly that observable contract (an exclusive claim,
+    fully-written content, then one atomic local rename INTERNAL to the
+    emulation — the protocol itself never asks the store to rename):
+    publishing straight into an ``O_EXCL``-opened final path would
+    expose an empty/partial manifest between create and write, a state
+    the real primitive cannot produce, and would silently weaken every
+    crash-safety test built on this class."""
 
     def publish_exclusive(self, tmp_path: str, final_path: str) -> None:
-        fd = os.open(final_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        if os.path.exists(final_path):
+            raise FileExistsError(final_path)
+        claim = final_path + ".claim"
+        # exclusivity: one claimant per version. A FileExistsError here
+        # means either a concurrent committer in flight or a crashed
+        # one (recovery: remove the stale .claim) — never a clobber.
+        fd = os.open(claim, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
         try:
             with open(tmp_path, "rb") as src:
                 os.write(fd, src.read())
+            os.fsync(fd)
         finally:
             os.close(fd)
+        if os.path.exists(final_path):
+            # raced an already-committed final that landed between the
+            # first check and our claim: withdraw, surface the conflict
+            os.unlink(claim)
+            raise FileExistsError(final_path)
+        # atomic visibility: readers see nothing, then the full content
+        os.rename(claim, final_path)
 
     def rehome(self, src: str, dst: str) -> None:
         shutil.copyfile(src, dst)  # CopyObject ...
@@ -105,6 +128,18 @@ class FaultInjectingCopyFS(CopyCommitFS):
         self.calls.append(("publish_exclusive", tmp_path, final_path))
         if self.crash_at == "before_publish":
             raise self.Crash("crash before publish")
+        if self.crash_at == "mid_publish":
+            # claim written, content flushed, atomic rename NOT reached
+            # (the central crash window of the emulation): the table
+            # head must be unchanged and readers must see nothing
+            claim = final_path + ".claim"
+            fd = os.open(claim, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            try:
+                with open(tmp_path, "rb") as src:
+                    os.write(fd, src.read())
+            finally:
+                os.close(fd)
+            raise self.Crash("crash mid-publish (claim left behind)")
         super().publish_exclusive(tmp_path, final_path)
 
     def rehome(self, src: str, dst: str) -> None:

@@ -282,13 +282,26 @@ class _PartWriteMessage(WriterCommitMessage):
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+#: exactly Spark's ExternalCatalogUtils.needsEscaping set — escaping
+#: MORE than this (e.g. urllib's quote of non-ASCII as UTF-8 %XX pairs)
+#: would make Spark's char-wise unescapePathName decode 'café' as
+#: mojibake while our byte-wise unquote decodes it correctly, so the
+#: two read APIs would disagree on the same directory name
+_HIVE_ESCAPE = set('"#%\'*/:=?\\{[]^\x7f') | {chr(i) for i in range(0x20)}
+
+
+def _hive_escape(s: str) -> str:
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in s
+    )
+
 
 def _hive_chain(part_cols: list[str], values: dict) -> str:
-    """``grp=a/sub=b`` path chain with Hive-compatible percent-escaping
-    (decoded identically by our ``_partition_values`` and Spark's
-    ``unescapePathName``)."""
-    from urllib.parse import quote
-
+    """``grp=a/sub=b`` path chain escaped exactly like Spark's own
+    ``partitionBy`` writes it (only the Hive special set; non-ASCII
+    literal), so Spark's ``unescapePathName``, our byte-wise
+    ``_partition_values`` decode, and ``append_snapshot``'s
+    Spark-written trees all agree on every directory name."""
     segs = []
     for c in part_cols:
         v = values[c]
@@ -298,23 +311,20 @@ def _hive_chain(part_cols: list[str], values: dict) -> str:
                 f"append does not write {_HIVE_NULL} partitions — filter "
                 "nulls or route them to an explicit sentinel value"
             )
-        segs.append(f"{quote(str(c), safe='')}={quote(str(v), safe='')}")
+        segs.append(f"{_hive_escape(str(c))}={_hive_escape(str(v))}")
     return "/".join(segs)
 
 
 def _split_by_partitions(tbl, part_cols: list[str]):
     """Yield (values dict, sub-table WITHOUT partition columns) per
     distinct partition-value combination — partition columns live in
-    the directory chain, not in the data files (Hive layout)."""
+    the directory chain, not in the data files (Hive layout). Combo
+    discovery stays vectorized in Arrow (a group_by over the partition
+    columns), not a per-row Python loop: a 10M-row task pays C-speed
+    hashing, then one filter per OCCUPIED combo."""
     import pyarrow.compute as pc
 
-    combos: list[dict] = []
-    seen = set()
-    for row in tbl.select(part_cols).to_pylist():
-        key = tuple(row[c] for c in part_cols)
-        if key not in seen:
-            seen.add(key)
-            combos.append(row)
+    combos = tbl.select(part_cols).group_by(part_cols).aggregate([]).to_pylist()
     for values in combos:
         mask = None
         for c in part_cols:
@@ -454,6 +464,15 @@ class SnapshotWriter(DataSourceArrowWriter):
                 "base": self._snap_dir,
                 "partition_by": [],
             }
+            if versions:
+                # the streaming replay watermark survives overwrites —
+                # a replayed micro-batch landing after a rewrite must
+                # still be dropped (same carry as write_snapshot)
+                hw = _read_manifest(self._path, versions[-1]).get(
+                    "stream_high_water"
+                )
+                if hw:
+                    manifest["stream_high_water"] = hw
             _commit_manifest(self._path, manifest, version)
         else:
             # optimistic-concurrency append: commutes with concurrent

@@ -305,6 +305,11 @@ def convert_to_shared_layout(table_path: str) -> int:
         "layout": "shared-tree",
         "converted_from": versions[-1],
     }
+    hw = manifest.get("stream_high_water")
+    if hw:
+        # the streaming replay watermark lives in EVERY manifest —
+        # a layout conversion must not create a mark-free head
+        new_manifest["stream_high_water"] = hw
     return _commit_manifest(table_path, new_manifest, versions[-1] + 1)
 
 
@@ -354,6 +359,11 @@ def commit_append(
             app_id, batch_id = stream_mark
             if high_water.get(app_id, -1) >= batch_id:
                 return manifest["version"]  # replayed batch — drop
+            # legacy heads (pre-high-water sinks) carry only their own
+            # stream_batch_id; honor it so the first post-upgrade
+            # replay is still dropped instead of duplicated
+            if not high_water and manifest.get("stream_batch_id") == batch_id:
+                return manifest["version"]
             high_water[app_id] = batch_id
         if already_committed is not None and already_committed(manifest):
             return manifest["version"]

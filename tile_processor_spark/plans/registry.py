@@ -78,6 +78,7 @@ _STAGED_FOR_ROUND: int = 11
 _ROUND_CHANGED: tuple[str, ...] = (
     "q1_pricing_summary",
     "multimodal_jpeg_decode",
+    "dedup_cdc_chunks",
     "order_quantity_array_hof",
     "window_nth_value",
     "skyline_orders_2d",
@@ -125,7 +126,6 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "sketch_kmv_set_ops",
     "text_bm25_scores",
     "dedup_jaccard_prefix_filtered",
-    "dedup_threshold_curve",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q4_order_priority",
@@ -191,7 +191,6 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "text_pii_redact",
     "text_html_strip",
     "text_url_domains",
-    "dedup_cdc_chunks",
     "dedup_connected_components",
     "dedup_keep_canonical",
     "sample_stratified",
@@ -237,6 +236,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "ann_ivf_recall",
     "dedup_minhash_recall_sampled",
     "dedup_jaccard_prefix_filtered_sampled",
+    "dedup_threshold_curve",
     "snapshot_merge_upsert_state",
     "snapshot_time_travel_diff",
     "snapshot_schema_evolution_state",

@@ -1,0 +1,141 @@
+"""Version-stream incremental dedup: per corpus append version, only
+the delta is fingerprinted and joined against everything ever kept —
+never a history rescan — and the processing mark makes the whole loop
+exactly-once per version across crashes and re-runs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tile_processor_spark.sources.incremental_dedup import (
+    dedup_new_versions,
+    processed_through,
+)
+from tile_processor_spark.sources.snapshots import (
+    append_snapshot,
+    list_versions,
+    read_snapshot,
+    upsert_snapshot,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_dedup_across_versions(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    fps = str(tmp_path / "fps")
+    append_snapshot(_docs(spark, [(1, "alpha"), (2, "beta")]), corpus)   # v1
+    append_snapshot(_docs(spark, [(3, "beta"), (4, "gamma")]), corpus)  # v2: beta dup
+    append_snapshot(_docs(spark, [(5, "alpha"), (6, "delta")]), corpus) # v3: alpha dup
+
+    stats = dedup_new_versions(spark, corpus, fps)
+    assert stats == [
+        {"version": 1, "new_rows": 2, "kept": 2, "dropped": 0},
+        {"version": 2, "new_rows": 2, "kept": 1, "dropped": 1},
+        {"version": 3, "new_rows": 2, "kept": 1, "dropped": 1},
+    ]
+    kept = read_snapshot(spark, fps)
+    assert kept.count() == 4
+    assert sorted(
+        tuple(r) for r in kept.select("doc_key", "src_version").collect()
+    ) == [(1, 1), (2, 1), (4, 2), (6, 3)]
+    assert processed_through(fps) == 3
+
+    # re-run: nothing new, nothing duplicated (exactly-once)
+    assert dedup_new_versions(spark, corpus, fps) == []
+    assert read_snapshot(spark, fps).count() == 4
+
+    # the next append processes incrementally from the mark
+    append_snapshot(_docs(spark, [(7, "gamma"), (8, "epsilon")]), corpus)  # v4
+    stats = dedup_new_versions(spark, corpus, fps)
+    assert stats == [{"version": 4, "new_rows": 2, "kept": 1, "dropped": 1}]
+    assert processed_through(fps) == 4
+
+
+def test_within_delta_duplicates_keep_min_key(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    fps = str(tmp_path / "fps")
+    append_snapshot(
+        _docs(spark, [(9, "same"), (3, "same"), (5, "other")]), corpus
+    )
+    stats = dedup_new_versions(spark, corpus, fps)
+    assert stats == [{"version": 1, "new_rows": 3, "kept": 2, "dropped": 1}]
+    assert sorted(
+        r["doc_key"] for r in read_snapshot(spark, fps).collect()
+    ) == [3, 5]
+
+
+def test_all_duplicate_version_still_advances_mark(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    fps = str(tmp_path / "fps")
+    append_snapshot(_docs(spark, [(1, "x")]), corpus)  # v1
+    append_snapshot(_docs(spark, [(2, "x")]), corpus)  # v2: fully dup
+    stats = dedup_new_versions(spark, corpus, fps)
+    assert stats[-1] == {"version": 2, "new_rows": 1, "kept": 0, "dropped": 1}
+    assert processed_through(fps) == 2
+    # the zero-survivor commit appended no files but advanced the head
+    assert list_versions(fps)[-1] >= 3
+
+
+def test_rewrite_version_refuses(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    fps = str(tmp_path / "fps")
+    append_snapshot(_docs(spark, [(1, "a")]), corpus)     # v1
+    upsert_snapshot(_docs(spark, [(1, "a2")]), corpus, ["doc_id"])  # v2 rewrite
+    with pytest.raises(ValueError, match="not an append commit"):
+        dedup_new_versions(spark, corpus, fps)
+
+
+def test_crash_between_stage_and_commit_is_idempotent(spark, tmp_path):
+    """A driver dying after computing survivors but BEFORE the marked
+    commit re-processes the version on restart and reaches the same
+    state: the uncommitted fingerprints were invisible to the
+    anti-join, so the re-run commits the same survivors once."""
+    corpus = str(tmp_path / "corpus")
+    fps = str(tmp_path / "fps")
+    append_snapshot(_docs(spark, [(1, "a"), (2, "b")]), corpus)  # v1
+    dedup_new_versions(spark, corpus, fps)
+    append_snapshot(_docs(spark, [(3, "b"), (4, "c")]), corpus)  # v2
+
+    # simulate the crash: stage v2's survivors without committing
+    import tile_processor_spark.sources.incremental_dedup as mod
+
+    orig = mod.commit_append
+    calls = {"n": 0}
+
+    def dying_commit(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before commit")
+
+    mod.commit_append = dying_commit
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            dedup_new_versions(spark, corpus, fps)
+    finally:
+        mod.commit_append = orig
+    assert calls["n"] == 1
+    assert processed_through(fps) == 1  # v2 not marked
+    # restart: v2 processes exactly once, same survivors
+    stats = dedup_new_versions(spark, corpus, fps)
+    assert stats == [{"version": 2, "new_rows": 2, "kept": 1, "dropped": 1}]
+    assert sorted(
+        r["doc_key"] for r in read_snapshot(spark, fps).collect()
+    ) == [1, 2, 4]
+
+
+def test_custom_fingerprint_column(spark, tmp_path):
+    """Pluggable fingerprints: case-insensitive dedup via a normalized
+    expression instead of exact md5."""
+    corpus = str(tmp_path / "corpus")
+    fps = str(tmp_path / "fps")
+    append_snapshot(_docs(spark, [(1, "Hello"), (2, "hello")]), corpus)
+    stats = dedup_new_versions(
+        spark,
+        corpus,
+        fps,
+        fingerprint=F.md5(F.encode(F.lower(F.col("text")), "UTF-8")),
+    )
+    assert stats == [{"version": 1, "new_rows": 2, "kept": 1, "dropped": 1}]

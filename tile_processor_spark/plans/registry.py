@@ -72,7 +72,7 @@ _STAGED_FOR_ROUND: int = 11
 #: append-delta clustering) plus this round's snapshot commit
 #: hardening mark 185 rows (restaged at round close to fold in the
 #: JPEG decoder, PG connector, and grouped-append work); the
-#: window takes the never-gated row + the stalest 48.
+#: window takes the never-gated rows + the stalest rest.
 #: To restage: python tools/gate_rotation.py --since <staging commit>
 #: (find it via: git log -S"_STAGED_FOR_ROUND: int = <N>").
 _ROUND_CHANGED: tuple[str, ...] = (
@@ -243,6 +243,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "snapshot_schema_evolution_diff",
     "snapshot_partition_pruned_read",
     "snapshot_datasource_read",
+    "snapshot_incremental_dedup",
     "stream_kmv_distinct_users",
     "stream_hll_distinct_users",
     "stream_cms_event_type_counts",
@@ -269,6 +270,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "multimodal_jpeg_decode",
     "dedup_cdc_chunks",
+    "snapshot_incremental_dedup",
     "order_quantity_array_hof",
     "window_nth_value",
     "skyline_orders_2d",
@@ -315,7 +317,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sketch_hll_by_type",
     "sketch_kmv_set_ops",
     "text_bm25_scores",
-    "dedup_jaccard_prefix_filtered",
     # everything else follows in registration order
 )
 

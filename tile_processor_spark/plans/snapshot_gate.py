@@ -393,3 +393,72 @@ def snapshot_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .select("status", "custkey", "n_orders", "spend")
     )
+
+
+_INCDEDUP_CACHE: dict[tuple[str, str], str] = {}
+
+
+@register(
+    "snapshot_incremental_dedup",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 3 + 1 AS INT) AS src_version
+    FROM (
+      SELECT doc_id,
+             row_number() OVER (
+               PARTITION BY md5(substr(text, 1, 16))
+               ORDER BY doc_id % 3, doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn = 1
+    """,
+    doc=(
+        "Version-stream incremental dedup gate: documents land as three "
+        "append versions of a snapshot corpus (version = doc_id%3 + 1); "
+        "sources/incremental_dedup.py processes each version's DELTA "
+        "against the fingerprints of everything ever kept — O(delta), "
+        "never a history rescan — with an exactly-once per-version mark "
+        "(the stream high-water machinery). The oracle never sees the "
+        "store: first-occurrence-by-(version, doc_id) over a 16-char "
+        "prefix fingerprint (chosen because this corpus has real prefix "
+        "collisions, so versions genuinely DROP rows) in plain SQL must "
+        "equal what three marked incremental passes kept. "
+        "A bug in delta resolution, the anti-join, the mark carry, or "
+        "replay dropping breaks row or value parity."
+    ),
+    tags=("snapshot", "dedup", "incremental"),
+)
+def snapshot_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.sources.incremental_dedup import (
+        dedup_new_versions,
+    )
+    from tile_processor_spark.sources.snapshots import append_snapshot
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    fp_path = _INCDEDUP_CACHE.get(key)
+    if fp_path is None:
+        corpus = tempfile.mkdtemp(prefix="tps_incdedup_corpus_")
+        fp_path = tempfile.mkdtemp(prefix="tps_incdedup_fps_")
+        shutil.rmtree(corpus)
+        shutil.rmtree(fp_path)
+        atexit.register(shutil.rmtree, corpus, ignore_errors=True)
+        atexit.register(shutil.rmtree, fp_path, ignore_errors=True)
+        docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        for v in (1, 2, 3):
+            append_snapshot(
+                docs.filter(F.col("doc_id") % 3 == v - 1), corpus
+            )
+        dedup_new_versions(
+            spark,
+            corpus,
+            fp_path,
+            fingerprint=F.md5(
+                F.encode(F.substring(F.col("text"), 1, 16), "UTF-8")
+            ),
+        )
+        _INCDEDUP_CACHE[key] = fp_path
+    return read_snapshot(spark, fp_path).select(
+        F.col("doc_key").alias("doc_id"),
+        F.col("src_version").cast("int").alias("src_version"),
+    )

@@ -1,0 +1,157 @@
+"""Min/max data skipping on snapshot tables: commit-time parquet
+footer stats let range predicates drop files (and whole manifest-list
+groups) before Spark plans a scan — the Delta/Iceberg skipping half
+that partition pruning doesn't cover. The contract under test: the
+pruned read's ROWS always equal the unpruned read + filter (skipping
+is an optimization), and the file count actually drops when the data
+is range-clustered."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tile_processor_spark.sources.snapshots import (
+    _manifest_files,
+    _read_manifest,
+    append_snapshot,
+    compact_manifest,
+    list_versions,
+    read_snapshot,
+    write_snapshot,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _ranged_table(spark, path):
+    """Three appends with disjoint key ranges — the ingest-clustered
+    shape where skipping pays."""
+    for lo in (0, 100, 200):
+        append_snapshot(
+            spark.createDataFrame(
+                [(lo + i, f"s{lo + i}") for i in range(10)], "k long, s string"
+            ).coalesce(1),
+            path,
+        )
+    return path
+
+
+def test_where_prunes_files_and_matches_filter(spark, tmp_path):
+    tbl = _ranged_table(spark, str(tmp_path / "tbl"))
+    man = _read_manifest(tbl, list_versions(tbl)[-1])
+    all_files = _manifest_files(man)
+    assert len(all_files) == 3
+    # stats were collected at commit time for both columns
+    assert set(man["file_stats"]) == set(all_files)
+    pruned = _manifest_files(man, where=[("k", ">=", 200)])
+    assert len(pruned) == 1
+    # exactness: pruned read == unpruned read + filter
+    got = read_snapshot(spark, tbl, where=[("k", ">=", 200)])
+    want = read_snapshot(spark, tbl).filter(F.col("k") >= 200)
+    assert _rows(got) == _rows(want)
+    # range straddling two files
+    assert len(_manifest_files(man, where=[("k", ">", 50), ("k", "<", 150)])) == 1
+    got = read_snapshot(spark, tbl, where=[("k", ">", 50), ("k", "<", 150)])
+    assert _rows(got.select("k")) == [(k,) for k in range(100, 110)]
+    # equality point lookup
+    assert len(_manifest_files(man, where=[("k", "=", 105)])) == 1
+    assert _rows(read_snapshot(spark, tbl, where=[("k", "=", 105)]).select("s")) == [
+        ("s105",)
+    ]
+    # string stats work too
+    assert len(_manifest_files(man, where=[("s", "=", "s0")])) <= 2
+    # unknown column: no stats -> no pruning, filter still exact (empty)
+    with pytest.raises(Exception):
+        read_snapshot(spark, tbl, where=[("nope", "=", 1)]).collect()
+
+
+def test_where_survives_compaction_and_grouped_appends(spark, tmp_path):
+    tbl = _ranged_table(spark, str(tmp_path / "tbl"))
+    compact_manifest(tbl, group_files=1)  # grouped, one file per group
+    man = _read_manifest(tbl, list_versions(tbl)[-1])
+    assert "groups" in man
+    # group-level stats present, group skipped without opening
+    assert all("stats" in g for g in man["groups"])
+    assert len(_manifest_files(man, where=[("k", ">=", 200)])) == 1
+    # an append onto the compacted head keeps its stats
+    append_snapshot(
+        spark.createDataFrame(
+            [(300 + i, f"s{300 + i}") for i in range(5)], "k long, s string"
+        ).coalesce(1),
+        tbl,
+    )
+    man2 = _read_manifest(tbl, list_versions(tbl)[-1])
+    assert len(_manifest_files(man2, where=[("k", ">=", 300)])) == 1
+    got = read_snapshot(spark, tbl, where=[("k", ">=", 295)])
+    assert got.count() == 5
+    # exactness on the grouped path
+    assert _rows(got.select("k")) == [(300 + i,) for i in range(5)]
+
+
+def test_where_exact_without_stats(spark, tmp_path):
+    """A manifest WITHOUT stats (hand-built, modeling pre-skipping
+    tables) prunes nothing but still filters exactly."""
+    import json
+    import time
+
+    from tile_processor_spark.sources.snapshots import _commit_manifest
+
+    tbl = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame([(1,), (2,), (3,)], "k long"), tbl
+    )
+    man = _read_manifest(tbl, 1)
+    legacy = {k: v for k, v in man.items() if k != "file_stats"}
+    legacy["version"] = 2
+    _commit_manifest(tbl, legacy, 2)
+    man2 = _read_manifest(tbl, 2)
+    assert "file_stats" not in man2
+    assert len(_manifest_files(man2, where=[("k", ">", 99)])) == len(
+        _manifest_files(man2)
+    )
+    assert read_snapshot(spark, tbl, version=2, where=[("k", ">", 2)]).count() == 1
+
+
+def test_where_with_nulls_is_sound(spark, tmp_path):
+    """Files containing NULLs in the filtered column are never
+    wrongly skipped, and the residual filter gives SQL semantics
+    (NULL rows never match)."""
+    tbl = str(tmp_path / "tbl")
+    append_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (None, "b"), (50, "c")], "k long, s string"
+        ).coalesce(1),
+        tbl,
+    )
+    got = read_snapshot(spark, tbl, where=[("k", "<", 10)])
+    assert _rows(got.select("s")) == [("a",)]
+
+
+def test_where_on_partitioned_table_composes(spark, tmp_path):
+    from tile_processor_spark.sources.snapshots import convert_to_shared_layout
+
+    tbl = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, "g%d" % (i // 10)) for i in range(30)], "k long, grp string"
+        ).repartition("grp"),
+        tbl,
+        partition_by=["grp"],
+    )
+    convert_to_shared_layout(tbl)  # stats re-keyed, not re-read
+    man = _read_manifest(tbl, 2)
+    assert man.get("file_stats")
+    got = read_snapshot(
+        spark, tbl, partition_filter={"grp": "g1"}, where=[("k", ">=", 15)]
+    )
+    assert _rows(got.select("k")) == [(k,) for k in range(15, 20)]
+
+
+def test_bad_where_op_raises(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    write_snapshot(spark.createDataFrame([(1,)], "k long"), tbl)
+    with pytest.raises(ValueError, match="where op"):
+        read_snapshot(spark, tbl, where=[("k", "!=", 1)])

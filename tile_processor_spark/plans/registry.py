@@ -70,7 +70,7 @@ _STAGED_FOR_ROUND: int = 11
 #: with per-function granularity inside registered defs). Round 11:
 #: the r10 late-round re-plans (chunked_windows halo chaining,
 #: append-delta clustering) plus this round's snapshot commit
-#: hardening mark 185 rows (restaged at round close to fold in the
+#: hardening mark 187 rows (restaged at round close to fold in the
 #: JPEG decoder, PG connector, and grouped-append work); the
 #: window takes the never-gated rows + the stalest rest.
 #: To restage: python tools/gate_rotation.py --since <staging commit>
@@ -79,6 +79,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "q1_pricing_summary",
     "multimodal_jpeg_decode",
     "dedup_cdc_chunks",
+    "snapshot_incremental_dedup",
     "order_quantity_array_hof",
     "window_nth_value",
     "skyline_orders_2d",
@@ -125,7 +126,6 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "sketch_hll_by_type",
     "sketch_kmv_set_ops",
     "text_bm25_scores",
-    "dedup_jaccard_prefix_filtered",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q4_order_priority",
@@ -235,6 +235,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "rolling_distinct_hll",
     "ann_ivf_recall",
     "dedup_minhash_recall_sampled",
+    "dedup_jaccard_prefix_filtered",
     "dedup_jaccard_prefix_filtered_sampled",
     "dedup_threshold_curve",
     "snapshot_merge_upsert_state",
@@ -243,7 +244,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "snapshot_schema_evolution_diff",
     "snapshot_partition_pruned_read",
     "snapshot_datasource_read",
-    "snapshot_incremental_dedup",
+    "snapshot_where_pruned_read",
     "stream_kmv_distinct_users",
     "stream_hll_distinct_users",
     "stream_cms_event_type_counts",
@@ -271,6 +272,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_jpeg_decode",
     "dedup_cdc_chunks",
     "snapshot_incremental_dedup",
+    "snapshot_where_pruned_read",
     "order_quantity_array_hof",
     "window_nth_value",
     "skyline_orders_2d",
@@ -316,7 +318,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_dedup_binary",
     "sketch_hll_by_type",
     "sketch_kmv_set_ops",
-    "text_bm25_scores",
     # everything else follows in registration order
 )
 

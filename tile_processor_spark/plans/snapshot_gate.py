@@ -462,3 +462,74 @@ def snapshot_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_key").alias("doc_id"),
         F.col("src_version").cast("int").alias("src_version"),
     )
+
+
+_WHERE_CACHE: dict[tuple[str, str], str] = {}
+
+
+@register(
+    "snapshot_where_pruned_read",
+    oracle="""
+    WITH cuts AS (
+      SELECT CAST(FLOOR(MAX(o_orderkey) / 3.0) AS BIGINT) AS lo,
+             CAST(FLOOR(2 * MAX(o_orderkey) / 3.0) AS BIGINT) AS hi
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+    FROM orders, cuts
+    WHERE o_orderkey >= cuts.lo AND o_orderkey < cuts.hi
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Min/max DATA-SKIPPING gate: orders lands as three snapshot "
+        "appends clustered by o_orderkey range, and the read goes "
+        "through read_snapshot(where=[...]) selecting the middle "
+        "max-relative third of the key space — commit-time footer stats "
+        "drop whole files before Spark plans the scan, and the "
+        "residual row filter keeps the result exact. The oracle "
+        "recomputes from raw orders with plain SQL, so a bug in stats "
+        "collection, range exclusion logic, or the residual filter "
+        "(rows wrongly skipped OR wrongly kept) breaks parity. "
+        "File-count pruning itself is pinned in "
+        "tests/test_data_skipping.py."
+    ),
+    tags=("snapshot", "skipping"),
+)
+def snapshot_where_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.sources.snapshots import append_snapshot
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WHERE_CACHE:
+        table = tempfile.mkdtemp(prefix="tps_snap_where_")
+        shutil.rmtree(table)
+        atexit.register(shutil.rmtree, table, ignore_errors=True)
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        mx = o.agg(F.max("o_orderkey")).collect()[0][0]
+        # three range-clustered appends — the ingest-sorted shape where
+        # footer stats separate files cleanly; cuts are max-relative
+        # thirds so the row is meaningful at every sf
+        lo_cut, hi_cut = mx // 3, 2 * mx // 3
+        for lo, hi in ((None, lo_cut), (lo_cut, hi_cut), (hi_cut, None)):
+            part = o
+            if lo is not None:
+                part = part.filter(F.col("o_orderkey") >= lo)
+            if hi is not None:
+                part = part.filter(F.col("o_orderkey") < hi)
+            append_snapshot(part.coalesce(1), table)
+        _WHERE_CACHE[key] = (table, lo_cut, hi_cut)
+    table, lo_cut, hi_cut = _WHERE_CACHE[key]
+    got = read_snapshot(
+        spark,
+        table,
+        where=[("o_orderkey", ">=", lo_cut), ("o_orderkey", "<", hi_cut)],
+    )
+    return got.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("spend"),
+    )

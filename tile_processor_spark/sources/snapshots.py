@@ -69,6 +69,99 @@ def _read_manifest(table_path: str, version: int) -> dict:
         return json.load(f)
 
 
+def _collect_stats(files: list[str]) -> dict[str, dict[str, list]]:
+    """Per-file column min/max from parquet FOOTERS (no data read) —
+    the Iceberg/Delta data-skipping metadata, collected once at commit
+    time, O(delta) driver-side. Only sortable primitives participate
+    (ints, floats, strings, dates — dates as ISO strings, whose
+    lexicographic order matches date order); columns with no usable
+    stats are simply absent, which the pruner treats as
+    "cannot exclude" (always sound, never required)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cols: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = col.path_in_schema
+                if "." in name:
+                    continue  # nested: skip
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes) or isinstance(mx, bytes):
+                    continue  # binary / undecoded: skip
+                if isinstance(mn, datetime.datetime) or isinstance(
+                    mx, datetime.datetime
+                ):
+                    continue  # timestamps: tz/precision pitfalls — skip
+                if isinstance(mn, datetime.date):
+                    mn, mx = mn.isoformat(), mx.isoformat()
+                if not isinstance(mn, (int, float, str)):
+                    continue
+                cur = cols.get(name)
+                if cur is None:
+                    cols[name] = [mn, mx]
+                else:
+                    cur[0] = min(cur[0], mn)
+                    cur[1] = max(cur[1], mx)
+        if cols:
+            out[f] = cols
+    return out
+
+
+def _stats_exclude(stats: dict[str, list] | None, where: list[tuple]) -> bool:
+    """True iff the stats PROVE no row in the file/group can satisfy
+    the conjunctive ``where`` — missing stats never exclude."""
+    import datetime
+
+    if not stats:
+        return False
+    for col, op, val in where:
+        rng = stats.get(col)
+        if rng is None:
+            continue
+        if isinstance(val, datetime.date) and not isinstance(
+            val, datetime.datetime
+        ):
+            val = val.isoformat()
+        mn, mx = rng
+        if type(mn) is str and not isinstance(val, str):
+            continue  # type mismatch: cannot reason soundly
+        if type(mn) is not str and isinstance(val, str):
+            continue
+        if op == ">" and mx <= val:
+            return True
+        if op == ">=" and mx < val:
+            return True
+        if op == "<" and mn >= val:
+            return True
+        if op == "<=" and mn > val:
+            return True
+        if op == "=" and (val < mn or val > mx):
+            return True
+    return False
+
+
+_WHERE_OPS = {">", ">=", "<", "<=", "="}
+
+
+def _validate_where(where) -> list[tuple]:
+    out = []
+    for item in where:
+        col, op, val = item
+        if op not in _WHERE_OPS:
+            raise ValueError(f"where op must be one of {sorted(_WHERE_OPS)}, got {op!r}")
+        out.append((col, op, val))
+    return out
+
+
 def _schema_fields(schema_json: str) -> list[tuple[str, object]]:
     """(name, type) pairs of a schema JSON string — the comparison key
     for append-vs-committed schema checks (nullability differences are
@@ -123,6 +216,9 @@ def write_snapshot(
         "base": snap_dir,
         "partition_by": list(partition_by or []),
     }
+    stats = _collect_stats(files)
+    if stats:
+        manifest["file_stats"] = stats
     if versions:
         # the streaming sink's replay watermark survives rewrites: a
         # replayed micro-batch landing after a full-state rewrite must
@@ -285,6 +381,8 @@ def convert_to_shared_layout(table_path: str) -> int:
         )
     base = manifest["base"]
     tree = os.path.join(table_path, _DATA_DIR, _TREE_SUBDIR)
+    old_stats = _gather_file_stats(manifest)
+    new_stats: dict[str, dict[str, list]] = {}
     new_files = []
     for f in _manifest_files(manifest):
         # keep the col=val chain VERBATIM (no unquote/requote round
@@ -295,6 +393,8 @@ def convert_to_shared_layout(table_path: str) -> int:
         dst = os.path.join(subdir, f"{uuid.uuid4().hex}-{os.path.basename(f)}")
         get_commit_fs().share(f, dst)
         new_files.append(dst)
+        if f in old_stats:  # same bytes, same stats — re-key, no re-read
+            new_stats[dst] = old_stats[f]
     new_manifest = {
         "version": versions[-1] + 1,
         "committed_at": time.time(),
@@ -305,6 +405,8 @@ def convert_to_shared_layout(table_path: str) -> int:
         "layout": "shared-tree",
         "converted_from": versions[-1],
     }
+    if new_stats:
+        new_manifest["file_stats"] = new_stats
     hw = manifest.get("stream_high_water")
     if hw:
         # the streaming replay watermark lives in EVERY manifest —
@@ -351,6 +453,7 @@ def commit_append(
     ``already_committed(latest_manifest) -> bool`` is a custom
     short-circuit hook for callers with their own idempotence key."""
     last_err: Exception | None = None
+    new_stats = _collect_stats(new_files)
     for _ in range(_APPEND_RETRIES):
         versions = list_versions(table_path)
         manifest = _read_manifest(table_path, versions[-1])
@@ -406,10 +509,14 @@ def commit_append(
             # append pay an O(files) manifest write (the Iceberg
             # manifest-list point, measured in docs/SCALE.md).
             new_manifest["groups"] = manifest["groups"] + _delta_groups(
-                table_path, manifest, new_files, versions[-1] + 1
+                table_path, manifest, new_files, versions[-1] + 1, new_stats
             )
         else:
             new_manifest["files"] = _manifest_files(manifest) + new_files
+            merged_stats = dict(manifest.get("file_stats") or {})
+            merged_stats.update(new_stats)
+            if merged_stats:
+                new_manifest["file_stats"] = merged_stats
         if part_cols:
             new_manifest["layout"] = "shared-tree"
         if high_water:
@@ -443,7 +550,9 @@ _GROUPS_DIR = "groups"
 
 
 def _manifest_files(
-    manifest: dict, partition_filter: dict[str, object] | None = None
+    manifest: dict,
+    partition_filter: dict[str, object] | None = None,
+    where: list[tuple] | None = None,
 ) -> list[str]:
     """Resolve a manifest's data-file list, through either layout:
 
@@ -455,6 +564,13 @@ def _manifest_files(
       Iceberg manifest-list layout. With a ``partition_filter``, only
       MATCHING groups' side files are even opened: pruning cost drops
       from O(all files) to O(n_groups + matching files).
+
+    ``where`` (conjunctive ``(col, op, value)`` triples) adds DATA
+    SKIPPING on the per-file/per-group column min/max stats collected
+    at commit time: a file or whole group is dropped only when its
+    stats PROVE no row can match; files without stats always survive
+    (sound by construction — pruning is an optimization, the caller
+    still applies the real filter to the rows).
 
     ``partition_filter`` values must already be validated against the
     manifest's ``partition_by`` by the caller; they are compared as
@@ -472,8 +588,19 @@ def _manifest_files(
                 g["values"].get(k) in vals for k, vals in wanted.items()
             ):
                 continue
+            if where and _stats_exclude(g.get("stats"), where):
+                continue  # whole group skipped without opening it
             with open(g["path"]) as f:
-                out.extend(json.load(f)["files"])
+                side = json.load(f)
+            if where and side.get("file_stats"):
+                fs = side["file_stats"]
+                out.extend(
+                    f
+                    for f in side["files"]
+                    if not _stats_exclude(fs.get(f), where)
+                )
+            else:
+                out.extend(side["files"])
         return out
     files = manifest["files"]
     if wanted is not None:
@@ -486,19 +613,62 @@ def _manifest_files(
                 for k, vals in wanted.items()
             )
         ]
+    if where and manifest.get("file_stats"):
+        fs = manifest["file_stats"]
+        files = [f for f in files if not _stats_exclude(fs.get(f), where)]
     return files
 
 
+def _gather_file_stats(manifest: dict) -> dict[str, dict[str, list]]:
+    """All per-file stats a manifest knows about, through either
+    layout (flat ``file_stats`` or grouped side files)."""
+    if "groups" not in manifest:
+        return dict(manifest.get("file_stats") or {})
+    out: dict[str, dict[str, list]] = {}
+    for g in manifest["groups"]:
+        with open(g["path"]) as f:
+            side = json.load(f)
+        out.update(side.get("file_stats") or {})
+    return out
+
+
+def _merge_stats(
+    files: list[str], file_stats: dict[str, dict[str, list]]
+) -> dict[str, list]:
+    """Group-level min/max: a column participates only when EVERY file
+    in the group has stats for it (otherwise some rows' range is
+    unknown and a group-level exclusion would be unsound)."""
+    if not files or any(f not in file_stats for f in files):
+        return {}
+    common = set(file_stats[files[0]])
+    for f in files[1:]:
+        common &= set(file_stats[f])
+    return {
+        c: [
+            min(file_stats[f][c][0] for f in files),
+            max(file_stats[f][c][1] for f in files),
+        ]
+        for c in common
+    }
+
+
 def _delta_groups(
-    table_path: str, manifest: dict, new_files: list[str], version: int
+    table_path: str,
+    manifest: dict,
+    new_files: list[str],
+    version: int,
+    new_stats: dict[str, dict[str, list]] | None = None,
 ) -> list[dict]:
     """Write the appended delta as new manifest-list group side files:
     one group per partition value present in the delta (so
     ``partition_filter`` pruning keeps skipping whole groups), or a
     single ``_chunk`` group for unpartitioned tables (filters are
     rejected on those anyway). Old groups are never touched — periodic
-    ``compact_manifest`` merges the accumulated append groups."""
+    ``compact_manifest`` merges the accumulated append groups. Side
+    files carry per-file column stats and each group a merged range,
+    so ``where`` data skipping works group-first."""
     part_cols = manifest.get("partition_by") or []
+    new_stats = new_stats if new_stats is not None else _collect_stats(new_files)
     buckets: dict[tuple, list[str]] = {}
     if part_cols:
         base = manifest["base"]
@@ -514,9 +684,17 @@ def _delta_groups(
     out = []
     for key, flist in sorted(buckets.items()):
         gpath = os.path.join(groups_dir, f"{uuid.uuid4().hex}.json")
+        fstats = {f: new_stats[f] for f in flist if f in new_stats}
+        side = {"files": sorted(flist)}
+        if fstats:
+            side["file_stats"] = fstats
         with open(gpath, "w") as f:
-            json.dump({"files": sorted(flist)}, f)
-        out.append({"values": dict(key), "path": gpath, "n_files": len(flist)})
+            json.dump(side, f)
+        entry = {"values": dict(key), "path": gpath, "n_files": len(flist)}
+        gstats = _merge_stats(sorted(flist), new_stats)
+        if gstats:
+            entry["stats"] = gstats
+        out.append(entry)
     return out
 
 
@@ -577,14 +755,21 @@ def compact_manifest(
             buckets[(("_chunk", str(i // group_files)),)] = ordered[i : i + group_files]
     groups_dir = os.path.join(table_path, _GROUPS_DIR)
     os.makedirs(groups_dir, exist_ok=True)
+    all_stats = _gather_file_stats(manifest)
     groups = []
     for key, flist in sorted(buckets.items()):
         gpath = os.path.join(groups_dir, f"{uuid.uuid4().hex}.json")
+        fstats = {f: all_stats[f] for f in flist if f in all_stats}
+        side = {"files": sorted(flist)}
+        if fstats:
+            side["file_stats"] = fstats
         with open(gpath, "w") as f:
-            json.dump({"files": sorted(flist)}, f)
-        groups.append(
-            {"values": dict(key), "path": gpath, "n_files": len(flist)}
-        )
+            json.dump(side, f)
+        entry = {"values": dict(key), "path": gpath, "n_files": len(flist)}
+        gstats = _merge_stats(sorted(flist), all_stats)
+        if gstats:
+            entry["stats"] = gstats
+        groups.append(entry)
     new_version = versions[-1] + 1
     new_manifest = {
         "version": new_version,
@@ -613,6 +798,7 @@ def read_snapshot(
     table_path: str,
     version: int | None = None,
     partition_filter: dict[str, object] | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
     """Read one committed version (default: latest). The file list is
     resolved HERE, once — the returned frame keeps reading this
@@ -626,7 +812,17 @@ def read_snapshot(
     as strings (Hive path encoding). Filtering on a non-partition
     column raises rather than silently scanning everything. A filter
     matching nothing returns an empty frame with the version's
-    schema."""
+    schema.
+
+    ``where`` — conjunctive ``(col, op, value)`` triples, op in
+    ``> >= < <= =`` — is an EXACT row predicate with manifest-level
+    DATA SKIPPING: files (and whole manifest-list groups) whose
+    commit-time column min/max stats prove no row can match are
+    dropped before Spark plans anything — the Delta/Iceberg
+    data-skipping half that partition pruning doesn't cover (range
+    predicates on a sort/cluster key without partitioning by it). The
+    surviving files still get the real filter applied, so the result
+    is exact regardless of which files had stats."""
     versions = list_versions(table_path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
@@ -642,7 +838,8 @@ def read_snapshot(
                 f"partition_filter on non-partition column(s) {bad}; "
                 f"version {v} is partitioned by {part_cols or 'nothing'}"
             )
-    files = _manifest_files(manifest, partition_filter)
+    where = _validate_where(where) if where else None
+    files = _manifest_files(manifest, partition_filter, where)
     from pyspark.sql import types as T
 
     committed = T.StructType.fromJson(json.loads(manifest["schema"]))
@@ -662,15 +859,38 @@ def read_snapshot(
         # committed dtype and restore the committed column order, so
         # empty-match and non-empty reads have identical shape.
         out = spark.read.option("basePath", manifest["base"]).parquet(*files)
-        return out.select(
-            *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name in part_cols
-                else F.col(f.name)
-                for f in committed.fields
-            ]
+        return _apply_where(
+            out.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in part_cols
+                    else F.col(f.name)
+                    for f in committed.fields
+                ]
+            ),
+            where,
         )
-    return spark.read.parquet(*files)
+    return _apply_where(spark.read.parquet(*files), where)
+
+
+def _apply_where(df: DataFrame, where: list[tuple] | None) -> DataFrame:
+    """The residual row filter matching a ``where`` spec — applied to
+    every surviving file, so data skipping stays an optimization, not
+    a semantics change."""
+    if not where:
+        return df
+    cond = None
+    for col, op, val in where:
+        c = F.col(col)
+        piece = {
+            ">": c > val,
+            ">=": c >= val,
+            "<": c < val,
+            "<=": c <= val,
+            "=": c == val,
+        }[op]
+        cond = piece if cond is None else (cond & piece)
+    return df.filter(cond)
 
 
 def vacuum(table_path: str, keep_last: int = 2) -> dict:

@@ -155,3 +155,33 @@ def test_bad_where_op_raises(spark, tmp_path):
     write_snapshot(spark.createDataFrame([(1,)], "k long"), tbl)
     with pytest.raises(ValueError, match="where op"):
         read_snapshot(spark, tbl, where=[("k", "!=", 1)])
+
+
+def test_connector_pushdown_drives_skipping(spark, tmp_path):
+    """A plain .filter() on a tps_snapshot read plans fewer input
+    partitions via pushFilters -> stats exclusion, with identical
+    results (every filter is still applied row-wise by Spark)."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from tile_processor_spark.sources.snapshot_datasource import (
+        SnapshotReader,
+        register,
+    )
+
+    register(spark)
+    tbl = _ranged_table(spark, str(tmp_path / "tbl"))
+    base = spark.read.format("tps_snapshot").option("path", tbl).load()
+    got = base.filter("k >= 200")
+    want = read_snapshot(spark, tbl).filter("k >= 200")
+    assert _rows(got) == _rows(want)
+    # unit level: the reader PLANS fewer files after pushdown (the
+    # byte-binner may still pack tiny files into one task either way,
+    # so assert on planned files, not task count)
+    def planned_files(reader):
+        return sum(len(p.files) for p in reader.partitions())
+
+    r = SnapshotReader(base.schema, {"path": tbl})
+    n_all = planned_files(r)
+    leftover = list(r.pushFilters([GreaterThanOrEqual(("k",), 200)]))
+    assert len(leftover) == 1  # everything handed back for row-wise eval
+    assert planned_files(r) == 1 < n_all == 3

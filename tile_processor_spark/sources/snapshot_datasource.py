@@ -85,6 +85,7 @@ class SnapshotReader(DataSourceReader):
         self._manifest = _resolve_manifest(options)
         raw = options.get("partition_filter")
         self._filter = json.loads(raw) if raw else None
+        self._where: list[tuple] = []
         if self._filter:
             part_cols = self._manifest.get("partition_by") or []
             bad = [c for c in self._filter if c not in part_cols]
@@ -93,6 +94,42 @@ class SnapshotReader(DataSourceReader):
                     f"partition_filter on non-partition column(s) {bad}; "
                     f"table is partitioned by {part_cols or 'nothing'}"
                 )
+
+    def pushFilters(self, filters):
+        """Spark 4.1 filter pushdown → manifest-level DATA SKIPPING: a
+        plain ``df.filter("k > 100")`` on a connector read compiles to
+        commit-time min/max exclusions, so files (and whole
+        manifest-list groups) that provably hold no matching row are
+        never planned as input partitions. EVERY filter is yielded
+        back (Spark re-applies them row-wise), so the skip is purely
+        an optimization — a file without stats scans as before."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "=",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        for f in filters:
+            op = ops.get(type(f))
+            col = getattr(f, "attribute", None)
+            val = getattr(f, "value", None)
+            if (
+                op
+                and col
+                and len(col) == 1
+                and isinstance(val, (int, float, str))
+            ):
+                self._where.append((col[0], op, val))
+            yield f  # Spark keeps evaluating every filter row-wise
 
     def partitions(self):
         """Manifest-level pruning BEFORE Spark schedules a single task
@@ -103,7 +140,9 @@ class SnapshotReader(DataSourceReader):
         million. Groups never cross a Hive partition boundary."""
         import os
 
-        files = _manifest_files(self._manifest, self._filter)
+        files = _manifest_files(
+            self._manifest, self._filter, self._where or None
+        )
         base = self._manifest["base"]
         target = int(
             self._options.get("target_partition_bytes", 128 * 1024 * 1024)

@@ -221,3 +221,37 @@ def test_copyfs_publish_never_partial_content(tmp_path, object_store_fs):
     assert open(dst).read() == "x" * 100_000
     with pytest.raises(FileExistsError):
         get_commit_fs().publish_exclusive(str(src), dst)
+
+
+def test_vacuum_reclaims_stale_claims(spark, tmp_path):
+    """Stale .claim files (crashed mid-publish committers) are
+    reclaimed by vacuum after the TTL; fresh claims survive."""
+    import time
+
+    tbl = str(tmp_path / "tbl")
+    write_snapshot(spark.createDataFrame([(1,)], "k int"), tbl)
+    fs = FaultInjectingCopyFS(crash_at="mid_publish")
+    prev = set_commit_fs(fs)
+    try:
+        with pytest.raises(FaultInjectingCopyFS.Crash):
+            write_snapshot(spark.createDataFrame([(2,)], "k int"), tbl)
+    finally:
+        set_commit_fs(prev)
+    import glob
+
+    claims = glob.glob(os.path.join(tbl, "*.claim"))
+    assert len(claims) == 1
+    # fresh claim: NOT reclaimed (may be an in-flight commit)
+    vacuum(tbl, keep_last=1, claim_ttl_s=3600)
+    assert glob.glob(os.path.join(tbl, "*.claim")) == claims
+    # aged claim: reclaimed, and the version number is usable again
+    old = time.time() - 7200
+    os.utime(claims[0], (old, old))
+    vacuum(tbl, keep_last=1, claim_ttl_s=3600)
+    assert glob.glob(os.path.join(tbl, "*.claim")) == []
+    prev = set_commit_fs(CopyCommitFS())
+    try:
+        write_snapshot(spark.createDataFrame([(2,)], "k int"), tbl)
+    finally:
+        set_commit_fs(prev)
+    assert _rows(read_snapshot(spark, tbl)) == [(2,)]

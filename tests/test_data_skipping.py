@@ -185,3 +185,21 @@ def test_connector_pushdown_drives_skipping(spark, tmp_path):
     leftover = list(r.pushFilters([GreaterThanOrEqual(("k",), 200)]))
     assert len(leftover) == 1  # everything handed back for row-wise eval
     assert planned_files(r) == 1 < n_all == 3
+
+
+def test_stats_collection_never_fails_a_commit(spark, tmp_path):
+    """Stats are optional metadata: committing file paths whose footers
+    cannot be read (remote paths, fabricated rehearsal entries) still
+    commits — just without stats for those files."""
+    from tile_processor_spark.sources.snapshots import commit_append
+
+    tbl = str(tmp_path / "tbl")
+    write_snapshot(spark.createDataFrame([(1,)], "k long"), tbl)
+    ghost = str(tmp_path / "nonexistent.parquet")
+    v = commit_append(tbl, [ghost])
+    assert v == 2
+    man = _read_manifest(tbl, 2)
+    assert ghost in man["files"]
+    assert ghost not in (man.get("file_stats") or {})
+    # and the ghost never prunes (no stats -> cannot exclude)
+    assert ghost in _manifest_files(man, where=[("k", ">", 10**9)])

@@ -83,7 +83,13 @@ def _collect_stats(files: list[str]) -> dict[str, dict[str, list]]:
 
     out: dict[str, dict[str, list]] = {}
     for f in files:
-        md = pq.ParquetFile(f).metadata
+        try:
+            md = pq.ParquetFile(f).metadata
+        except Exception:
+            # unreadable/remote/fabricated path: commit without stats
+            # for this file — skipping is optional metadata, a failed
+            # footer read must never fail the COMMIT
+            continue
         cols: dict[str, list] = {}
         for rg in range(md.num_row_groups):
             for ci in range(md.num_columns):
@@ -893,7 +899,7 @@ def _apply_where(df: DataFrame, where: list[tuple] | None) -> DataFrame:
     return df.filter(cond)
 
 
-def vacuum(table_path: str, keep_last: int = 2) -> dict:
+def vacuum(table_path: str, keep_last: int = 2, claim_ttl_s: float = 3600.0) -> dict:
     """Drop all but the last ``keep_last`` manifests and delete data
     files no retained manifest references (including crash orphans).
 
@@ -902,9 +908,31 @@ def vacuum(table_path: str, keep_last: int = 2) -> dict:
     manifest pointing at deleted data. Readers that already resolved a
     retired version keep working until their files are reclaimed; the
     retention window is the caller's grace-period knob (same contract
-    as Delta's VACUUM)."""
+    as Delta's VACUUM).
+
+    Also reclaims stale ``.claim`` files (the object-store commit
+    emulation's exclusivity markers): a claim whose final manifest
+    exists is dead (publish completed or lost the race); a claim
+    WITHOUT a final is a crashed mid-publish committer and is removed
+    only after ``claim_ttl_s`` of inactivity — before that it may be
+    an in-flight commit."""
     table_path = os.path.abspath(table_path)
     versions = list_versions(table_path)
+    claims_removed = 0
+    for n in sorted(os.listdir(table_path)):
+        if not n.endswith(".claim"):
+            continue
+        p = os.path.join(table_path, n)
+        final = p[: -len(".claim")]
+        try:
+            stale = os.path.exists(final) or (
+                time.time() - os.path.getmtime(p) > claim_ttl_s
+            )
+            if stale:
+                os.unlink(p)
+                claims_removed += 1
+        except FileNotFoundError:
+            pass  # raced another vacuum / a finishing committer
     retired = versions[:-keep_last] if keep_last > 0 else versions
     kept = versions[len(retired) :]
     referenced: set[str] = set()

@@ -176,10 +176,12 @@ def test_local_fs_is_default_and_link_based(tmp_path):
 
 
 def test_publish_is_all_or_nothing(spark, tmp_path):
-    """The conditional-PUT emulation never exposes a partial manifest:
-    a crash mid-publish leaves the final path ABSENT (a stale .claim
-    only), the table head unchanged, readers unaffected — the same
-    observable state a real conditional PUT leaves."""
+    """The conditional-PUT emulation is atomic AND exclusive in one
+    operation: a crash before the PUT leaves the final path absent and
+    the table head unchanged, with nothing blocking a clean retry (a
+    real store's crashed PUT leaves no residue either — an earlier
+    claim-file emulation poisoned the version number and raced vacuum;
+    that whole failure class is gone by construction)."""
     tbl = str(tmp_path / "tbl")
     df = spark.createDataFrame([(1,)], "k int")
     write_snapshot(df, tbl)  # healthy v1
@@ -190,23 +192,42 @@ def test_publish_is_all_or_nothing(spark, tmp_path):
             write_snapshot(spark.createDataFrame([(2,)], "k int"), tbl)
     finally:
         set_commit_fs(prev)
-    assert list_versions(tbl) == [1]  # the claim is not a manifest
+    assert list_versions(tbl) == [1]
     assert _rows(read_snapshot(spark, tbl)) == [(1,)]
-    # within the object-store world, the crashed claim blocks that
-    # version number (no clobber); removing it frees the version
-    import glob
-
-    claims = glob.glob(os.path.join(tbl, "*.claim"))
-    assert len(claims) == 1
+    # retry in the object-store world succeeds immediately — no stale
+    # marker to clean up first
     prev = set_commit_fs(CopyCommitFS())
     try:
-        with pytest.raises(RuntimeError, match="already committed"):
-            write_snapshot(spark.createDataFrame([(2,)], "k int"), tbl)
-        os.unlink(claims[0])
         write_snapshot(spark.createDataFrame([(2,)], "k int"), tbl)
     finally:
         set_commit_fs(prev)
     assert _rows(read_snapshot(spark, tbl)) == [(2,)]
+
+
+def test_vacuum_reclaims_stale_commit_tmps(spark, tmp_path):
+    """A committer killed hard (no finally) leaves its private
+    .manifest.tmp.* staging file; vacuum reclaims it after the TTL and
+    never touches fresh ones (they may be in-flight commits). Also:
+    vacuum on a never-created table path returns empty stats instead
+    of crashing (cron sweeps over configured paths)."""
+    import time
+
+    assert vacuum(str(tmp_path / "never_created")) == {
+        "retired_versions": [],
+        "kept_versions": [],
+        "files_removed": 0,
+    }
+    tbl = str(tmp_path / "tbl")
+    write_snapshot(spark.createDataFrame([(1,)], "k int"), tbl)
+    stale = os.path.join(tbl, ".manifest.tmp.deadbeef")
+    open(stale, "w").write("{}")
+    vacuum(tbl, keep_last=1, claim_ttl_s=3600)
+    assert os.path.exists(stale)  # fresh: possibly in-flight
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    got = vacuum(tbl, keep_last=1, claim_ttl_s=3600)
+    assert not os.path.exists(stale)
+    assert got["files_removed"] >= 1
 
 
 def test_copyfs_publish_never_partial_content(tmp_path, object_store_fs):
@@ -221,37 +242,3 @@ def test_copyfs_publish_never_partial_content(tmp_path, object_store_fs):
     assert open(dst).read() == "x" * 100_000
     with pytest.raises(FileExistsError):
         get_commit_fs().publish_exclusive(str(src), dst)
-
-
-def test_vacuum_reclaims_stale_claims(spark, tmp_path):
-    """Stale .claim files (crashed mid-publish committers) are
-    reclaimed by vacuum after the TTL; fresh claims survive."""
-    import time
-
-    tbl = str(tmp_path / "tbl")
-    write_snapshot(spark.createDataFrame([(1,)], "k int"), tbl)
-    fs = FaultInjectingCopyFS(crash_at="mid_publish")
-    prev = set_commit_fs(fs)
-    try:
-        with pytest.raises(FaultInjectingCopyFS.Crash):
-            write_snapshot(spark.createDataFrame([(2,)], "k int"), tbl)
-    finally:
-        set_commit_fs(prev)
-    import glob
-
-    claims = glob.glob(os.path.join(tbl, "*.claim"))
-    assert len(claims) == 1
-    # fresh claim: NOT reclaimed (may be an in-flight commit)
-    vacuum(tbl, keep_last=1, claim_ttl_s=3600)
-    assert glob.glob(os.path.join(tbl, "*.claim")) == claims
-    # aged claim: reclaimed, and the version number is usable again
-    old = time.time() - 7200
-    os.utime(claims[0], (old, old))
-    vacuum(tbl, keep_last=1, claim_ttl_s=3600)
-    assert glob.glob(os.path.join(tbl, "*.claim")) == []
-    prev = set_commit_fs(CopyCommitFS())
-    try:
-        write_snapshot(spark.createDataFrame([(2,)], "k int"), tbl)
-    finally:
-        set_commit_fs(prev)
-    assert _rows(read_snapshot(spark, tbl)) == [(2,)]

@@ -203,3 +203,60 @@ def test_stats_collection_never_fails_a_commit(spark, tmp_path):
     assert ghost not in (man.get("file_stats") or {})
     # and the ghost never prunes (no stats -> cannot exclude)
     assert ghost in _manifest_files(man, where=[("k", ">", 10**9)])
+
+
+def test_nan_rows_are_never_skipped(spark, tmp_path):
+    """Review r11b (execution-confirmed finding): Spark sorts NaN ABOVE
+    every value, so a file containing NaN must never be excluded by a
+    max-based `>` test. Stats for NaN-tainted columns are poisoned at
+    collection, and float `>`/`>=` exclusions are disabled outright
+    (parquet writers may record finite stats while ignoring NaNs)."""
+    import math
+
+    tbl = str(tmp_path / "tbl")
+    append_snapshot(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 5.0), (3, float("nan"))], "k long, x double"
+        ).coalesce(1),
+        tbl,
+    )
+    man = _read_manifest(tbl, 1)
+    fstats = list((man.get("file_stats") or {}).values())
+    # either the x column has no stats (NaN poisoned) or exclusion is
+    # op-disabled — both must keep the file:
+    files = _manifest_files(man, where=[("x", ">", 100.0)])
+    assert len(files) == len(_manifest_files(man))
+    got = read_snapshot(spark, tbl, where=[("x", ">", 100.0)])
+    want = read_snapshot(spark, tbl).filter("x > 100.0")
+    # NaN != NaN under tuple equality — compare keys, then NaN-ness
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in want.collect()
+    )
+    assert got.count() == 1 and math.isnan(got.collect()[0]["x"])
+    # min-based float exclusion is still allowed and still sound
+    append_snapshot(
+        spark.createDataFrame([(4, 500.0), (5, 600.0)], "k long, x double")
+        .coalesce(1),
+        tbl,
+    )
+    man2 = _read_manifest(tbl, 2)
+    pruned = _manifest_files(man2, where=[("x", "<", 100.0)])
+    assert len(pruned) == 1  # the [500,600] file is provably out
+    got = read_snapshot(spark, tbl, where=[("x", "<", 100.0)])
+    assert _rows(got.select("k")) == [(1,), (2,)]  # NaN fails < too
+
+
+def test_float_gt_never_excludes_even_clean_files(spark, tmp_path):
+    """The conservative float rule: even a NaN-free float file is not
+    max-excluded on > (stats alone cannot prove NaN absence when other
+    writers produced the file)."""
+    tbl = str(tmp_path / "tbl")
+    append_snapshot(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, x double")
+        .coalesce(1),
+        tbl,
+    )
+    man = _read_manifest(tbl, 1)
+    assert len(_manifest_files(man, where=[("x", ">", 100.0)])) == 1
+    # integers keep full exclusion power
+    assert len(_manifest_files(man, where=[("k", ">", 100)])) == 0

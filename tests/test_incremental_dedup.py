@@ -139,3 +139,56 @@ def test_custom_fingerprint_column(spark, tmp_path):
         fingerprint=F.md5(F.encode(F.lower(F.col("text")), "UTF-8")),
     )
     assert stats == [{"version": 1, "new_rows": 2, "kept": 1, "dropped": 1}]
+
+
+def test_compaction_version_advances_mark_with_zero_rows(spark, tmp_path):
+    """Review r11b: a compact_manifest on the corpus is metadata-only
+    (provably empty delta) — it advances the mark instead of bricking
+    the loop."""
+    from tile_processor_spark.sources.snapshots import compact_manifest
+
+    corpus = str(tmp_path / "corpus")
+    fps = str(tmp_path / "fps")
+    append_snapshot(_docs(spark, [(1, "a")]), corpus)   # v1
+    dedup_new_versions(spark, corpus, fps)
+    compact_manifest(corpus)                             # v2 metadata-only
+    append_snapshot(_docs(spark, [(2, "a"), (3, "b")]), corpus)  # v3
+    stats = dedup_new_versions(spark, corpus, fps)
+    assert stats == [
+        {"version": 2, "new_rows": 0, "kept": 0, "dropped": 0},
+        {"version": 3, "new_rows": 2, "kept": 1, "dropped": 1},
+    ]
+    assert processed_through(fps) == 3
+
+
+def test_vacuumed_gap_raises_instead_of_underdeduping(spark, tmp_path):
+    """Review r11b: corpus versions vacuumed before being fingerprinted
+    must raise — silently skipping them would under-deduplicate
+    forever."""
+    from tile_processor_spark.sources.snapshots import vacuum
+
+    corpus = str(tmp_path / "corpus")
+    fps = str(tmp_path / "fps")
+    for i in range(4):
+        append_snapshot(_docs(spark, [(i, f"t{i}")]), corpus)  # v1..v4
+    vacuum(corpus, keep_last=2)  # retires v1, v2
+    with pytest.raises(ValueError, match="vacuumed before being fingerprinted"):
+        dedup_new_versions(spark, corpus, fps)
+
+
+def test_null_fingerprints_are_outside_the_dedup_domain(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    fps = str(tmp_path / "fps")
+    append_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, None)], "doc_id long, text string"
+        ),
+        corpus,
+    )
+    stats = dedup_new_versions(spark, corpus, fps)
+    # only the fingerprintable row is recorded; NULL-text rows are
+    # neither recorded nor suppressed
+    assert stats == [{"version": 1, "new_rows": 3, "kept": 1, "dropped": 2}]
+    assert sorted(
+        r["doc_key"] for r in read_snapshot(spark, fps).collect()
+    ) == [1]

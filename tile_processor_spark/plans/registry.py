@@ -265,8 +265,8 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "events_seasonal_hourly",
 )
 
-# Round-11 window: q1 (flagship) + the 49 stalest of the 183
-# mechanically-derived changed rows (driver evidence r6-r8).
+# Round-11 window: q1 (flagship) + the never-gated new rows + the
+# stalest of the mechanically-derived changed set (_ROUND_CHANGED).
 _GATE_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "multimodal_jpeg_decode",

@@ -464,7 +464,7 @@ def snapshot_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WHERE_CACHE: dict[tuple[str, str], str] = {}
+_WHERE_CACHE: dict[tuple[str, str], tuple[str, int, int]] = {}
 
 
 @register(

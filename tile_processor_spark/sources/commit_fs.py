@@ -68,39 +68,27 @@ class CopyCommitFS:
     """Object-store-shaped implementation: the PROTOCOL asks only for
     whole-file copy and conditional create — the primitives every store
     (S3/GCS/ABFS) actually offers. ``publish_exclusive`` models
-    conditional PUT's OBSERVABLE semantics: ALL-OR-NOTHING
-    create-if-absent — on a real store the object body and the
-    precondition commit together, so no reader can ever observe a
-    partial or empty object at the final path. The local emulation
-    reproduces exactly that observable contract (an exclusive claim,
-    fully-written content, then one atomic local rename INTERNAL to the
-    emulation — the protocol itself never asks the store to rename):
-    publishing straight into an ``O_EXCL``-opened final path would
-    expose an empty/partial manifest between create and write, a state
-    the real primitive cannot produce, and would silently weaken every
-    crash-safety test built on this class."""
+    conditional PUT's OBSERVABLE semantics: ALL-OR-NOTHING,
+    exclusive — on a real store the object body and the precondition
+    commit together, so no reader can ever observe a partial or empty
+    object at the final path and no crash leaves a half-published
+    state. See the method for why the emulation implements that with
+    one atomic local operation rather than any multi-step local
+    protocol."""
 
     def publish_exclusive(self, tmp_path: str, final_path: str) -> None:
-        if os.path.exists(final_path):
-            raise FileExistsError(final_path)
-        claim = final_path + ".claim"
-        # exclusivity: one claimant per version. A FileExistsError here
-        # means either a concurrent committer in flight or a crashed
-        # one (recovery: remove the stale .claim) — never a clobber.
-        fd = os.open(claim, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-        try:
-            with open(tmp_path, "rb") as src:
-                os.write(fd, src.read())
-            os.fsync(fd)
-        finally:
-            os.close(fd)
-        if os.path.exists(final_path):
-            # raced an already-committed final that landed between the
-            # first check and our claim: withdraw, surface the conflict
-            os.unlink(claim)
-            raise FileExistsError(final_path)
-        # atomic visibility: readers see nothing, then the full content
-        os.rename(claim, final_path)
+        # A real conditional PUT is NATIVELY all-or-nothing AND
+        # exclusive: the object body and the precondition commit as one
+        # operation inside the store. The faithful local emulation of
+        # that observable contract is a single atomic exclusive-create
+        # of the fully-written content (an os.link of the already-
+        # complete tmp file). Anything weaker — claim files, O_EXCL
+        # then write, check-then-rename — reintroduces partial-content
+        # or lost-race windows the REAL primitive cannot produce (a
+        # prior claim-file design here raced vacuum's claim reclamation
+        # with slow committers). The protocol still never ASKS the
+        # remote store for a link; this is internal to the emulation.
+        os.link(tmp_path, final_path)
 
     def rehome(self, src: str, dst: str) -> None:
         shutil.copyfile(src, dst)  # CopyObject ...
@@ -129,17 +117,12 @@ class FaultInjectingCopyFS(CopyCommitFS):
         if self.crash_at == "before_publish":
             raise self.Crash("crash before publish")
         if self.crash_at == "mid_publish":
-            # claim written, content flushed, atomic rename NOT reached
-            # (the central crash window of the emulation): the table
-            # head must be unchanged and readers must see nothing
-            claim = final_path + ".claim"
-            fd = os.open(claim, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-            try:
-                with open(tmp_path, "rb") as src:
-                    os.write(fd, src.read())
-            finally:
-                os.close(fd)
-            raise self.Crash("crash mid-publish (claim left behind)")
+            # content fully staged, the conditional PUT itself never
+            # issued (a crash INSIDE the PUT is the store's problem —
+            # the primitive is atomic, so the outcome is one of the
+            # other two states): the table head must be unchanged and
+            # only a private staged tmp remains
+            raise self.Crash("crash before the conditional PUT")
         super().publish_exclusive(tmp_path, final_path)
 
     def rehome(self, src: str, dst: str) -> None:

@@ -77,9 +77,20 @@ def dedup_new_versions(
 
     Returns per-version stats ``{"version", "new_rows", "kept",
     "dropped"}``. Partitioned corpus tables are refused (the delta
-    files do not carry partition columns); rewrite/compaction versions
-    raise like the version stream does — an incremental consumer
-    cannot interpret a rewrite without re-emitting history."""
+    files do not carry partition columns); REWRITE versions raise like
+    the version stream does — an incremental consumer cannot interpret
+    a rewrite without re-emitting history — while metadata-only
+    versions (``compact_manifest`` / ``convert_to_shared_layout``,
+    whose deltas are provably empty) advance the mark with zero rows.
+    A GAP between the processed-through mark and the oldest surviving
+    corpus manifest (a too-aggressive ``vacuum``) raises rather than
+    silently under-deduplicating: rows in the vacuumed versions were
+    never fingerprinted.
+
+    Rows whose fingerprint evaluates to NULL are OUTSIDE the dedup
+    domain: they are never recorded and never suppressed (they count
+    in ``new_rows`` but not ``kept``/``dropped`` bookkeeping beyond
+    that)."""
     corpus_versions = list_versions(corpus_path)
     if not corpus_versions:
         raise FileNotFoundError(f"no committed snapshot at {corpus_path}")
@@ -95,20 +106,32 @@ def dedup_new_versions(
         # v1's fingerprints unmarked would re-add them on replay)
         write_snapshot(_fingerprint_schema_df(spark), fp_path)
     done = processed_through(fp_path)
+    pending = [v for v in corpus_versions if v > done]
+    expected = done + 1
+    if pending and pending[0] != expected:
+        raise ValueError(
+            f"corpus versions {expected}..{pending[0] - 1} were vacuumed "
+            f"before being fingerprinted (processed through {done}, "
+            f"oldest surviving manifest is {pending[0]}); their rows "
+            "would silently never dedupe — re-bootstrap the fingerprint "
+            "table from the full corpus instead"
+        )
     fp_expr = (
         fingerprint
         if fingerprint is not None
         else F.md5(F.encode(F.col(text_col), "UTF-8"))
     )
     stats: list[dict] = []
-    for v in corpus_versions:
-        if v <= done:
-            continue
+    for v in pending:
         man = _read_manifest(corpus_path, v)
         delta_files = man.get("appended_files")
         if delta_files is None:
             if man.get("version") == 1 and "files" in man:
                 delta_files = _manifest_files(man)
+            elif "compacted_from" in man or "converted_from" in man:
+                # metadata-only commit: the file SET is unchanged, the
+                # delta is provably empty — advance the mark, keep zero
+                delta_files = []
             else:
                 raise ValueError(
                     f"corpus version {v} is not an append commit; "
@@ -119,6 +142,10 @@ def dedup_new_versions(
                 F.col(key_col).cast("long").alias("doc_key"),
                 fp_expr.alias("fp"),
             )
+            # NULL fingerprints are outside the dedup domain (an anti-
+            # join could never match them anyway — SQL NULL inequality —
+            # so recording them would only accumulate dead rows)
+            delta = delta.filter(F.col("fp").isNotNull())
             # within-delta dedup first (min key wins), then against
             # every fingerprint ever kept
             delta = (
@@ -129,9 +156,8 @@ def dedup_new_versions(
             survivors = delta.join(kept_fps, "fp", "left_anti").select(
                 "fp", "doc_key", F.lit(v).cast("int").alias("src_version")
             )
-            new_files = _stage_parquet(survivors, fp_path)
+            new_files, n_kept = _stage_parquet(survivors, fp_path)
             n_new = sum(_parquet_rows(f) for f in delta_files)
-            n_kept = sum(_parquet_rows(f) for f in new_files)
         else:
             new_files, n_new, n_kept = [], 0, 0
         # the mark advances even for empty/no-survivor versions —
@@ -159,18 +185,25 @@ def _parquet_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
-def _stage_parquet(df: DataFrame, table_path: str) -> list[str]:
+def _stage_parquet(df: DataFrame, table_path: str) -> tuple[list[str], int]:
     """Write ``df`` into a private staging dir under the table's data
-    root; returns the file list with ZERO-ROW task files dropped (the
-    fingerprint manifest stays proportional to kept rows, not task
-    count — a footer read per file, no Spark job)."""
+    root; returns (file list with ZERO-ROW task files dropped, total
+    rows) — one footer read per file serves both the filter and the
+    row accounting (the fingerprint manifest stays proportional to
+    kept rows, not task count; no Spark job)."""
     stage = os.path.join(
         os.path.abspath(table_path), _DATA_DIR, uuid.uuid4().hex
     )
     df.write.mode("error").parquet(stage)
-    return sorted(
-        p
-        for root, _d, names in os.walk(stage)
-        for n in names
-        if n.endswith(".parquet") and _parquet_rows(p := os.path.join(root, n)) > 0
-    )
+    files: list[str] = []
+    total = 0
+    for root, _d, names in os.walk(stage):
+        for n in sorted(names):
+            if not n.endswith(".parquet"):
+                continue
+            p = os.path.join(root, n)
+            rows = _parquet_rows(p)
+            if rows > 0:
+                files.append(p)
+                total += rows
+    return sorted(files), total

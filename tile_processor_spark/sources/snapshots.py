@@ -111,12 +111,22 @@ def _collect_stats(files: list[str]) -> dict[str, dict[str, list]]:
                     mn, mx = mn.isoformat(), mx.isoformat()
                 if not isinstance(mn, (int, float, str)):
                     continue
-                cur = cols.get(name)
+                if isinstance(mn, float) and (mn != mn or mx != mx):
+                    # a NaN bound: Python's min/max would silently drop
+                    # it from a later merge, yielding finite stats for a
+                    # file that CONTAINS NaN — poison the whole column
+                    # for this file (and json can't carry nan anyway)
+                    cols[name] = None
+                    continue
+                cur = cols.get(name, ())
                 if cur is None:
+                    continue  # already poisoned by a NaN row group
+                if cur == ():
                     cols[name] = [mn, mx]
                 else:
                     cur[0] = min(cur[0], mn)
                     cur[1] = max(cur[1], mx)
+        cols = {k: v for k, v in cols.items() if v is not None}
         if cols:
             out[f] = cols
     return out
@@ -142,10 +152,18 @@ def _stats_exclude(stats: dict[str, list] | None, where: list[tuple]) -> bool:
             continue  # type mismatch: cannot reason soundly
         if type(mn) is not str and isinstance(val, str):
             continue
-        if op == ">" and mx <= val:
-            return True
-        if op == ">=" and mx < val:
-            return True
+        is_float = isinstance(mn, float) or isinstance(mx, float)
+        # float caveat: parquet writers MAY record finite min/max while
+        # silently ignoring NaN rows (spec ambiguity), and Spark sorts
+        # NaN ABOVE every value — so a max-based exclusion for > / >=
+        # could drop a file whose NaN rows match. Only min-based and
+        # equality exclusions are sound for floats (NaN never satisfies
+        # <, <=, or = against a finite literal).
+        if not is_float:
+            if op == ">" and mx <= val:
+                return True
+            if op == ">=" and mx < val:
+                return True
         if op == "<" and mn >= val:
             return True
         if op == "<=" and mn > val:
@@ -459,7 +477,8 @@ def commit_append(
     ``already_committed(latest_manifest) -> bool`` is a custom
     short-circuit hook for callers with their own idempotence key."""
     last_err: Exception | None = None
-    new_stats = _collect_stats(new_files)
+    new_stats: dict | None = None  # collected lazily — a replayed
+    # streaming batch is dropped before paying any footer reads
     for _ in range(_APPEND_RETRIES):
         versions = list_versions(table_path)
         manifest = _read_manifest(table_path, versions[-1])
@@ -497,6 +516,8 @@ def commit_append(
                 "be placed in the shared Hive tree first — use "
                 "append_snapshot after convert_to_shared_layout)"
             )
+        if new_stats is None:
+            new_stats = _collect_stats(new_files)
         new_manifest = {
             "version": versions[-1] + 1,
             "committed_at": time.time(),
@@ -658,6 +679,31 @@ def _merge_stats(
     }
 
 
+def _write_group(
+    groups_dir: str,
+    key: tuple,
+    flist: list[str],
+    stats: dict[str, dict[str, list]],
+) -> dict:
+    """One manifest-list group: the side file (file list + per-file
+    stats) and the top-manifest entry (partition values + merged
+    min/max range) — the ONE place the group shape is defined, shared
+    by compaction and grouped appends."""
+    gpath = os.path.join(groups_dir, f"{uuid.uuid4().hex}.json")
+    ordered = sorted(flist)
+    fstats = {f: stats[f] for f in ordered if f in stats}
+    side = {"files": ordered}
+    if fstats:
+        side["file_stats"] = fstats
+    with open(gpath, "w") as f:
+        json.dump(side, f)
+    entry = {"values": dict(key), "path": gpath, "n_files": len(ordered)}
+    gstats = _merge_stats(ordered, stats)
+    if gstats:
+        entry["stats"] = gstats
+    return entry
+
+
 def _delta_groups(
     table_path: str,
     manifest: dict,
@@ -687,21 +733,10 @@ def _delta_groups(
         buckets[(("_chunk", f"append-v{version}"),)] = list(new_files)
     groups_dir = os.path.join(table_path, _GROUPS_DIR)
     os.makedirs(groups_dir, exist_ok=True)
-    out = []
-    for key, flist in sorted(buckets.items()):
-        gpath = os.path.join(groups_dir, f"{uuid.uuid4().hex}.json")
-        fstats = {f: new_stats[f] for f in flist if f in new_stats}
-        side = {"files": sorted(flist)}
-        if fstats:
-            side["file_stats"] = fstats
-        with open(gpath, "w") as f:
-            json.dump(side, f)
-        entry = {"values": dict(key), "path": gpath, "n_files": len(flist)}
-        gstats = _merge_stats(sorted(flist), new_stats)
-        if gstats:
-            entry["stats"] = gstats
-        out.append(entry)
-    return out
+    return [
+        _write_group(groups_dir, key, flist, new_stats)
+        for key, flist in sorted(buckets.items())
+    ]
 
 
 def compact_manifest(
@@ -762,20 +797,10 @@ def compact_manifest(
     groups_dir = os.path.join(table_path, _GROUPS_DIR)
     os.makedirs(groups_dir, exist_ok=True)
     all_stats = _gather_file_stats(manifest)
-    groups = []
-    for key, flist in sorted(buckets.items()):
-        gpath = os.path.join(groups_dir, f"{uuid.uuid4().hex}.json")
-        fstats = {f: all_stats[f] for f in flist if f in all_stats}
-        side = {"files": sorted(flist)}
-        if fstats:
-            side["file_stats"] = fstats
-        with open(gpath, "w") as f:
-            json.dump(side, f)
-        entry = {"values": dict(key), "path": gpath, "n_files": len(flist)}
-        gstats = _merge_stats(sorted(flist), all_stats)
-        if gstats:
-            entry["stats"] = gstats
-        groups.append(entry)
+    groups = [
+        _write_group(groups_dir, key, flist, all_stats)
+        for key, flist in sorted(buckets.items())
+    ]
     new_version = versions[-1] + 1
     new_manifest = {
         "version": new_version,
@@ -910,25 +935,25 @@ def vacuum(table_path: str, keep_last: int = 2, claim_ttl_s: float = 3600.0) -> 
     retention window is the caller's grace-period knob (same contract
     as Delta's VACUUM).
 
-    Also reclaims stale ``.claim`` files (the object-store commit
-    emulation's exclusivity markers): a claim whose final manifest
-    exists is dead (publish completed or lost the race); a claim
-    WITHOUT a final is a crashed mid-publish committer and is removed
-    only after ``claim_ttl_s`` of inactivity — before that it may be
-    an in-flight commit."""
+    Also reclaims stale ``.manifest.tmp.*`` staging files: a committer
+    that died hard (kill -9) before its publish leaves its private tmp
+    behind; it is removed after ``claim_ttl_s`` of inactivity — before
+    that it may belong to an in-flight commit. Tmp files are
+    committer-private (uuid-named), so reclamation can never race a
+    live publish the way a shared marker could."""
     table_path = os.path.abspath(table_path)
+    if not os.path.isdir(table_path):
+        # a never-created table has nothing to vacuum (cron loops
+        # sweep configured paths that may not exist yet)
+        return {"retired_versions": [], "kept_versions": [], "files_removed": 0}
     versions = list_versions(table_path)
     claims_removed = 0
     for n in sorted(os.listdir(table_path)):
-        if not n.endswith(".claim"):
+        if not n.startswith(".manifest.tmp."):
             continue
         p = os.path.join(table_path, n)
-        final = p[: -len(".claim")]
         try:
-            stale = os.path.exists(final) or (
-                time.time() - os.path.getmtime(p) > claim_ttl_s
-            )
-            if stale:
+            if time.time() - os.path.getmtime(p) > claim_ttl_s:
                 os.unlink(p)
                 claims_removed += 1
         except FileNotFoundError:
@@ -975,7 +1000,11 @@ def vacuum(table_path: str, keep_last: int = 2, claim_ttl_s: float = 3600.0) -> 
             if n.endswith(".json") and p not in referenced_groups:
                 os.unlink(p)
                 removed += 1
-    return {"retired_versions": retired, "kept_versions": kept, "files_removed": removed}
+    return {
+        "retired_versions": retired,
+        "kept_versions": kept,
+        "files_removed": removed + claims_removed,
+    }
 
 
 def upsert_snapshot(

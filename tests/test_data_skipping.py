@@ -260,3 +260,67 @@ def test_float_gt_never_excludes_even_clean_files(spark, tmp_path):
     assert len(_manifest_files(man, where=[("x", ">", 100.0)])) == 1
     # integers keep full exclusion power
     assert len(_manifest_files(man, where=[("k", ">", 100)])) == 0
+
+
+def test_statless_row_group_poisons_column(monkeypatch, tmp_path):
+    """A NON-EMPTY row group with missing/unusable stats for a column
+    must poison that column for the whole file: a range built from the
+    other row groups would not cover its rows, and the pruner could
+    wrongly exclude a file containing matches (parquet writers DO omit
+    stats per row group, e.g. for long string values). Empty row
+    groups contribute nothing and must NOT poison."""
+    import pyarrow.parquet as pq
+
+    from tile_processor_spark.sources.snapshots import _collect_stats
+
+    class _St:
+        def __init__(self, mn, mx):
+            self.has_min_max = True
+            self.min, self.max = mn, mx
+
+    class _Col:
+        def __init__(self, name, st):
+            self.path_in_schema, self.statistics = name, st
+
+    class _RG:
+        def __init__(self, num_rows, cols):
+            self.num_rows, self._cols = num_rows, cols
+
+        def column(self, i):
+            return self._cols[i]
+
+    class _MD:
+        def __init__(self, rgs):
+            self._rgs = rgs
+            self.num_row_groups = len(rgs)
+            self.num_columns = len(rgs[0]._cols)
+
+        def row_group(self, i):
+            return self._rgs[i]
+
+    class _PF:
+        def __init__(self, md):
+            self.metadata = md
+
+    md = _MD(
+        [
+            _RG(2, [_Col("k", _St(1, 2)), _Col("s", _St("aa", "bb"))]),
+            # non-empty row group, NO stats for s → poison s, keep k
+            _RG(2, [_Col("k", _St(3, 4)), _Col("s", None)]),
+            # EMPTY row group with no stats at all → no effect
+            _RG(0, [_Col("k", None), _Col("s", None)]),
+        ]
+    )
+    monkeypatch.setattr(pq, "ParquetFile", lambda f: _PF(md))
+    stats = _collect_stats(["fake.parquet"])
+    assert stats == {"fake.parquet": {"k": [1, 4]}}
+
+    # order independence: the stats-less row group FIRST must also poison
+    md2 = _MD(
+        [
+            _RG(2, [_Col("k", _St(3, 4)), _Col("s", None)]),
+            _RG(2, [_Col("k", _St(1, 2)), _Col("s", _St("aa", "bb"))]),
+        ]
+    )
+    monkeypatch.setattr(pq, "ParquetFile", lambda f: _PF(md2))
+    assert _collect_stats(["f2"]) == {"f2": {"k": [1, 4]}}

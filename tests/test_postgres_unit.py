@@ -1,0 +1,82 @@
+"""Pure-unit tier for the tps_postgres connector — the pushdown
+compiler and COPY text encoding contracts that must hold regardless of
+any live server (the live tier is tests/test_postgres_live.py):
+
+- string RANGE predicates are never pushed (server collation vs
+  Spark's binary UTF-8 order — Spark does not re-apply pushed
+  filters, so a pushed `name < 'm'` could return a different row set);
+- non-finite float literals are never pushed (bare nan/inf is invalid
+  PG syntax and would fail the whole read server-side);
+- the COPY writer refuses types outside the documented scalar map
+  instead of str()-ing Python reprs into the target table.
+"""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+import pytest
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from tile_processor_spark.sources.postgres_datasource import (
+    PostgresReader,
+    PostgresWriter,
+    _literal,
+)
+
+_sql = PostgresReader._filter_sql
+
+
+def test_numeric_and_date_ranges_still_push():
+    assert _sql(GreaterThan(("k",), 5)) == '"k" > 5'
+    assert _sql(LessThanOrEqual(("x",), 2.5)) == '"x" <= 2.5'
+    assert (
+        _sql(GreaterThanOrEqual(("d",), datetime.date(2024, 1, 2)))
+        == "\"d\" >= '2024-01-02'"
+    )
+
+
+def test_string_range_predicates_are_not_pushed():
+    # collation-dependent: must be yielded back for Spark to evaluate
+    for f in (
+        GreaterThan(("s",), "m"),
+        GreaterThanOrEqual(("s",), "m"),
+        LessThan(("s",), "m"),
+        LessThanOrEqual(("s",), "m"),
+    ):
+        assert _sql(f) is None
+    # collation-independent string predicates still push
+    assert _sql(EqualTo(("s",), "m")) == "\"s\" = 'm'"
+    assert _sql(In(("s",), ("a", "b"))) == "\"s\" IN ('a', 'b')"
+    assert _sql(IsNotNull(("s",))) == '"s" IS NOT NULL'
+
+
+def test_nonfinite_float_literals_are_not_pushed():
+    for v in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(TypeError):
+            _literal(v)
+        assert _sql(EqualTo(("x",), v)) is None
+        assert _sql(GreaterThan(("x",), v)) is None
+        assert _sql(In(("x",), (1.0, v))) is None
+    assert _literal(2.5) == "2.5"
+
+
+def test_copy_text_refuses_unmapped_types():
+    to_text = PostgresWriter._to_text
+    assert to_text(None) == "\\N"
+    assert to_text(True) == "t"
+    assert to_text("a\tb") == "a\\tb"
+    assert to_text(Decimal("1.50")) == "1.50"
+    assert to_text(datetime.date(2024, 1, 2)) == "2024-01-02"
+    for bad in (b"\x00\x01", bytearray(b"x"), [1, 2], {"k": 1}, (1,)):
+        with pytest.raises(TypeError, match="COPY writer does not support"):
+            to_text(bad)

@@ -647,3 +647,41 @@ def test_connector_append_null_partition_value_raises(spark, tmp_path):
         ).write.format("tps_snapshot").option("path", tbl).mode(
             "append"
         ).save()
+
+
+def test_stream_commit_refuses_racing_schema_rewrite(spark, tmp_path):
+    """ADVICE r11: the stream writer captures the committed schema at
+    construction and passes it to commit_append, so a rewrite with a
+    DIFFERENT schema racing a micro-batch raises instead of committing
+    a manifest whose declared schema doesn't match the appended files
+    (mirrors the batch writer's expected_schema contract)."""
+    import pytest
+
+    from tile_processor_spark.sources.snapshot_datasource import (
+        SnapshotStreamWriter,
+        _WriteMessage,
+    )
+    from tile_processor_spark.sources.snapshots import (
+        append_snapshot,
+        write_snapshot,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    append_snapshot(df, tbl)  # v1
+    w = SnapshotStreamWriter(df.schema, {"path": tbl}, overwrite=False)
+
+    d = tmp_path / "b0"
+    df.write.parquet(str(d))
+    msgs = [_WriteMessage(str(p), 1) for p in sorted(d.glob("*.parquet"))]
+
+    # racing rewrite changes the schema before the micro-batch commits
+    write_snapshot(
+        spark.createDataFrame([(1, 2.5)], "k long, x double"), tbl
+    )
+    with pytest.raises(ValueError, match="schema"):
+        w.commit(msgs, 0)
+    # same-schema rewrite does NOT block the stream
+    write_snapshot(df, tbl)
+    w.commit(msgs, 0)
+    assert read_snapshot(spark, tbl).count() == 2

@@ -40,6 +40,7 @@ anything else refuses loudly rather than mis-reading.
 from __future__ import annotations
 
 import datetime
+import math
 from decimal import Decimal
 
 from pyspark.sql.datasource import (
@@ -88,6 +89,7 @@ def _connect(options: dict) -> pgwire.PGConnection:
         user=options.get("user", "postgres"),
         database=options.get("database", "postgres"),
         password=options.get("password"),
+        channel_binding=options.get("channel_binding", "disable"),
     )
 
 
@@ -109,6 +111,11 @@ def _quote_ident(name: str) -> str:
 def _literal(v) -> str:
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
+    if isinstance(v, float) and not math.isfinite(v):
+        # bare nan/inf is invalid PG syntax and would fail the whole
+        # read server-side; refuse so _filter_sql yields the predicate
+        # back for Spark to evaluate (ADVICE r11)
+        raise TypeError("non-finite float literal not pushable")
     if isinstance(v, (int, float, Decimal)):
         return str(v)
     if isinstance(v, datetime.datetime):
@@ -171,6 +178,15 @@ class PostgresReader(DataSourceReader):
         try:
             if isinstance(f, EqualTo):
                 return f"{ident} = {_literal(f.value)}"
+            # String RANGE predicates are NOT pushable: the server
+            # compares under the database collation while Spark uses
+            # binary UTF-8 order, and Spark does not re-apply pushed
+            # filters — the row sets can differ (ADVICE r11). Equality,
+            # IN and NULL checks are collation-independent.
+            if isinstance(
+                f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ) and isinstance(f.value, str):
+                return None
             if isinstance(f, GreaterThan):
                 return f"{ident} > {_literal(f.value)}"
             if isinstance(f, GreaterThanOrEqual):
@@ -180,7 +196,8 @@ class PostgresReader(DataSourceReader):
             if isinstance(f, LessThanOrEqual):
                 return f"{ident} <= {_literal(f.value)}"
             if isinstance(f, In):
-                vals = ", ".join(_literal(v) for v in f.values)
+                # pyspark's In carries its tuple of values in `.value`
+                vals = ", ".join(_literal(v) for v in f.value)
                 return f"{ident} IN ({vals})" if vals else None
             if isinstance(f, IsNull):
                 return f"{ident} IS NULL"
@@ -269,6 +286,15 @@ class PostgresWriter(DataSourceWriter):
             return "t" if v else "f"
         if isinstance(v, (datetime.date, datetime.datetime)):
             return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+        if not isinstance(v, (str, int, float, Decimal)):
+            # bytes/arrays/maps would be str()-ed into Python repr text
+            # and silently corrupt the target table — refuse loudly
+            # (ADVICE r11); the documented type map is scalars only
+            raise TypeError(
+                f"tps_postgres COPY writer does not support {type(v).__name__} "
+                "values; supported: str, int, float, Decimal, bool, "
+                "date, datetime, None"
+            )
         return pgwire.PGConnection.copy_escape(str(v))
 
     def write(self, iterator):

@@ -597,6 +597,12 @@ class SnapshotStreamWriter(DataSourceStreamArrowWriter):
         # metadata out of nothing)
         self._part_cols: list[str] = []
         self._tree: str | None = None
+        # capture the committed schema NOW: commit_append re-validates
+        # it against the fresh latest manifest on every retry, so a
+        # rewrite with a different schema racing a micro-batch raises
+        # instead of committing a manifest whose declared schema
+        # doesn't match the appended files (mirrors the batch writer)
+        self._committed_schema: str | None = None
         versions = list_versions(self._path)
         if versions:
             manifest = _read_manifest(self._path, versions[-1])
@@ -609,6 +615,7 @@ class SnapshotStreamWriter(DataSourceStreamArrowWriter):
                 )
             self._part_cols = list(part_cols)
             self._tree = manifest["base"] if part_cols else None
+            self._committed_schema = manifest.get("schema")
 
     def write(self, iterator):
         import os
@@ -658,6 +665,7 @@ class SnapshotStreamWriter(DataSourceStreamArrowWriter):
                 extra={"stream_batch_id": batchId},
                 stream_mark=(self._app_id, batchId),
                 allow_partitioned=True,
+                expected_schema=self._committed_schema,
             )
             return
         new_files = sorted(
@@ -687,6 +695,7 @@ class SnapshotStreamWriter(DataSourceStreamArrowWriter):
             new_files,
             extra={"stream_batch_id": batchId},
             stream_mark=(self._app_id, batchId),
+            expected_schema=self._committed_schema,
         )
 
     def abort(self, messages, batchId: int) -> None:

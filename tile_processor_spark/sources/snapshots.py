@@ -74,9 +74,11 @@ def _collect_stats(files: list[str]) -> dict[str, dict[str, list]]:
     the Iceberg/Delta data-skipping metadata, collected once at commit
     time, O(delta) driver-side. Only sortable primitives participate
     (ints, floats, strings, dates — dates as ISO strings, whose
-    lexicographic order matches date order); columns with no usable
-    stats are simply absent, which the pruner treats as
-    "cannot exclude" (always sound, never required)."""
+    lexicographic order matches date order). A column whose stats are
+    missing or unusable in ANY non-empty row group is dropped for the
+    whole file (a partial range would let the pruner wrongly exclude
+    rows from the stats-less row groups); the pruner treats absent
+    stats as "cannot exclude" (always sound, never required)."""
     import datetime
 
     import pyarrow.parquet as pq
@@ -92,35 +94,47 @@ def _collect_stats(files: list[str]) -> dict[str, dict[str, list]]:
             continue
         cols: dict[str, list] = {}
         for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            if rgm.num_rows == 0:
+                continue  # no rows → contributes nothing to the range
             for ci in range(md.num_columns):
-                col = md.row_group(rg).column(ci)
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    continue
+                col = rgm.column(ci)
                 name = col.path_in_schema
                 if "." in name:
-                    continue  # nested: skip
-                mn, mx = st.min, st.max
-                if isinstance(mn, bytes) or isinstance(mx, bytes):
-                    continue  # binary / undecoded: skip
-                if isinstance(mn, datetime.datetime) or isinstance(
-                    mx, datetime.datetime
-                ):
-                    continue  # timestamps: tz/precision pitfalls — skip
-                if isinstance(mn, datetime.date):
-                    mn, mx = mn.isoformat(), mx.isoformat()
-                if not isinstance(mn, (int, float, str)):
-                    continue
-                if isinstance(mn, float) and (mn != mn or mx != mx):
+                    continue  # nested: never tracked (absent in every
+                    # row group, so file-level stats stay absent)
+                # Any NON-EMPTY row group whose stats are missing or
+                # unusable for this column must POISON it for the whole
+                # file: a range built only from the other row groups
+                # would not cover these rows, and the pruner could then
+                # wrongly exclude a file containing matches (writers DO
+                # omit stats per row group, e.g. for long strings).
+                st = col.statistics
+                mn = mx = None
+                usable = st is not None and st.has_min_max
+                if usable:
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes) or isinstance(mx, bytes):
+                        usable = False  # binary / undecoded
+                    elif isinstance(mn, datetime.datetime) or isinstance(
+                        mx, datetime.datetime
+                    ):
+                        usable = False  # timestamps: tz/precision pitfalls
+                    elif isinstance(mn, datetime.date):
+                        mn, mx = mn.isoformat(), mx.isoformat()
+                if usable and not isinstance(mn, (int, float, str)):
+                    usable = False
+                if usable and isinstance(mn, float) and (mn != mn or mx != mx):
                     # a NaN bound: Python's min/max would silently drop
                     # it from a later merge, yielding finite stats for a
-                    # file that CONTAINS NaN — poison the whole column
-                    # for this file (and json can't carry nan anyway)
-                    cols[name] = None
+                    # file that CONTAINS NaN (and json can't carry nan)
+                    usable = False
+                if not usable:
+                    cols[name] = None  # poisoned for this file
                     continue
                 cur = cols.get(name, ())
                 if cur is None:
-                    continue  # already poisoned by a NaN row group
+                    continue  # already poisoned by an earlier row group
                 if cur == ():
                     cols[name] = [mn, mx]
                 else:

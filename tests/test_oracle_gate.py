@@ -10,10 +10,11 @@ can split it without pytest-xdist:
 
 Sharding is deterministic (sorted names, round-robin); the default
 (no env vars) runs everything, so plain `pytest tests/` is unchanged
-and CI that wants the time back opts in per-process. Measured round
-11 (214 rows): serial ~6-7 min; 4 concurrent shard processes finish
-in 3.7 min wall (shards 2:56-3:41 each) — correctness runs may
-overlap, only TIMING runs must not."""
+and CI that wants the time back opts in per-process. Sizing datum
+(round 11, then ~214 rows — the live count is ``len(SPECS)``):
+serial ~6-7 min; 4 concurrent shard processes finish in 3.7 min wall
+(shards 2:56-3:41 each) — correctness runs may overlap, only TIMING
+runs must not."""
 
 from __future__ import annotations
 

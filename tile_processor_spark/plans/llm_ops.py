@@ -1677,6 +1677,61 @@ def text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# degree-7 polynomial rolling-hash weights: codepoint at window offset i
+# (oldest first) is weighted 31^i — cp[p-7]*31^0 + ... + cp[p]*31^7.
+_CDC_WEIGHTS = np.array([31**i for i in range(8)], dtype=np.int64)
+_CDC_MASK = 64  # boundary when the window hash is 0 mod 64 → ~64-char chunks
+
+
+def cdc_chunk_rows(docs: DataFrame) -> DataFrame:
+    """Explode ``(doc_id, text)`` rows into ``(doc_id, chunk)`` rows at
+    content-defined (Rabin-style) boundaries: position ``p`` (1-based)
+    ends a chunk when the degree-7 polynomial hash of codepoints
+    ``p-7..p`` is 0 mod 64 and ``8 <= p < length``.
+
+    Arrow-batched ``mapInPandas`` rolling-hash kernel: per document the
+    codepoint vector is a TRANSIENT numpy view (``utf-32-le`` decode)
+    and the window hash is one strided ``np.correlate`` — nothing
+    O(doc-length) is materialized into rows, shuffled, or held beyond
+    the current Arrow batch. This replaces the earlier JVM
+    higher-order-function formulation, which stored a BIGINT codepoint
+    array per row (8 bytes/char through the whole map stage — fine at
+    gate scale, memory-hostile on book-length documents). Maximum
+    codepoint is 0x10FFFF so the 8-term window sum is < 2.4e17, well
+    inside int64."""
+
+    def _batches(it):
+        for pdf in it:
+            out_ids: list = []
+            out_chunks: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                cp = np.frombuffer(
+                    text.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
+                n = cp.size
+                if n > 8:
+                    # valid windows end at p = 8..n (1-based); p = n is
+                    # never a boundary (the final chunk always closes
+                    # at end-of-text), hence [:-1]
+                    # correlate does NOT reverse its kernel: output[j]
+                    # = Σ_i cp[j+i] * w[i], exactly the window at
+                    # p = j + 8 with cp[p-7] weighted 31^0 .. cp[p] 31^7
+                    h = np.correlate(cp, _CDC_WEIGHTS, mode="valid")[:-1]
+                    cuts = (np.nonzero(h % _CDC_MASK == 0)[0] + 8).tolist()
+                else:
+                    cuts = []
+                prev = 0
+                for c in cuts:
+                    out_ids.append(doc_id)
+                    out_chunks.append(text[prev:c])
+                    prev = c
+                out_ids.append(doc_id)
+                out_chunks.append(text[prev:])
+            yield pd.DataFrame({"doc_id": out_ids, "chunk": out_chunks})
+
+    return docs.mapInPandas(_batches, "doc_id long, chunk string")
+
+
 @register(
     "dedup_cdc_chunks",
     oracle="""
@@ -1730,13 +1785,14 @@ def text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk instances whose fingerprint recurs in other documents — "
         "SUB-document duplication, the granularity boilerplate and "
         "quoted-passage dedup needs where whole-doc MinHash sees "
-        "nothing. Entirely JVM-side higher-order functions (transform/"
-        "filter/sequence over the codepoint array — no Python in the "
-        "hot path); the oracle recomputes identical boundaries with "
-        "DuckDB list lambdas. At 100 TB: the map stage is "
-        "embarrassingly parallel; the one shuffle groups chunk "
-        "fingerprints (pre-aggregated per partition), and the dup-set "
-        "join stays on the groupBy partitioning."
+        "nothing. Chunking is an Arrow-batched mapInPandas rolling-"
+        "hash kernel (one numpy correlate per document; the codepoint "
+        "vector is a transient view, never a per-row array column — "
+        "safe for book-length documents); the oracle recomputes "
+        "identical boundaries with DuckDB list lambdas. At 100 TB: "
+        "the map stage is embarrassingly parallel; the one shuffle "
+        "groups chunk fingerprints (pre-aggregated per partition), "
+        "and the dup-set join stays on the groupBy partitioning."
     ),
     tags=("dedup", "llm", "cdc"),
 )
@@ -1744,51 +1800,11 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         load_table(spark, "documents", sf_dir)
         .filter(F.length("text") >= 1)
-        .select(
-            "doc_id",
-            "text",
-            F.length("text").alias("n"),
-            F.expr(
-                "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"
-            ).alias("cp"),
-        )
+        .select("doc_id", "text")
     )
-    bounded = d.select(
-        "doc_id",
-        "text",
-        "n",
-        F.expr(
-            """
-            filter(sequence(1, n), p -> p >= 8 AND p < n AND
-              (element_at(cp, p-7) + element_at(cp, p-6)*31 +
-               element_at(cp, p-5)*961 + element_at(cp, p-4)*29791 +
-               element_at(cp, p-3)*923521 + element_at(cp, p-2)*28629151 +
-               element_at(cp, p-1)*887503681 +
-               element_at(cp, p)*27512614111) % 64 = 0)
-            """
-        ).alias("bpos"),
-    ).select(
-        "doc_id",
-        "text",
-        F.expr(
-            "concat(array(CAST(1 AS BIGINT)), transform(bpos, p -> CAST(p + 1 AS BIGINT)))"
-        ).alias("starts"),
-        F.expr(
-            "concat(transform(bpos, p -> CAST(p AS BIGINT)), array(CAST(n AS BIGINT)))"
-        ).alias("stops"),
+    chunks = cdc_chunk_rows(d).select(
+        "doc_id", "chunk", F.md5(F.encode("chunk", "UTF-8")).alias("ch")
     )
-    chunks = bounded.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                """
-                transform(sequence(1, size(starts)), k ->
-                  substring(text, CAST(element_at(starts, k) AS INT),
-                            CAST(element_at(stops, k) - element_at(starts, k) + 1 AS INT)))
-                """
-            )
-        ).alias("chunk"),
-    ).select("doc_id", "chunk", F.md5(F.encode("chunk", "UTF-8")).alias("ch"))
     dup = (
         chunks.groupBy("ch")
         .agg(F.countDistinct("doc_id").alias("nd"))

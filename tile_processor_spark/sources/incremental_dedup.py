@@ -3,7 +3,14 @@ production loop a continuously-ingesting 100 TB corpus needs: each
 append version's NEW rows are checked against the fingerprints of
 everything ever kept, WITHOUT rescanning history's raw text. History
 is represented once, as a fingerprint snapshot table; per version the
-work is O(delta + fingerprint-join), never O(corpus).
+work is O(delta), never O(corpus) — and with the Bloom sidecar not
+even O(fingerprint-history): a delta fingerprint the sidecar rejects
+is provably new and never touches history, and the few maybe-present
+candidates are verified exactly against the file subset whose
+commit-time min/max fp stats can contain them (fingerprint commits
+are staged range-clustered by ``fp`` precisely so those stats are
+tight; ``cluster_fingerprints`` re-sorts history globally so the
+candidate read stays a handful of files as versions accumulate).
 
 The loop is EXACTLY-ONCE per corpus version via the same per-app
 high-water mark the streaming sink uses (``commit_append``'s
@@ -11,7 +18,17 @@ high-water mark the streaming sink uses (``commit_append``'s
 it processed, carried forward by all commit paths, so a crashed or
 re-run driver re-processes only unmarked versions — and re-processing
 an uncommitted version is idempotent by construction (the anti-join
-against the uncommitted fingerprints yields the same survivors).
+against the uncommitted fingerprints yields the same survivors). The
+Bloom sidecar is a CACHE keyed to the fingerprint-table version: it
+never participates in the correctness argument (a false positive is
+exact-verified; false negatives cannot exist; a stale/torn sidecar is
+detected by the version stamp and rebuilt).
+
+Partitioned corpus tables work: delta files live in the shared Hive
+tree, so reading them with ``basePath`` re-derives the partition
+columns (cast back to the committed dtypes, same as ``read_snapshot``)
+— the natural pipeline order (partition the corpus, then dedup
+incrementally) holds.
 
 Composition, not a new engine: the corpus table's ``appended_files``
 give the delta (the version-stream contract), ``read_snapshot`` gives
@@ -24,14 +41,25 @@ the snapshot store (Iceberg-shaped) with the dedup family.
 
 from __future__ import annotations
 
+import bisect
+import json
 import os
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+from tile_processor_spark.sources.dedup_bloom import (
+    build_bloom,
+    fold_in,
+    load_bloom,
+    save_bloom,
+    with_maybe_kept,
+)
 from tile_processor_spark.sources.snapshots import (
     _DATA_DIR,
+    _gather_file_stats,
     _manifest_files,
     _read_manifest,
     commit_append,
@@ -41,6 +69,15 @@ from tile_processor_spark.sources.snapshots import (
 )
 
 _APP_ID = "incremental_dedup"
+
+#: candidate sets larger than this skip the driver-side file probe and
+#: fall back to the full distributed anti-join (the driver never holds
+#: an unbounded fingerprint list)
+_CANDIDATE_CAP = 65_536
+
+#: fingerprint commits are staged through repartitionByRange(fp) so
+#: each committed file covers a narrow fp range (tight min/max stats)
+_STAGE_RANGE_PARTITIONS = 8
 
 
 def _fingerprint_schema_df(spark: SparkSession) -> DataFrame:
@@ -59,6 +96,49 @@ def processed_through(fp_path: str) -> int:
     return int((man.get("stream_high_water") or {}).get(_APP_ID, 0))
 
 
+def _read_delta(
+    spark: SparkSession, man: dict, delta_files: list[str]
+) -> DataFrame:
+    """Read one version's delta files. For a partitioned corpus the
+    partition columns live in the shared-tree directory names, not the
+    files — basePath re-derives them, cast back to the committed
+    dtypes (path inference guesses from the directory string), same as
+    ``read_snapshot``'s partitioned read."""
+    part_cols = man.get("partition_by") or []
+    if not part_cols:
+        return spark.read.parquet(*delta_files)
+    committed = T.StructType.fromJson(json.loads(man["schema"]))
+    out = spark.read.option("basePath", man["base"]).parquet(*delta_files)
+    return out.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in part_cols
+            else F.col(f.name)
+            for f in committed.fields
+        ]
+    )
+
+
+def _prune_fp_files(fp_man: dict, candidates: list[str]) -> tuple[list[str], int]:
+    """The fingerprint files whose commit-time ``fp`` min/max range can
+    contain at least one candidate (sorted list) — files without fp
+    stats always survive (pruning is sound, never required). Returns
+    (files to read, total file count)."""
+    all_files = _manifest_files(fp_man)
+    fstats = _gather_file_stats(fp_man)
+    keep = []
+    for f in all_files:
+        rng = (fstats.get(f) or {}).get("fp")
+        if not rng:
+            keep.append(f)
+            continue
+        lo, hi = rng
+        i = bisect.bisect_left(candidates, lo)
+        if i < len(candidates) and candidates[i] <= hi:
+            keep.append(f)
+    return keep, len(all_files)
+
+
 def dedup_new_versions(
     spark: SparkSession,
     corpus_path: str,
@@ -66,6 +146,9 @@ def dedup_new_versions(
     text_col: str = "text",
     key_col: str = "doc_id",
     fingerprint: Column | None = None,
+    use_bloom: bool = True,
+    candidate_cap: int = _CANDIDATE_CAP,
+    telemetry: list | None = None,
 ) -> list[dict]:
     """Process every corpus append version newer than the fingerprint
     table's high-water mark, in order. Per version: read ONLY the
@@ -75,17 +158,26 @@ def dedup_new_versions(
     duplicated within the delta (min ``key_col`` wins), and commit the
     survivors' fingerprints with the version mark.
 
+    The history check is Bloom-prescreened by default (``use_bloom``):
+    delta fingerprints the sidecar rejects are provably new; the
+    maybe-present candidates (true duplicates + ~0.24% false
+    positives) are verified exactly against only the fingerprint files
+    whose min/max fp stats can contain them. Candidate sets above
+    ``candidate_cap`` fall back to the full distributed anti-join, so
+    the driver never holds an unbounded list. Pass ``telemetry=[]`` to
+    receive per-version ``{"version", "mode", "candidates",
+    "fp_files_total", "fp_files_opened"}`` alongside the stats.
+
     Returns per-version stats ``{"version", "new_rows", "kept",
-    "dropped"}``. Partitioned corpus tables are refused (the delta
-    files do not carry partition columns); REWRITE versions raise like
-    the version stream does — an incremental consumer cannot interpret
-    a rewrite without re-emitting history — while metadata-only
-    versions (``compact_manifest`` / ``convert_to_shared_layout``,
-    whose deltas are provably empty) advance the mark with zero rows.
-    A GAP between the processed-through mark and the oldest surviving
-    corpus manifest (a too-aggressive ``vacuum``) raises rather than
-    silently under-deduplicating: rows in the vacuumed versions were
-    never fingerprinted.
+    "dropped"}``. REWRITE versions raise like the version stream does
+    — an incremental consumer cannot interpret a rewrite without
+    re-emitting history — while metadata-only versions
+    (``compact_manifest`` / ``convert_to_shared_layout``, whose deltas
+    are provably empty) advance the mark with zero rows. A GAP between
+    the processed-through mark and the oldest surviving corpus
+    manifest (a too-aggressive ``vacuum``) raises rather than silently
+    under-deduplicating: rows in the vacuumed versions were never
+    fingerprinted.
 
     Rows whose fingerprint evaluates to NULL are OUTSIDE the dedup
     domain: they are never recorded and never suppressed (they count
@@ -94,12 +186,6 @@ def dedup_new_versions(
     corpus_versions = list_versions(corpus_path)
     if not corpus_versions:
         raise FileNotFoundError(f"no committed snapshot at {corpus_path}")
-    if _read_manifest(corpus_path, corpus_versions[-1]).get("partition_by"):
-        raise NotImplementedError(
-            "incremental dedup over a partitioned corpus (delta files "
-            "lack partition columns) — dedup before partitioning, or "
-            "carry the partition values as data columns"
-        )
     if not list_versions(fp_path):
         # bootstrap an EMPTY fingerprint table so every version's
         # fingerprints land as a marked append (a bootstrap that wrote
@@ -121,6 +207,16 @@ def dedup_new_versions(
         if fingerprint is not None
         else F.md5(F.encode(F.col(text_col), "UTF-8"))
     )
+    bloom = None
+    if use_bloom and pending:
+        fp_head = list_versions(fp_path)[-1]
+        bloom = load_bloom(fp_path, fp_head)
+        if bloom is None:
+            kept = read_snapshot(spark, fp_path).select("fp")
+            bloom = build_bloom(
+                spark, fp_path, fp_head, kept, kept.count()
+            )
+            save_bloom(fp_path, bloom)
     stats: list[dict] = []
     for v in pending:
         man = _read_manifest(corpus_path, v)
@@ -137,8 +233,10 @@ def dedup_new_versions(
                     f"corpus version {v} is not an append commit; "
                     "incremental dedup cannot interpret a rewrite"
                 )
+        tele = {"version": v, "mode": "empty-delta", "candidates": 0,
+                "fp_files_total": 0, "fp_files_opened": 0}
         if delta_files:
-            delta = spark.read.parquet(*delta_files).select(
+            delta = _read_delta(spark, man, delta_files).select(
                 F.col(key_col).cast("long").alias("doc_key"),
                 fp_expr.alias("fp"),
             )
@@ -152,8 +250,42 @@ def dedup_new_versions(
                 delta.groupBy("fp")
                 .agg(F.min("doc_key").alias("doc_key"))
             )
-            kept_fps = read_snapshot(spark, fp_path).select("fp")
-            survivors = delta.join(kept_fps, "fp", "left_anti").select(
+            dup_fps = None
+            if bloom is not None:
+                flagged = with_maybe_kept(delta, bloom)
+                candidates = flagged.filter(F.col("_maybe_kept")).select("fp")
+                n_cand = candidates.count()
+                tele["candidates"] = n_cand
+                if n_cand == 0:
+                    # every delta fp PROVABLY new: no history read
+                    tele["mode"] = "bloom-all-new"
+                elif n_cand <= candidate_cap:
+                    cand = sorted(r.fp for r in candidates.collect())
+                    fp_man = _read_manifest(
+                        fp_path, list_versions(fp_path)[-1]
+                    )
+                    files, total = _prune_fp_files(fp_man, cand)
+                    tele.update(
+                        mode="bloom-pruned",
+                        fp_files_total=total,
+                        fp_files_opened=len(files),
+                    )
+                    if files:
+                        pruned = spark.read.parquet(*files).select("fp")
+                        dup_fps = pruned.join(
+                            F.broadcast(candidates), "fp", "left_semi"
+                        )
+                else:
+                    tele["mode"] = "full-anti-join"
+                    dup_fps = read_snapshot(spark, fp_path).select("fp")
+            else:
+                tele["mode"] = "full-anti-join"
+                dup_fps = read_snapshot(spark, fp_path).select("fp")
+            survivors = (
+                delta
+                if dup_fps is None
+                else delta.join(dup_fps, "fp", "left_anti")
+            ).select(
                 "fp", "doc_key", F.lit(v).cast("int").alias("src_version")
             )
             new_files, n_kept = _stage_parquet(survivors, fp_path)
@@ -162,12 +294,30 @@ def dedup_new_versions(
             new_files, n_new, n_kept = [], 0, 0
         # the mark advances even for empty/no-survivor versions —
         # replay protection is per corpus version, not per row
-        commit_append(
+        committed_v = commit_append(
             fp_path,
             new_files,
             stream_mark=(_APP_ID, v),
             extra={"src_corpus_version": v},
         )
+        if bloom is not None and committed_v != bloom.fp_version:
+            # a replay-dropped commit returns the unchanged head, so
+            # the sidecar stamp still matches and nothing updates
+            if bloom.n + n_kept > bloom.capacity:
+                kept = read_snapshot(spark, fp_path).select("fp")
+                bloom = build_bloom(
+                    spark, fp_path, committed_v, kept, kept.count()
+                )
+            else:
+                staged = (
+                    spark.read.parquet(*new_files).select("fp")
+                    if new_files
+                    else None
+                )
+                bloom = fold_in(bloom, staged, n_kept, committed_v)
+            save_bloom(fp_path, bloom)
+        if telemetry is not None:
+            telemetry.append(tele)
         stats.append(
             {
                 "version": v,
@@ -179,6 +329,31 @@ def dedup_new_versions(
     return stats
 
 
+def cluster_fingerprints(
+    spark: SparkSession, fp_path: str, files_target: int | None = None
+) -> int:
+    """Maintenance rewrite: re-sort the fingerprint table GLOBALLY by
+    ``fp`` into files with disjoint, tight min/max ranges, so the
+    per-version candidate verify opens files ∝ candidates instead of
+    one file per historical commit. Run periodically (a geometric
+    schedule — every time history doubles — keeps the amortized cost
+    O(1) per kept row). ``write_snapshot`` carries the per-app
+    high-water mark across the rewrite, so replay protection is
+    untouched; the Bloom sidecar's content is identical (same fp set),
+    so its version stamp is advanced in place rather than rebuilt."""
+    df = read_snapshot(spark, fp_path)
+    n = df.count()
+    k = files_target or max(1, min(256, n // 100_000 + 1))
+    clustered = df.repartitionByRange(k, "fp").sortWithinPartitions("fp")
+    pre = list_versions(fp_path)[-1]
+    v = write_snapshot(clustered, fp_path)
+    bloom = load_bloom(fp_path, pre)
+    if bloom is not None:
+        bloom.fp_version = v
+        save_bloom(fp_path, bloom)
+    return v
+
+
 def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
@@ -187,13 +362,18 @@ def _parquet_rows(path: str) -> int:
 
 def _stage_parquet(df: DataFrame, table_path: str) -> tuple[list[str], int]:
     """Write ``df`` into a private staging dir under the table's data
-    root; returns (file list with ZERO-ROW task files dropped, total
-    rows) — one footer read per file serves both the filter and the
-    row accounting (the fingerprint manifest stays proportional to
-    kept rows, not task count; no Spark job)."""
+    root, RANGE-CLUSTERED by fp (each file covers a narrow fp range,
+    so its commit-time min/max stats prune hard); returns (file list
+    with ZERO-ROW task files dropped, total rows) — one footer read
+    per file serves both the filter and the row accounting (the
+    fingerprint manifest stays proportional to kept rows, not task
+    count; no Spark job)."""
     stage = os.path.join(
         os.path.abspath(table_path), _DATA_DIR, uuid.uuid4().hex
     )
+    df = df.repartitionByRange(
+        _STAGE_RANGE_PARTITIONS, "fp"
+    ).sortWithinPartitions("fp")
     df.write.mode("error").parquet(stage)
     files: list[str] = []
     total = 0

@@ -81,10 +81,13 @@ def test_restart_markers_present_and_handled():
 def test_refusals_are_loud():
     rgb = _block_gray(np.array([[100]]))
     payload = encode_jpeg(rgb, lossless_tables=True)
-    # progressive SOF2
+    # a baseline stream whose SOF marker is doctored to SOF2 is a
+    # CORRUPT progressive stream (its single scan claims the full
+    # spectral band for a DC-style scan header) — malformed data, not
+    # an unsupported mode, since round 12 decodes real progressive
     bad = bytearray(payload)
     bad[bytes(payload).find(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
     # arithmetic coding SOF9
     bad = bytearray(payload)
@@ -168,3 +171,98 @@ def test_fill_bytes_before_restart_marker():
     assert rst != -1
     padded = p[:rst] + b"\xff\xff" + p[rst:]
     assert np.array_equal(decode_jpeg(padded), rgb)
+
+
+# ---- progressive (SOF2) — round 12 ------------------------------------
+
+from tile_processor_spark.multimodal.jpeg import encode_jpeg_progressive
+
+
+def test_progressive_gray_constant_blocks_bit_exact():
+    """The gate exactness lever holds for progressive streams too:
+    constant 8x8 gray blocks + all-ones tables round-trip exactly."""
+    rng = np.random.RandomState(7)
+    rgb = _block_gray(rng.randint(0, 256, (3, 5)))
+    p = encode_jpeg_progressive(rgb, lossless_tables=True, grayscale=True)
+    assert np.array_equal(decode_jpeg(p), rgb)
+    p = encode_jpeg_progressive(rgb, lossless_tables=True)
+    assert np.array_equal(decode_jpeg(p), rgb)
+
+
+@pytest.mark.parametrize("sub,shape", [("444", (48, 64)), ("420", (32, 48))])
+def test_progressive_decodes_identical_to_baseline(sub, shape):
+    """Entropy coding is lossless, so a progressive stream of the same
+    quantized coefficients must decode to BIT-IDENTICAL pixels as the
+    baseline stream — one equality that exercises every progressive
+    path at once (interleaved DC, spectral splits, successive
+    approximation, EOB runs, ZRL, refinement corrections)."""
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, shape + (3,)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(px, sub))
+    prog = decode_jpeg(encode_jpeg_progressive(px, sub))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_restart_markers():
+    rng = np.random.RandomState(13)
+    px = rng.randint(0, 256, (32, 48, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(px, "420"))
+    for rst in (1, 3, 7):
+        p = encode_jpeg_progressive(px, "420", restart_interval=rst)
+        assert b"\xff\xdd" in p  # DRI present
+        assert np.array_equal(decode_jpeg(p), base)
+
+
+def test_progressive_spectral_only_script():
+    """Spectral selection without successive approximation (Ah=Al=0
+    everywhere) is also legal progressive; exercises the first-scan
+    paths with no refinement at all."""
+    rng = np.random.RandomState(17)
+    px = rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    scans = [
+        {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 0, "al": 0},
+        {"comps": [0], "ss": 1, "se": 9, "ah": 0, "al": 0},
+        {"comps": [0], "ss": 10, "se": 63, "ah": 0, "al": 0},
+        {"comps": [1], "ss": 1, "se": 63, "ah": 0, "al": 0},
+        {"comps": [2], "ss": 1, "se": 63, "ah": 0, "al": 0},
+    ]
+    base = decode_jpeg(encode_jpeg(px, "444"))
+    prog = decode_jpeg(encode_jpeg_progressive(px, "444", scans=scans))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_redefines_huffman_tables_between_scans():
+    """The encoder emits a fresh DHT before every Huffman-coded scan
+    (same table id), so the decoder's between-scan table redefinition
+    is continuously exercised."""
+    rng = np.random.RandomState(19)
+    px = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    p = encode_jpeg_progressive(px)
+    n_dht = p.count(b"\xff\xc4")
+    n_sos = p.count(b"\xff\xda")
+    assert n_sos == 10  # the default color scan script
+    assert n_dht >= n_sos - 1  # all but the raw-bit DC refinement scan
+
+
+def test_progressive_truncation_raises_cleanly():
+    rng = np.random.RandomState(23)
+    px = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    p = encode_jpeg_progressive(px)
+    for cut in (len(p) // 4, len(p) // 2, len(p) - 6):
+        with pytest.raises(ValueError):
+            decode_jpeg(p[:cut])
+
+
+def test_progressive_fuzz_identity_sweep():
+    """Seeded sweep of the decode-identity property across shapes,
+    subsampling, and restart intervals."""
+    for seed in range(4):
+        rng = np.random.RandomState(100 + seed)
+        for shape, sub in (((16, 16), "444"), ((32, 16), "420")):
+            px = rng.randint(0, 256, shape + (3,)).astype(np.uint8)
+            base = decode_jpeg(encode_jpeg(px, sub))
+            for rst in (0, 2):
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(px, sub, restart_interval=rst)
+                )
+                assert np.array_equal(base, prog), (seed, shape, sub, rst)

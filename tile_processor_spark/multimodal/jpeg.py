@@ -8,8 +8,13 @@ Decoder scope (loud refusal outside it, never a mis-decode):
   samples, 1 or 3 components, sampling factors 1-2 (4:4:4, 4:2:2,
   4:2:0, ...), restart markers (DRI/RSTn), 0xFF00 byte stuffing,
   multi-table DQT/DHT segments, 16-bit quantizer entries;
-- progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
-  modes raise ``NotImplementedError``.
+- PROGRESSIVE DCT (SOF2, T.81 Annex G): multi-scan spectral selection
+  AND successive approximation — DC first/refinement scans
+  (interleaved or single-component), AC first/refinement scans with
+  EOB-run coding (EOBn), ZRL, per-scan DHT redefinition, and restart
+  markers inside progressive scans;
+- arithmetic coding, 12-bit, and hierarchical modes raise
+  ``NotImplementedError``.
 
 All tables are parsed from the STREAM (DQT/DHT), so the decoder is not
 tied to this module's encoder — any baseline JPEG from the wild with
@@ -47,6 +52,10 @@ for _s in range(15):
     _rows = range(max(0, _s - 7), min(_s, 7) + 1)
     for _r in (_rows if _s % 2 == 1 else reversed(list(_rows))):
         _ZIGZAG.append((_r, _s - _r))
+
+#: vectorized de-zigzag index arrays: natural[r, c] = zigzag[i]
+_ZZ_ROWS = np.array([r for r, _c in _ZIGZAG])
+_ZZ_COLS = np.array([c for _r, c in _ZIGZAG])
 
 #: orthonormal 8-point DCT-II matrix; forward F = C f C^T, inverse
 #: f = C^T F C — exactly T.81's normalization
@@ -348,6 +357,327 @@ def encode_jpeg(
     return bytes(out)
 
 
+# ---- progressive encoder ----------------------------------------------
+
+
+def _quantize_plane(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Forward-DCT + quantize an (H, W) sample plane (dims multiples of
+    8) into zigzag-ordered coefficient blocks ``(by, bx, 64)``."""
+    h, w = plane.shape
+    by, bx = h // 8, w // 8
+    blocks = (
+        plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        .reshape(by * bx, 8, 8).astype(np.float64) - 128.0
+    )
+    # batched (C @ B) @ C.T — the SAME operation order as the baseline
+    # encoder's _encode_block, so both streams carry bit-identical
+    # quantized coefficients (an einsum contraction rounds differently
+    # at exact .5 boundaries and broke the baseline/progressive
+    # decode-identity by one quantizer step on unlucky blocks)
+    coefs = (_C @ blocks) @ _C.T
+    zz = np.round(
+        coefs[:, _ZZ_ROWS, _ZZ_COLS] / q[_ZZ_ROWS, _ZZ_COLS]
+    ).astype(np.int64)
+    return zz.reshape(by, bx, 64)
+
+
+class _ScanEmitter:
+    """Two-pass scan emission: pass 1 (no writer) collects the Huffman
+    symbol alphabet; pass 2 writes codes + raw bits."""
+
+    def __init__(self, codes: dict | None = None, writer=None):
+        self.codes = codes
+        self.writer = writer
+        self.symbols: set[int] = set()
+
+    def symbol(self, sym: int) -> None:
+        self.symbols.add(sym)
+        if self.writer is not None:
+            code, ln = self.codes[sym]
+            self.writer.write(code, ln)
+
+    def bits(self, val: int, n: int) -> None:
+        if n and self.writer is not None:
+            self.writer.write(val, n)
+
+
+def _flat_table(symbols: set[int]) -> tuple[list[int], list[int]]:
+    """A legal canonical Huffman table giving every symbol the same
+    code length (the all-ones code stays unused, as T.81 C.2 requires).
+    Wasteful vs frequency-optimal, but this encoder exists to fabricate
+    REAL progressive streams for the decoder, not to compress."""
+    syms = sorted(symbols)
+    n = len(syms)
+    ln = 1
+    while (1 << ln) < n + 1:
+        ln += 1
+    bits = [0] * 16
+    bits[ln - 1] = n
+    return bits, syms
+
+
+def _shift_toward_zero(v: int, al: int) -> int:
+    """The AC point transform (T.81 A.4): signed division by 2^Al
+    truncating toward zero (DC uses a plain arithmetic shift)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _emit_progressive_scan(
+    em: _ScanEmitter, units: list, ss: int, se: int, ah: int, al: int,
+    restart_interval: int,
+) -> None:
+    """Emit one scan's entropy data (G.1.2): units mirror the decoder's
+    iteration — MCUs of (zigzag block, comp index) when interleaved,
+    single blocks otherwise."""
+    preds: dict[int, int] = {}
+    st = {"eobrun": 0, "pending": []}
+
+    def flush_eob() -> None:
+        n = st["eobrun"]
+        if not n:
+            return
+        t = n.bit_length() - 1
+        em.symbol(t << 4)
+        em.bits(n - (1 << t), t)
+        for b in st["pending"]:
+            em.bits(b, 1)
+        st["eobrun"] = 0
+        st["pending"] = []
+
+    def dc_first(zz: np.ndarray, ci: int) -> None:
+        v = int(zz[0]) >> al  # DC point transform: arithmetic shift
+        diff = v - preds.get(ci, 0)
+        preds[ci] = v
+        t, bits = _magnitude(diff)
+        em.symbol(t)
+        em.bits(bits, t)
+
+    def dc_refine(zz: np.ndarray) -> None:
+        em.bits((int(zz[0]) >> al) & 1, 1)
+
+    def ac_first(zz: np.ndarray) -> None:
+        r = 0
+        for k in range(ss, se + 1):
+            v = _shift_toward_zero(int(zz[k]), al)
+            if v == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                em.symbol(0xF0)
+                r -= 16
+            s, bits = _magnitude(v)
+            em.symbol((r << 4) | s)
+            em.bits(bits, s)
+            r = 0
+        if r > 0:
+            st["eobrun"] += 1
+            if st["eobrun"] == 0x7FFF:
+                flush_eob()
+
+    def ac_refine(zz: np.ndarray) -> None:
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob_idx = -1
+        for j, t in enumerate(absv):
+            if t == 1:  # t == 1 ⇔ newly nonzero at this precision
+                eob_idx = j
+        r = 0
+        br: list[int] = []
+        for j, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            # eager ZRLs (only when a future NEW coefficient exists —
+            # trailing zeros/corrections fold into the EOB run)
+            while r > 15 and j <= eob_idx:
+                flush_eob()
+                em.symbol(0xF0)
+                r -= 16
+                for b in br:
+                    em.bits(b, 1)
+                br = []
+            if t > 1:  # history coefficient: buffered correction bit
+                br.append(t & 1)
+                continue
+            flush_eob()
+            em.symbol((r << 4) | 1)
+            em.bits(1 if int(zz[ss + j]) > 0 else 0, 1)
+            for b in br:
+                em.bits(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            st["eobrun"] += 1
+            st["pending"].extend(br)
+            if st["eobrun"] == 0x7FFF:
+                flush_eob()
+
+    rst = 0
+    for i, mcu in enumerate(units):
+        if restart_interval and i and i % restart_interval == 0:
+            flush_eob()
+            if em.writer is not None:
+                em.writer.pad_to_byte()
+                em.writer.out += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            preds.clear()
+        for zz, ci in mcu:
+            if ss == 0:
+                dc_first(zz, ci) if ah == 0 else dc_refine(zz)
+            else:
+                ac_first(zz) if ah == 0 else ac_refine(zz)
+    flush_eob()
+
+
+#: the default progressive scan script (luma component index 0):
+#: interleaved DC first + spectral-split AC firsts with successive
+#: approximation, then DC refinement and the AC refinement chain —
+#: chosen to exercise EVERY decoder path (EOBn, ZRL, corrections).
+def _default_scan_script(ncomp: int) -> list[dict]:
+    if ncomp == 1:
+        return [
+            {"comps": [0], "ss": 0, "se": 0, "ah": 0, "al": 1},
+            {"comps": [0], "ss": 1, "se": 5, "ah": 0, "al": 2},
+            {"comps": [0], "ss": 6, "se": 63, "ah": 0, "al": 2},
+            {"comps": [0], "ss": 0, "se": 0, "ah": 1, "al": 0},
+            {"comps": [0], "ss": 1, "se": 63, "ah": 2, "al": 1},
+            {"comps": [0], "ss": 1, "se": 63, "ah": 1, "al": 0},
+        ]
+    return [
+        {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 0, "al": 1},
+        {"comps": [0], "ss": 1, "se": 5, "ah": 0, "al": 2},
+        {"comps": [1], "ss": 1, "se": 63, "ah": 0, "al": 1},
+        {"comps": [2], "ss": 1, "se": 63, "ah": 0, "al": 1},
+        {"comps": [0], "ss": 6, "se": 63, "ah": 0, "al": 2},
+        {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 1, "al": 0},
+        {"comps": [0], "ss": 1, "se": 63, "ah": 2, "al": 1},
+        {"comps": [0], "ss": 1, "se": 63, "ah": 1, "al": 0},
+        {"comps": [1], "ss": 1, "se": 63, "ah": 1, "al": 0},
+        {"comps": [2], "ss": 1, "se": 63, "ah": 1, "al": 0},
+    ]
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    subsampling: str = "444",
+    lossless_tables: bool = False,
+    restart_interval: int = 0,
+    grayscale: bool = False,
+    scans: list[dict] | None = None,
+) -> bytes:
+    """Encode an H×W×3 uint8 RGB array as a PROGRESSIVE (SOF2) JFIF
+    JPEG. Same plane preparation, point-transform discipline, and
+    constraints as :func:`encode_jpeg`; the entropy data is organized
+    as a multi-scan spectral-selection + successive-approximation
+    script (``scans``: list of ``{"comps", "ss", "se", "ah", "al"}``,
+    default :func:`_default_scan_script`). Because entropy coding is
+    lossless, decoding this stream yields BIT-IDENTICAL pixels to
+    decoding :func:`encode_jpeg` of the same input/options — the
+    round-trip identity the tests pin. Huffman tables are per-scan
+    fixed-length canonical tables (emitted as DHT before each SOS, so
+    the decoder's between-scan table redefinition is exercised)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError(
+            f"expected H×W×3 uint8 RGB, got {pixels.shape} {pixels.dtype}"
+        )
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    h, w = pixels.shape[:2]
+    samp = (1, 1) if grayscale else ((2, 2) if subsampling == "420" else (1, 1))
+    mcu_h, mcu_w = 8 * samp[0], 8 * samp[1]
+    if h % mcu_h or w % mcu_w:
+        raise ValueError(
+            f"image dims ({h}x{w}) must be multiples of the MCU size "
+            f"({mcu_h}x{mcu_w} for {subsampling})"
+        )
+    ycc = _rgb_to_ycbcr(pixels)
+    y_plane = ycc[..., 0]
+    if not grayscale and subsampling == "420":
+        cb = ycc[..., 1].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        cr = ycc[..., 2].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        cb, cr = np.round(cb), np.round(cr)
+    else:
+        cb, cr = ycc[..., 1], ycc[..., 2]
+    lum_q = np.ones((8, 8), np.int32) if lossless_tables else _LUM_Q
+    chr_q = np.ones((8, 8), np.int32) if lossless_tables else _CHROM_Q
+    # per component: (v, h) sampling, zigzag coefficient blocks
+    comps = [(samp[0], samp[1], _quantize_plane(y_plane, lum_q))]
+    if not grayscale:
+        comps.append((1, 1, _quantize_plane(cb, chr_q)))
+        comps.append((1, 1, _quantize_plane(cr, chr_q)))
+    ncomp = len(comps)
+    scans = scans if scans is not None else _default_scan_script(ncomp)
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes([1, 1, 0])
+        + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    )
+    out += _dqt_segment(0, lum_q)
+    if not grayscale:
+        out += _dqt_segment(1, chr_q)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    sof += bytes([1, samp[0] << 4 | samp[1], 0])
+    if not grayscale:
+        sof += bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    mcus_y, mcus_x = h // mcu_h, w // mcu_w
+    for sc in scans:
+        ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+        idxs = sc["comps"]
+        # unit list mirroring the decoder's iteration order
+        if len(idxs) > 1:
+            if ss != 0:
+                raise ValueError("interleaved progressive scan must be DC-only")
+            units = []
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    mcu = []
+                    for ci in idxs:
+                        cv, ch_, zz = comps[ci]
+                        for v in range(cv):
+                            for u in range(ch_):
+                                mcu.append(
+                                    (zz[my * cv + v, mx * ch_ + u], ci)
+                                )
+                    units.append(mcu)
+        else:
+            ci = idxs[0]
+            _cv, _ch, zz = comps[ci]
+            by, bx = zz.shape[:2]
+            units = [
+                [(zz[r, c], ci)] for r in range(by) for c in range(bx)
+            ]
+        # pass 1: alphabet; pass 2: bytes
+        counter = _ScanEmitter()
+        _emit_progressive_scan(counter, units, ss, se, ah, al, restart_interval)
+        kind = 0 if ss == 0 else 1
+        needs_table = not (ss == 0 and ah > 0)  # DC refinement is raw bits
+        if needs_table and counter.symbols:
+            bits, vals = _flat_table(counter.symbols)
+            out += _dht_segment(kind, 0, bits, vals)
+            codes = _canonical_codes(bits, vals)
+        else:
+            codes = {}
+        sos = bytes([len(idxs)])
+        for ci in idxs:
+            sos += bytes([ci + 1, 0x00])  # component id ci+1, tables 0/0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        writer = _BitWriter()
+        _emit_progressive_scan(
+            _ScanEmitter(codes, writer), units, ss, se, ah, al,
+            restart_interval,
+        )
+        writer.pad_to_byte()
+        out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---- decoder ----------------------------------------------------------
 
 
@@ -455,6 +785,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     frame = None
+    progressive = False
+    planes: dict[int, np.ndarray] | None = None  # comp id -> (by,bx,64) zigzag
     restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -492,7 +824,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[p + 17 : p + 17 + nsym])
                 huff[(tc, th)] = _decode_table(bits, vals)
                 p += 17 + nsym
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -503,8 +835,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+            progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG mode SOF{marker - 0xC0} not supported (baseline only)"
@@ -520,12 +851,47 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tables = body[1 + 2 * i], body[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tables >> 4, tables & 0xF))
-            return _decode_scan(
-                payload, pos + 2 + seg_len, frame, scan, qt, huff,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    payload, pos + 2 + seg_len, frame, scan, qt, huff,
+                    restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            hmax = max(c["h"] for c in frame["comps"])
+            vmax = max(c["v"] for c in frame["comps"])
+            if planes is None:
+                if hmax > 2 or vmax > 2:
+                    raise NotImplementedError(
+                        f"sampling factors up to 2 supported, got {hmax}x{vmax}"
+                    )
+                mcus_x = -(-frame["w"] // (8 * hmax))
+                mcus_y = -(-frame["h"] // (8 * vmax))
+                planes = {
+                    c["id"]: np.zeros(
+                        (mcus_y * c["v"], mcus_x * c["h"], 64), np.int64
+                    )
+                    for c in frame["comps"]
+                }
+            pos = _decode_progressive_scan(
+                payload, pos + 2 + seg_len, frame, scan, huff,
+                restart_interval, planes, hmax, vmax, ss, se, ah, al,
             )
+            continue
         # APPn / COM / anything else: skip
         pos += 2 + seg_len
+    if progressive and planes is not None:
+        # de-zigzag each component's accumulated coefficients, then the
+        # same dequantize/IDCT/upsample/color path as baseline
+        hmax = max(c["h"] for c in frame["comps"])
+        vmax = max(c["v"] for c in frame["comps"])
+        pairs = []
+        for c in frame["comps"]:
+            z = planes[c["id"]]
+            nat = np.zeros(z.shape[:2] + (8, 8), np.int64)
+            nat[:, :, _ZZ_ROWS, _ZZ_COLS] = z
+            pairs.append((c, nat))
+        return _reconstruct(pairs, qt, frame["h"], frame["w"], hmax, vmax)
     raise ValueError("no SOS scan found in JPEG payload")
 
 
@@ -587,14 +953,26 @@ def _decode_scan(
                             out[r, cc] = blk[i]
                         planes[ci][my * c["v"] + v, mx * c["h"] + u] = out
             mcu_count += 1
-    # dequantize + batched IDCT per component, assemble full-res planes
+    return _reconstruct(
+        [(c, planes[ci]) for ci, (c, _td, _ta) in enumerate(scan)],
+        qt, h, w, hmax, vmax,
+    )
+
+
+def _reconstruct(
+    pairs: list, qt: dict, h: int, w: int, hmax: int, vmax: int
+) -> np.ndarray:
+    """Dequantize + batched IDCT per component (natural-order
+    ``(by, bx, 8, 8)`` coefficient arrays), upsample, crop, and color-
+    transform — shared by the baseline single-scan path and the
+    progressive EOI-time reconstruction."""
     full = []
-    for ci, (c, _td, _ta) in enumerate(scan):
+    for c, blocks in pairs:
         q = qt.get(c["tq"])
         if q is None:
             raise ValueError(f"component references missing DQT table {c['tq']}")
-        by, bx = planes[ci].shape[:2]
-        coefs = planes[ci].reshape(by * bx, 8, 8).astype(np.float64) * q
+        by, bx = blocks.shape[:2]
+        coefs = blocks.reshape(by * bx, 8, 8).astype(np.float64) * q
         spatial = np.einsum("ux,nuv,vy->nxy", _C, coefs, _C) + 128.0
         plane = (
             spatial.reshape(by, bx, 8, 8)
@@ -616,3 +994,180 @@ def _decode_scan(
     return np.clip(
         np.round(np.stack([r, g, b], axis=-1)), 0, 255
     ).astype(np.uint8)
+
+
+def _comp_blocks(frame: dict, c: dict, hmax: int, vmax: int) -> tuple[int, int]:
+    """Block-grid dims for a NON-INTERLEAVED scan of component ``c``:
+    ceil(comp samples / 8) per axis (T.81 A.2.2) — at most the
+    MCU-padded plane dims, never more."""
+    cw = -(-(frame["w"] * c["h"]) // hmax)
+    ch = -(-(frame["h"] * c["v"]) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_progressive_scan(
+    data: bytes, pos: int, frame: dict, scan: list, huff: dict,
+    restart_interval: int, planes: dict, hmax: int, vmax: int,
+    ss: int, se: int, ah: int, al: int,
+) -> int:
+    """One progressive scan (T.81 Annex G.2): fills the per-component
+    zigzag coefficient planes in place and returns the stream position
+    of the next marker. DC scans (Ss=0) may be interleaved; AC scans
+    are single-component by spec. ``Ah=0`` scans establish coefficient
+    values at precision ``Al``; ``Ah>0`` scans refine one bit."""
+    if ss > se or se > 63:
+        raise ValueError(f"bad spectral band {ss}..{se}")
+    reader = _BitReader(data, pos)
+    state = {"eobrun": 0}
+    preds = {c["id"]: 0 for c, _td, _ta in scan}
+
+    def _tbl(kind: int, tid: int) -> dict:
+        t = huff.get((kind, tid))
+        if t is None:
+            raise ValueError("scan references missing Huffman table")
+        return t
+
+    def dc_first(block: np.ndarray, c: dict, td: int) -> None:
+        t = _decode_huff(reader, _tbl(0, td))
+        diff = _extend(reader.receive(t), t) if t else 0
+        preds[c["id"]] += diff
+        block[0] = preds[c["id"]] << al
+
+    def dc_refine(block: np.ndarray) -> None:
+        if reader.read_bit():
+            block[0] |= 1 << al
+
+    def ac_first(block: np.ndarray, ta: int) -> None:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        tbl = _tbl(1, ta)
+        k = ss
+        while k <= se:
+            sym = _decode_huff(reader, tbl)
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r < 15:  # EOBn: run of 2^r + extra end-of-band blocks
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += reader.receive(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC run overflows spectral band")
+            block[k] = _extend(reader.receive(s), s) << al
+            k += 1
+
+    def _correct(block: np.ndarray, k: int, bit: int) -> None:
+        # a 1-bit means this already-nonzero coefficient gains the
+        # current precision bit (toward larger magnitude)
+        if reader.read_bit() and not (block[k] & bit):
+            block[k] += bit if block[k] > 0 else -bit
+
+    def ac_refine(block: np.ndarray, ta: int) -> None:
+        bit = 1 << al
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            for k in range(ss, se + 1):
+                if block[k]:
+                    _correct(block, k, bit)
+            return
+        tbl = _tbl(1, ta)
+        k = ss
+        while k <= se:
+            sym = _decode_huff(reader, tbl)
+            r, s = sym >> 4, sym & 0xF
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    # EOBn: later blocks handled by the eobrun branch;
+                    # r=64 makes the advance loop below correct the
+                    # REST of this band and insert nothing
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += reader.receive(r)
+                    r = 64
+                # else ZRL: skip 16 zero-HISTORY positions (r == 15,
+                # the advance loop consumes the 16th via r == 0)
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement size must be 1")
+                newval = bit if reader.read_bit() else -bit
+            while k <= se:
+                if block[k]:
+                    _correct(block, k, bit)
+                    k += 1
+                else:
+                    if r == 0:
+                        if newval:
+                            block[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                    k += 1
+
+    # ---- unit iteration (MCUs when interleaved, blocks otherwise) ----
+    units: list[tuple[np.ndarray, dict, int, int]] = []  # (block, comp, td, ta)
+    if len(scan) > 1:
+        if ss != 0:
+            raise ValueError("interleaved progressive scan must be DC-only")
+        mcus_x = -(-frame["w"] // (8 * hmax))
+        mcus_y = -(-frame["h"] // (8 * vmax))
+        per_mcu = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                mcu = []
+                for c, td, ta in scan:
+                    for v in range(c["v"]):
+                        for u in range(c["h"]):
+                            mcu.append(
+                                (
+                                    planes[c["id"]][
+                                        my * c["v"] + v, mx * c["h"] + u
+                                    ],
+                                    c, td, ta,
+                                )
+                            )
+                per_mcu.append(mcu)
+    else:
+        c, td, ta = scan[0]
+        by, bx = _comp_blocks(frame, c, hmax, vmax)
+        per_mcu = [
+            [(planes[c["id"]][r, cc], c, td, ta)]
+            for r in range(by)
+            for cc in range(bx)
+        ]
+    for i, mcu in enumerate(per_mcu):
+        if restart_interval and i and i % restart_interval == 0:
+            reader.restart()
+            state["eobrun"] = 0
+            for cid in preds:
+                preds[cid] = 0
+        for block, c, td, ta in mcu:
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("DC scan must have Se=0")
+                dc_first(block, c, td) if ah == 0 else dc_refine(block)
+            else:
+                ac_first(block, ta) if ah == 0 else ac_refine(block, ta)
+    # advance to the next marker: pad bits live in the reader's
+    # accumulator; skip fill bytes and any stray trailing RST
+    p = reader.pos
+    n = len(data)
+    while p < n - 1:
+        if data[p] == 0xFF:
+            nxt = data[p + 1]
+            if nxt == 0x00:
+                p += 2
+                continue
+            if nxt == 0xFF:
+                p += 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise ValueError("progressive scan ran past end of payload")

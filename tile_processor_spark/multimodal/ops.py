@@ -695,7 +695,9 @@ def make_video_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JPEG_H, _JPEG_W = 16, 32  # one 4:2:0 MCU row of two MCUs — 8 luma blocks
 
 
-def make_jpeg_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def make_jpeg_assets(
+    spark: SparkSession, sf_dir: str, progressive: bool = False
+) -> DataFrame:
     """Asset table with REAL baseline-JPEG payloads: per doc_id a 16×32
     grayscale raster, constant g_b = ``(doc_id·23 + 41b) mod 256``
     within each of its 8 luma blocks (block index b row-major), encoded
@@ -704,9 +706,19 @@ def make_jpeg_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec (see multimodal/jpeg.py), so the gate oracle recomputes the
     decoded pixel sum from doc_id arithmetic alone — while the decode
     still pays the full real path: marker walk, DHT Huffman decode,
-    RSTn handling, dequantize, IDCT, chroma upsample, YCbCr→RGB."""
-    from tile_processor_spark.multimodal.jpeg import encode_jpeg
+    RSTn handling, dequantize, IDCT, chroma upsample, YCbCr→RGB.
 
+    ``progressive=True`` encodes the SAME rasters as multi-scan SOF2
+    streams (spectral selection + successive approximation, per-scan
+    DHT redefinition, restart markers inside progressive scans) — the
+    pixel contract is identical, so the one oracle proves both entropy
+    organizations."""
+    from tile_processor_spark.multimodal.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    enc = encode_jpeg_progressive if progressive else encode_jpeg
     d = load_table(spark, "documents", sf_dir).select("doc_id")
 
     def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -717,7 +729,7 @@ def make_jpeg_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 g = ((int(did) * 23 + 41 * b) % 256).astype(np.uint8).reshape(2, 4)
                 img = np.repeat(np.repeat(g, 8, 0), 8, 1)
                 payloads.append(
-                    encode_jpeg(
+                    enc(
                         np.stack([img, img, img], axis=-1),
                         subsampling="420",
                         lossless_tables=True,

@@ -149,6 +149,7 @@ def dedup_new_versions(
     use_bloom: bool = True,
     candidate_cap: int = _CANDIDATE_CAP,
     telemetry: list | None = None,
+    max_versions: int | None = None,
 ) -> list[dict]:
     """Process every corpus append version newer than the fingerprint
     table's high-water mark, in order. Per version: read ONLY the
@@ -182,7 +183,8 @@ def dedup_new_versions(
     Rows whose fingerprint evaluates to NULL are OUTSIDE the dedup
     domain: they are never recorded and never suppressed (they count
     in ``new_rows`` but not ``kept``/``dropped`` bookkeeping beyond
-    that)."""
+    that). ``max_versions`` bounds how many pending versions one call
+    processes (a driver's own checkpoint cadence); default is all."""
     corpus_versions = list_versions(corpus_path)
     if not corpus_versions:
         raise FileNotFoundError(f"no committed snapshot at {corpus_path}")
@@ -193,6 +195,8 @@ def dedup_new_versions(
         write_snapshot(_fingerprint_schema_df(spark), fp_path)
     done = processed_through(fp_path)
     pending = [v for v in corpus_versions if v > done]
+    if max_versions is not None:
+        pending = pending[:max_versions]
     expected = done + 1
     if pending and pending[0] != expected:
         raise ValueError(
@@ -254,13 +258,17 @@ def dedup_new_versions(
             if bloom is not None:
                 flagged = with_maybe_kept(delta, bloom)
                 candidates = flagged.filter(F.col("_maybe_kept")).select("fp")
-                n_cand = candidates.count()
+                # ONE action: collect up to cap+1 — the driver never
+                # holds more than the cap, and the +1 row is the
+                # overflow signal that triggers the distributed path
+                cand_rows = candidates.limit(candidate_cap + 1).collect()
+                n_cand = len(cand_rows)
                 tele["candidates"] = n_cand
                 if n_cand == 0:
                     # every delta fp PROVABLY new: no history read
                     tele["mode"] = "bloom-all-new"
                 elif n_cand <= candidate_cap:
-                    cand = sorted(r.fp for r in candidates.collect())
+                    cand = sorted(r.fp for r in cand_rows)
                     fp_man = _read_manifest(
                         fp_path, list_versions(fp_path)[-1]
                     )

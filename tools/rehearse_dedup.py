@@ -82,7 +82,9 @@ def run(versions, rows, dup_rate, baseline_versions, cluster_every):
         for v in range(1, versions + 1):
             tele: list = []
             t0 = time.time()
-            stats = dedup_new_versions(spark, corpus, fps, telemetry=tele)
+            stats = dedup_new_versions(
+                spark, corpus, fps, telemetry=tele, max_versions=1
+            )
             wall = time.time() - t0
             assert len(stats) == 1 and stats[0]["version"] == v
             kept_total += stats[0]["kept"]
@@ -115,7 +117,9 @@ def run(versions, rows, dup_rate, baseline_versions, cluster_every):
         kept_total = 0
         for v in range(1, baseline_versions + 1):
             t0 = time.time()
-            stats = dedup_new_versions(spark, corpus2, fps2, use_bloom=False)
+            stats = dedup_new_versions(
+                spark, corpus2, fps2, use_bloom=False, max_versions=1
+            )
             wall = time.time() - t0
             kept_total += stats[0]["kept"]
             out["baseline"].append(
@@ -133,6 +137,8 @@ def run(versions, rows, dup_rate, baseline_versions, cluster_every):
     def bucket(rows_, lo, hi):
         sel = [r for r in rows_ if r.get("mode") != "cluster"
                and lo <= r["version"] <= hi]
+        if not sel:
+            return {"versions": f"{lo}-{hi}", "empty": True}
         return {
             "versions": f"{lo}-{hi}",
             "wall_s_median": round(

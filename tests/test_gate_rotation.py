@@ -206,13 +206,65 @@ def test_derive_changed_kernel_marks_consumers(tmp_path):
     assert derive_changed(str(repo), "HEAD", specs) == ["row_f1", "row_f2"]
 
 
-def test_derive_changed_module_level_edit_marks_all_rows(tmp_path):
-    """An edit OUTSIDE every registered def (module-level helper/const)
-    conservatively marks the whole module's rows."""
+def test_derive_changed_const_edit_marks_only_referencing_rows(tmp_path):
+    """A changed module-level CONSTANT resolves through the module's
+    internal reference graph: only the registered defs that reference
+    it are marked (round 12 — previously the whole module)."""
     repo, plans, specs = _mini_repo(tmp_path)
     src = (plans / "mod.py").read_text()
     (plans / "mod.py").write_text(src.replace("CONST = 1", "CONST = 2"))
+    assert derive_changed(str(repo), "HEAD", specs) == ["row_f2"]
+
+
+def test_derive_changed_helper_edit_resolves_transitively(tmp_path):
+    """An unregistered helper chain: editing the INNER helper marks
+    only the rows whose defs reach it through the reference graph."""
+    repo, plans, specs = _mini_repo(tmp_path)
+    (plans / "mod.py").write_text(
+        "CONST = 1\n"
+        "\n"
+        "def _inner(x):\n"
+        "    return x * 3\n"
+        "\n"
+        "def _outer(x):\n"
+        "    return _inner(x) + 1\n"
+        "\n"
+        "def f1(spark, sf):\n"
+        "    return _outer(1)\n"
+        "\n"
+        "def f2(spark, sf):\n"
+        "    return CONST\n"
+    )
+    import subprocess
+
+    subprocess.run(["git", "add", "-A"], cwd=repo, check=True)
+    subprocess.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t", "commit",
+         "-qm", "helpers"],
+        cwd=repo,
+        check=True,
+    )
+    src = (plans / "mod.py").read_text()
+    (plans / "mod.py").write_text(src.replace("x * 3", "x * 4"))
+    assert derive_changed(str(repo), "HEAD", specs) == ["row_f1"]
+
+
+def test_derive_changed_import_edit_still_marks_whole_module(tmp_path):
+    """A change no named node owns (an import line) keeps the
+    whole-module conservatism."""
+    repo, plans, specs = _mini_repo(tmp_path)
+    src = (plans / "mod.py").read_text()
+    (plans / "mod.py").write_text("import os\n" + src)
     assert derive_changed(str(repo), "HEAD", specs) == ["row_f1", "row_f2"]
+
+
+def test_derive_changed_comment_only_edit_marks_nothing(tmp_path):
+    """Blank/comment-only touched lines attribute to nothing — a new
+    helper's surrounding blank lines must not blow up to whole-module."""
+    repo, plans, specs = _mini_repo(tmp_path)
+    src = (plans / "mod.py").read_text()
+    (plans / "mod.py").write_text(src + "\n# trailing comment\n")
+    assert derive_changed(str(repo), "HEAD", specs) == []
 
 
 def test_derive_changed_clean_tree_is_empty(tmp_path):

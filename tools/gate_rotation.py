@@ -15,9 +15,11 @@ Policy (the prose at ``registry.py`` made executable):
    finds every plan module affected (so a re-planned shared kernel like
    ``plans/chunked_windows.py`` or ``sources/snapshots.py`` marks its
    consumers), and within a row's own defining module the granularity
-   is per-function (a change inside one registered ``def`` marks only
-   that row; a change outside every registered def conservatively marks
-   the whole module's rows);
+   is per-NAME: every changed line attributes to its owning top-level
+   node (registered def, helper function, constant) and the module's
+   internal reference graph resolves which registered defs consume it —
+   only a change no named node owns (imports, bare statements, the
+   docstring) still marks the whole module's rows conservatively;
 4. rows that have NEVER had a driver record, in registry order;
 5. everything else, stalest first (ascending latest-green round),
    tie-broken by registry order.
@@ -239,42 +241,100 @@ def _changed_new_lines(repo_dir: str, since_ref: str, rel_path: str) -> list[int
     return lines
 
 
+def _top_level_nodes(tree: ast.Module) -> tuple[dict, dict]:
+    """Named top-level nodes of a module: ``spans`` (name → (start,
+    end) line span, decorators included) and ``refs`` (name → the set
+    of OTHER top-level names its body references) — the intra-module
+    dependency view that lets a helper-level change resolve to the
+    registered defs that actually consume it."""
+    spans: dict[str, tuple[int, int]] = {}
+    node_names: list[tuple[list[str], ast.stmt]] = []
+    for node in tree.body:
+        names: list[str] = []
+        start = node.lineno
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            names = [node.name]
+            if node.decorator_list:
+                start = min([start] + [d.lineno for d in node.decorator_list])
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    names.append(t.id)
+                elif isinstance(t, (ast.Tuple, ast.List)):
+                    names.extend(
+                        e.id for e in t.elts if isinstance(e, ast.Name)
+                    )
+        elif isinstance(node, ast.AnnAssign) and isinstance(
+            node.target, ast.Name
+        ):
+            names = [node.target.id]
+        for nm in names:
+            spans[nm] = (start, node.end_lineno or node.lineno)
+        if names:
+            node_names.append((names, node))
+    all_names = set(spans)
+    refs: dict[str, set[str]] = {}
+    for names, node in node_names:
+        used = {
+            n.id
+            for n in ast.walk(node)
+            if isinstance(n, ast.Name) and n.id in all_names
+        } - set(names)
+        for nm in names:
+            refs[nm] = refs.get(nm, set()) | used
+    return spans, refs
+
+
 def _rows_for_direct_change(
     repo_dir: str, since_ref: str, mod: str, rows_by_fn: dict[str, list[str]]
-) -> list[str] | None:
-    """Function-level granularity for a registry row's OWN module: rows
-    whose registered ``def`` span (decorators included) contains a
-    changed line. Returns None (= mark the whole module) when any
-    changed line falls outside every registered def — a module-level
-    helper may feed any row."""
+) -> tuple[list[str], set[str]] | None:
+    """Function-level granularity for a registry row's OWN module.
+    Every changed line is attributed to its owning NAMED top-level node
+    (registered def, unregistered helper, constant assignment); the
+    semantically-changed name set is closed over the module's internal
+    reference graph, and the hit rows are the registered defs inside
+    that closure. Returns ``(hit_rows, changed_names)`` — the names
+    feed cross-module symbol seeding — or None (= mark the whole
+    module) when a non-trivial changed line falls outside every named
+    node (imports, bare module statements, the module docstring: those
+    may feed any row)."""
     rel_path = mod.replace(".", os.sep) + ".py"
     path = os.path.join(repo_dir, rel_path)
     if not os.path.exists(path):
         return None
     changed = _changed_new_lines(repo_dir, since_ref, rel_path)
     if not changed:
-        return []
+        return [], set()
     with open(path) as f:
-        tree = ast.parse(f.read(), filename=path)
-    spans: dict[str, tuple[int, int]] = {}
-    for node in tree.body:
-        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
-            start = min(
-                [node.lineno] + [d.lineno for d in node.decorator_list]
-            )
-            spans[node.name] = (start, node.end_lineno or node.lineno)
-    reg_spans = {fn: spans[fn] for fn in rows_by_fn if fn in spans}
-    hit_rows: list[str] = []
+        src_lines = f.read().splitlines()
+    tree = ast.parse("\n".join(src_lines), filename=path)
+    spans, refs = _top_level_nodes(tree)
+    changed_names: set[str] = set()
     for line in changed:
-        owner = next(
-            (fn for fn, (a, b) in reg_spans.items() if a <= line <= b), None
-        )
-        if owner is None:
-            # inside an unregistered helper or at module level: we
-            # cannot know which rows depend on it — whole module
-            return None
-        hit_rows.extend(r for r in rows_by_fn[owner] if r not in hit_rows)
-    return hit_rows
+        # blank / comment-only touched lines (new helpers arrive with
+        # surrounding blank lines) attribute to nothing
+        text = src_lines[line - 1].strip() if line - 1 < len(src_lines) else ""
+        if not text or text.startswith("#"):
+            continue
+        owners = [nm for nm, (a, b) in spans.items() if a <= line <= b]
+        if not owners:
+            return None  # import / bare statement / docstring
+        changed_names.update(owners)
+    # close over "references a changed name": a def whose body calls a
+    # changed helper (possibly through another helper) changed too
+    affected = set(changed_names)
+    moved = True
+    while moved:
+        moved = False
+        for nm, used in refs.items():
+            if nm not in affected and used & affected:
+                affected.add(nm)
+                moved = True
+    hit_rows: list[str] = []
+    for fn, rows in rows_by_fn.items():
+        if fn in affected:
+            hit_rows.extend(r for r in rows if r not in hit_rows)
+    return hit_rows, affected
 
 
 def derive_changed(
@@ -284,16 +344,18 @@ def derive_changed(
     (committed AND working-tree changes), derived mechanically:
 
     - ``git diff --name-only`` → changed package files → modules;
-    - a DIRECTLY-changed module whose diff is confined to registered
-      ``def`` bodies marks only those rows, and propagates only to
-      modules importing those specific symbols (or the module
-      wholesale) — a registered gate query's body is not an API other
-      modules silently depend on;
-    - any other change (module-level helper, unregistered function, a
-      module with no registered rows — i.e. a shared kernel like
-      ``plans/chunked_windows.py`` or ``sources/snapshots.py``) seeds
-      the transitive reverse-import closure: every consumer module's
-      rows are marked;
+    - a DIRECTLY-changed module attributes every changed line to its
+      owning NAMED top-level node (registered def, unregistered
+      helper, constant) and closes over the module's internal
+      reference graph: the marked rows are exactly the registered defs
+      that (transitively) reference a changed name. Cross-module
+      propagation seeds from modules importing any changed name (or
+      the module wholesale);
+    - a change no named node owns (imports, bare module statements,
+      the docstring), or any change in a module with no registered
+      rows (a shared kernel like ``plans/chunked_windows.py`` or
+      ``sources/snapshots.py``), seeds the transitive reverse-import
+      closure: every consumer module's rows are marked;
     - rows of transitively-affected modules are all marked.
 
     Output is in registry order. ``specs`` defaults to the live
@@ -336,23 +398,22 @@ def derive_changed(
     fn_hit_rows: list[str] = []
     for mod in sorted(changed_mods):
         rows_by_fn = rows_by_module.get(mod)
-        hits = (
+        res = (
             _rows_for_direct_change(repo_dir, since_ref, mod, rows_by_fn)
             if rows_by_fn
             else None
         )
-        if hits is None:
-            full_seeds.add(mod)  # helper-level change: whole module + consumers
+        if res is None:
+            full_seeds.add(mod)  # unattributable change: whole module + consumers
             continue
+        hits, changed_names = res
         fn_hit_rows.extend(hits)
-        # a changed registered def still affects modules that import
-        # that symbol (or the module wholesale) — seed from THEM
-        hit_fns = {
-            fn for fn, rows in rows_by_fn.items() if any(r in hits for r in rows)
-        }
-        for fn in hit_fns:
-            full_seeds.update(symbol_importers.get((mod, fn), ()))
-        if hit_fns:
+        # every semantically-changed top-level name (registered def OR
+        # helper) still affects modules that import that symbol (or
+        # the module wholesale) — seed from THEM
+        for nm in changed_names:
+            full_seeds.update(symbol_importers.get((mod, nm), ()))
+        if changed_names:
             full_seeds.update(wholesale.get(mod, ()))
     affected = reverse_closure(graph, full_seeds)
     out = list(fn_hit_rows)

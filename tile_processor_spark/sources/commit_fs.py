@@ -22,10 +22,11 @@ primitives, each with a precise, small contract:
   complete when ``share`` returns; ``dst`` is uuid-named and
   unreferenced until the next manifest commit publishes it.
 
-Object-store mapping (documented, not shipped — this container has no
-cloud SDKs): ``publish_exclusive`` is S3 ``PutObject`` with
-``If-None-Match: *`` (supported since 2024) or GCS
-``ifGenerationMatch=0`` — a server-side conditional create, the same
+Object-store mapping — SHIPPED as of round 12 (``S3CommitFS`` below,
+over the dependency-free SigV4 REST client in ``s3_client.py``; no
+cloud SDK): ``publish_exclusive`` is S3 ``PutObject`` with
+``If-None-Match: *`` (supported since 2024; GCS's equivalent is
+``ifGenerationMatch=0``) — a server-side conditional create, the same
 primitive Delta Lake's S3 commit coordinator and Iceberg's swap rely
 on; ``share`` and ``rehome`` are server-side ``CopyObject`` (plus a
 delete for ``rehome`` — safe, the source is unreferenced). No rename
@@ -137,6 +138,70 @@ class FaultInjectingCopyFS(CopyCommitFS):
         if self.crash_at == "before_share":
             raise self.Crash("crash before share")
         super().share(src, dst)
+
+
+class S3CommitFS:
+    """The REAL object-store implementation (round 12 — previously
+    documented only): the three primitives over the S3 REST API via
+    the dependency-free SigV4 client (``sources/s3_client.py``).
+
+    A local MOUNT directory maps to a key prefix: every path the
+    protocol hands this FS must live under ``mount``, and translates
+    to ``prefix + relative-path``. Staged tmp files are still written
+    locally (the protocol stages privately, then publishes);
+    ``publish_exclusive`` uploads the staged bytes with
+    ``If-None-Match: *`` — S3's server-side atomic conditional create,
+    where body and precondition commit together, so the losing
+    committer of a version race gets ``FileExistsError`` exactly like
+    the local hard-link contract and no reader can observe a partial
+    manifest. ``share`` is a server-side CopyObject; ``rehome`` is
+    upload-from-local (staged → final home) or CopyObject+Delete when
+    the source already lives in the bucket — the source is referenced
+    by no manifest either way, so no atomicity is needed.
+
+    Scope note: this makes the COMMIT primitives real against the wire
+    protocol (proven in tests/test_s3_commit_fs.py against a
+    signature-verifying fake endpoint, racing writers included). A
+    fully S3-resident snapshot table additionally needs the manifest
+    READ path and Spark's parquet IO pointed at the store (hadoop-aws
+    on a real cluster); locally Spark has no s3a jars, so the store
+    front end stays on the local FS."""
+
+    def __init__(self, client, mount: str, prefix: str = ""):
+        self.client = client
+        self.mount = os.path.abspath(mount)
+        self.prefix = prefix.strip("/")
+
+    def _key(self, path: str) -> str:
+        rel = os.path.relpath(os.path.abspath(path), self.mount)
+        if rel.startswith(".."):
+            raise ValueError(f"{path!r} is outside the S3 mount {self.mount!r}")
+        rel = rel.replace(os.sep, "/")
+        return f"{self.prefix}/{rel}" if self.prefix else rel
+
+    def publish_exclusive(self, tmp_path: str, final_path: str) -> None:
+        with open(tmp_path, "rb") as f:
+            body = f.read()
+        # FileExistsError propagates from the 412 — same contract as
+        # the local hard link
+        self.client.put_object(self._key(final_path), body,
+                               if_none_match=True)
+
+    def rehome(self, src: str, dst: str) -> None:
+        if os.path.exists(src):  # staged locally → upload + local delete
+            with open(src, "rb") as f:
+                self.client.put_object(self._key(dst), f.read())
+            os.unlink(src)
+        else:  # already an object → server-side copy + delete
+            self.client.copy_object(self._key(src), self._key(dst))
+            self.client.delete_object(self._key(src))
+
+    def share(self, src: str, dst: str) -> None:
+        if os.path.exists(src):
+            with open(src, "rb") as f:
+                self.client.put_object(self._key(dst), f.read())
+        else:
+            self.client.copy_object(self._key(src), self._key(dst))
 
 
 _COMMIT_FS = LocalCommitFS()

@@ -75,6 +75,12 @@ _APP_ID = "incremental_dedup"
 #: an unbounded fingerprint list)
 _CANDIDATE_CAP = 65_536
 
+#: below this, the candidate verify is an IN-list filter pushed into
+#: the parquet scan (row-group skipping) instead of a broadcast semi
+#: join — above it, a 1000+-literal predicate bloats the plan for no
+#: pushdown benefit
+_ISIN_CAP = 1_024
+
 #: fingerprint commits are staged through repartitionByRange(fp) so
 #: each committed file covers a narrow fp range (tight min/max stats)
 _STAGE_RANGE_PARTITIONS = 8
@@ -280,9 +286,18 @@ def dedup_new_versions(
                     )
                     if files:
                         pruned = spark.read.parquet(*files).select("fp")
-                        dup_fps = pruned.join(
-                            F.broadcast(candidates), "fp", "left_semi"
-                        )
+                        if n_cand <= _ISIN_CAP:
+                            # small candidate sets push an IN filter to
+                            # the parquet readers: row-group min/max
+                            # stats skip WITHIN the opened files too
+                            # (fingerprint files are written fp-sorted,
+                            # so row groups carry tight ranges) — rows
+                            # decoded ∝ candidates, not file sizes
+                            dup_fps = pruned.filter(F.col("fp").isin(cand))
+                        else:
+                            dup_fps = pruned.join(
+                                F.broadcast(candidates), "fp", "left_semi"
+                            )
                 else:
                     tele["mode"] = "full-anti-join"
                     dup_fps = read_snapshot(spark, fp_path).select("fp")

@@ -1,0 +1,279 @@
+"""Dependency-free S3 REST client — the object-store half of the
+commit-FS story (VERDICT r11 Missing #4), built the same way as the
+PostgreSQL wire client (``sources/pgwire.py``): the published protocol
+over the standard library, no SDK.
+
+Scope: exactly the five operations the snapshot commit protocol's
+primitives reduce to —
+
+- ``put_object`` with optional ``If-None-Match: *`` — the server-side
+  CONDITIONAL CREATE (supported by S3 since 2024, and by every
+  S3-compatible store that matters) that ``publish_exclusive`` rests
+  on: body and precondition commit as one atomic operation, the loser
+  of a version race gets HTTP 412 and we raise ``FileExistsError``,
+  mirroring the local hard-link contract;
+- ``copy_object`` (server-side ``x-amz-copy-source``) — ``share`` and
+  half of ``rehome``;
+- ``get_object`` / ``delete_object`` / ``list_objects`` — reads,
+  the other half of ``rehome``, and vacuum's listing.
+
+Requests are signed with AWS Signature Version 4 (the official
+algorithm: canonical request → string-to-sign → HMAC-SHA256 chain),
+implemented from the spec over ``hashlib``/``hmac``. The test tier
+(``tests/test_s3_commit_fs.py``) runs a wire-accurate in-process fake
+that INDEPENDENTLY re-derives the signature from the raw HTTP request
+and rejects mismatches — so header canonicalization, URI encoding, and
+payload hashing are proven against what actually went over the wire,
+not against this module's own helpers.
+
+Addressing is path-style (``/bucket/key``) — the form every
+S3-compatible endpoint (MinIO, Ceph, localstack, the test fake)
+accepts without DNS games. TLS: pass an ``https://`` endpoint;
+``http.client.HTTPSConnection`` verifies certificates by default.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import hmac
+import http.client
+import urllib.parse
+from xml.etree import ElementTree
+
+_ALGO = "AWS4-HMAC-SHA256"
+_SAFE = "-._~"  # RFC 3986 unreserved (minus ALPHA/DIGIT, handled by quote)
+
+
+class S3Error(RuntimeError):
+    def __init__(self, status: int, code: str, message: str):
+        super().__init__(f"S3 {status} {code}: {message}")
+        self.status = status
+        self.code = code
+
+
+def _uri_encode(s: str, *, slash_safe: bool = False) -> str:
+    return urllib.parse.quote(s, safe=_SAFE + ("/" if slash_safe else ""))
+
+
+def _hmac(key: bytes, msg: str) -> bytes:
+    return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+
+def sigv4_signature(
+    secret_key: str,
+    date: str,  # YYYYMMDD
+    region: str,
+    service: str,
+    string_to_sign: str,
+) -> str:
+    """The HMAC-SHA256 derivation chain from the SigV4 spec."""
+    k = _hmac(("AWS4" + secret_key).encode(), date)
+    k = _hmac(k, region)
+    k = _hmac(k, service)
+    k = _hmac(k, "aws4_request")
+    return hmac.new(k, string_to_sign.encode(), hashlib.sha256).hexdigest()
+
+
+def canonical_request(
+    method: str,
+    path: str,
+    query: list[tuple[str, str]],
+    headers: dict[str, str],
+    signed_headers: list[str],
+    payload_sha256: str,
+) -> str:
+    """The spec's canonical form: encoded path (slashes preserved),
+    sorted+encoded query, lowercase sorted headers, payload hash."""
+    cq = "&".join(
+        f"{_uri_encode(k)}={_uri_encode(v)}"
+        for k, v in sorted(query)
+    )
+    lower = {k.lower(): " ".join(v.split()) for k, v in headers.items()}
+    ch = "".join(f"{h}:{lower[h]}\n" for h in signed_headers)
+    return "\n".join(
+        [
+            method,
+            _uri_encode(path, slash_safe=True),
+            cq,
+            ch,
+            ";".join(signed_headers),
+            payload_sha256,
+        ]
+    )
+
+
+class S3Client:
+    """Minimal synchronous client for one bucket on one endpoint."""
+
+    def __init__(
+        self,
+        endpoint: str,
+        bucket: str,
+        access_key: str,
+        secret_key: str,
+        region: str = "us-east-1",
+        timeout_s: float = 30.0,
+        _now=None,  # injectable clock for tests
+    ):
+        u = urllib.parse.urlparse(endpoint)
+        if u.scheme not in ("http", "https"):
+            raise ValueError(f"endpoint must be http(s)://, got {endpoint!r}")
+        self._https = u.scheme == "https"
+        self._host = u.hostname or ""
+        self._port = u.port or (443 if self._https else 80)
+        self.bucket = bucket
+        self._ak = access_key
+        self._sk = secret_key
+        self._region = region
+        self._timeout = timeout_s
+        self._now = _now or (
+            lambda: datetime.datetime.now(datetime.timezone.utc)
+        )
+
+    # -- core ----------------------------------------------------------
+
+    def _request(
+        self,
+        method: str,
+        key: str,
+        query: list[tuple[str, str]] | None = None,
+        body: bytes = b"",
+        extra_headers: dict[str, str] | None = None,
+    ) -> tuple[int, dict[str, str], bytes]:
+        query = query or []
+        path = "/" + self.bucket + ("/" + key if key else "")
+        t = self._now()
+        amz_date = t.strftime("%Y%m%dT%H%M%SZ")
+        date = t.strftime("%Y%m%d")
+        payload_hash = hashlib.sha256(body).hexdigest()
+        host = (
+            self._host
+            if self._port in (80, 443)
+            else f"{self._host}:{self._port}"
+        )
+        headers = {
+            "host": host,
+            "x-amz-content-sha256": payload_hash,
+            "x-amz-date": amz_date,
+        }
+        headers.update(
+            {k.lower(): v for k, v in (extra_headers or {}).items()}
+        )
+        signed = sorted(headers)
+        creq = canonical_request(
+            method, path, query, headers, signed, payload_hash
+        )
+        scope = f"{date}/{self._region}/s3/aws4_request"
+        sts = "\n".join(
+            [_ALGO, amz_date, scope,
+             hashlib.sha256(creq.encode()).hexdigest()]
+        )
+        sig = sigv4_signature(self._sk, date, self._region, "s3", sts)
+        headers["authorization"] = (
+            f"{_ALGO} Credential={self._ak}/{scope}, "
+            f"SignedHeaders={';'.join(signed)}, Signature={sig}"
+        )
+        qs = urllib.parse.urlencode(sorted(query))
+        url = _uri_encode(path, slash_safe=True) + (f"?{qs}" if qs else "")
+        conn_cls = (
+            http.client.HTTPSConnection if self._https else http.client.HTTPConnection
+        )
+        conn = conn_cls(self._host, self._port, timeout=self._timeout)
+        try:
+            conn.request(method, url, body=body, headers=headers)
+            resp = conn.getresponse()
+            data = resp.read()
+            return resp.status, dict(resp.getheaders()), data
+        finally:
+            conn.close()
+
+    @staticmethod
+    def _error(status: int, data: bytes) -> S3Error:
+        code, msg = "Unknown", ""
+        try:
+            root = ElementTree.fromstring(data)
+            code = root.findtext("Code") or code
+            msg = root.findtext("Message") or msg
+        except ElementTree.ParseError:
+            pass
+        return S3Error(status, code, msg)
+
+    # -- operations ------------------------------------------------------
+
+    def put_object(
+        self, key: str, body: bytes, if_none_match: bool = False
+    ) -> None:
+        """Upload; with ``if_none_match`` the write succeeds ONLY if the
+        key does not exist (server-side atomic create — raises
+        ``FileExistsError`` on HTTP 412, the commit-race loss)."""
+        hdrs = {"If-None-Match": "*"} if if_none_match else {}
+        status, _h, data = self._request("PUT", key, body=body,
+                                         extra_headers=hdrs)
+        if status == 412 or (status == 409 and if_none_match):
+            # 412 PreconditionFailed; some stores answer 409
+            # ConditionalRequestConflict under concurrent writes —
+            # both mean "you lost the race"
+            raise FileExistsError(f"s3://{self.bucket}/{key} exists")
+        if status != 200:
+            raise self._error(status, data)
+
+    def get_object(self, key: str) -> bytes:
+        status, _h, data = self._request("GET", key)
+        if status == 404:
+            raise FileNotFoundError(f"s3://{self.bucket}/{key}")
+        if status != 200:
+            raise self._error(status, data)
+        return data
+
+    def head_object(self, key: str) -> bool:
+        status, _h, _d = self._request("HEAD", key)
+        if status == 200:
+            return True
+        if status == 404:
+            return False
+        raise self._error(status, b"")
+
+    def delete_object(self, key: str) -> None:
+        status, _h, data = self._request("DELETE", key)
+        if status not in (200, 204):
+            raise self._error(status, data)
+
+    def copy_object(self, src_key: str, dst_key: str) -> None:
+        """Server-side copy — no bytes transit the client."""
+        src = _uri_encode(f"/{self.bucket}/{src_key}", slash_safe=True)
+        status, _h, data = self._request(
+            "PUT", dst_key, extra_headers={"x-amz-copy-source": src}
+        )
+        if status == 404:
+            raise FileNotFoundError(f"s3://{self.bucket}/{src_key}")
+        if status != 200:
+            raise self._error(status, data)
+
+    def list_objects(self, prefix: str = "") -> list[str]:
+        """All keys under ``prefix`` (ListObjectsV2, continuation-token
+        pagination)."""
+        keys: list[str] = []
+        token: str | None = None
+        while True:
+            q = [("list-type", "2"), ("prefix", prefix)]
+            if token:
+                q.append(("continuation-token", token))
+            status, _h, data = self._request("GET", "", query=q)
+            if status != 200:
+                raise self._error(status, data)
+            root = ElementTree.fromstring(data)
+            ns = ""
+            if root.tag.startswith("{"):
+                ns = root.tag[: root.tag.index("}") + 1]
+            keys.extend(
+                c.findtext(f"{ns}Key")
+                for c in root.iter(f"{ns}Contents")
+            )
+            if (root.findtext(f"{ns}IsTruncated") or "").lower() == "true":
+                token = root.findtext(f"{ns}NextContinuationToken")
+                if not token:
+                    raise S3Error(200, "BadListing",
+                                  "truncated listing without token")
+                continue
+            return keys

@@ -262,3 +262,38 @@ def test_cluster_fingerprints_preserves_state_and_prunes_harder(
     stats = dedup_new_versions(spark, corpus, fps, telemetry=tele)
     assert [s["kept"] for s in stats] == [1, 0]
     assert processed_through(fps) == mark + 2
+
+
+def test_auto_cluster_fires_geometrically_and_stays_correct(
+    spark, tmp_path, monkeypatch
+):
+    """With the doubling threshold shrunk, the loop interleaves rewrite
+    commits with appends; dedup results, replay marks, and the sidecar
+    all stay consistent across them."""
+    import tile_processor_spark.sources.incremental_dedup as mod
+
+    monkeypatch.setattr(mod, "_MIN_CLUSTER_ROWS", 2)
+    corpus = str(tmp_path / "corpus")
+    fps = str(tmp_path / "fps")
+    for v in range(1, 5):
+        rows = [(v * 100 + i, f"t{v}-{i}") for i in range(4)] + [
+            (v * 100 + 50, "t1-0")  # dup of v1's first row (v>1)
+        ]
+        append_snapshot(_docs(spark, rows), corpus)
+    stats = dedup_new_versions(spark, corpus, fps)
+    # v1's own t1-0 repeat dedupes within the delta (min key wins);
+    # v2+ each drop their cross-version t1-0 dup
+    assert [s["kept"] for s in stats] == [4, 4, 4, 4]
+    assert processed_through(fps) == 4
+    # at least one rewrite version exists between the marked appends
+    from tile_processor_spark.sources.snapshots import _read_manifest
+
+    versions = list_versions(fps)
+    rewrites = [
+        v for v in versions
+        if "appended_to" not in _read_manifest(fps, v) and v > 1
+    ]
+    assert rewrites, "auto_cluster never fired"
+    # replay: nothing reprocessed, nothing duplicated
+    assert dedup_new_versions(spark, corpus, fps) == []
+    assert read_snapshot(spark, fps).count() == 16

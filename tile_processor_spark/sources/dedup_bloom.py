@@ -54,6 +54,11 @@ class DedupBloom:
     capacity: int  # rebuild threshold
     fp_version: int  # fingerprint-table version this state reflects
     bits: np.ndarray  # uint8[m // 8]
+    #: rows in the table when it was last range-clustered — drives the
+    #: geometric auto_cluster schedule; 0 = never/unknown (a rebuild
+    #: sets it to the current n, deferring the next rewrite one
+    #: doubling rather than triggering a spurious one)
+    clustered_n: int = 0
 
 
 def _state_path(fp_path: str, version: int) -> str:
@@ -134,6 +139,7 @@ def load_bloom(fp_path: str, fp_version: int) -> DedupBloom | None:
         capacity=int(meta["capacity"]),
         fp_version=int(fp_version),
         bits=bits,
+        clustered_n=int(meta.get("clustered_n", 0)),
     )
 
 
@@ -150,6 +156,7 @@ def save_bloom(fp_path: str, bloom: DedupBloom) -> None:
             "capacity": bloom.capacity,
             "fp_version": bloom.fp_version,
             "k": _K,
+            "clustered_n": bloom.clustered_n,
         }
     )
     with open(tmp, "wb") as f:
@@ -179,7 +186,8 @@ def build_bloom(
         m // 8, dtype=np.uint8
     )
     return DedupBloom(
-        m=m, n=n_kept, capacity=capacity, fp_version=fp_version, bits=bits
+        m=m, n=n_kept, capacity=capacity, fp_version=fp_version, bits=bits,
+        clustered_n=n_kept,
     )
 
 
@@ -197,16 +205,26 @@ def fold_in(bloom: DedupBloom, survivors_fps: DataFrame, n_new: int,
         capacity=bloom.capacity,
         fp_version=new_version,
         bits=bits,
+        clustered_n=bloom.clustered_n,
     )
 
 
-def with_maybe_kept(df: DataFrame, bloom: DedupBloom) -> DataFrame:
+def with_maybe_kept(
+    df: DataFrame, bloom: DedupBloom, _bc_out: list | None = None
+) -> DataFrame:
     """``df`` (with an ``fp`` column) plus boolean ``_maybe_kept``:
     False PROVES the fingerprint is not in the kept-set; True means
     verify exactly. Positions are computed JVM-side; the bit test is a
-    vectorized Arrow-batched pandas UDF over the broadcast bitmap."""
+    vectorized Arrow-batched pandas UDF over the broadcast bitmap.
+
+    ``_bc_out`` receives the Broadcast handle so a long-running loop
+    (one bitmap per version) can ``destroy()`` it deterministically
+    once the version's actions finish, instead of waiting on GC +
+    ContextCleaner to release executor memory."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(bloom.bits)
+    if _bc_out is not None:
+        _bc_out.append(bc)
 
     from pyspark.sql.functions import pandas_udf
 

@@ -81,6 +81,12 @@ _CANDIDATE_CAP = 65_536
 #: pushdown benefit
 _ISIN_CAP = 1_024
 
+#: auto_cluster never rewrites tables smaller than this (the full
+#: anti-join is trivially cheap there), and cluster_fingerprints sizes
+#: output files to roughly this many rows each
+_MIN_CLUSTER_ROWS = 100_000
+_CLUSTER_FILE_ROWS = 100_000
+
 #: fingerprint commits are staged through repartitionByRange(fp) so
 #: each committed file covers a narrow fp range (tight min/max stats)
 _STAGE_RANGE_PARTITIONS = 8
@@ -156,6 +162,7 @@ def dedup_new_versions(
     candidate_cap: int = _CANDIDATE_CAP,
     telemetry: list | None = None,
     max_versions: int | None = None,
+    auto_cluster: bool = True,
 ) -> list[dict]:
     """Process every corpus append version newer than the fingerprint
     table's high-water mark, in order. Per version: read ONLY the
@@ -190,7 +197,14 @@ def dedup_new_versions(
     domain: they are never recorded and never suppressed (they count
     in ``new_rows`` but not ``kept``/``dropped`` bookkeeping beyond
     that). ``max_versions`` bounds how many pending versions one call
-    processes (a driver's own checkpoint cadence); default is all."""
+    processes (a driver's own checkpoint cadence); default is all.
+
+    ``auto_cluster`` (default on) runs :func:`cluster_fingerprints`
+    on a GEOMETRIC schedule — whenever the append files accumulated
+    since the last rewrite outnumber the files that rewrite produced —
+    so each kept row is rewritten O(log versions) times total and the
+    candidate verify's file pruning stays sharp without any manual
+    maintenance call."""
     corpus_versions = list_versions(corpus_path)
     if not corpus_versions:
         raise FileNotFoundError(f"no committed snapshot at {corpus_path}")
@@ -245,6 +259,7 @@ def dedup_new_versions(
                 )
         tele = {"version": v, "mode": "empty-delta", "candidates": 0,
                 "fp_files_total": 0, "fp_files_opened": 0}
+        bcs: list = []  # this version's bitmap broadcast, destroyed below
         if delta_files:
             delta = _read_delta(spark, man, delta_files).select(
                 F.col(key_col).cast("long").alias("doc_key"),
@@ -262,7 +277,7 @@ def dedup_new_versions(
             )
             dup_fps = None
             if bloom is not None:
-                flagged = with_maybe_kept(delta, bloom)
+                flagged = with_maybe_kept(delta, bloom, _bc_out=bcs)
                 candidates = flagged.filter(F.col("_maybe_kept")).select("fp")
                 # ONE action: collect up to cap+1 — the driver never
                 # holds more than the cap, and the +1 row is the
@@ -339,6 +354,20 @@ def dedup_new_versions(
                 )
                 bloom = fold_in(bloom, staged, n_kept, committed_v)
             save_bloom(fp_path, bloom)
+            if auto_cluster and bloom.n >= 2 * max(
+                bloom.clustered_n, _MIN_CLUSTER_ROWS
+            ):
+                # geometric schedule: the table doubled since its last
+                # global sort — re-cluster so the candidate verify's
+                # file pruning stays sharp; each kept row is rewritten
+                # O(log versions) times total
+                cluster_fingerprints(spark, fp_path)
+                bloom = load_bloom(fp_path, list_versions(fp_path)[-1])
+        for bc in bcs:
+            # all of this version's actions are done — release the
+            # executor-side bitmap copies now instead of at GC time
+            # (a 100-version loop would otherwise hold 100 bitmaps)
+            bc.destroy()
         if telemetry is not None:
             telemetry.append(tele)
         stats.append(
@@ -366,13 +395,14 @@ def cluster_fingerprints(
     so its version stamp is advanced in place rather than rebuilt."""
     df = read_snapshot(spark, fp_path)
     n = df.count()
-    k = files_target or max(1, min(256, n // 100_000 + 1))
+    k = files_target or max(1, min(256, n // _CLUSTER_FILE_ROWS + 1))
     clustered = df.repartitionByRange(k, "fp").sortWithinPartitions("fp")
     pre = list_versions(fp_path)[-1]
     v = write_snapshot(clustered, fp_path)
     bloom = load_bloom(fp_path, pre)
     if bloom is not None:
         bloom.fp_version = v
+        bloom.clustered_n = n
         save_bloom(fp_path, bloom)
     return v
 

@@ -353,3 +353,50 @@ def test_paths_outside_mount_refuse(fake_s3, tmp_path):
     fs = S3CommitFS(_client(fake_s3), str(tmp_path / "mount"))
     with pytest.raises(ValueError, match="outside the S3 mount"):
         fs._key(str(tmp_path / "elsewhere" / "f"))
+
+
+def test_publish_ambiguity_resolved_by_readback(fake_s3, tmp_path):
+    """A connection failure DURING the conditional PUT leaves the
+    outcome unknown (it may have committed server-side before the
+    socket died). publish_exclusive resolves by content read-back:
+    our bytes at the key → success; other bytes → lost race; no
+    object → surface the network error."""
+    c = _client(fake_s3)
+    fs = S3CommitFS(c, str(tmp_path))
+    tmp = tmp_path / ".tmp.1"
+    tmp.write_text('{"writer": "me"}')
+    final = str(tmp_path / "manifest-00007.json")
+
+    orig_put = c.put_object
+
+    def dying_put(key, body, if_none_match=False):
+        orig_put(key, body, if_none_match=if_none_match)  # PUT lands...
+        raise ConnectionError("socket died after the server committed")
+
+    # case 1: our PUT landed, then the connection died → success
+    c.put_object = dying_put
+    try:
+        fs.publish_exclusive(str(tmp), final)  # no exception
+    finally:
+        c.put_object = orig_put
+    assert c.get_object("manifest-00007.json") == b'{"writer": "me"}'
+
+    # case 2: the connection died and someone ELSE's commit is there
+    def failing_put(key, body, if_none_match=False):
+        raise ConnectionError("socket died, nothing landed from us")
+
+    c.put_object("manifest-00008.json", b'{"writer": "rival"}')
+    c.put_object = failing_put
+    try:
+        with pytest.raises(FileExistsError):
+            fs.publish_exclusive(str(tmp), str(tmp_path / "manifest-00008.json"))
+    finally:
+        c.put_object = orig_put
+
+    # case 3: the connection died and nothing landed → network error
+    c.put_object = failing_put
+    try:
+        with pytest.raises(ConnectionError):
+            fs.publish_exclusive(str(tmp), str(tmp_path / "manifest-00009.json"))
+    finally:
+        c.put_object = orig_put

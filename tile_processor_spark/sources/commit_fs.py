@@ -182,10 +182,31 @@ class S3CommitFS:
     def publish_exclusive(self, tmp_path: str, final_path: str) -> None:
         with open(tmp_path, "rb") as f:
             body = f.read()
-        # FileExistsError propagates from the 412 — same contract as
-        # the local hard link
-        self.client.put_object(self._key(final_path), body,
-                               if_none_match=True)
+        key = self._key(final_path)
+        try:
+            # FileExistsError propagates from the 412 — same contract
+            # as the local hard link
+            self.client.put_object(key, body, if_none_match=True)
+        except FileExistsError:
+            raise  # unambiguous 412 (FileExistsError is an OSError)
+        except (TimeoutError, ConnectionError, OSError) as net_err:
+            # AMBIGUOUS outcome: the PUT may have landed before the
+            # connection died (the classic conditional-write hazard —
+            # blindly retrying would see our OWN object and report a
+            # lost race; blindly failing could orphan a version number
+            # that actually committed). Resolve by content read-back:
+            # manifests are single-writer-per-version and tmp content
+            # is unique to this committer, so byte equality decides.
+            try:
+                current = self.client.get_object(key)
+            except FileNotFoundError:
+                # nothing landed — surface the original network error
+                raise net_err from None
+            if current == body:
+                return  # our write committed before the failure
+            raise FileExistsError(
+                f"s3://{self.client.bucket}/{key} exists"
+            ) from None
 
     def rehome(self, src: str, dst: str) -> None:
         if os.path.exists(src):  # staged locally → upload + local delete

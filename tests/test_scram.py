@@ -98,9 +98,16 @@ def test_saslprep():
         _saslprep("a\x07\u00e9")  # control char via non-ASCII path
 
 
-def test_channel_binding_require_refused_before_connecting():
-    # refusal happens before any socket is opened — no server needed
-    with pytest.raises(NotImplementedError, match="channel_binding=require"):
+def test_contradictory_tls_options_refused_before_connecting():
+    # refusals happen before any socket is opened — no server needed.
+    # channel_binding=require alone is no longer refused (round 12
+    # ships TLS + SCRAM-SHA-256-PLUS); the contradiction with
+    # sslmode=disable is.
+    with pytest.raises(ValueError, match="needs TLS"):
         PGConnection(host="127.0.0.1", port=1, channel_binding="require")
     with pytest.raises(ValueError, match="channel_binding"):
         PGConnection(host="127.0.0.1", port=1, channel_binding="bogus")
+    with pytest.raises(ValueError, match="sslmode"):
+        PGConnection(host="127.0.0.1", port=1, sslmode="bogus")
+    with pytest.raises(ValueError, match="unix socket"):
+        PGConnection(host="/nonexistent", sslmode="require")

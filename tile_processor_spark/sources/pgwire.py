@@ -10,8 +10,8 @@ tier) needs a JDBC driver jar the build container doesn't have — so
 the live-database path had never actually run. The protocol itself is
 small and fully documented (PostgreSQL Frontend/Backend Protocol,
 chapter 55); this client implements the subset the connector needs and
-refuses everything else loudly (no SSL negotiation, no extended query
-protocol, no binary format).
+refuses everything else loudly (no extended query protocol, no binary
+format).
 
 SCRAM-SHA-256 (RFC 5802 mechanism, RFC 7677 hash binding) matters
 because PostgreSQL 14+ defaults ``password_encryption =
@@ -19,9 +19,20 @@ scram-sha-256`` — without it the client cannot authenticate against a
 stock modern server at all. The implementation is ~80 lines over
 ``hashlib``/``hmac``/``os.urandom`` (``ScramSha256`` below, unit-tested
 against the RFC 7677 example exchange) and includes mandatory
-server-signature verification. SCRAM-SHA-256-PLUS (channel binding) is
-refused loudly: it requires TLS, which this client does not negotiate
-— pass ``channel_binding="require"`` to make the refusal explicit.
+server-signature verification.
+
+TLS (round 12): ``sslmode=require`` performs the v3 SSLRequest dance
+and wraps the socket (encryption without certificate verification,
+libpq parity); ``verify-full`` verifies the chain + hostname against
+``sslrootcert``/the system store. Over TLS the client prefers
+SCRAM-SHA-256-PLUS with ``tls-server-end-point`` channel binding
+(RFC 5929: the server certificate hashed with its own signature-hash
+algorithm, derived here by a minimal DER walk) — so
+``channel_binding=require`` now authenticates the CHANNEL, not just
+the password, and a MITM that terminates TLS with its own certificate
+fails the SCRAM exchange even knowing the stored verifier. The RFC
+5802 downgrade rule is honored: on TLS without a -PLUS offer the gs2
+flag is 'y', which a -PLUS-stripping attacker cannot survive.
 
 Scope notes:
 - one round-trip per ``query()`` (simple 'Q' message), text-format
@@ -39,6 +50,7 @@ import hashlib
 import hmac
 import os
 import socket
+import ssl as _ssl
 import struct
 import unicodedata
 
@@ -81,28 +93,41 @@ def _saslprep(password: str) -> str:
 
 class ScramSha256:
     """Client side of one SCRAM-SHA-256 exchange (RFC 5802 message
-    flow, RFC 7677 hash binding), gs2 header ``n,,`` (no channel
-    binding). Kept free of socket concerns so the RFC 7677 example
-    exchange pins it byte-for-byte in unit tests; ``PGConnection``
-    drives it over AuthenticationSASL/Continue/Final messages.
+    flow, RFC 7677 hash binding). Default gs2 header is ``n,,`` (no
+    channel binding); SCRAM-SHA-256-PLUS passes
+    ``gs2="p=tls-server-end-point,,"`` plus the certificate hash as
+    ``cb_data`` — the c= attribute then binds the exchange to the TLS
+    channel (RFC 5802 §6: cbind-input = gs2-header || cb-data). Kept
+    free of socket concerns so the RFC 7677 example exchange pins it
+    byte-for-byte in unit tests; ``PGConnection`` drives it over
+    AuthenticationSASL/Continue/Final messages.
 
     Server-signature verification is mandatory: ``verify_server_final``
     must be called and raises on mismatch — a MITM that knows only the
     stored verifier cannot forge it."""
 
-    def __init__(self, password: str, username: str = "", nonce: str | None = None):
+    def __init__(
+        self,
+        password: str,
+        username: str = "",
+        nonce: str | None = None,
+        gs2: str = "n,,",
+        cb_data: bytes = b"",
+    ):
         self._password = _saslprep(password)
         # PG ignores the SCRAM n= field (the startup-packet user wins),
         # so the wire client sends it empty, like libpq; the RFC test
         # vector sets it
         self._username = username.replace("=", "=3D").replace(",", "=2C")
         self._nonce = nonce or base64.b64encode(os.urandom(18)).decode()
+        self._gs2 = gs2
+        self._cb_data = cb_data
         self._client_first_bare = f"n={self._username},r={self._nonce}"
         self._auth_message: bytes | None = None
         self._salted: bytes | None = None
 
     def client_first(self) -> bytes:
-        return ("n,," + self._client_first_bare).encode()
+        return (self._gs2 + self._client_first_bare).encode()
 
     def client_final(self, server_first: bytes) -> bytes:
         attrs = dict(
@@ -121,7 +146,10 @@ class ScramSha256:
         )
         client_key = hmac.digest(self._salted, b"Client Key", "sha256")
         stored_key = hashlib.sha256(client_key).digest()
-        without_proof = f"c={base64.b64encode(b'n,,').decode()},r={server_nonce}"
+        cbind_input = self._gs2.encode() + self._cb_data
+        without_proof = (
+            f"c={base64.b64encode(cbind_input).decode()},r={server_nonce}"
+        )
         self._auth_message = (
             self._client_first_bare.encode()
             + b","
@@ -149,6 +177,68 @@ class ScramSha256:
             raise PGError(
                 "SCRAM server signature mismatch — refusing to trust the peer"
             )
+
+
+def _der_read_tlv(buf: bytes, pos: int) -> tuple[int, int, int]:
+    """One DER TLV at ``pos``: returns (tag, content_start, content_end)."""
+    tag = buf[pos]
+    pos += 1
+    ln = buf[pos]
+    pos += 1
+    if ln & 0x80:
+        n = ln & 0x7F
+        ln = int.from_bytes(buf[pos : pos + n], "big")
+        pos += n
+    return tag, pos, pos + ln
+
+
+#: signatureAlgorithm OID (dotted) → the hash "tls-server-end-point"
+#: channel binding uses (RFC 5929 §4.1: the certificate's signature
+#: hash, with MD5/SHA-1 upgraded to SHA-256)
+_SIG_OID_HASH = {
+    "1.2.840.113549.1.1.4": "sha256",   # md5WithRSA → upgraded
+    "1.2.840.113549.1.1.5": "sha256",   # sha1WithRSA → upgraded
+    "1.2.840.113549.1.1.11": "sha256",  # sha256WithRSA
+    "1.2.840.113549.1.1.12": "sha384",
+    "1.2.840.113549.1.1.13": "sha512",
+    "1.2.840.10045.4.1": "sha256",      # ecdsa-with-SHA1 → upgraded
+    "1.2.840.10045.4.3.2": "sha256",    # ecdsa-with-SHA256
+    "1.2.840.10045.4.3.3": "sha384",
+    "1.2.840.10045.4.3.4": "sha512",
+}
+
+
+def _decode_oid(b: bytes) -> str:
+    first = b[0]
+    parts = [str(first // 40), str(first % 40)]
+    v = 0
+    for byte in b[1:]:
+        v = (v << 7) | (byte & 0x7F)
+        if not byte & 0x80:
+            parts.append(str(v))
+            v = 0
+    return ".".join(parts)
+
+
+def tls_server_end_point_hash(der_cert: bytes) -> bytes:
+    """RFC 5929 tls-server-end-point channel-binding data: the server
+    certificate hashed with its own signature-hash algorithm (MD5/SHA-1
+    upgraded to SHA-256). Raises on signature algorithms outside the
+    map — SCRAM-PLUS then falls back to plain SCRAM rather than binding
+    to a hash the server would compute differently."""
+    # Certificate ::= SEQUENCE { tbsCertificate, signatureAlgorithm
+    #                            SEQUENCE { OID ... }, signature }
+    _tag, start, _end = _der_read_tlv(der_cert, 0)
+    _t, s1, e1 = _der_read_tlv(der_cert, start)      # tbsCertificate
+    _t, s2, e2 = _der_read_tlv(der_cert, e1)         # signatureAlgorithm
+    tag, s3, e3 = _der_read_tlv(der_cert, s2)        # the OID itself
+    if tag != 0x06:
+        raise ValueError("malformed certificate: signatureAlgorithm OID")
+    oid = _decode_oid(der_cert[s3:e3])
+    alg = _SIG_OID_HASH.get(oid)
+    if alg is None:
+        raise ValueError(f"unsupported certificate signature OID {oid}")
+    return hashlib.new(alg, der_cert).digest()
 
 
 # type OIDs the connector maps (pg_catalog.pg_type)
@@ -179,30 +269,45 @@ class PGConnection:
         password: str | None = None,
         timeout: float = 30.0,
         channel_binding: str = "disable",
+        sslmode: str = "disable",
+        sslrootcert: str | None = None,
     ):
         if channel_binding not in ("disable", "prefer", "require"):
             raise ValueError(
                 "channel_binding must be disable/prefer/require, got "
                 f"{channel_binding!r}"
             )
-        if channel_binding == "require":
+        if sslmode not in ("disable", "prefer", "require", "verify-full"):
+            raise ValueError(
+                "sslmode must be disable/prefer/require/verify-full, "
+                f"got {sslmode!r}"
+            )
+        if channel_binding == "require" and sslmode == "disable":
             # SCRAM-SHA-256-PLUS binds the auth exchange to the TLS
-            # channel; this client does not negotiate SSL, so honoring
-            # 'require' is impossible — refuse at connect time, before
-            # any credential material goes on the wire
-            raise NotImplementedError(
-                "channel_binding=require needs SCRAM-SHA-256-PLUS over "
-                "TLS; this client does not negotiate SSL (use "
-                "'prefer'/'disable', which select plain SCRAM-SHA-256)"
+            # channel — refuse the contradiction at connect time,
+            # before any credential material goes on the wire
+            raise ValueError(
+                "channel_binding=require needs TLS; pass "
+                "sslmode=require (or verify-full) as well"
             )
         self._password = password
         self._user = user
+        self._channel_binding = channel_binding
+        self._tls = False
+        self._tls_cert_der: bytes | None = None
+        self.sasl_mechanism: str | None = None
         if host.startswith("/"):
+            # TLS is never used on unix sockets (libpq behavior): the
+            # kernel already authenticates the peer
+            if sslmode in ("require", "verify-full"):
+                raise ValueError("sslmode=require on a unix socket")
             self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
             self._sock.settimeout(timeout)
             self._sock.connect(f"{host}/.s.PGSQL.{port}")
         else:
             self._sock = socket.create_connection((host, port), timeout=timeout)
+            if sslmode != "disable":
+                self._negotiate_tls(host, sslmode, sslrootcert)
         self._buf = b""
         params = (
             b"user\x00" + user.encode() + b"\x00"
@@ -211,6 +316,35 @@ class PGConnection:
         )
         self._send_raw(struct.pack(">II", 8 + len(params), 196608) + params)
         self._auth()
+
+    def _negotiate_tls(
+        self, host: str, sslmode: str, sslrootcert: str | None
+    ) -> None:
+        """The v3 SSLRequest dance: magic 80877103, the server answers
+        ONE raw byte — 'S' (proceed with the TLS handshake) or 'N'.
+        ``require`` encrypts without certificate verification (libpq
+        parity — the threat model is passive snooping; channel binding
+        or verify-full handle active MITM); ``verify-full`` verifies
+        the chain (``sslrootcert`` or the system store) AND the
+        hostname."""
+        self._sock.sendall(struct.pack(">II", 8, 80877103))
+        answer = self._sock.recv(1)
+        if answer != b"S":
+            if sslmode == "prefer":
+                return  # plaintext it is
+            raise PGError(
+                f"server refused SSL (answered {answer!r}) but "
+                f"sslmode={sslmode}"
+            )
+        if sslmode == "verify-full":
+            ctx = _ssl.create_default_context(cafile=sslrootcert)
+        else:
+            ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
+            ctx.check_hostname = False
+            ctx.verify_mode = _ssl.CERT_NONE
+        self._sock = ctx.wrap_socket(self._sock, server_hostname=host)
+        self._tls = True
+        self._tls_cert_der = self._sock.getpeercert(binary_form=True)
 
     # ---- framing ----
 
@@ -271,17 +405,15 @@ class PGConnection:
                     mechs = [
                         m.decode() for m in body[4:].split(b"\x00") if m
                     ]
-                    if "SCRAM-SHA-256" not in mechs:
-                        raise NotImplementedError(
-                            f"server offers SASL mechanisms {mechs}; only "
-                            "SCRAM-SHA-256 is supported (the -PLUS variant "
-                            "needs TLS channel binding)"
-                        )
-                    self._scram = ScramSha256(self._password)
+                    mech, gs2, cb = self._select_sasl(mechs)
+                    self.sasl_mechanism = mech
+                    self._scram = ScramSha256(
+                        self._password, gs2=gs2, cb_data=cb
+                    )
                     first = self._scram.client_first()
                     self._send(
                         b"p",
-                        b"SCRAM-SHA-256\x00"
+                        mech.encode() + b"\x00"
                         + struct.pack(">i", len(first))
                         + first,
                     )
@@ -301,6 +433,42 @@ class PGConnection:
             elif mtype == b"Z":  # ReadyForQuery
                 return
             # 'S' ParameterStatus / 'K' BackendKeyData / 'N' notices: skip
+
+    def _select_sasl(self, mechs: list[str]) -> tuple[str, str, bytes]:
+        """Mechanism + gs2 header + channel-binding data, per the RFC
+        5802 downgrade rules: over TLS with the server offering -PLUS
+        (and channel_binding not disabled), bind to the certificate
+        ('p=tls-server-end-point'); over TLS without -PLUS, advertise
+        our capability ('y' — the server MUST reject it if a MITM
+        stripped the -PLUS offer); plaintext or disabled → 'n'."""
+        cb_hash: bytes | None = None
+        if self._tls and self._tls_cert_der is not None:
+            try:
+                cb_hash = tls_server_end_point_hash(self._tls_cert_der)
+            except ValueError:
+                cb_hash = None  # unbindable cert → plain SCRAM, gs2 'n'
+        use_plus = (
+            "SCRAM-SHA-256-PLUS" in mechs
+            and self._channel_binding != "disable"
+            and cb_hash is not None
+        )
+        if self._channel_binding == "require" and not use_plus:
+            raise PGError(
+                "channel_binding=require but SCRAM-SHA-256-PLUS is "
+                f"unavailable (TLS={self._tls}, mechanisms={mechs})"
+            )
+        if use_plus:
+            return "SCRAM-SHA-256-PLUS", "p=tls-server-end-point,,", cb_hash
+        if "SCRAM-SHA-256" not in mechs:
+            raise NotImplementedError(
+                f"server offers SASL mechanisms {mechs}; only "
+                "SCRAM-SHA-256(-PLUS) is supported"
+            )
+        if self._tls and cb_hash is not None and self._channel_binding != "disable":
+            # we COULD bind but the server did not offer -PLUS: 'y'
+            # makes a -PLUS-stripping MITM fail the exchange
+            return "SCRAM-SHA-256", "y,,", b""
+        return "SCRAM-SHA-256", "n,,", b""
 
     # ---- simple query ----
 

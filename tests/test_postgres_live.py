@@ -586,3 +586,36 @@ def test_tls_server_end_point_hash_matches_openssl(pg_scram_server):
     pem = open(pg_scram_server["cert"]).read()
     der = pyssl.PEM_cert_to_DER_cert(pem)
     assert tls_server_end_point_hash(der) == hashlib.sha256(der).digest()
+
+
+def test_connector_reads_over_tls_with_channel_binding(
+    spark, pg_scram_server
+):
+    """The Spark connector passes sslmode/channel_binding/sslrootcert
+    through to every executor-side connection."""
+    from tile_processor_spark.sources.pgwire import PGConnection
+    from tile_processor_spark.sources.postgres_datasource import register
+
+    register(spark)
+    t = f"tls_{uuid.uuid4().hex[:8]}"
+    conn = PGConnection(
+        port=pg_scram_server["port"], user="tps", database="postgres",
+        password="s3cret-scram", sslmode="require",
+    )
+    try:
+        conn.execute(f"CREATE TABLE {t} (k bigint, s text)")
+        conn.execute(f"INSERT INTO {t} SELECT g, 'v' || g FROM generate_series(1, 20) g")
+        opts = _opts(
+            pg_scram_server, dbtable=t,
+            password=pg_scram_server["password"],
+            sslmode="require", channel_binding="require",
+        )
+        got = spark.read.format("tps_postgres").options(**opts).load()
+        assert got.count() == 20
+        # and with full verification against the fixture's own cert
+        opts["sslmode"] = "verify-full"
+        opts["sslrootcert"] = pg_scram_server["cert"]
+        got = spark.read.format("tps_postgres").options(**opts).load()
+        assert got.count() == 20
+    finally:
+        conn.close()

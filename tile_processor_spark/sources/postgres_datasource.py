@@ -90,6 +90,8 @@ def _connect(options: dict) -> pgwire.PGConnection:
         database=options.get("database", "postgres"),
         password=options.get("password"),
         channel_binding=options.get("channel_binding", "disable"),
+        sslmode=options.get("sslmode", "disable"),
+        sslrootcert=options.get("sslrootcert"),
     )
 
 

@@ -250,6 +250,12 @@ def test_key_encoding_survives_signing(fake_s3):
     for key in ("data/lang=en/part 1.parquet", "päth/ü+v", "a=b/c d/e"):
         c.put_object(key, key.encode())
         assert c.get_object(key) == key.encode()
+    # query-string canonicalization: a LIST prefix with a space and a
+    # plus must sign byte-identically to the wire form
+    assert c.list_objects("data/lang=en/part ") == [
+        "data/lang=en/part 1.parquet"
+    ]
+    assert c.list_objects("päth/ü+") == ["päth/ü+v"]
     assert not fake_s3.rejections
 
 

@@ -174,7 +174,12 @@ class S3Client:
             f"{_ALGO} Credential={self._ak}/{scope}, "
             f"SignedHeaders={';'.join(signed)}, Signature={sig}"
         )
-        qs = urllib.parse.urlencode(sorted(query))
+        # the wire query string must byte-match the signed canonical
+        # form (urlencode's '+' for spaces would sign-mismatch on
+        # prefixes containing spaces)
+        qs = "&".join(
+            f"{_uri_encode(k)}={_uri_encode(v)}" for k, v in sorted(query)
+        )
         url = _uri_encode(path, slash_safe=True) + (f"?{qs}" if qs else "")
         conn_cls = (
             http.client.HTTPSConnection if self._https else http.client.HTTPConnection

@@ -266,3 +266,35 @@ def test_progressive_fuzz_identity_sweep():
                     encode_jpeg_progressive(px, sub, restart_interval=rst)
                 )
                 assert np.array_equal(base, prog), (seed, shape, sub, rst)
+
+
+def test_progressive_deep_approximation_chain():
+    """Al=3→0 successive approximation with narrow spectral slices and
+    restarts — the longest refinement chain the scan-script grammar
+    allows, still bit-identical to baseline."""
+    scans = [
+        {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 0, "al": 3},
+        {"comps": [0], "ss": 1, "se": 2, "ah": 0, "al": 3},
+        {"comps": [0], "ss": 3, "se": 17, "ah": 0, "al": 3},
+        {"comps": [0], "ss": 18, "se": 63, "ah": 0, "al": 3},
+        {"comps": [1], "ss": 1, "se": 63, "ah": 0, "al": 2},
+        {"comps": [2], "ss": 1, "se": 63, "ah": 0, "al": 2},
+        {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 3, "al": 2},
+        {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 2, "al": 1},
+        {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 1, "al": 0},
+        {"comps": [0], "ss": 1, "se": 63, "ah": 3, "al": 2},
+        {"comps": [0], "ss": 1, "se": 63, "ah": 2, "al": 1},
+        {"comps": [0], "ss": 1, "se": 63, "ah": 1, "al": 0},
+        {"comps": [1], "ss": 1, "se": 63, "ah": 2, "al": 1},
+        {"comps": [1], "ss": 1, "se": 63, "ah": 1, "al": 0},
+        {"comps": [2], "ss": 1, "se": 63, "ah": 2, "al": 1},
+        {"comps": [2], "ss": 1, "se": 63, "ah": 1, "al": 0},
+    ]
+    rng = np.random.RandomState(29)
+    px = rng.randint(0, 256, (24, 32, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(px, "444"))
+    for rst in (0, 4):
+        prog = decode_jpeg(
+            encode_jpeg_progressive(px, "444", scans=scans, restart_interval=rst)
+        )
+        assert np.array_equal(base, prog)

@@ -406,3 +406,11 @@ def test_publish_ambiguity_resolved_by_readback(fake_s3, tmp_path):
             fs.publish_exclusive(str(tmp), str(tmp_path / "manifest-00009.json"))
     finally:
         c.put_object = orig_put
+
+
+def test_oversize_single_put_refuses_loudly(fake_s3, monkeypatch):
+    c = _client(fake_s3)
+    monkeypatch.setattr(S3Client, "MAX_PUT_BYTES", 64)
+    with pytest.raises(NotImplementedError, match="multipart"):
+        c.put_object("big", b"x" * 65)
+    c.put_object("ok", b"x" * 64)  # at the limit is fine

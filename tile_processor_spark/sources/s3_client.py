@@ -206,12 +206,25 @@ class S3Client:
 
     # -- operations ------------------------------------------------------
 
+    #: S3's single-PUT ceiling; larger bodies need multipart upload,
+    #: which this client does not implement (the commit protocol only
+    #: PUTs manifests and staged task files, both far below it) —
+    #: refuse loudly instead of surfacing the server's EntityTooLarge
+    MAX_PUT_BYTES = 5 * 1024**3
+
     def put_object(
         self, key: str, body: bytes, if_none_match: bool = False
     ) -> None:
         """Upload; with ``if_none_match`` the write succeeds ONLY if the
         key does not exist (server-side atomic create — raises
         ``FileExistsError`` on HTTP 412, the commit-race loss)."""
+        if len(body) > self.MAX_PUT_BYTES:
+            raise NotImplementedError(
+                f"object is {len(body)} bytes; single-PUT tops out at "
+                f"{self.MAX_PUT_BYTES} — multipart upload is not "
+                "implemented (split the staged file, or raise the task "
+                "count so parquet task files stay small)"
+            )
         hdrs = {"If-None-Match": "*"} if if_none_match else {}
         status, _h, data = self._request("PUT", key, body=body,
                                          extra_headers=hdrs)

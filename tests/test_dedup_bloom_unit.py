@@ -76,3 +76,25 @@ def test_sidecar_roundtrip_and_fold(spark, tmp_path):
     assert np.array_equal(b2.bits & b.bits, b.bits)
     flagged = with_maybe_kept(df.union(more), b2)
     assert flagged.filter("NOT _maybe_kept").count() == 0
+
+
+def test_sidecar_with_different_probe_count_is_rejected(spark, tmp_path):
+    """Review r12: a sidecar built with different probe parameters
+    would yield Bloom FALSE NEGATIVES — it must fail the stamp check
+    and trigger a rebuild, never load."""
+    import json
+
+    import tile_processor_spark.sources.dedup_bloom as mod
+
+    df = spark.createDataFrame([("a",), ("b",)], "fp string")
+    b = build_bloom(spark, str(tmp_path), 1, df, 2)
+    save_bloom(str(tmp_path), b)
+    # rewrite the state file claiming k=2
+    path = mod._state_path(str(tmp_path), 1)
+    with np.load(path) as z:
+        meta = json.loads(str(z["meta"]))
+        bits = z["bits"]
+    meta["k"] = 2
+    with open(path, "wb") as f:
+        np.savez(f, bits=bits, meta=np.array(json.dumps(meta)))
+    assert load_bloom(str(tmp_path), 1) is None

@@ -298,3 +298,18 @@ def test_progressive_deep_approximation_chain():
             encode_jpeg_progressive(px, "444", scans=scans, restart_interval=rst)
         )
         assert np.array_equal(base, prog)
+
+
+def test_progressive_unconsumed_entropy_refuses():
+    """Review r12: leftover non-fill bytes between the decoded scan and
+    the next marker mean the decoder and the stream disagree about
+    where entropy data ends (e.g. a corrupt early-EOB symbol) — refuse
+    loudly instead of resynchronizing to wrong pixels."""
+    rng = np.random.RandomState(31)
+    px = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    p = encode_jpeg_progressive(px)
+    # inject plain garbage right before the EOI
+    eoi = p.rfind(b"\xff\xd9")
+    doctored = p[:eoi] + b"\x55\x2a\x3c" + p[eoi:]
+    with pytest.raises(ValueError):
+        decode_jpeg(doctored)

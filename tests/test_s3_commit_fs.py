@@ -414,3 +414,38 @@ def test_oversize_single_put_refuses_loudly(fake_s3, monkeypatch):
     with pytest.raises(NotImplementedError, match="multipart"):
         c.put_object("big", b"x" * 65)
     c.put_object("ok", b"x" * 64)  # at the limit is fine
+
+
+def test_copy_object_200_with_error_body_is_not_success(fake_s3, tmp_path):
+    """Review r12: real S3 CopyObject can answer 200 OK with an Error
+    XML body when the copy fails mid-operation — treating any 200 as
+    success would let rehome delete the source after a copy that never
+    landed."""
+    c = _client(fake_s3)
+    c.put_object("src2", b"payload")
+    orig = c._request
+
+    def two_hundred_error(method, key, query=None, body=b"",
+                          extra_headers=None):
+        if extra_headers and "x-amz-copy-source" in {
+            k.lower() for k in extra_headers
+        }:
+            return 200, {}, (
+                b"<Error><Code>InternalError</Code>"
+                b"<Message>copy interrupted</Message></Error>"
+            )
+        return orig(method, key, query=query, body=body,
+                    extra_headers=extra_headers)
+
+    c._request = two_hundred_error
+    try:
+        with pytest.raises(S3Error, match="InternalError"):
+            c.copy_object("src2", "dst2")
+        fs = S3CommitFS(c, str(tmp_path))
+        # rehome of a resident object must NOT delete the source when
+        # the copy reports failure inside a 200
+        with pytest.raises(S3Error):
+            fs.rehome(str(tmp_path / "x"), str(tmp_path / "y"))
+    finally:
+        c._request = orig
+    assert c.get_object("src2") == b"payload"  # source survived

@@ -1153,21 +1153,27 @@ def _decode_progressive_scan(
             else:
                 ac_first(block, ta) if ah == 0 else ac_refine(block, ta)
     # advance to the next marker: pad bits live in the reader's
-    # accumulator; skip fill bytes and any stray trailing RST
+    # accumulator; legal residue is only 0xFF fill bytes, a stuffed
+    # 0xFF00, or a trailing RSTn. Anything else is UNCONSUMED entropy
+    # data — e.g. a corrupt symbol that decoded as an early EOB run —
+    # and must refuse loudly, never resynchronize to wrong pixels
     p = reader.pos
     n = len(data)
     while p < n - 1:
-        if data[p] == 0xFF:
-            nxt = data[p + 1]
-            if nxt == 0x00:
-                p += 2
-                continue
-            if nxt == 0xFF:
-                p += 1
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                p += 2
-                continue
-            return p
-        p += 1
+        if data[p] != 0xFF:
+            raise ValueError(
+                f"unconsumed entropy byte 0x{data[p]:02X} after "
+                "progressive scan (corrupt stream)"
+            )
+        nxt = data[p + 1]
+        if nxt == 0x00:
+            p += 2
+            continue
+        if nxt == 0xFF:
+            p += 1
+            continue
+        if 0xD0 <= nxt <= 0xD7:
+            p += 2
+            continue
+        return p
     raise ValueError("progressive scan ran past end of payload")

@@ -41,6 +41,7 @@ safety argument doesn't silently depend on POSIX extras.
 
 from __future__ import annotations
 
+import http.client as _http_client
 import os
 import shutil
 
@@ -189,7 +190,10 @@ class S3CommitFS:
             self.client.put_object(key, body, if_none_match=True)
         except FileExistsError:
             raise  # unambiguous 412 (FileExistsError is an OSError)
-        except (TimeoutError, ConnectionError, OSError) as net_err:
+        except (TimeoutError, ConnectionError, OSError,
+                _http_client.HTTPException) as net_err:
+            # HTTPException covers IncompleteRead/BadStatusLine — the
+            # response-lost-after-the-PUT-landed cases
             # AMBIGUOUS outcome: the PUT may have landed before the
             # connection died (the classic conditional-write hazard —
             # blindly retrying would see our OWN object and report a

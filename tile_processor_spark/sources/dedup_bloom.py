@@ -131,7 +131,14 @@ def load_bloom(fp_path: str, fp_version: int) -> DedupBloom | None:
             bits = z["bits"]
     except (OSError, KeyError, ValueError):
         return None
-    if meta.get("fp_version") != fp_version or len(bits) * 8 != meta.get("m"):
+    if (
+        meta.get("fp_version") != fp_version
+        or len(bits) * 8 != meta.get("m")
+        or meta.get("k") != _K
+    ):
+        # a k mismatch means DIFFERENT probe positions: the bitmap
+        # would yield Bloom FALSE NEGATIVES (missed duplicates), the
+        # one failure mode the design forbids — rebuild instead
         return None
     return DedupBloom(
         m=int(meta["m"]),

@@ -42,13 +42,11 @@ the snapshot store (Iceberg-shaped) with the dedup family.
 from __future__ import annotations
 
 import bisect
-import json
 import os
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from tile_processor_spark.sources.dedup_bloom import (
     build_bloom,
@@ -64,6 +62,7 @@ from tile_processor_spark.sources.snapshots import (
     _read_manifest,
     commit_append,
     list_versions,
+    read_partitioned_files,
     read_snapshot,
     write_snapshot,
 )
@@ -112,23 +111,12 @@ def _read_delta(
     spark: SparkSession, man: dict, delta_files: list[str]
 ) -> DataFrame:
     """Read one version's delta files. For a partitioned corpus the
-    partition columns live in the shared-tree directory names, not the
-    files — basePath re-derives them, cast back to the committed
-    dtypes (path inference guesses from the directory string), same as
-    ``read_snapshot``'s partitioned read."""
-    part_cols = man.get("partition_by") or []
-    if not part_cols:
+    partition columns live in the shared-tree directory names — the
+    SAME basePath/cast re-derivation as ``read_snapshot`` (one shared
+    helper, so the two read paths cannot diverge)."""
+    if not (man.get("partition_by") or []):
         return spark.read.parquet(*delta_files)
-    committed = T.StructType.fromJson(json.loads(man["schema"]))
-    out = spark.read.option("basePath", man["base"]).parquet(*delta_files)
-    return out.select(
-        *[
-            F.col(f.name).cast(f.dataType).alias(f.name)
-            if f.name in part_cols
-            else F.col(f.name)
-            for f in committed.fields
-        ]
-    )
+    return read_partitioned_files(spark, man, delta_files)
 
 
 def _prune_fp_files(fp_man: dict, candidates: list[str]) -> tuple[list[str], int]:
@@ -260,114 +248,121 @@ def dedup_new_versions(
         tele = {"version": v, "mode": "empty-delta", "candidates": 0,
                 "fp_files_total": 0, "fp_files_opened": 0}
         bcs: list = []  # this version's bitmap broadcast, destroyed below
-        if delta_files:
-            delta = _read_delta(spark, man, delta_files).select(
-                F.col(key_col).cast("long").alias("doc_key"),
-                fp_expr.alias("fp"),
-            )
-            # NULL fingerprints are outside the dedup domain (an anti-
-            # join could never match them anyway — SQL NULL inequality —
-            # so recording them would only accumulate dead rows)
-            delta = delta.filter(F.col("fp").isNotNull())
-            # within-delta dedup first (min key wins), then against
-            # every fingerprint ever kept
-            delta = (
-                delta.groupBy("fp")
-                .agg(F.min("doc_key").alias("doc_key"))
-            )
-            dup_fps = None
-            if bloom is not None:
-                flagged = with_maybe_kept(delta, bloom, _bc_out=bcs)
-                candidates = flagged.filter(F.col("_maybe_kept")).select("fp")
-                # ONE action: collect up to cap+1 — the driver never
-                # holds more than the cap, and the +1 row is the
-                # overflow signal that triggers the distributed path
-                cand_rows = candidates.limit(candidate_cap + 1).collect()
-                n_cand = len(cand_rows)
-                tele["candidates"] = n_cand
-                if n_cand == 0:
-                    # every delta fp PROVABLY new: no history read
-                    tele["mode"] = "bloom-all-new"
-                elif n_cand <= candidate_cap:
-                    cand = sorted(r.fp for r in cand_rows)
-                    fp_man = _read_manifest(
-                        fp_path, list_versions(fp_path)[-1]
-                    )
-                    files, total = _prune_fp_files(fp_man, cand)
-                    tele.update(
-                        mode="bloom-pruned",
-                        fp_files_total=total,
-                        fp_files_opened=len(files),
-                    )
-                    if files:
-                        pruned = spark.read.parquet(*files).select("fp")
-                        if n_cand <= _ISIN_CAP:
-                            # small candidate sets push an IN filter to
-                            # the parquet readers: row-group min/max
-                            # stats skip WITHIN the opened files too
-                            # (fingerprint files are written fp-sorted,
-                            # so row groups carry tight ranges) — rows
-                            # decoded ∝ candidates, not file sizes
-                            dup_fps = pruned.filter(F.col("fp").isin(cand))
-                        else:
-                            dup_fps = pruned.join(
-                                F.broadcast(candidates), "fp", "left_semi"
-                            )
+        try:
+            if delta_files:
+                delta = _read_delta(spark, man, delta_files).select(
+                    F.col(key_col).cast("long").alias("doc_key"),
+                    fp_expr.alias("fp"),
+                )
+                # NULL fingerprints are outside the dedup domain (an anti-
+                # join could never match them anyway — SQL NULL inequality —
+                # so recording them would only accumulate dead rows)
+                delta = delta.filter(F.col("fp").isNotNull())
+                # within-delta dedup first (min key wins), then against
+                # every fingerprint ever kept. The grouped delta feeds up
+                # to three actions (candidate collect, survivors write,
+                # the semi-join fallback) — checkpoint it once instead of
+                # re-reading and re-shuffling per action (the cache policy
+                # docs/SCALE.md prescribes for multi-consumer frames)
+                delta = (
+                    delta.groupBy("fp")
+                    .agg(F.min("doc_key").alias("doc_key"))
+                    .localCheckpoint()
+                )
+                dup_fps = None
+                if bloom is not None:
+                    flagged = with_maybe_kept(delta, bloom, _bc_out=bcs)
+                    candidates = flagged.filter(F.col("_maybe_kept")).select("fp")
+                    # ONE action: collect up to cap+1 — the driver never
+                    # holds more than the cap, and the +1 row is the
+                    # overflow signal that triggers the distributed path
+                    cand_rows = candidates.limit(candidate_cap + 1).collect()
+                    n_cand = len(cand_rows)
+                    tele["candidates"] = n_cand
+                    if n_cand == 0:
+                        # every delta fp PROVABLY new: no history read
+                        tele["mode"] = "bloom-all-new"
+                    elif n_cand <= candidate_cap:
+                        cand = sorted(r.fp for r in cand_rows)
+                        fp_man = _read_manifest(
+                            fp_path, list_versions(fp_path)[-1]
+                        )
+                        files, total = _prune_fp_files(fp_man, cand)
+                        tele.update(
+                            mode="bloom-pruned",
+                            fp_files_total=total,
+                            fp_files_opened=len(files),
+                        )
+                        if files:
+                            pruned = spark.read.parquet(*files).select("fp")
+                            if n_cand <= _ISIN_CAP:
+                                # small candidate sets push an IN filter to
+                                # the parquet readers: row-group min/max
+                                # stats skip WITHIN the opened files too
+                                # (fingerprint files are written fp-sorted,
+                                # so row groups carry tight ranges) — rows
+                                # decoded ∝ candidates, not file sizes
+                                dup_fps = pruned.filter(F.col("fp").isin(cand))
+                            else:
+                                dup_fps = pruned.join(
+                                    F.broadcast(candidates), "fp", "left_semi"
+                                )
+                    else:
+                        tele["mode"] = "full-anti-join"
+                        dup_fps = read_snapshot(spark, fp_path).select("fp")
                 else:
                     tele["mode"] = "full-anti-join"
                     dup_fps = read_snapshot(spark, fp_path).select("fp")
+                survivors = (
+                    delta
+                    if dup_fps is None
+                    else delta.join(dup_fps, "fp", "left_anti")
+                ).select(
+                    "fp", "doc_key", F.lit(v).cast("int").alias("src_version")
+                )
+                new_files, n_kept = _stage_parquet(survivors, fp_path)
+                n_new = sum(_parquet_rows(f) for f in delta_files)
             else:
-                tele["mode"] = "full-anti-join"
-                dup_fps = read_snapshot(spark, fp_path).select("fp")
-            survivors = (
-                delta
-                if dup_fps is None
-                else delta.join(dup_fps, "fp", "left_anti")
-            ).select(
-                "fp", "doc_key", F.lit(v).cast("int").alias("src_version")
+                new_files, n_new, n_kept = [], 0, 0
+            # the mark advances even for empty/no-survivor versions —
+            # replay protection is per corpus version, not per row
+            committed_v = commit_append(
+                fp_path,
+                new_files,
+                stream_mark=(_APP_ID, v),
+                extra={"src_corpus_version": v},
             )
-            new_files, n_kept = _stage_parquet(survivors, fp_path)
-            n_new = sum(_parquet_rows(f) for f in delta_files)
-        else:
-            new_files, n_new, n_kept = [], 0, 0
-        # the mark advances even for empty/no-survivor versions —
-        # replay protection is per corpus version, not per row
-        committed_v = commit_append(
-            fp_path,
-            new_files,
-            stream_mark=(_APP_ID, v),
-            extra={"src_corpus_version": v},
-        )
-        if bloom is not None and committed_v != bloom.fp_version:
-            # a replay-dropped commit returns the unchanged head, so
-            # the sidecar stamp still matches and nothing updates
-            if bloom.n + n_kept > bloom.capacity:
-                kept = read_snapshot(spark, fp_path).select("fp")
-                bloom = build_bloom(
-                    spark, fp_path, committed_v, kept, kept.count()
-                )
-            else:
-                staged = (
-                    spark.read.parquet(*new_files).select("fp")
-                    if new_files
-                    else None
-                )
-                bloom = fold_in(bloom, staged, n_kept, committed_v)
-            save_bloom(fp_path, bloom)
-            if auto_cluster and bloom.n >= 2 * max(
-                bloom.clustered_n, _MIN_CLUSTER_ROWS
-            ):
-                # geometric schedule: the table doubled since its last
-                # global sort — re-cluster so the candidate verify's
-                # file pruning stays sharp; each kept row is rewritten
-                # O(log versions) times total
-                cluster_fingerprints(spark, fp_path)
-                bloom = load_bloom(fp_path, list_versions(fp_path)[-1])
-        for bc in bcs:
-            # all of this version's actions are done — release the
-            # executor-side bitmap copies now instead of at GC time
-            # (a 100-version loop would otherwise hold 100 bitmaps)
-            bc.destroy()
+            if bloom is not None and committed_v != bloom.fp_version:
+                # a replay-dropped commit returns the unchanged head, so
+                # the sidecar stamp still matches and nothing updates
+                if bloom.n + n_kept > bloom.capacity:
+                    kept = read_snapshot(spark, fp_path).select("fp")
+                    bloom = build_bloom(
+                        spark, fp_path, committed_v, kept, kept.count()
+                    )
+                else:
+                    staged = (
+                        spark.read.parquet(*new_files).select("fp")
+                        if new_files
+                        else None
+                    )
+                    bloom = fold_in(bloom, staged, n_kept, committed_v)
+                save_bloom(fp_path, bloom)
+                if auto_cluster and bloom.n >= 2 * max(
+                    bloom.clustered_n, _MIN_CLUSTER_ROWS
+                ):
+                    # geometric schedule: the table doubled since its last
+                    # global sort — re-cluster so the candidate verify's
+                    # file pruning stays sharp; each kept row is rewritten
+                    # O(log versions) times total
+                    cluster_fingerprints(spark, fp_path)
+                    bloom = load_bloom(fp_path, list_versions(fp_path)[-1])
+        finally:
+            for bc in bcs:
+                # released even when the version fails mid-way
+                # (commit conflict, gap ValueError, job error) —
+                # a retry loop must not accrete executor bitmaps
+                bc.destroy()
         if telemetry is not None:
             telemetry.append(tele)
         stats.append(

@@ -387,10 +387,25 @@ class PGConnection:
                 if code == 0:  # AuthenticationOk
                     continue
                 if code == 3:  # cleartext password
+                    if self._channel_binding == "require":
+                        # an active MITM can downgrade to cleartext to
+                        # harvest the password — under 'require' ONLY a
+                        # channel-bound SCRAM exchange may see secrets
+                        raise PGError(
+                            "server requested cleartext auth but "
+                            "channel_binding=require (possible downgrade "
+                            "attack) — refusing to send the password"
+                        )
                     if self._password is None:
                         raise PGError("server wants a password; none given")
                     self._send(b"p", self._password.encode() + b"\x00")
                 elif code == 5:  # md5
+                    if self._channel_binding == "require":
+                        raise PGError(
+                            "server requested md5 auth but "
+                            "channel_binding=require (possible downgrade "
+                            "attack) — refusing to send the hash"
+                        )
                     if self._password is None:
                         raise PGError("server wants a password; none given")
                     salt = body[4:8]
@@ -431,6 +446,19 @@ class PGConnection:
             elif mtype == b"E":
                 raise PGError(self._error_fields(body))
             elif mtype == b"Z":  # ReadyForQuery
+                if (
+                    self._channel_binding == "require"
+                    and self.sasl_mechanism != "SCRAM-SHA-256-PLUS"
+                ):
+                    # trust / any non-SASL path reached readiness
+                    # without ever binding to the channel — a MITM
+                    # would simply answer AuthenticationOk, so
+                    # 'require' must fail the connection here
+                    raise PGError(
+                        "channel_binding=require but authentication "
+                        f"completed via {self.sasl_mechanism or 'trust'} "
+                        "— the channel was never bound"
+                    )
                 return
             # 'S' ParameterStatus / 'K' BackendKeyData / 'N' notices: skip
 

@@ -267,6 +267,17 @@ class S3Client:
             raise FileNotFoundError(f"s3://{self.bucket}/{src_key}")
         if status != 200:
             raise self._error(status, data)
+        # S3 CopyObject is documented to answer 200 OK with an Error
+        # XML body when the copy fails mid-operation — a 200 alone
+        # does NOT mean the destination exists
+        try:
+            root = ElementTree.fromstring(data)
+        except ElementTree.ParseError:
+            raise S3Error(200, "BadCopyResponse",
+                          "unparseable CopyObject body") from None
+        tag = root.tag.rsplit("}", 1)[-1]
+        if tag != "CopyObjectResult":
+            raise self._error(200, data)
 
     def list_objects(self, prefix: str = "") -> list[str]:
         """All keys under ``prefix`` (ListObjectsV2, continuation-token

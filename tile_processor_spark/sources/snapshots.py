@@ -894,28 +894,41 @@ def read_snapshot(
         # empty partition_filter match — the version's schema, no rows
         return spark.createDataFrame([], committed)
     if part_cols:
-        # partition columns live in dir names, not the data files —
-        # basePath makes Spark re-derive them as real columns. Path
-        # inference guesses their dtype from the directory STRING (a
-        # numeric-looking value comes back as int/date), which would
-        # silently diverge from the committed schema — and upsert's
-        # name-only schema check would then evolve the column type
-        # across MERGEs. Cast re-derived partition columns back to the
-        # committed dtype and restore the committed column order, so
-        # empty-match and non-empty reads have identical shape.
-        out = spark.read.option("basePath", manifest["base"]).parquet(*files)
         return _apply_where(
-            out.select(
-                *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    if f.name in part_cols
-                    else F.col(f.name)
-                    for f in committed.fields
-                ]
-            ),
-            where,
+            read_partitioned_files(spark, manifest, files), where
         )
     return _apply_where(spark.read.parquet(*files), where)
+
+
+def read_partitioned_files(
+    spark: SparkSession, manifest: dict, files: list[str]
+) -> DataFrame:
+    """Read data files of a PARTITIONED table version: partition
+    columns live in dir names, not the data files — basePath makes
+    Spark re-derive them as real columns. Path inference guesses their
+    dtype from the directory STRING (a numeric-looking value comes
+    back as int/date), which would silently diverge from the committed
+    schema — and upsert's name-only schema check would then evolve the
+    column type across MERGEs. Cast re-derived partition columns back
+    to the committed dtype and restore the committed column order, so
+    empty-match and non-empty reads have identical shape. Shared by
+    ``read_snapshot`` and the incremental-dedup delta reader — the two
+    places MUST agree on this re-derivation."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    part_cols = manifest.get("partition_by") or []
+    committed = T.StructType.fromJson(_json.loads(manifest["schema"]))
+    out = spark.read.option("basePath", manifest["base"]).parquet(*files)
+    return out.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in part_cols
+            else F.col(f.name)
+            for f in committed.fields
+        ]
+    )
 
 
 def _apply_where(df: DataFrame, where: list[tuple] | None) -> DataFrame:

@@ -59,7 +59,8 @@ def _mk_version_df(spark, v, rows, dup_rate):
     return fresh
 
 
-def run(versions, rows, dup_rate, baseline_versions, cluster_every):
+def run(versions, rows, dup_rate, baseline_versions, cluster_every,
+        cluster_files=None):
     from tile_processor_spark.session import get_spark
     from tile_processor_spark.sources.incremental_dedup import (
         cluster_fingerprints,
@@ -102,7 +103,7 @@ def run(versions, rows, dup_rate, baseline_versions, cluster_every):
             )
             if cluster_every and v % cluster_every == 0:
                 t0 = time.time()
-                cluster_fingerprints(spark, fps)
+                cluster_fingerprints(spark, fps, files_target=cluster_files)
                 out["bloom"].append(
                     {"version": v, "mode": "cluster",
                      "wall_s": round(time.time() - t0, 3)}
@@ -181,6 +182,13 @@ if __name__ == "__main__":
     ap.add_argument("--dup-rate", type=float, default=0.002)
     ap.add_argument("--baseline-versions", type=int, default=30)
     ap.add_argument("--cluster-every", type=int, default=32)
+    ap.add_argument(
+        "--cluster-files", type=int, default=200,
+        help="files_target for cluster_fingerprints: production "
+        "tables have many narrow-range files per candidate (128MB "
+        "files over billions of rows); 200 reproduces that regime "
+        "at 1M rows",
+    )
     a = ap.parse_args()
     run(a.versions, a.rows_per_version, a.dup_rate,
-        a.baseline_versions, a.cluster_every)
+        a.baseline_versions, a.cluster_every, a.cluster_files)

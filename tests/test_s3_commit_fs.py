@@ -18,6 +18,7 @@ import hashlib
 import os
 import threading
 import urllib.parse
+import uuid as uuid_mod
 from concurrent.futures import ThreadPoolExecutor
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -108,6 +109,62 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
         path = urllib.parse.unquote(self.path.partition("?")[0])
         return path.lstrip("/").partition("/")[2]  # strip bucket
 
+    def _query(self) -> dict:
+        return dict(
+            urllib.parse.parse_qsl(
+                self.path.partition("?")[2], keep_blank_values=True
+            )
+        )
+
+    def do_POST(self) -> None:  # noqa: N802
+        n = int(self.headers.get("Content-Length") or 0)
+        body = self.rfile.read(n)
+        bad = self._verify_signature(body)
+        if bad:
+            self.server.rejections.append(bad)  # type: ignore[attr-defined]
+            return self._err(403, "SignatureDoesNotMatch")
+        q = self._query()
+        key = self._key()
+        uploads = self.server.uploads  # type: ignore[attr-defined]
+        if "uploads" in q:  # initiate
+            uid = uuid_mod.uuid4().hex
+            with self._lock():
+                uploads[uid] = {}
+            return self._respond(
+                200,
+                (
+                    "<InitiateMultipartUploadResult>"
+                    f"<UploadId>{uid}</UploadId>"
+                    "</InitiateMultipartUploadResult>"
+                ).encode(),
+            )
+        if "uploadId" in q:  # complete
+            uid = q["uploadId"]
+            import re as re_mod
+
+            wanted = re_mod.findall(rb"<PartNumber>(\d+)</PartNumber>", body)
+            with self._lock():
+                parts = uploads.get(uid)
+                if parts is None:
+                    return self._err(404, "NoSuchUpload")
+                if sorted(int(p) for p in wanted) != sorted(parts):
+                    return self._err(400, "InvalidPartOrder")
+                if (
+                    self.headers.get("If-None-Match") == "*"
+                    and key in self._objects()
+                ):
+                    return self._err(412, "PreconditionFailed")
+                self._objects()[key] = b"".join(
+                    parts[n2] for n2 in sorted(parts)
+                )
+                del uploads[uid]
+            return self._respond(
+                200,
+                b"<CompleteMultipartUploadResult><ETag>x</ETag>"
+                b"</CompleteMultipartUploadResult>",
+            )
+        self._err(400, "BadRequest")
+
     def do_PUT(self) -> None:  # noqa: N802
         n = int(self.headers.get("Content-Length") or 0)
         body = self.rfile.read(n)
@@ -116,6 +173,18 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
             self.server.rejections.append(bad)  # type: ignore[attr-defined]
             return self._err(403, "SignatureDoesNotMatch")
         key = self._key()
+        q = self._query()
+        if "partNumber" in q and "uploadId" in q:
+            with self._lock():
+                parts = self.server.uploads.get(q["uploadId"])  # type: ignore[attr-defined]
+                if parts is None:
+                    return self._err(404, "NoSuchUpload")
+                parts[int(q["partNumber"])] = body
+            self.send_response(200)
+            self.send_header("ETag", f'"p{q["partNumber"]}"')
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
         src = self.headers.get("x-amz-copy-source")
         with self._lock():
             if src is not None:
@@ -171,8 +240,12 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
         bad = self._verify_signature(b"")
         if bad:
             return self._err(403, "SignatureDoesNotMatch")
+        q = self._query()
         with self._lock():
-            self._objects().pop(self._key(), None)
+            if "uploadId" in q:  # abort multipart
+                self.server.uploads.pop(q["uploadId"], None)  # type: ignore[attr-defined]
+            else:
+                self._objects().pop(self._key(), None)
         self._respond(204)
 
     def log_message(self, *a) -> None:  # quiet
@@ -183,6 +256,7 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
 def fake_s3():
     srv = ThreadingHTTPServer(("127.0.0.1", 0), _FakeS3Handler)
     srv.objects = {}
+    srv.uploads = {}
     srv.lock = threading.Lock()
     srv.rejections = []
     t = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -408,12 +482,15 @@ def test_publish_ambiguity_resolved_by_readback(fake_s3, tmp_path):
         c.put_object = orig_put
 
 
-def test_oversize_single_put_refuses_loudly(fake_s3, monkeypatch):
+def test_oversize_put_routes_through_multipart(fake_s3, monkeypatch):
+    """Bodies above the single-PUT ceiling no longer refuse — they
+    route through multipart transparently (round 12, second pass)."""
     c = _client(fake_s3)
     monkeypatch.setattr(S3Client, "MAX_PUT_BYTES", 64)
-    with pytest.raises(NotImplementedError, match="multipart"):
-        c.put_object("big", b"x" * 65)
-    c.put_object("ok", b"x" * 64)  # at the limit is fine
+    monkeypatch.setattr(S3Client, "MULTIPART_PART_BYTES", 32)
+    c.put_object("big", b"x" * 65)
+    assert c.get_object("big") == b"x" * 65
+    c.put_object("ok", b"x" * 64)  # at the limit stays single-PUT
 
 
 def test_copy_object_200_with_error_body_is_not_success(fake_s3, tmp_path):
@@ -449,3 +526,50 @@ def test_copy_object_200_with_error_body_is_not_success(fake_s3, tmp_path):
     finally:
         c._request = orig
     assert c.get_object("src2") == b"payload"  # source survived
+
+
+def test_multipart_upload_roundtrip_and_conditional(fake_s3, monkeypatch):
+    """Bodies above the single-PUT ceiling route through multipart:
+    parts assemble byte-exact, the If-None-Match precondition rides the
+    atomic Complete, and a failed upload aborts server-side."""
+    c = _client(fake_s3)
+    monkeypatch.setattr(S3Client, "MAX_PUT_BYTES", 100)
+    monkeypatch.setattr(S3Client, "MULTIPART_PART_BYTES", 64)
+    body = bytes(range(256)) * 3  # 768 bytes → 12 parts
+    c.put_object("big/obj", body, if_none_match=True)
+    assert c.get_object("big/obj") == body
+    assert not fake_s3.uploads  # upload state consumed
+    # conditional create loses atomically at the Complete
+    with pytest.raises(FileExistsError):
+        c.put_object("big/obj", b"z" * 200, if_none_match=True)
+    assert c.get_object("big/obj") == body
+    assert not fake_s3.uploads  # losing upload aborted, not leaked
+    # unconditional multipart overwrites
+    c.put_object("big/obj", b"z" * 200)
+    assert c.get_object("big/obj") == b"z" * 200
+    assert not fake_s3.rejections  # every request signature-verified
+
+
+def test_multipart_failure_aborts_upload(fake_s3, monkeypatch):
+    c = _client(fake_s3)
+    monkeypatch.setattr(S3Client, "MAX_PUT_BYTES", 10)
+    monkeypatch.setattr(S3Client, "MULTIPART_PART_BYTES", 8)
+    orig = c._request
+    calls = {"parts": 0}
+
+    def flaky(method, key, query=None, body=b"", extra_headers=None):
+        if query and any(k == "partNumber" for k, _ in query):
+            calls["parts"] += 1
+            if calls["parts"] == 2:
+                return 500, {}, b"<Error><Code>InternalError</Code></Error>"
+        return orig(method, key, query=query, body=body,
+                    extra_headers=extra_headers)
+
+    c._request = flaky
+    try:
+        with pytest.raises(S3Error, match="InternalError"):
+            c.put_object("fail/obj", b"x" * 20)
+    finally:
+        c._request = orig
+    assert not fake_s3.uploads  # aborted server-side
+    assert not c.head_object("fail/obj")

@@ -206,25 +206,24 @@ class S3Client:
 
     # -- operations ------------------------------------------------------
 
-    #: S3's single-PUT ceiling; larger bodies need multipart upload,
-    #: which this client does not implement (the commit protocol only
-    #: PUTs manifests and staged task files, both far below it) —
-    #: refuse loudly instead of surfacing the server's EntityTooLarge
+    #: S3's single-PUT ceiling; larger bodies route through multipart
+    #: upload automatically (parts of MULTIPART_PART_BYTES, conditional
+    #: create preserved — S3 honors If-None-Match on
+    #: CompleteMultipartUpload since late 2024, same as PutObject)
     MAX_PUT_BYTES = 5 * 1024**3
+    MULTIPART_PART_BYTES = 64 * 1024**2
 
     def put_object(
         self, key: str, body: bytes, if_none_match: bool = False
     ) -> None:
         """Upload; with ``if_none_match`` the write succeeds ONLY if the
         key does not exist (server-side atomic create — raises
-        ``FileExistsError`` on HTTP 412, the commit-race loss)."""
+        ``FileExistsError`` on HTTP 412, the commit-race loss). Bodies
+        above the single-PUT ceiling route through multipart upload
+        (the precondition then rides the CompleteMultipartUpload, which
+        commits all parts as one object atomically)."""
         if len(body) > self.MAX_PUT_BYTES:
-            raise NotImplementedError(
-                f"object is {len(body)} bytes; single-PUT tops out at "
-                f"{self.MAX_PUT_BYTES} — multipart upload is not "
-                "implemented (split the staged file, or raise the task "
-                "count so parquet task files stay small)"
-            )
+            return self._put_multipart(key, body, if_none_match)
         hdrs = {"If-None-Match": "*"} if if_none_match else {}
         status, _h, data = self._request("PUT", key, body=body,
                                          extra_headers=hdrs)
@@ -235,6 +234,66 @@ class S3Client:
             raise FileExistsError(f"s3://{self.bucket}/{key} exists")
         if status != 200:
             raise self._error(status, data)
+
+    def _put_multipart(
+        self, key: str, body: bytes, if_none_match: bool
+    ) -> None:
+        """The three-phase multipart protocol: initiate (POST ?uploads
+        → UploadId), upload parts (PUT ?partNumber&uploadId → ETag
+        each), complete (POST ?uploadId with the part manifest — the
+        object becomes visible ATOMICALLY here, and the If-None-Match
+        precondition is evaluated at this commit point, so the
+        conditional-create contract is identical to single PUT). Any
+        failure aborts the upload server-side (DELETE ?uploadId) so
+        parts never linger as billable orphans."""
+        status, _h, data = self._request("POST", key, query=[("uploads", "")])
+        if status != 200:
+            raise self._error(status, data)
+        root = ElementTree.fromstring(data)
+        ns = root.tag[: root.tag.index("}") + 1] if root.tag.startswith("{") else ""
+        upload_id = root.findtext(f"{ns}UploadId")
+        if not upload_id:
+            raise S3Error(200, "BadInitiate", "no UploadId in response")
+        try:
+            etags: list[str] = []
+            for i in range(0, len(body), self.MULTIPART_PART_BYTES):
+                part_no = len(etags) + 1
+                status, hdrs, data = self._request(
+                    "PUT",
+                    key,
+                    query=[("partNumber", str(part_no)),
+                           ("uploadId", upload_id)],
+                    body=body[i : i + self.MULTIPART_PART_BYTES],
+                )
+                if status != 200:
+                    raise self._error(status, data)
+                etag = {k.lower(): v for k, v in hdrs.items()}.get("etag")
+                if not etag:
+                    raise S3Error(200, "BadPart", f"part {part_no} has no ETag")
+                etags.append(etag)
+            manifest = "<CompleteMultipartUpload>" + "".join(
+                f"<Part><PartNumber>{n}</PartNumber><ETag>{e}</ETag></Part>"
+                for n, e in enumerate(etags, 1)
+            ) + "</CompleteMultipartUpload>"
+            hdrs = {"If-None-Match": "*"} if if_none_match else {}
+            status, _h, data = self._request(
+                "POST", key, query=[("uploadId", upload_id)],
+                body=manifest.encode(), extra_headers=hdrs,
+            )
+            if status == 412 or (status == 409 and if_none_match):
+                raise FileExistsError(f"s3://{self.bucket}/{key} exists")
+            if status != 200:
+                raise self._error(status, data)
+            # a 200 Complete can still carry an Error body (S3 streams
+            # the response while assembling) — same check as CopyObject
+            root = ElementTree.fromstring(data)
+            if root.tag.rsplit("}", 1)[-1] != "CompleteMultipartUploadResult":
+                raise self._error(200, data)
+        except BaseException:
+            self._request(
+                "DELETE", key, query=[("uploadId", upload_id)]
+            )  # best-effort abort; orphaned parts otherwise bill forever
+            raise
 
     def get_object(self, key: str) -> bytes:
         status, _h, data = self._request("GET", key)

@@ -164,7 +164,7 @@ def test_connector_pushdown_drives_skipping(spark, tmp_path):
     from pyspark.sql.datasource import GreaterThanOrEqual
 
     from tile_processor_spark.sources.snapshot_datasource import (
-        SnapshotReader,
+        SnapshotPushdownReader,
         register,
     )
 
@@ -180,7 +180,7 @@ def test_connector_pushdown_drives_skipping(spark, tmp_path):
     def planned_files(reader):
         return sum(len(p.files) for p in reader.partitions())
 
-    r = SnapshotReader(base.schema, {"path": tbl})
+    r = SnapshotPushdownReader(base.schema, {"path": tbl})
     n_all = planned_files(r)
     leftover = list(r.pushFilters([GreaterThanOrEqual(("k",), 200)]))
     assert len(leftover) == 1  # everything handed back for row-wise eval

@@ -183,7 +183,7 @@ def test_connector_read_write_roundtrip(spark, pg_server, pg_conn):
 
 def test_partitioned_parallel_read(spark, pg_server, pg_conn):
     from tile_processor_spark.sources.postgres_datasource import (
-        PostgresReader,
+        PostgresPushdownReader,
         register,
     )
     from pyspark.sql import types as T
@@ -206,7 +206,7 @@ def test_partitioned_parallel_read(spark, pg_server, pg_conn):
     schema = T.StructType(
         [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
     )
-    parts = PostgresReader(schema, opts).partitions()
+    parts = PostgresPushdownReader(schema, opts).partitions()
     assert len(parts) == 4
     assert parts[0].clause.startswith('"k" <')       # unbounded below
     assert parts[-1].clause.startswith('"k" >=')     # unbounded above
@@ -227,7 +227,7 @@ def test_filter_pushdown_happens_server_side(spark, pg_server, pg_conn):
     a pushed `k > 990` returns 10 rows while Spark's plan carries NO
     post-scan filter for it (pushFilters consumed it)."""
     from tile_processor_spark.sources.postgres_datasource import (
-        PostgresReader,
+        PostgresPushdownReader,
         register,
     )
     from pyspark.sql.datasource import EqualTo, GreaterThan, StringContains
@@ -245,18 +245,18 @@ def test_filter_pushdown_happens_server_side(spark, pg_server, pg_conn):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" not in plan or "k" in plan  # plan shape is version-dependent
     # unit-level proof of the SQL actually sent:
-    r = PostgresReader(got.schema, _opts(pg_server, dbtable=t))
+    r = PostgresPushdownReader(got.schema, _opts(pg_server, dbtable=t))
     leftover = list(r.pushFilters([GreaterThan(("k",), 990), EqualTo(("s",), "row-991")]))
     assert leftover == []  # both pushed
     assert r.pushed_sql() == '"k" > 990 AND "s" = \'row-991\''
     rows = list(r.read(r.partitions()[0]))
     assert rows == [(991, "row-991")]
     # unsupported filters are handed back, not dropped
-    r2 = PostgresReader(got.schema, _opts(pg_server, dbtable=t))
+    r2 = PostgresPushdownReader(got.schema, _opts(pg_server, dbtable=t))
     sc = StringContains(("s",), "99")
     assert list(r2.pushFilters([sc])) == [sc]
     # SQL-injection-shaped values stay literal
-    r3 = PostgresReader(got.schema, _opts(pg_server, dbtable=t))
+    r3 = PostgresPushdownReader(got.schema, _opts(pg_server, dbtable=t))
     assert list(r3.pushFilters([EqualTo(("s",), "x'; DROP TABLE t; --")])) == []
     assert list(r3.read(r3.partitions()[0])) == []
 

@@ -28,12 +28,12 @@ from pyspark.sql.datasource import (
 )
 
 from tile_processor_spark.sources.postgres_datasource import (
-    PostgresReader,
+    PostgresPushdownReader,
     PostgresWriter,
     _literal,
 )
 
-_sql = PostgresReader._filter_sql
+_sql = PostgresPushdownReader._filter_sql
 
 
 def test_numeric_and_date_ranges_still_push():

@@ -156,20 +156,18 @@ class _RangePartition(InputPartition):
 
 
 class PostgresReader(DataSourceReader):
+    """Base reader WITHOUT ``pushFilters``: every predicate stays in
+    Spark (full scan + Spark-side filters — correct, just more bytes
+    over the wire). Selected via ``.option("pushdown", "false")`` for
+    sessions that pin ``spark.sql.python.filterPushdown.enabled`` off,
+    because Spark's planning worker hard-errors on a reader class that
+    ADVERTISES pushFilters while the conf is disabled (the
+    CORRECTNESS_r12 snapshot-connector failure, same bug class)."""
+
     def __init__(self, schema: T.StructType, options: dict):
         self._schema = schema
         self._options = options
         self._pushed: list[str] = []
-
-    # -- Spark 4.1 filter pushdown: compile what we can to SQL, hand
-    # the rest back (they are re-applied by Spark post-scan) --
-    def pushFilters(self, filters):
-        for f in filters:
-            sql = self._filter_sql(f)
-            if sql is None:
-                yield f
-            else:
-                self._pushed.append(sql)
 
     @staticmethod
     def _filter_sql(f) -> str | None:
@@ -253,6 +251,18 @@ class PostgresReader(DataSourceReader):
                 yield tuple(_parse_value(v, oid) for v, oid in zip(row, oids))
         finally:
             conn.close()
+
+
+class PostgresPushdownReader(PostgresReader):
+    # -- Spark 4.1 filter pushdown: compile what we can to SQL, hand
+    # the rest back (they are re-applied by Spark post-scan) --
+    def pushFilters(self, filters):
+        for f in filters:
+            sql = self._filter_sql(f)
+            if sql is None:
+                yield f
+            else:
+                self._pushed.append(sql)
 
 
 class _PGWriteMessage(WriterCommitMessage):
@@ -351,7 +361,12 @@ class PostgresDataSource(DataSource):
         return T.StructType(fields)
 
     def reader(self, schema: T.StructType) -> PostgresReader:
-        return PostgresReader(schema, self.options)
+        # server-side predicate pushdown by default (register()
+        # guarantees the session conf); .option("pushdown", "false")
+        # falls back to full scan + Spark-side filters
+        opt = str(self.options.get("pushdown", "true")).lower()
+        cls = PostgresReader if opt == "false" else PostgresPushdownReader
+        return cls(schema, self.options)
 
     def writer(self, schema: T.StructType, overwrite: bool) -> PostgresWriter:
         return PostgresWriter(schema, self.options, overwrite)
@@ -361,6 +376,13 @@ class PostgresDataSource(DataSource):
 
 
 def register(spark) -> None:
+    """Register the format AND enable
+    ``spark.sql.python.filterPushdown.enabled`` (runtime SQL conf,
+    default false in Spark 4.1): the default reader advertises
+    ``pushFilters``, and Spark hard-errors rather than silently
+    ignoring an advertised pushdown when the conf is off — on a
+    vanilla session the read would fail before fetching a row."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PostgresDataSource)
 
 

@@ -313,3 +313,24 @@ def test_progressive_unconsumed_entropy_refuses():
     doctored = p[:eoi] + b"\x55\x2a\x3c" + p[eoi:]
     with pytest.raises(ValueError):
         decode_jpeg(doctored)
+
+
+def test_progressive_midstream_rstn_refuses_with_valueerror():
+    """An RSTn arriving mid-MCU in a progressive scan (corruption / DRI
+    mismatch) must surface the documented ValueError, never the bit
+    reader's internal _RestartMarker control-flow exception — pinned at
+    the SCAN level, not just the decode_jpeg wrapper (ADVICE r12)."""
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    payload = bytearray(encode_jpeg_progressive(rgb, restart_interval=4))
+    sos = payload.find(b"\xff\xda")
+    hit = 0
+    for off in (60, 90, 150, 220, 300):
+        p = bytearray(payload)
+        p[sos + off : sos + off] = b"\xff\xd5"
+        try:
+            decode_jpeg(bytes(p))
+        except ValueError:
+            hit += 1
+        # any other exception type fails the test by propagating
+    assert hit >= 2  # several injection points must land in entropy data

@@ -80,3 +80,34 @@ def test_copy_text_refuses_unmapped_types():
     for bad in (b"\x00\x01", bytearray(b"x"), [1, 2], {"k": 1}, (1,)):
         with pytest.raises(TypeError, match="COPY writer does not support"):
             to_text(bad)
+
+
+def test_tls_negotiation_on_closed_socket_raises_pg_error():
+    """A server that closes the connection before answering SSLRequest
+    is a connect failure, NOT an 'N' refusal: under sslmode=prefer the
+    old code proceeded to send the startup packet on a dead socket and
+    surfaced a confusing later error (ADVICE r12)."""
+    import socket
+    import threading
+
+    from tile_processor_spark.sources.pgwire import PGConnection, PGError
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    host, port = srv.getsockname()
+
+    def _slam():
+        conn, _addr = srv.accept()
+        conn.recv(8)  # consume the SSLRequest, answer nothing
+        conn.close()
+
+    t = threading.Thread(target=_slam, daemon=True)
+    t.start()
+    with pytest.raises(PGError, match="closed during SSL negotiation"):
+        PGConnection(
+            host=host, port=port, user="u", password="p",
+            database="d", sslmode="prefer",
+        )
+    t.join(timeout=5)
+    srv.close()

@@ -116,7 +116,40 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
             )
         )
 
+    # -- fault injection (transient-failure tier) ----------------------
+    def _maybe_fault(self) -> bool:
+        """Serve a queued fault instead of the real handler: a 5xx/409
+        XML error, or an abrupt connection close (torn response). Each
+        queued fault fires once, matched by verb (+ optional path
+        substring) — the retry tests prove one throttle never fails a
+        commit and ambiguous outcomes propagate instead of blind-retry."""
+        faults = getattr(self.server, "faults", None)
+        if not faults:
+            return False
+        with self._lock():
+            hit = None
+            for idx, f in enumerate(faults):
+                if f.get("verb") and f["verb"] != self.command:
+                    continue
+                if f.get("path_substr") and f["path_substr"] not in self.path:
+                    continue
+                hit = faults.pop(idx)
+                break
+        if hit is None:
+            return False
+        self.server.fault_hits.append((self.command, self.path))  # type: ignore[attr-defined]
+        if hit.get("kind") == "close":
+            self.close_connection = True
+            self.connection.close()
+            return True
+        n = int(self.headers.get("Content-Length") or 0)
+        self.rfile.read(n)
+        self._err(hit.get("status", 503), hit.get("code", "SlowDown"))
+        return True
+
     def do_POST(self) -> None:  # noqa: N802
+        if self._maybe_fault():
+            return
         n = int(self.headers.get("Content-Length") or 0)
         body = self.rfile.read(n)
         bad = self._verify_signature(body)
@@ -166,6 +199,8 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
         self._err(400, "BadRequest")
 
     def do_PUT(self) -> None:  # noqa: N802
+        if self._maybe_fault():
+            return
         n = int(self.headers.get("Content-Length") or 0)
         body = self.rfile.read(n)
         bad = self._verify_signature(body)
@@ -201,6 +236,8 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
         self._respond(200, b"")
 
     def do_GET(self) -> None:  # noqa: N802
+        if self._maybe_fault():
+            return
         bad = self._verify_signature(b"")
         if bad:
             return self._err(403, "SignatureDoesNotMatch")
@@ -228,6 +265,8 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
                       content_type="application/octet-stream")
 
     def do_HEAD(self) -> None:  # noqa: N802
+        if self._maybe_fault():
+            return
         bad = self._verify_signature(b"")
         if bad:
             return self._err(403, "SignatureDoesNotMatch")
@@ -237,6 +276,8 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
         self._respond(200, self._objects()[key])
 
     def do_DELETE(self) -> None:  # noqa: N802
+        if self._maybe_fault():
+            return
         bad = self._verify_signature(b"")
         if bad:
             return self._err(403, "SignatureDoesNotMatch")
@@ -259,6 +300,8 @@ def fake_s3():
     srv.uploads = {}
     srv.lock = threading.Lock()
     srv.rejections = []
+    srv.faults = []
+    srv.fault_hits = []
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     try:
@@ -573,3 +616,178 @@ def test_multipart_failure_aborts_upload(fake_s3, monkeypatch):
         c._request = orig
     assert not fake_s3.uploads  # aborted server-side
     assert not c.head_object("fail/obj")
+
+
+# -------------------------------------------------- transient-fault retry
+
+
+def _fast(srv, **kw) -> S3Client:
+    """Client with backoff sleep stubbed out — retry logic is exercised,
+    wall time is not."""
+    return _client(srv, _sleep=lambda _s: None, **kw)
+
+
+def test_put_survives_injected_throttles(fake_s3):
+    """S3 emits 503 SlowDown routinely at 100 TB commit rates; two
+    consecutive throttles must not fail (or duplicate) an upload."""
+    fake_s3.faults.extend(
+        [{"verb": "PUT", "status": 503, "code": "SlowDown"}] * 2
+    )
+    c = _fast(fake_s3)
+    c.put_object("throttled/key", b"payload")
+    assert c.get_object("throttled/key") == b"payload"
+    assert len(fake_s3.fault_hits) == 2  # both throttles actually served
+    assert not fake_s3.rejections
+
+
+def test_get_survives_torn_response(fake_s3):
+    c = _fast(fake_s3)
+    c.put_object("k", b"v")
+    fake_s3.faults.append({"verb": "GET", "kind": "close"})
+    assert c.get_object("k") == b"v"  # idempotent verb: ambiguity retried
+    assert len(fake_s3.fault_hits) == 1
+
+
+def test_retries_exhaust_to_s3error_with_real_code(fake_s3):
+    fake_s3.faults.extend(
+        [{"verb": "PUT", "status": 503, "code": "SlowDown"}] * 10
+    )
+    c = _fast(fake_s3, max_retries=2)
+    with pytest.raises(S3Error) as ei:
+        c.put_object("k", b"v")
+    assert ei.value.status == 503 and ei.value.code == "SlowDown"
+    assert len(fake_s3.fault_hits) == 3  # initial + 2 retries, no more
+
+
+def test_conditional_put_connection_error_propagates(fake_s3):
+    """The ambiguous case: the socket dies on a conditional create. A
+    blind retry that then saw 412 would misreport our OWN landed write
+    as a lost race — so the client must NOT retry; the error propagates
+    to commit_fs's content read-back."""
+    fake_s3.faults.append({"verb": "PUT", "kind": "close"})
+    c = _fast(fake_s3)
+    with pytest.raises((ConnectionError, OSError, Exception)) as ei:
+        c.put_object("cond/key", b"v", if_none_match=True)
+    assert not isinstance(ei.value, (FileExistsError, S3Error))
+    assert len(fake_s3.fault_hits) == 1  # exactly one attempt
+    assert "cond/key" not in fake_s3.objects
+
+
+def test_conditional_put_5xx_is_retried(fake_s3):
+    """A RECEIVED 503 means the server did not perform the write — safe
+    to retry even for a conditional create."""
+    fake_s3.faults.append({"verb": "PUT", "status": 503, "code": "SlowDown"})
+    c = _fast(fake_s3)
+    c.put_object("cond/ok", b"v", if_none_match=True)
+    assert fake_s3.objects["cond/ok"] == b"v"
+
+
+def test_409_infrastructure_code_is_not_a_race_loss(fake_s3):
+    """Only ConditionalRequestConflict (and 412) mean 'you lost the
+    race'; any other 409 (OperationAborted, …) is infrastructure
+    failure and must surface as S3Error — swallowing it as
+    FileExistsError would silently skip a commit."""
+    c = _fast(fake_s3)
+    fake_s3.faults.append(
+        {"verb": "PUT", "status": 409, "code": "OperationAborted"}
+    )
+    with pytest.raises(S3Error) as ei:
+        c.put_object("k409", b"v", if_none_match=True)
+    assert ei.value.code == "OperationAborted"
+    fake_s3.faults.append(
+        {"verb": "PUT", "status": 409, "code": "ConditionalRequestConflict"}
+    )
+    with pytest.raises(FileExistsError):
+        c.put_object("k409", b"v", if_none_match=True)
+
+
+def test_publish_exclusive_survives_throttling(fake_s3, tmp_path):
+    """End-to-end: a snapshot commit (conditional create) rides out an
+    injected throttle without duplicating or losing the version."""
+    c = _fast(fake_s3)
+    fs = S3CommitFS(c, str(tmp_path))
+    staged = tmp_path / "m.json.tmp"
+    staged.write_bytes(b'{"version": 7}')
+    fake_s3.faults.append({"verb": "PUT", "status": 503, "code": "SlowDown"})
+    fs.publish_exclusive(str(staged), str(tmp_path / "v7.json"))
+    assert fake_s3.objects["v7.json"] == b'{"version": 7}'
+    # the version is committed exactly once: a second committer loses
+    staged2 = tmp_path / "m2.json.tmp"
+    staged2.write_bytes(b'{"version": 7, "other": true}')
+    with pytest.raises(FileExistsError):
+        fs.publish_exclusive(str(staged2), str(tmp_path / "v7.json"))
+    assert fake_s3.objects["v7.json"] == b'{"version": 7}'
+
+
+def test_multipart_part_throttle_retried(fake_s3, monkeypatch):
+    monkeypatch.setattr(S3Client, "MAX_PUT_BYTES", 1024)
+    monkeypatch.setattr(S3Client, "MULTIPART_PART_BYTES", 1024)
+    c = _fast(fake_s3)
+    body = bytes(range(256)) * 20  # 5120 B -> 5 parts
+    fake_s3.faults.append(
+        {"verb": "PUT", "path_substr": "partNumber=3", "status": 503}
+    )
+    c.put_object("mp/throttled", body)
+    assert c.get_object("mp/throttled") == body
+    assert len(fake_s3.fault_hits) == 1
+
+
+# -------------------------------------------------- streaming bodies
+
+
+class _MaxReadTracker:
+    """Seekable file-like that records the largest single read — proof
+    the client streams parts instead of materializing the body."""
+
+    def __init__(self, data: bytes):
+        self._io = __import__("io").BytesIO(data)
+        self.max_read = 0
+
+    def read(self, n=-1):
+        chunk = self._io.read(n)
+        self.max_read = max(self.max_read, len(chunk))
+        return chunk
+
+    def seek(self, *a):
+        return self._io.seek(*a)
+
+    def tell(self):
+        return self._io.tell()
+
+
+def test_multipart_streams_without_materializing(fake_s3, monkeypatch):
+    monkeypatch.setattr(S3Client, "MAX_PUT_BYTES", 1024)
+    monkeypatch.setattr(S3Client, "MULTIPART_PART_BYTES", 1024)
+    c = _fast(fake_s3)
+    body = os.urandom(3500)  # 4 parts, last short
+    src = _MaxReadTracker(body)
+    c.put_object("mp/streamed", src)
+    assert c.get_object("mp/streamed") == body
+    assert src.max_read <= 1024  # never read more than one part at once
+
+
+def test_put_object_accepts_path(fake_s3, tmp_path, monkeypatch):
+    monkeypatch.setattr(S3Client, "MAX_PUT_BYTES", 1024)
+    monkeypatch.setattr(S3Client, "MULTIPART_PART_BYTES", 1024)
+    c = _fast(fake_s3)
+    big = tmp_path / "big.bin"
+    big.write_bytes(os.urandom(2500))
+    c.put_object("from/path", str(big))  # oversize -> streamed multipart
+    assert c.get_object("from/path") == big.read_bytes()
+    small = tmp_path / "small.bin"
+    small.write_bytes(b"tiny")
+    c.put_object("from/path2", str(small))  # single PUT path
+    assert c.get_object("from/path2") == b"tiny"
+
+
+def test_rehome_streams_large_staged_file(fake_s3, tmp_path, monkeypatch):
+    monkeypatch.setattr(S3Client, "MAX_PUT_BYTES", 1024)
+    monkeypatch.setattr(S3Client, "MULTIPART_PART_BYTES", 1024)
+    c = _fast(fake_s3)
+    fs = S3CommitFS(c, str(tmp_path))
+    staged = tmp_path / "staged.parquet"
+    data = os.urandom(4096)
+    staged.write_bytes(data)
+    fs.rehome(str(staged), str(tmp_path / "data" / "f.parquet"))
+    assert fake_s3.objects["data/f.parquet"] == data
+    assert not staged.exists()

@@ -1139,19 +1139,30 @@ def _decode_progressive_scan(
             for r in range(by)
             for cc in range(bx)
         ]
-    for i, mcu in enumerate(per_mcu):
-        if restart_interval and i and i % restart_interval == 0:
-            reader.restart()
-            state["eobrun"] = 0
-            for cid in preds:
-                preds[cid] = 0
-        for block, c, td, ta in mcu:
-            if ss == 0:
-                if se != 0:
-                    raise ValueError("DC scan must have Se=0")
-                dc_first(block, c, td) if ah == 0 else dc_refine(block)
-            else:
-                ac_first(block, ta) if ah == 0 else ac_refine(block, ta)
+    try:
+        for i, mcu in enumerate(per_mcu):
+            if restart_interval and i and i % restart_interval == 0:
+                reader.restart()
+                state["eobrun"] = 0
+                for cid in preds:
+                    preds[cid] = 0
+            for block, c, td, ta in mcu:
+                if ss == 0:
+                    if se != 0:
+                        raise ValueError("DC scan must have Se=0")
+                    dc_first(block, c, td) if ah == 0 else dc_refine(block)
+                else:
+                    ac_first(block, ta) if ah == 0 else ac_refine(block, ta)
+    except _RestartMarker:
+        # an RSTn mid-MCU (restarts are consumed proactively only at
+        # interval boundaries above): corrupt stream or DRI mismatch.
+        # Honor the loud-refusal contract HERE, not only in the
+        # decode_jpeg top-level wrapper — this function must never leak
+        # the bit reader's internal control-flow exception
+        raise ValueError(
+            "unexpected restart marker in progressive scan "
+            "(corrupt stream or DRI mismatch)"
+        ) from None
     # advance to the next marker: pad bits live in the reader's
     # accumulator; legal residue is only 0xFF fill bytes, a stuffed
     # 0xFF00, or a trailing RSTn. Anything else is UNCONSUMED entropy

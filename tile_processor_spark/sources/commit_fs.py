@@ -214,8 +214,9 @@ class S3CommitFS:
 
     def rehome(self, src: str, dst: str) -> None:
         if os.path.exists(src):  # staged locally → upload + local delete
-            with open(src, "rb") as f:
-                self.client.put_object(self._key(dst), f.read())
+            # path body → the client streams oversize files through
+            # multipart 64 MB parts instead of materializing them
+            self.client.put_object(self._key(dst), src)
             os.unlink(src)
         else:  # already an object → server-side copy + delete
             self.client.copy_object(self._key(src), self._key(dst))
@@ -223,8 +224,7 @@ class S3CommitFS:
 
     def share(self, src: str, dst: str) -> None:
         if os.path.exists(src):
-            with open(src, "rb") as f:
-                self.client.put_object(self._key(dst), f.read())
+            self.client.put_object(self._key(dst), src)
         else:
             self.client.copy_object(self._key(src), self._key(dst))
 

@@ -329,6 +329,12 @@ class PGConnection:
         hostname."""
         self._sock.sendall(struct.pack(">II", 8, 80877103))
         answer = self._sock.recv(1)
+        if answer == b"":
+            # the server closed the connection before answering — a
+            # connect-level failure, NOT an SSL refusal: proceeding
+            # under sslmode=prefer would send the startup packet on a
+            # dead socket and surface a confusing later error
+            raise PGError("connection closed during SSL negotiation")
         if answer != b"S":
             if sslmode == "prefer":
                 return  # plaintext it is

@@ -38,11 +38,29 @@ import datetime
 import hashlib
 import hmac
 import http.client
+import io
+import os
+import random
+import time
 import urllib.parse
 from xml.etree import ElementTree
 
 _ALGO = "AWS4-HMAC-SHA256"
 _SAFE = "-._~"  # RFC 3986 unreserved (minus ALPHA/DIGIT, handled by quote)
+
+#: response statuses that mean "the server did NOT perform the
+#: operation" — retriable for every verb, conditional writes included
+#: (S3 emits 503 SlowDown / 500 InternalError routinely at scale; one
+#: throttle must not fail a 100 TB commit)
+_RETRIABLE_STATUSES = frozenset({500, 502, 503, 504})
+
+#: connection-level failures where the outcome is AMBIGUOUS — the
+#: request may have been processed before the socket died. Retried
+#: only for idempotent requests; for a conditional create the error
+#: propagates so the caller's content read-back (commit_fs) can
+#: disambiguate instead of a blind retry misreading our OWN landed
+#: write as a lost race.
+_CONN_ERRORS = (ConnectionError, TimeoutError, http.client.HTTPException, OSError)
 
 
 class S3Error(RuntimeError):
@@ -114,7 +132,11 @@ class S3Client:
         secret_key: str,
         region: str = "us-east-1",
         timeout_s: float = 30.0,
+        max_retries: int = 5,
+        retry_base_s: float = 0.1,
+        retry_cap_s: float = 10.0,
         _now=None,  # injectable clock for tests
+        _sleep=None,  # injectable backoff sleep for tests
     ):
         u = urllib.parse.urlparse(endpoint)
         if u.scheme not in ("http", "https"):
@@ -127,13 +149,60 @@ class S3Client:
         self._sk = secret_key
         self._region = region
         self._timeout = timeout_s
+        self._max_retries = max_retries
+        self._retry_base = retry_base_s
+        self._retry_cap = retry_cap_s
         self._now = _now or (
             lambda: datetime.datetime.now(datetime.timezone.utc)
         )
+        self._sleep = _sleep or time.sleep
 
     # -- core ----------------------------------------------------------
 
     def _request(
+        self,
+        method: str,
+        key: str,
+        query: list[tuple[str, str]] | None = None,
+        body: bytes = b"",
+        extra_headers: dict[str, str] | None = None,
+        idempotent: bool = True,
+    ) -> tuple[int, dict[str, str], bytes]:
+        """One logical request = up to ``1 + max_retries`` wire attempts
+        under bounded exponential backoff with full jitter (the
+        published AWS retry guidance). Two distinct failure classes:
+
+        - a RECEIVED 5xx (``SlowDown``/``InternalError``) means the
+          server refused the work — retried for every verb, conditional
+          writes included;
+        - a CONNECTION failure (reset, timeout, torn response) leaves
+          the outcome ambiguous — retried only when ``idempotent``
+          (GET/HEAD/DELETE, unconditional PUT, part PUT, initiate).
+          Conditional creates and CompleteMultipartUpload propagate it
+          instead: a blind retry that then sees 412/NoSuchUpload cannot
+          tell our own landed write from a lost race, and the caller's
+          content read-back (``commit_fs.publish_exclusive``) can.
+        """
+        last_exc: Exception | None = None
+        for attempt in range(1 + self._max_retries):
+            if attempt:
+                delay = min(self._retry_cap, self._retry_base * (2 ** (attempt - 1)))
+                self._sleep(delay * random.random())  # full jitter
+            try:
+                status, hdrs, data = self._request_once(
+                    method, key, query, body, extra_headers
+                )
+            except _CONN_ERRORS as e:
+                if not idempotent:
+                    raise
+                last_exc = e
+                continue
+            if status in _RETRIABLE_STATUSES and attempt < self._max_retries:
+                continue
+            return status, hdrs, data
+        raise last_exc  # type: ignore[misc]  # only reachable via continue
+
+    def _request_once(
         self,
         method: str,
         key: str,
@@ -213,39 +282,95 @@ class S3Client:
     MAX_PUT_BYTES = 5 * 1024**3
     MULTIPART_PART_BYTES = 64 * 1024**2
 
+    @staticmethod
+    def _open_body(body) -> tuple:
+        """Normalize ``bytes | path str | seekable binary file-like``
+        into ``(file_like, size, close_when_done)`` — callers stream
+        64 MB parts from it instead of materializing the object (a
+        >5 GB upload must not need >5 GB of driver RAM)."""
+        if isinstance(body, (bytes, bytearray, memoryview)):
+            return io.BytesIO(bytes(body)), len(body), True
+        if isinstance(body, (str, os.PathLike)):
+            return open(body, "rb"), os.path.getsize(body), True
+        pos = body.tell()
+        body.seek(0, os.SEEK_END)
+        size = body.tell() - pos
+        body.seek(pos)
+        return body, size, False
+
+    def _raise_conditional(self, key: str, status: int, data: bytes) -> None:
+        """Map ONLY the true lost-race answers to ``FileExistsError``:
+        412 PreconditionFailed, and 409 whose XML error code is
+        ``ConditionalRequestConflict`` (S3's concurrent-conditional-
+        write answer). Every other 409 (``OperationAborted``,
+        bucket-state errors, …) is infrastructure failure and must
+        surface as ``S3Error`` — swallowing it as a race loss would
+        silently skip a commit."""
+        if status == 412:
+            raise FileExistsError(f"s3://{self.bucket}/{key} exists")
+        err = self._error(status, data)
+        if status == 409 and err.code == "ConditionalRequestConflict":
+            raise FileExistsError(f"s3://{self.bucket}/{key} exists")
+        raise err
+
     def put_object(
-        self, key: str, body: bytes, if_none_match: bool = False
+        self, key: str, body, if_none_match: bool = False
     ) -> None:
         """Upload; with ``if_none_match`` the write succeeds ONLY if the
         key does not exist (server-side atomic create — raises
-        ``FileExistsError`` on HTTP 412, the commit-race loss). Bodies
-        above the single-PUT ceiling route through multipart upload
-        (the precondition then rides the CompleteMultipartUpload, which
-        commits all parts as one object atomically)."""
-        if len(body) > self.MAX_PUT_BYTES:
-            return self._put_multipart(key, body, if_none_match)
+        ``FileExistsError`` on HTTP 412 / 409 ConditionalRequestConflict,
+        the commit-race loss). ``body`` may be ``bytes``, a filesystem
+        path, or a seekable binary file-like; bodies above the
+        single-PUT ceiling route through multipart upload streamed in
+        64 MB parts (the precondition then rides the
+        CompleteMultipartUpload, which commits all parts as one object
+        atomically)."""
+        if isinstance(body, (bytes, bytearray, memoryview)) and len(
+            body
+        ) <= self.MAX_PUT_BYTES:
+            payload = bytes(body)  # fast path: no file-like indirection
+        else:
+            f, size, close = self._open_body(body)
+            try:
+                if size > self.MAX_PUT_BYTES:
+                    return self._put_multipart(key, f, size, if_none_match)
+                # a single PUT signs the full-body SHA-256, so it is
+                # read once (bounded by MAX_PUT_BYTES by construction)
+                payload = f.read()
+            finally:
+                if close:
+                    f.close()
         hdrs = {"If-None-Match": "*"} if if_none_match else {}
-        status, _h, data = self._request("PUT", key, body=body,
-                                         extra_headers=hdrs)
-        if status == 412 or (status == 409 and if_none_match):
-            # 412 PreconditionFailed; some stores answer 409
-            # ConditionalRequestConflict under concurrent writes —
-            # both mean "you lost the race"
-            raise FileExistsError(f"s3://{self.bucket}/{key} exists")
+        status, _h, data = self._request(
+            "PUT", key, body=payload, extra_headers=hdrs,
+            # an unconditional PUT of the same bytes is idempotent; a
+            # conditional create is NOT ambiguity-safe — connection
+            # errors propagate to the caller's read-back
+            idempotent=not if_none_match,
+        )
+        if status in (412, 409) and if_none_match:
+            self._raise_conditional(key, status, data)
         if status != 200:
             raise self._error(status, data)
 
     def _put_multipart(
-        self, key: str, body: bytes, if_none_match: bool
+        self, key: str, f, size: int, if_none_match: bool
     ) -> None:
         """The three-phase multipart protocol: initiate (POST ?uploads
         → UploadId), upload parts (PUT ?partNumber&uploadId → ETag
-        each), complete (POST ?uploadId with the part manifest — the
-        object becomes visible ATOMICALLY here, and the If-None-Match
-        precondition is evaluated at this commit point, so the
-        conditional-create contract is identical to single PUT). Any
-        failure aborts the upload server-side (DELETE ?uploadId) so
-        parts never linger as billable orphans."""
+        each, STREAMED 64 MB at a time from the source — a >5 GB body
+        never lives in memory), complete (POST ?uploadId with the part
+        manifest — the object becomes visible ATOMICALLY here, and the
+        If-None-Match precondition is evaluated at this commit point,
+        so the conditional-create contract is identical to single PUT).
+        Any failure aborts the upload server-side (DELETE ?uploadId) so
+        parts never linger as billable orphans. Retry notes: initiate
+        retries on connection loss (worst case a dangling upload id,
+        invisible + vacuumable); part PUTs retry freely (re-uploading a
+        part number overwrites it); Complete does NOT retry ambiguous
+        failures — a retry after a landed Complete answers NoSuchUpload
+        and cannot be told from a real loss, so it propagates to the
+        caller's read-back."""
         status, _h, data = self._request("POST", key, query=[("uploads", "")])
         if status != 200:
             raise self._error(status, data)
@@ -256,14 +381,22 @@ class S3Client:
             raise S3Error(200, "BadInitiate", "no UploadId in response")
         try:
             etags: list[str] = []
-            for i in range(0, len(body), self.MULTIPART_PART_BYTES):
+            sent = 0
+            while sent < size:
+                chunk = f.read(min(self.MULTIPART_PART_BYTES, size - sent))
+                if not chunk:
+                    raise S3Error(
+                        200, "ShortBody",
+                        f"body ended at {sent} of {size} declared bytes",
+                    )
+                sent += len(chunk)
                 part_no = len(etags) + 1
                 status, hdrs, data = self._request(
                     "PUT",
                     key,
                     query=[("partNumber", str(part_no)),
                            ("uploadId", upload_id)],
-                    body=body[i : i + self.MULTIPART_PART_BYTES],
+                    body=chunk,
                 )
                 if status != 200:
                     raise self._error(status, data)
@@ -279,9 +412,10 @@ class S3Client:
             status, _h, data = self._request(
                 "POST", key, query=[("uploadId", upload_id)],
                 body=manifest.encode(), extra_headers=hdrs,
+                idempotent=False,  # Complete commits: ambiguity → caller
             )
-            if status == 412 or (status == 409 and if_none_match):
-                raise FileExistsError(f"s3://{self.bucket}/{key} exists")
+            if status in (412, 409) and if_none_match:
+                self._raise_conditional(key, status, data)
             if status != 200:
                 raise self._error(status, data)
             # a 200 Complete can still carry an Error body (S3 streams

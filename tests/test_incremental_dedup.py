@@ -192,3 +192,47 @@ def test_null_fingerprints_are_outside_the_dedup_domain(spark, tmp_path):
     assert sorted(
         r["doc_key"] for r in read_snapshot(spark, fps).collect()
     ) == [1]
+
+
+def test_sharded_sidecar_end_to_end_parity(spark, tmp_path):
+    """The full dedup loop with the sidecar forced into SHARDED mode
+    (tiny per-shard cap): identical stats and kept-set to the
+    single-bitmap run — sharding is a memory-layout decision, never a
+    semantic one. Exercises executor-side shard build, one-shard
+    fold_in updates, hardlinked untouched shards, and the
+    zero-broadcast mmap prescreen inside the real loop."""
+    import numpy as np
+
+    from tile_processor_spark.sources.dedup_bloom import load_bloom
+
+    def _build(corpus):
+        append_snapshot(
+            _docs(spark, [(i, f"t{i}") for i in range(40)]), corpus
+        )  # v1
+        append_snapshot(
+            _docs(spark, [(100 + i, f"t{i}") for i in range(10)]
+                  + [(200 + i, f"u{i}") for i in range(30)]),
+            corpus,
+        )  # v2: 10 dups
+        append_snapshot(
+            _docs(spark, [(300, "t5"), (301, "u7"), (302, "fresh")]), corpus
+        )  # v3: 2 dups
+
+    c1, f1 = str(tmp_path / "c1"), str(tmp_path / "f1")
+    c2, f2 = str(tmp_path / "c2"), str(tmp_path / "f2")
+    _build(c1)
+    _build(c2)
+    # single-bitmap reference
+    ref = dedup_new_versions(spark, c1, f1)
+    # sharded: the minimum m is 2^21 bits; an 2^19 cap -> 4 shards
+    got = dedup_new_versions(
+        spark, c2, f2, bloom_shard_max_bits=1 << 19
+    )
+    assert got == ref
+    a = sorted(tuple(r) for r in read_snapshot(spark, f1)
+               .select("doc_key", "src_version").collect())
+    b = sorted(tuple(r) for r in read_snapshot(spark, f2)
+               .select("doc_key", "src_version").collect())
+    assert a == b
+    bloom = load_bloom(f2, list_versions(f2)[-1])
+    assert bloom is not None and bloom.shards >= 4 and bloom.bits is None

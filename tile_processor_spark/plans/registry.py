@@ -62,65 +62,53 @@ def register(
 #: depositing this round's own file mid-round cannot retroactively
 #: invalidate the committed window (round-9 lifecycle bug). Bump this
 #: and regenerate the window together at each round start.
-_STAGED_FOR_ROUND: int = 12
+_STAGED_FOR_ROUND: int = 13
 
 #: rows whose CODE was re-planned since the previous staging commit —
 #: DERIVED MECHANICALLY (tools/gate_rotation.py derive_changed: git
 #: diff f57b5a6..worktree -> modules -> reverse-import closure, with
 #: per-NAME granularity inside a row's own module: changed lines
 #: attribute to their owning top-level node and resolve through the
-#: module's internal reference graph). Round 12: the CDC-chunking
-#: kernel swap, the incremental-dedup bloom/partitioned work, and the
-#: progressive JPEG codec mark 28 rows — the name-level resolution
-#: (new this round) keeps the shared-module fan-out honest, so the
-#: window finally reaches the r6/r7 staleness tail (VERDICT r11 #6).
+#: module's internal reference graph). Round 13: the datasource
+#: pushdown-reader split, the xxh64/sharded bloom sidecar, the S3
+#: retry layer, and the JPEG restart-contract fix mark 19 rows
+#: (snapshot + multimodal families).
 #: To restage: python tools/gate_rotation.py --since <staging commit>
 #: (find it via: git log -S"_STAGED_FOR_ROUND: int = <N>").
 _ROUND_CHANGED: tuple[str, ...] = (
-    "multimodal_jpeg_decode",
-    "dedup_cdc_chunks",
-    "snapshot_incremental_dedup",
-    "snapshot_where_pruned_read",
-    "dedup_semantic_clusters",
-    "text_bigram_model_score",
-    "embedding_whiten",
-    "dedup_containment_pairs",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_dedup_binary",
+    "multimodal_jpeg_progressive",
+    "snapshot_merge_upsert_state",
+    "snapshot_time_travel_diff",
     "multimodal_frame_sample",
     "multimodal_bmp_decode",
     "multimodal_bmp_resize2d",
     "multimodal_wav_decode",
     "multimodal_png_decode",
     "multimodal_video_frame_sample",
-    "multimodal_jpeg_progressive",
-    "text_bm25_scores",
-    "dedup_jaccard_prefix_filtered",
-    "dedup_jaccard_prefix_filtered_sampled",
-    "dedup_threshold_curve",
-    "snapshot_merge_upsert_state",
-    "snapshot_time_travel_diff",
     "snapshot_schema_evolution_state",
     "snapshot_schema_evolution_diff",
     "snapshot_partition_pruned_read",
     "snapshot_datasource_read",
+    "multimodal_jpeg_decode",
+    "snapshot_incremental_dedup",
+    "snapshot_where_pruned_read",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_dedup_binary",
 )
 
-# Round-12 window: q1 (flagship) + the never-gated progressive-JPEG
-# row + the changed set (_ROUND_CHANGED) stalest-first + the r6/r7
-# staleness tail (all seven r6 rows and the unchanged r7 rows fit now
-# that the changed set is name-resolved).
+# Round-13 window: q1 (flagship), the r12 RED row
+# (snapshot_datasource_read — healed this round, must re-gate first),
+# the changed set (_ROUND_CHANGED) stalest-first, then the ENTIRE r8
+# staleness tail (30 rows) — after this round no row's evidence is
+# older than r9.
 _GATE_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
+    "snapshot_datasource_read",
     "multimodal_jpeg_progressive",
-    "text_bm25_scores",
-    "dedup_jaccard_prefix_filtered",
-    "dedup_threshold_curve",
     "snapshot_merge_upsert_state",
     "snapshot_time_travel_diff",
     "multimodal_frame_sample",
-    "dedup_jaccard_prefix_filtered_sampled",
     "multimodal_bmp_decode",
     "multimodal_bmp_resize2d",
     "multimodal_wav_decode",
@@ -129,39 +117,42 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "snapshot_schema_evolution_state",
     "snapshot_schema_evolution_diff",
     "snapshot_partition_pruned_read",
-    "snapshot_datasource_read",
     "multimodal_jpeg_decode",
-    "dedup_cdc_chunks",
     "snapshot_incremental_dedup",
     "snapshot_where_pruned_read",
-    "dedup_semantic_clusters",
-    "text_bigram_model_score",
-    "embedding_whiten",
-    "dedup_containment_pairs",
     "multimodal_features",
     "multimodal_resize",
     "multimodal_dedup_binary",
-    "customer_rfm_segments",
-    "pareto_abc_parts",
-    "graph_pagerank_fixedpoint",
-    "graph_triangle_count",
-    "fuzzy_part_name_pairs",
-    "user_event_type_bitmap",
-    "dq_profile_orders",
-    "basket_brand_pairs",
-    "dq_key_skew",
-    "orders_cohort_ltv",
-    "nation_revenue_hhi",
-    "events_tumbling_window",
-    "events_asof_join",
-    "graph_bfs_hops",
-    "events_sequence_match",
-    "events_active_sessions_sweep",
-    "events_sweep_partitioned",
-    "events_type_runs",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q4_order_priority",
+    "distinct_projection",
+    "isin_filter",
+    "anti_join_missing",
+    "array_agg_group",
+    "priority_dedup_ties",
+    "null_guard_filter",
+    "groupby_month_rollup",
+    "q2_min_price_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "cube_segment_priority",
+    "rolling_7d_distinct_users",
+    "events_mad_by_type",
+    "dedup_minhash_pairs",
+    "decontaminate_overlap",
+    "pack_sequences",
+    "spatial_percentile_heights_approx",
+    "events_sliding_window",
+    "events_session_window",
+    "events_json_props",
+    "events_daily_profile",
+    "events_band_join",
+    "events_hypertable_rollup",
+    "events_gapfill_locf",
+    "events_ohlc_hourly",
+    "events_asof_forward",
+    "events_funnel",
 )
 
 

@@ -139,6 +139,12 @@ def _prune_fp_files(fp_man: dict, candidates: list[str]) -> tuple[list[str], int
     return keep, len(all_files)
 
 
+def _shard_kw(shard_max_bits: int | None) -> dict:
+    return (
+        {} if shard_max_bits is None else {"shard_max_bits": shard_max_bits}
+    )
+
+
 def dedup_new_versions(
     spark: SparkSession,
     corpus_path: str,
@@ -151,6 +157,7 @@ def dedup_new_versions(
     telemetry: list | None = None,
     max_versions: int | None = None,
     auto_cluster: bool = True,
+    bloom_shard_max_bits: int | None = None,
 ) -> list[dict]:
     """Process every corpus append version newer than the fingerprint
     table's high-water mark, in order. Per version: read ONLY the
@@ -166,7 +173,11 @@ def dedup_new_versions(
     positives) are verified exactly against only the fingerprint files
     whose min/max fp stats can contain them. Candidate sets above
     ``candidate_cap`` fall back to the full distributed anti-join, so
-    the driver never holds an unbounded list. Pass ``telemetry=[]`` to
+    the driver never holds an unbounded list. ``bloom_shard_max_bits``
+    caps the per-shard bitmap (default 1 GiB of bits): past it the
+    sidecar shards by fingerprint hash — executor-side build, one-shard
+    driver updates, zero-broadcast mmap prescreen (dedup_bloom module
+    doc). Pass ``telemetry=[]`` to
     receive per-version ``{"version", "mode", "candidates",
     "fp_files_total", "fp_files_opened"}`` alongside the stats.
 
@@ -226,7 +237,8 @@ def dedup_new_versions(
         if bloom is None:
             kept = read_snapshot(spark, fp_path).select("fp")
             bloom = build_bloom(
-                spark, fp_path, fp_head, kept, kept.count()
+                spark, fp_path, fp_head, kept, kept.count(),
+                **_shard_kw(bloom_shard_max_bits),
             )
             save_bloom(fp_path, bloom)
     stats: list[dict] = []
@@ -338,7 +350,8 @@ def dedup_new_versions(
                 if bloom.n + n_kept > bloom.capacity:
                     kept = read_snapshot(spark, fp_path).select("fp")
                     bloom = build_bloom(
-                        spark, fp_path, committed_v, kept, kept.count()
+                        spark, fp_path, committed_v, kept, kept.count(),
+                        **_shard_kw(bloom_shard_max_bits),
                     )
                 else:
                     staged = (

@@ -60,7 +60,7 @@ def _mk_version_df(spark, v, rows, dup_rate):
 
 
 def run(versions, rows, dup_rate, baseline_versions, cluster_every,
-        cluster_files=None):
+        cluster_files=None, shard_max_bits=None):
     from tile_processor_spark.session import get_spark
     from tile_processor_spark.sources.incremental_dedup import (
         cluster_fingerprints,
@@ -71,7 +71,8 @@ def run(versions, rows, dup_rate, baseline_versions, cluster_every,
     spark = get_spark(app_name="rehearse-dedup", shuffle_partitions=8)
     root = tempfile.mkdtemp(prefix="tps_rehearse_dedup_")
     out = {"versions": versions, "rows_per_version": rows,
-           "dup_rate": dup_rate, "bloom": [], "baseline": []}
+           "dup_rate": dup_rate, "shard_max_bits": shard_max_bits,
+           "bloom": [], "baseline": []}
     try:
         corpus = os.path.join(root, "corpus")
         fps = os.path.join(root, "fps")
@@ -84,7 +85,8 @@ def run(versions, rows, dup_rate, baseline_versions, cluster_every,
             tele: list = []
             t0 = time.time()
             stats = dedup_new_versions(
-                spark, corpus, fps, telemetry=tele, max_versions=1
+                spark, corpus, fps, telemetry=tele, max_versions=1,
+                bloom_shard_max_bits=shard_max_bits,
             )
             wall = time.time() - t0
             assert len(stats) == 1 and stats[0]["version"] == v
@@ -171,7 +173,8 @@ def run(versions, rows, dup_rate, baseline_versions, cluster_every,
     ]
     print(json.dumps({k: out[k] for k in
                       ("versions", "rows_per_version", "dup_rate",
-                       "bloom_buckets", "baseline_buckets")}, indent=2))
+                       "shard_max_bits", "bloom_buckets",
+                       "baseline_buckets")}, indent=2))
     return out
 
 
@@ -189,6 +192,14 @@ if __name__ == "__main__":
         "files over billions of rows); 200 reproduces that regime "
         "at 1M rows",
     )
+    ap.add_argument(
+        "--shard-max-bits", type=int, default=None,
+        help="per-shard bitmap cap in BITS (forces the sharded sidecar "
+        "below its 1 GiB production default — e.g. 2**22 shards a 1M-row "
+        "table into ~8 shards, rehearsing executor-side build, one-shard "
+        "fold_in, and the zero-broadcast mmap prescreen at test scale)",
+    )
     a = ap.parse_args()
     run(a.versions, a.rows_per_version, a.dup_rate,
-        a.baseline_versions, a.cluster_every, a.cluster_files)
+        a.baseline_versions, a.cluster_every, a.cluster_files,
+        a.shard_max_bits)

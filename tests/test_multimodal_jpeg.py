@@ -334,3 +334,81 @@ def test_progressive_midstream_rstn_refuses_with_valueerror():
             hit += 1
         # any other exception type fails the test by propagating
     assert hit >= 2  # several injection points must land in entropy data
+
+
+# ------------------------------------------------------- 4-component CMYK
+
+
+def _cmyk_blocks(rng, blocks_hw=(2, 4)):
+    base = rng.integers(0, 256, (*blocks_hw, 4), dtype=np.uint8)
+    return np.repeat(np.repeat(base, 8, 0), 8, 1)
+
+
+def _expected_rgb_from_inks(inks):
+    """Independent recomputation of the documented CMYK→RGB contract:
+    r = round((255-C)(255-K)/255) — integer formula, no .5 ties (255
+    odd)."""
+    t = inks.astype(np.int64)
+    c, m, y, k = (t[..., i] for i in range(4))
+    def ch(ink):
+        return (2 * (255 - ink) * (255 - k) + 255) // 510
+    return np.stack([ch(c), ch(m), ch(y)], -1).astype(np.uint8)
+
+
+def test_cmyk_adobe_transform0_block_constant_exact():
+    from tile_processor_spark.multimodal.jpeg import encode_jpeg_cmyk
+
+    rng = np.random.default_rng(11)
+    inks = _cmyk_blocks(rng)
+    got = decode_jpeg(encode_jpeg_cmyk(inks, transform=0, lossless_tables=True))
+    assert np.array_equal(got, _expected_rgb_from_inks(inks))
+
+
+def test_ycck_transform2_within_color_rounding():
+    from tile_processor_spark.multimodal.jpeg import encode_jpeg_cmyk
+
+    rng = np.random.default_rng(12)
+    inks = _cmyk_blocks(rng)
+    got = decode_jpeg(encode_jpeg_cmyk(inks, transform=2, lossless_tables=True))
+    exp = _expected_rgb_from_inks(inks)
+    # YCbCr forward+inverse rounds each channel at most ±1 on
+    # block-constant content (DCT itself is exact)
+    assert np.abs(got.astype(int) - exp.astype(int)).max() <= 1
+
+
+def test_markerless_4component_decodes_as_plain_inks():
+    from tile_processor_spark.multimodal.jpeg import encode_jpeg_cmyk
+
+    rng = np.random.default_rng(13)
+    inks = _cmyk_blocks(rng)
+    got = decode_jpeg(
+        encode_jpeg_cmyk(inks, transform=0, lossless_tables=True,
+                         adobe_marker=False)
+    )
+    # without APP14 the samples are NOT inverted: r=(255-C)(255-K)/255
+    # over the stored (=actual) inks — same formula, same expectation
+    assert np.array_equal(got, _expected_rgb_from_inks(inks))
+
+
+def test_cmyk_lossy_tables_still_close():
+    from tile_processor_spark.multimodal.jpeg import encode_jpeg_cmyk
+
+    rng = np.random.default_rng(14)
+    inks = _cmyk_blocks(rng)
+    got = decode_jpeg(encode_jpeg_cmyk(inks, transform=0))
+    exp = _expected_rgb_from_inks(inks)
+    assert np.abs(got.astype(int) - exp.astype(int)).max() <= 8
+
+
+def test_cmyk_encoder_refusals():
+    from tile_processor_spark.multimodal.jpeg import encode_jpeg_cmyk
+
+    rng = np.random.default_rng(15)
+    with pytest.raises(ValueError, match="H×W×4"):
+        encode_jpeg_cmyk(rng.integers(0, 256, (16, 32, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="transform"):
+        encode_jpeg_cmyk(_cmyk_blocks(rng), transform=1)
+    with pytest.raises(ValueError, match="Adobe marker"):
+        encode_jpeg_cmyk(_cmyk_blocks(rng), transform=2, adobe_marker=False)
+    with pytest.raises(ValueError, match="multiples of 8"):
+        encode_jpeg_cmyk(rng.integers(0, 256, (12, 32, 4), dtype=np.uint8))

@@ -8,6 +8,10 @@ Decoder scope (loud refusal outside it, never a mis-decode):
   samples, 1 or 3 components, sampling factors 1-2 (4:4:4, 4:2:2,
   4:2:0, ...), restart markers (DRI/RSTn), 0xFF00 byte stuffing,
   multi-table DQT/DHT segments, 16-bit quantizer entries;
+- 4-component CMYK / YCCK streams (Adobe APP14 transform 0 / 2, the
+  print-pipeline exports web corpora actually contain), including the
+  Adobe inverted-sample convention — decoded to the same RGB
+  libjpeg-derived viewers show;
 - PROGRESSIVE DCT (SOF2, T.81 Annex G): multi-scan spectral selection
   AND successive approximation — DC first/refinement scans
   (interleaved or single-component), AC first/refinement scans with
@@ -351,6 +355,97 @@ def encode_jpeg(
                         writer, blk, chr_q, preds[ci], dc_c, ac_c
                     )
             mcu_count += 1
+    writer.pad_to_byte()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_cmyk(
+    inks: np.ndarray,
+    transform: int = 0,
+    lossless_tables: bool = False,
+    adobe_marker: bool = True,
+) -> bytes:
+    """Encode an H×W×4 uint8 CMYK ink array as a 4-component baseline
+    JPEG (1x1 sampling, dims multiples of 8) — the fixture factory for
+    the decoder's 4-component path, mirroring how Adobe tooling writes
+    print-pipeline JPEGs:
+
+    - ``transform=0``: the four ink planes stored directly;
+    - ``transform=2`` (YCCK): the inverted C/M/Y planes pass through
+      the JFIF RGB→YCbCr transform, K stored as the fourth plane;
+    - ``adobe_marker``: write APP14 with the transform byte AND store
+      samples INVERTED (s = 255 - ink), the Adobe convention; with the
+      marker suppressed (transform 0 only) samples are plain inks —
+      the convention a markerless 4-component stream decodes under.
+    """
+    if inks.ndim != 3 or inks.shape[2] != 4 or inks.dtype != np.uint8:
+        raise ValueError(
+            f"expected H×W×4 uint8 CMYK, got {inks.shape} {inks.dtype}"
+        )
+    if transform not in (0, 2):
+        raise ValueError(f"transform must be 0 (CMYK) or 2 (YCCK), got {transform}")
+    if not adobe_marker and transform != 0:
+        raise ValueError("YCCK requires the Adobe marker (transform byte)")
+    h, w = inks.shape[:2]
+    if h % 8 or w % 8:
+        raise ValueError(f"image dims ({h}x{w}) must be multiples of 8")
+    f = inks.astype(np.float64)
+    if adobe_marker:
+        f = 255.0 - f  # Adobe inverted-sample convention
+    if transform == 2:
+        ycc = _rgb_to_ycbcr(np.clip(f[..., :3], 0, 255).astype(np.uint8))
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2], f[..., 3]]
+        # Y and K quantize as luma; Cb/Cr as chroma (table 1)
+        tqs, hts = [0, 1, 1, 0], [0, 1, 1, 0]
+    else:
+        planes = [f[..., 0], f[..., 1], f[..., 2], f[..., 3]]
+        tqs, hts = [0, 0, 0, 0], [0, 0, 0, 0]
+    lum_q = np.ones((8, 8), np.int32) if lossless_tables else _LUM_Q
+    chr_q = np.ones((8, 8), np.int32) if lossless_tables else _CHROM_Q
+    qts = {0: lum_q, 1: chr_q}
+
+    out = bytearray(b"\xff\xd8")  # SOI (Adobe CMYK streams are not JFIF)
+    if adobe_marker:
+        app14 = b"Adobe" + struct.pack(">HHH", 100, 0, 0) + bytes([transform])
+        out += b"\xff\xee" + struct.pack(">H", 2 + len(app14)) + app14
+    out += _dqt_segment(0, lum_q)
+    if 1 in tqs:
+        out += _dqt_segment(1, chr_q)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([4])
+    for cid in range(4):
+        sof += bytes([cid + 1, 0x11, tqs[cid]])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += _dht_segment(0, 0, _DC_LUM_BITS, _DC_LUM_VALS)
+    out += _dht_segment(1, 0, _AC_LUM_BITS, _AC_LUM_VALS)
+    if 1 in hts:
+        out += _dht_segment(0, 1, _DC_CHR_BITS, _DC_CHR_VALS)
+        out += _dht_segment(1, 1, _AC_CHR_BITS, _AC_CHR_VALS)
+    sos = bytes([4])
+    for cid in range(4):
+        sos += bytes([cid + 1, hts[cid] << 4 | hts[cid]])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc = {
+        0: _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS),
+        1: _canonical_codes(_DC_CHR_BITS, _DC_CHR_VALS),
+    }
+    ac = {
+        0: _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS),
+        1: _canonical_codes(_AC_CHR_BITS, _AC_CHR_VALS),
+    }
+    writer = _BitWriter()
+    preds = [0, 0, 0, 0]
+    for my in range(h // 8):
+        for mx in range(w // 8):
+            for ci in range(4):
+                blk = planes[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                preds[ci] = _encode_block(
+                    writer, blk, qts[tqs[ci]], preds[ci],
+                    dc[hts[ci]], ac[hts[ci]],
+                )
     writer.pad_to_byte()
     out += writer.out
     out += b"\xff\xd9"  # EOI
@@ -788,6 +883,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     progressive = False
     planes: dict[int, np.ndarray] | None = None  # comp id -> (by,bx,64) zigzag
     restart_interval = 0
+    adobe_transform: int | None = None  # APP14 color-transform byte
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -842,6 +938,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xEE and body[:5] == b"Adobe":  # APP14
+            adobe_transform = body[11]
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -854,7 +952,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             if not progressive:
                 return _decode_scan(
                     payload, pos + 2 + seg_len, frame, scan, qt, huff,
-                    restart_interval,
+                    restart_interval, adobe_transform,
                 )
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
@@ -891,13 +989,15 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             nat = np.zeros(z.shape[:2] + (8, 8), np.int64)
             nat[:, :, _ZZ_ROWS, _ZZ_COLS] = z
             pairs.append((c, nat))
-        return _reconstruct(pairs, qt, frame["h"], frame["w"], hmax, vmax)
+        return _reconstruct(
+            pairs, qt, frame["h"], frame["w"], hmax, vmax, adobe_transform
+        )
     raise ValueError("no SOS scan found in JPEG payload")
 
 
 def _decode_scan(
     data: bytes, pos: int, frame: dict, scan: list, qt: dict, huff: dict,
-    restart_interval: int,
+    restart_interval: int, adobe_transform: int | None = None,
 ) -> np.ndarray:
     h, w = frame["h"], frame["w"]
     comps = [c for c, _, _ in scan]
@@ -955,17 +1055,24 @@ def _decode_scan(
             mcu_count += 1
     return _reconstruct(
         [(c, planes[ci]) for ci, (c, _td, _ta) in enumerate(scan)],
-        qt, h, w, hmax, vmax,
+        qt, h, w, hmax, vmax, adobe_transform,
     )
 
 
 def _reconstruct(
-    pairs: list, qt: dict, h: int, w: int, hmax: int, vmax: int
+    pairs: list, qt: dict, h: int, w: int, hmax: int, vmax: int,
+    adobe_transform: int | None = None,
 ) -> np.ndarray:
     """Dequantize + batched IDCT per component (natural-order
     ``(by, bx, 8, 8)`` coefficient arrays), upsample, crop, and color-
     transform — shared by the baseline single-scan path and the
-    progressive EOI-time reconstruction."""
+    progressive EOI-time reconstruction. ``adobe_transform`` is the
+    APP14 color-transform byte (None when the marker is absent):
+    4-component streams decode as CMYK (transform 0 / no marker) or
+    YCCK (transform 2), with the Adobe-standard INVERTED sample
+    convention applied exactly when the marker is present — the same
+    rule libjpeg-derived decoders follow, so web-corpus CMYK JPEGs
+    (print-pipeline exports) land as the RGB every browser shows."""
     full = []
     for c, blocks in pairs:
         q = qt.get(c["tq"])
@@ -985,6 +1092,8 @@ def _reconstruct(
     if len(full) == 1:
         y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return np.stack([y, y, y], axis=-1)
+    if len(full) == 4:
+        return _cmyk_to_rgb(full, adobe_transform)
     if len(full) != 3:
         raise NotImplementedError(f"{len(full)}-component JPEG not supported")
     y, cb, cr = full
@@ -994,6 +1103,40 @@ def _reconstruct(
     return np.clip(
         np.round(np.stack([r, g, b], axis=-1)), 0, 255
     ).astype(np.uint8)
+
+
+def _ycc_to_rgb_planes(y, cb, cr):
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return r, g, b
+
+
+def _cmyk_to_rgb(full: list, adobe_transform: int | None) -> np.ndarray:
+    """4-component color path. Adobe APP14 transform 2 is YCCK: the
+    first three planes are YCbCr of the INVERTED C/M/Y inks; transform
+    0 (or 1, nonsensical for 4 comps but seen in the wild as 'no
+    transform') stores the four ink planes directly. When the Adobe
+    marker is PRESENT the samples are inverted (s = 255 - ink), so
+    RGB = s_cmy * s_k / 255; without the marker the samples are plain
+    inks, RGB = (255-C)(255-K)/255 — the two conventions real decoders
+    (libjpeg APP14 handling) apply."""
+    p0, p1, p2, p3 = full
+    if adobe_transform == 2:  # YCCK → inverted-CMY planes
+        c_s, m_s, y_s = (
+            np.clip(pl, 0.0, 255.0) for pl in _ycc_to_rgb_planes(p0, p1, p2)
+        )
+        k_s = np.clip(p3, 0.0, 255.0)
+        inverted = True
+    else:
+        c_s, m_s, y_s, k_s = (np.clip(pl, 0.0, 255.0) for pl in full)
+        inverted = adobe_transform is not None
+    if not inverted:
+        c_s, m_s, y_s, k_s = 255.0 - c_s, 255.0 - m_s, 255.0 - y_s, 255.0 - k_s
+    rgb = np.stack(
+        [c_s * k_s / 255.0, m_s * k_s / 255.0, y_s * k_s / 255.0], axis=-1
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def _comp_blocks(frame: dict, c: dict, hmax: int, vmax: int) -> tuple[int, int]:

@@ -758,6 +758,66 @@ def make_jpeg_assets(
     )
 
 
+def make_cmyk_jpeg_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset table with REAL 4-component Adobe-CMYK JPEG payloads: per
+    doc_id a 16×32 raster whose four ink planes are block-constant —
+    C_b = (did·23+41b)%256, M_b = (did·7+13b)%256, Y_b = (did·11+29b)%256,
+    K_b = (did·5+17b)%256 per 8×8 block b (row-major) — encoded with
+    the Adobe APP14 marker (transform 0, inverted samples) and lossless
+    quantization tables. Block-constant inks round-trip bit-exactly, so
+    the decoded RGB is r = round((255-C)(255-K)/255) per pixel (and m/y
+    analogues) — integer arithmetic the gate oracle recomputes from
+    doc_id alone. YCCK (transform 2) and the markerless plain-ink
+    convention are pinned in tests/test_multimodal_jpeg.py."""
+    from tile_processor_spark.multimodal.jpeg import encode_jpeg_cmyk
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b = np.arange(8, dtype=np.int64)
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                planes = [
+                    ((did * 23 + 41 * b) % 256),
+                    ((did * 7 + 13 * b) % 256),
+                    ((did * 11 + 29 * b) % 256),
+                    ((did * 5 + 17 * b) % 256),
+                ]
+                inks = np.stack(
+                    [
+                        np.repeat(np.repeat(
+                            p.astype(np.uint8).reshape(2, 4), 8, 0), 8, 1)
+                        for p in planes
+                    ],
+                    axis=-1,
+                )
+                payloads.append(
+                    encode_jpeg_cmyk(inks, transform=0, lossless_tables=True)
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].to_numpy(),
+                    "kind": "jpeg-cmyk",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    flat = d.mapInPandas(
+        _gen, "asset_id long, kind string, payload binary, n_bytes long"
+    )
+    return flat.select(
+        "asset_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.col("n_bytes"), F.col("kind").alias("declared_kind")
+        ).alias("meta"),
+    )
+
+
 def jpeg_features(assets: DataFrame) -> DataFrame:
     """Decode JPEG payloads through the real baseline decoder and emit
     per-asset features: dimensions, decoded sample count, exact pixel

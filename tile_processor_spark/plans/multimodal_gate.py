@@ -381,3 +381,45 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tile_processor_spark.multimodal.ops import jpeg_features, make_jpeg_assets
 
     return jpeg_features(make_jpeg_assets(spark, sf_dir, progressive=True))
+
+
+@register(
+    "multimodal_jpeg_cmyk",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(32 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(1536 AS BIGINT) AS n_samples,
+           CAST(64 * list_sum(list_transform(range(0, 8), b ->
+               (2*(255 - (doc_id*23 + 41*b) % 256)
+                  * (255 - (doc_id*5 + 17*b) % 256) + 255) // 510
+             + (2*(255 - (doc_id*7 + 13*b) % 256)
+                  * (255 - (doc_id*5 + 17*b) % 256) + 255) // 510
+             + (2*(255 - (doc_id*11 + 29*b) % 256)
+                  * (255 - (doc_id*5 + 17*b) % 256) + 255) // 510
+           )) AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+    doc=(
+        "4-COMPONENT Adobe-CMYK JPEG decode gate (VERDICT r12 Missing "
+        "#4 — the most common remaining real-corpus codec case: print-"
+        "pipeline exports): per doc a 16×32 raster with block-constant "
+        "ink planes, encoded with the APP14 marker (transform 0, the "
+        "Adobe inverted-sample convention) and decoded on the executor "
+        "through the 4-plane baseline path + CMYK→RGB conversion — the "
+        "same RGB libjpeg-derived viewers produce. Block-constant inks "
+        "round-trip exactly, and round(n/255) never lands on a .5 tie "
+        "(255 is odd), so the oracle recomputes the pixel sum with "
+        "integer arithmetic: r = (2·(255-C)(255-K)+255)//510 per "
+        "block. YCCK (transform 2) and markerless plain-ink decoding "
+        "are pinned in tests/test_multimodal_jpeg.py."
+    ),
+    tags=("multimodal", "udf"),
+)
+def multimodal_jpeg_cmyk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.multimodal.ops import (
+        jpeg_features,
+        make_cmyk_jpeg_assets,
+    )
+
+    return jpeg_features(make_cmyk_jpeg_assets(spark, sf_dir))

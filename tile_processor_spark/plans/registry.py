@@ -76,6 +76,8 @@ _STAGED_FOR_ROUND: int = 13
 #: To restage: python tools/gate_rotation.py --since <staging commit>
 #: (find it via: git log -S"_STAGED_FOR_ROUND: int = <N>").
 _ROUND_CHANGED: tuple[str, ...] = (
+    "snapshot_datasource_read",
+    "multimodal_jpeg_cmyk",
     "multimodal_jpeg_progressive",
     "snapshot_merge_upsert_state",
     "snapshot_time_travel_diff",
@@ -88,7 +90,6 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "snapshot_schema_evolution_state",
     "snapshot_schema_evolution_diff",
     "snapshot_partition_pruned_read",
-    "snapshot_datasource_read",
     "multimodal_jpeg_decode",
     "snapshot_incremental_dedup",
     "snapshot_where_pruned_read",
@@ -97,7 +98,8 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "multimodal_dedup_binary",
 )
 
-# Round-13 window: q1 (flagship), the r12 RED row
+# Round-13 window: q1 (flagship), the r12 RED row, the never-gated
+# CMYK-JPEG row,
 # (snapshot_datasource_read — healed this round, must re-gate first),
 # the changed set (_ROUND_CHANGED) stalest-first, then the ENTIRE r8
 # staleness tail (30 rows) — after this round no row's evidence is
@@ -105,6 +107,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
 _GATE_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "snapshot_datasource_read",
+    "multimodal_jpeg_cmyk",
     "multimodal_jpeg_progressive",
     "snapshot_merge_upsert_state",
     "snapshot_time_travel_diff",
@@ -152,7 +155,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_gapfill_locf",
     "events_ohlc_hourly",
     "events_asof_forward",
-    "events_funnel",
 )
 
 

@@ -111,3 +111,28 @@ def test_tls_negotiation_on_closed_socket_raises_pg_error():
         )
     t.join(timeout=5)
     srv.close()
+
+
+def test_reader_class_selection_by_pushdown_option():
+    """The pushdown/no-pushdown reader split (vanilla-session fix): the
+    default advertises pushFilters; .option('pushdown','false') selects
+    the base class so conf-locked sessions can still read."""
+    from pyspark.sql.types import StructType
+
+    from tile_processor_spark.sources.postgres_datasource import (
+        PostgresDataSource,
+        PostgresPushdownReader,
+        PostgresReader,
+    )
+
+    schema = StructType([])
+    ds = PostgresDataSource(options={"dbtable": "t"})
+    assert type(ds.reader(schema)) is PostgresPushdownReader
+    ds_off = PostgresDataSource(options={"dbtable": "t", "pushdown": "false"})
+    assert type(ds_off.reader(schema)) is PostgresReader
+    # only the subclass overrides pushFilters — the exact property
+    # Spark's planning worker checks before hard-erroring
+    from pyspark.sql.datasource import DataSourceReader
+
+    assert "pushFilters" not in PostgresReader.__dict__
+    assert PostgresPushdownReader.pushFilters is not DataSourceReader.pushFilters

@@ -685,3 +685,21 @@ def test_stream_commit_refuses_racing_schema_rewrite(spark, tmp_path):
     write_snapshot(df, tbl)
     w.commit(msgs, 0)
     assert read_snapshot(spark, tbl).count() == 2
+
+
+def test_reader_class_selection_by_pushdown_option(spark, tbl):
+    from pyspark.sql.datasource import DataSourceReader
+
+    from tile_processor_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+        SnapshotPushdownReader,
+    )
+
+    ds = SnapshotDataSource(options={"path": tbl})
+    assert type(ds.reader(ds.schema())) is SnapshotPushdownReader
+    ds_off = SnapshotDataSource(options={"path": tbl, "pushdown": "false"})
+    assert type(ds_off.reader(ds_off.schema())) is SnapshotReader
+    assert "pushFilters" not in SnapshotReader.__dict__
+    assert (
+        SnapshotPushdownReader.pushFilters is not DataSourceReader.pushFilters
+    )

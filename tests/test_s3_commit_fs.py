@@ -249,7 +249,9 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
                 k for k in self._objects() if k.startswith(prefix)
             )
             items = "".join(
-                f"<Contents><Key>{k}</Key></Contents>" for k in keys
+                f"<Contents><Key>{k}</Key>"
+                f"<Size>{len(self._objects()[k])}</Size></Contents>"
+                for k in keys
             )
             return self._respond(
                 200,

@@ -1,0 +1,180 @@
+"""Object-store-RESIDENT snapshot reads: a table committed locally and
+mirrored under an S3 prefix (exactly the layout ``S3CommitFS`` writes
+when its mount is the table root) must read back through
+``spark.read.format('tps_snapshot').option('path', 's3://...')``
+byte-identically to the local read — manifests, grouped side files,
+Hive partition values, manifest-level pruning, and the parquet bytes
+all resolved through the SigV4 client against the signature-verifying
+fake endpoint. Planning is one listing pass (sizes ride ListObjectsV2);
+executors fetch only their partitions' objects.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from http.server import ThreadingHTTPServer
+
+import pytest
+
+from tests.test_s3_commit_fs import ACCESS, REGION, SECRET, _FakeS3Handler
+from tile_processor_spark.sources.snapshot_datasource import (
+    S3SnapshotStore,
+    SnapshotReader,
+    register,
+)
+from tile_processor_spark.sources.snapshots import (
+    compact_manifest,
+    read_snapshot,
+    upsert_snapshot,
+    write_snapshot,
+)
+
+BUCKET = "tbl-bucket"
+
+
+@pytest.fixture()
+def fake_s3():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _FakeS3Handler)
+    srv.objects = {}
+    srv.uploads = {}
+    srv.lock = threading.Lock()
+    srv.rejections = []
+    srv.faults = []
+    srv.fault_hits = []
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield srv
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def _mirror(table_dir: str, srv, prefix: str) -> None:
+    """Upload the table directory verbatim under the prefix — the
+    key layout S3CommitFS(mount=table_dir) produces."""
+    from tile_processor_spark.sources.s3_client import S3Client
+
+    host, port = srv.server_address
+    c = S3Client(f"http://{host}:{port}", BUCKET, ACCESS, SECRET, region=REGION)
+    for root, _dirs, names in os.walk(table_dir):
+        for n in names:
+            p = os.path.join(root, n)
+            rel = os.path.relpath(p, table_dir).replace(os.sep, "/")
+            with open(p, "rb") as f:
+                c.put_object(f"{prefix}/{rel}", f.read())
+
+
+def _s3_opts(srv, prefix: str) -> dict:
+    host, port = srv.server_address
+    return {
+        "path": f"s3://{BUCKET}/{prefix}",
+        "s3_endpoint": f"http://{host}:{port}",
+        "s3_access_key": ACCESS,
+        "s3_secret_key": SECRET,
+        "s3_region": REGION,
+    }
+
+
+def _read_s3(spark, srv, prefix: str, **extra):
+    r = spark.read.format("tps_snapshot")
+    for k, v in {**_s3_opts(srv, prefix), **extra}.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def mirrored(spark, tmp_path, fake_s3):
+    table = str(tmp_path / "s3tbl")
+    df = spark.createDataFrame(
+        [("2024", 1, 10.0), ("2024", 2, 20.0), ("2025", 3, 30.0)],
+        "yr string, k long, v double",
+    )
+    write_snapshot(df, table, partition_by=["yr"])  # v1
+    upd = spark.createDataFrame([("2025", 3, 33.0)], "yr string, k long, v double")
+    upsert_snapshot(upd, table, ["k"])  # v2
+    _mirror(table, fake_s3, "warehouse/s3tbl")
+    register(spark)
+    return table
+
+
+def test_s3_read_matches_local_all_versions(spark, fake_s3, mirrored):
+    for v in (1, 2):
+        local = read_snapshot(spark, mirrored, version=v)
+        remote = _read_s3(spark, fake_s3, "warehouse/s3tbl", version=str(v))
+        assert remote.schema == local.schema  # committed dtypes incl. yr
+        assert _rows(remote) == _rows(local)
+    assert _rows(_read_s3(spark, fake_s3, "warehouse/s3tbl")) == _rows(
+        read_snapshot(spark, mirrored)
+    )
+    assert not fake_s3.rejections  # every request signature-verified
+
+
+def test_s3_partition_filter_prunes_planned_partitions(spark, fake_s3, mirrored):
+    opts = _s3_opts(fake_s3, "warehouse/s3tbl")
+    schema = _read_s3(spark, fake_s3, "warehouse/s3tbl").schema
+    all_parts = SnapshotReader(schema, dict(opts)).partitions()
+    pruned = SnapshotReader(
+        schema, {**opts, "partition_filter": '{"yr": "2025"}'}
+    ).partitions()
+    assert 0 < len(pruned) < len(all_parts)
+    got = _read_s3(
+        spark, fake_s3, "warehouse/s3tbl", partition_filter='{"yr": "2025"}'
+    )
+    assert _rows(got) == _rows(
+        read_snapshot(spark, mirrored, partition_filter={"yr": "2025"})
+    )
+
+
+def test_s3_read_through_grouped_manifest(spark, fake_s3, mirrored, tmp_path):
+    v3 = compact_manifest(mirrored)
+    # re-mirror: compaction added a manifest + group side files
+    _mirror(mirrored, fake_s3, "warehouse/s3tbl")
+    remote = _read_s3(spark, fake_s3, "warehouse/s3tbl", version=str(v3))
+    assert _rows(remote) == _rows(read_snapshot(spark, mirrored, version=v3))
+
+
+def test_s3_filter_pushdown_skips_and_matches(spark, fake_s3, mirrored):
+    remote = _read_s3(spark, fake_s3, "warehouse/s3tbl").filter("k >= 3")
+    local = read_snapshot(spark, mirrored).filter("k >= 3")
+    assert _rows(remote) == _rows(local)
+
+
+def test_s3_writes_refuse_loudly(spark, fake_s3, mirrored):
+    df = spark.createDataFrame([("2026", 9, 1.0)], "yr string, k long, v double")
+    with pytest.raises(Exception, match="not\\s+implemented|NotImplemented"):
+        (
+            df.write.format("tps_snapshot")
+            .options(**_s3_opts(fake_s3, "warehouse/s3tbl"))
+            .mode("append")
+            .save()
+        )
+
+
+def test_s3_pre_root_manifest_refuses(spark, fake_s3, mirrored):
+    """Manifests committed before the root field existed cannot be
+    key-translated — the reader must say so, not guess."""
+    import json
+
+    from tile_processor_spark.sources.s3_client import S3Client
+
+    host, port = fake_s3.server_address
+    c = S3Client(f"http://{host}:{port}", BUCKET, ACCESS, SECRET, region=REGION)
+    key = "warehouse/s3tbl/manifest-v00000002.json"
+    m = json.loads(c.get_object(key))
+    m.pop("root", None)
+    c.put_object(key, json.dumps(m).encode())
+    with pytest.raises(Exception, match="root"):
+        _read_s3(spark, fake_s3, "warehouse/s3tbl", version="2").collect()
+
+
+def test_store_requires_config_and_valid_path():
+    with pytest.raises(ValueError, match="s3://<bucket>/<prefix>"):
+        S3SnapshotStore("s3://onlybucket", {})
+    with pytest.raises(ValueError, match="s3_endpoint"):
+        S3SnapshotStore("s3://b/p", {})

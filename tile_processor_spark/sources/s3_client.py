@@ -475,7 +475,13 @@ class S3Client:
     def list_objects(self, prefix: str = "") -> list[str]:
         """All keys under ``prefix`` (ListObjectsV2, continuation-token
         pagination)."""
-        keys: list[str] = []
+        return [k for k, _size in self.list_objects_sizes(prefix)]
+
+    def list_objects_sizes(self, prefix: str = "") -> list[tuple[str, int]]:
+        """``(key, size)`` pairs under ``prefix`` — one listing pass
+        supplies the planner's bin-packing sizes, instead of a HEAD per
+        data file (100k files would mean 100k round trips)."""
+        out: list[tuple[str, int]] = []
         token: str | None = None
         while True:
             q = [("list-type", "2"), ("prefix", prefix)]
@@ -488,8 +494,11 @@ class S3Client:
             ns = ""
             if root.tag.startswith("{"):
                 ns = root.tag[: root.tag.index("}") + 1]
-            keys.extend(
-                c.findtext(f"{ns}Key")
+            out.extend(
+                (
+                    c.findtext(f"{ns}Key"),
+                    int(c.findtext(f"{ns}Size") or 0),
+                )
                 for c in root.iter(f"{ns}Contents")
             )
             if (root.findtext(f"{ns}IsTruncated") or "").lower() == "true":
@@ -498,4 +507,4 @@ class S3Client:
                     raise S3Error(200, "BadListing",
                                   "truncated listing without token")
                 continue
-            return keys
+            return out

@@ -48,17 +48,132 @@ from tile_processor_spark.sources.snapshots import (
 FORMAT_NAME = "tps_snapshot"
 
 
+class S3SnapshotStore:
+    """Object-store-RESIDENT snapshot table reads: ``.option("path",
+    "s3://bucket/prefix")`` resolves manifests, group side files, and
+    parquet data through the dependency-free SigV4 client instead of
+    the local filesystem — the read half of the S3 story (the commit
+    half is ``commit_fs.S3CommitFS``; together a table mirrored under
+    a prefix is fully usable without a local copy).
+
+    Path translation: every manifest records the table ``root`` it was
+    committed under (``snapshots._commit_manifest``), so the absolute
+    local paths inside it map to ``prefix + relpath(path, root)`` —
+    exactly the key layout ``S3CommitFS`` produces when its mount is
+    the table root. Planning stays driver-side and cheap: versions and
+    data-file SIZES come from ONE ListObjectsV2 pass (no per-file
+    HEADs), pruning runs on the manifest before any data fetch, and
+    executors fetch only their partitions' objects.
+
+    Client config comes from read options ``s3_endpoint``,
+    ``s3_access_key``, ``s3_secret_key``, ``s3_region`` (or env
+    ``SPARK_GRAFT_S3_ENDPOINT`` / ``_ACCESS_KEY`` / ``_SECRET_KEY`` /
+    ``_REGION``). The store pickles to executors WITHOUT its client
+    (rebuilt lazily per process)."""
+
+    def __init__(self, path: str, options: dict):
+        import os
+
+        rest = path[len("s3://"):]
+        self.bucket, _, self.prefix = rest.partition("/")
+        self.prefix = self.prefix.rstrip("/")
+        if not self.bucket or not self.prefix:
+            raise ValueError(
+                f"s3 table path must be s3://<bucket>/<prefix>, got {path!r}"
+            )
+        env = os.environ.get
+        self.endpoint = options.get("s3_endpoint") or env("SPARK_GRAFT_S3_ENDPOINT")
+        self.access_key = options.get("s3_access_key") or env("SPARK_GRAFT_S3_ACCESS_KEY")
+        self.secret_key = options.get("s3_secret_key") or env("SPARK_GRAFT_S3_SECRET_KEY")
+        self.region = options.get("s3_region") or env("SPARK_GRAFT_S3_REGION") or "us-east-1"
+        if not (self.endpoint and self.access_key and self.secret_key):
+            raise ValueError(
+                "s3:// snapshot reads need s3_endpoint/s3_access_key/"
+                "s3_secret_key (options or SPARK_GRAFT_S3_* env)"
+            )
+        self._client = None
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["_client"] = None
+        return d
+
+    def client(self):
+        if self._client is None:
+            from tile_processor_spark.sources.s3_client import S3Client
+
+            self._client = S3Client(
+                self.endpoint, self.bucket, self.access_key,
+                self.secret_key, region=self.region,
+            )
+        return self._client
+
+    # -- manifest plane (driver-side) --------------------------------
+
+    def versions(self) -> list[int]:
+        pre = f"{self.prefix}/manifest-v"
+        out = []
+        for k in self.client().list_objects(pre):
+            name = k.rsplit("/", 1)[-1]
+            if name.startswith("manifest-v") and name.endswith(".json"):
+                out.append(int(name[len("manifest-v"):-len(".json")]))
+        return sorted(out)
+
+    def manifest(self, version: int) -> dict:
+        key = f"{self.prefix}/manifest-v{version:08d}.json"
+        return json.loads(self.client().get_object(key))
+
+    def key_for(self, local_path: str, root: str) -> str:
+        import os
+
+        rel = os.path.relpath(local_path, root)
+        if rel.startswith(".."):
+            raise ValueError(
+                f"manifest references {local_path!r} outside table root "
+                f"{root!r} — not mirrorable to a key prefix"
+            )
+        return f"{self.prefix}/{rel.replace(os.sep, '/')}"
+
+    def data_sizes(self) -> dict[str, int]:
+        """One listing pass over the table prefix → key→size map for
+        the planner's bin-packing."""
+        return dict(self.client().list_objects_sizes(self.prefix + "/"))
+
+    def json_loader(self, root: str):
+        def _load(local_path: str) -> dict:
+            return json.loads(self.client().get_object(self.key_for(local_path, root)))
+
+        return _load
+
+    # -- data plane (executor-side) -----------------------------------
+
+    def fetch(self, key: str) -> bytes:
+        return self.client().get_object(key)
+
+
+def _make_store(options: dict) -> S3SnapshotStore | None:
+    path = options.get("path", "")
+    return S3SnapshotStore(path, options) if path.startswith("s3://") else None
+
+
 def _resolve_manifest(options: dict) -> dict:
     path = options.get("path")
     if not path:
         raise ValueError("tps_snapshot requires .option('path', <table dir>)")
-    versions = list_versions(path)
+    store = _make_store(options)
+    versions = store.versions() if store else list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     v = int(options.get("version", versions[-1]))
     if v not in versions:
         raise FileNotFoundError(f"version {v} not in {versions} at {path}")
-    return _read_manifest(path, v)
+    manifest = store.manifest(v) if store else _read_manifest(path, v)
+    if store and "root" not in manifest:
+        raise ValueError(
+            "manifest lacks the table 'root' field (committed before "
+            "round 13) — recommit or read the table from a local path"
+        )
+    return manifest
 
 
 class _FilePartition(InputPartition):
@@ -82,6 +197,7 @@ class SnapshotReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self._schema = schema
         self._options = options
+        self._store = _make_store(options)
         self._manifest = _resolve_manifest(options)
         raw = options.get("partition_filter")
         self._filter = json.loads(raw) if raw else None
@@ -101,13 +217,30 @@ class SnapshotReader(DataSourceReader):
         files group into ~``target_partition_bytes`` (default 128 MB)
         input partitions so TASK COUNT scales with data volume, not
         file count — a million 1 MB files plan as ~8k tasks, not a
-        million. Groups never cross a Hive partition boundary."""
+        million. Groups never cross a Hive partition boundary. A store-
+        resident table (s3:// path) plans from ONE listing pass — file
+        sizes come with the keys, no per-file HEADs."""
         import os
 
+        store = self._store
+        loader = (
+            store.json_loader(self._manifest["root"]) if store else None
+        )
         files = _manifest_files(
-            self._manifest, self._filter, self._where or None
+            self._manifest, self._filter, self._where or None,
+            open_json=loader,
         )
         base = self._manifest["base"]
+        if store:
+            root = self._manifest["root"]
+            sizes = store.data_sizes()
+            base = store.key_for(base, root)
+            files = [store.key_for(f, root) for f in files]
+
+            def getsize(f: str) -> int:
+                return sizes.get(f, 0)
+        else:
+            getsize = os.path.getsize
         target = int(
             self._options.get("target_partition_bytes", 128 * 1024 * 1024)
         )
@@ -120,7 +253,7 @@ class SnapshotReader(DataSourceReader):
             group: list[str] = []
             size = 0
             for f in sorted(flist):
-                fsize = os.path.getsize(f)
+                fsize = getsize(f)
                 if group and size + fsize > target:
                     parts.append(_FileGroupPartition(group, dict(key)))
                     group, size = [], 0
@@ -142,7 +275,10 @@ class SnapshotReader(DataSourceReader):
             else [partition.file_path]
         )
         for fpath in files:
-            tbl = pq.read_table(fpath)
+            if self._store:  # executor-side object fetch
+                tbl = pq.read_table(pa.BufferReader(self._store.fetch(fpath)))
+            else:
+                tbl = pq.read_table(fpath)
             cols = []
             for field in target:
                 if field.name in partition.part_values:
@@ -228,13 +364,24 @@ class SnapshotDataSource(DataSource):
         return cls(schema, self.options)
 
     def streamReader(self, schema: StructType) -> "SnapshotStreamReader":
+        self._refuse_s3("streaming reads")
         return SnapshotStreamReader(schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> "SnapshotWriter":
+        self._refuse_s3("writes")
         return SnapshotWriter(schema, self.options, overwrite)
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> "SnapshotStreamWriter":
+        self._refuse_s3("streaming writes")
         return SnapshotStreamWriter(schema, self.options, overwrite)
+
+    def _refuse_s3(self, what: str) -> None:
+        if str(self.options.get("path", "")).startswith("s3://"):
+            raise NotImplementedError(
+                f"tps_snapshot {what} against an s3:// path are not "
+                "implemented — batch READS are store-resident; commits "
+                "go through a local mount fronted by commit_fs.S3CommitFS"
+            )
 
 
 def register(spark) -> None:

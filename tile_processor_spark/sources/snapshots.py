@@ -277,6 +277,10 @@ def _commit_manifest(table_path: str, manifest: dict, version: int) -> int:
     primitive the whole protocol's isolation rests on."""
     from tile_processor_spark.sources.commit_fs import get_commit_fs
 
+    # the table ROOT travels in every manifest so a store-resident
+    # reader (object-store mirror of this directory) can translate the
+    # recorded absolute local paths into keys relative to the root
+    manifest.setdefault("root", os.path.abspath(table_path))
     tmp = os.path.join(table_path, f".manifest.tmp.{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -594,6 +598,7 @@ def _manifest_files(
     manifest: dict,
     partition_filter: dict[str, object] | None = None,
     where: list[tuple] | None = None,
+    open_json=None,
 ) -> list[str]:
     """Resolve a manifest's data-file list, through either layout:
 
@@ -615,7 +620,13 @@ def _manifest_files(
 
     ``partition_filter`` values must already be validated against the
     manifest's ``partition_by`` by the caller; they are compared as
-    Hive path strings."""
+    Hive path strings. ``open_json`` overrides how group SIDE FILES are
+    fetched (a store-resident reader passes an object-store loader;
+    default is the local filesystem)."""
+    if open_json is None:
+        def open_json(p):
+            with open(p) as f:
+                return json.load(f)
     wanted = None
     if partition_filter:
         wanted = {
@@ -631,8 +642,7 @@ def _manifest_files(
                 continue
             if where and _stats_exclude(g.get("stats"), where):
                 continue  # whole group skipped without opening it
-            with open(g["path"]) as f:
-                side = json.load(f)
+            side = open_json(g["path"])
             if where and side.get("file_stats"):
                 fs = side["file_stats"]
                 out.extend(

@@ -619,3 +619,59 @@ def test_connector_reads_over_tls_with_channel_binding(
         assert got.count() == 20
     finally:
         conn.close()
+
+
+def test_connector_read_on_vanilla_session(pg_server, pg_conn):
+    """The r12 bug class, PG edition: a bare SparkSession.builder
+    session (no engine confs) must read through tps_postgres — the
+    connector's register() enables the pushdown conf itself, and the
+    .option('pushdown','false') opt-out works under a pinned-off conf.
+    Runs in a subprocess so the session really is vanilla."""
+    import json
+    import sys
+
+    t = f"vanilla_{uuid.uuid4().hex[:8]}"
+    pg_conn.execute(f'CREATE TABLE "{t}" (k bigint, s text)')
+    pg_conn.execute(
+        f'INSERT INTO "{t}" SELECT g, \'row-\' || g FROM generate_series(1, 50) g'
+    )
+    script = r"""
+import json, sys
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "2g")
+    .getOrCreate()
+)
+assert spark.conf.get("spark.sql.python.filterPushdown.enabled") == "false"
+from tile_processor_spark.sources.postgres_datasource import register
+register(spark)
+opts = json.loads(sys.argv[1])
+df = (
+    spark.read.format("tps_postgres").options(**opts).load()
+    .filter("k > 40")
+)
+n_default = df.count()
+spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+n_optout = (
+    spark.read.format("tps_postgres").options(**opts)
+    .option("pushdown", "false").load().filter("k > 40").count()
+)
+print("PG_VANILLA " + json.dumps({"default": n_default, "optout": n_optout}))
+spark.stop()
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script, json.dumps(_opts(pg_server, dbtable=t))],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = next(
+        ln for ln in proc.stdout.splitlines() if ln.startswith("PG_VANILLA ")
+    )
+    out = json.loads(line[len("PG_VANILLA "):])
+    assert out == {"default": 10, "optout": 10}

@@ -178,3 +178,15 @@ def test_store_requires_config_and_valid_path():
         S3SnapshotStore("s3://onlybucket", {})
     with pytest.raises(ValueError, match="s3_endpoint"):
         S3SnapshotStore("s3://b/p", {})
+
+
+def test_s3_read_survives_injected_throttle(spark, fake_s3, mirrored):
+    """A 503 SlowDown mid-plan (manifest GET) and mid-fetch (parquet
+    GET) must not fail the read — the client's retry layer treats a
+    received 5xx as not-performed for every verb."""
+    fake_s3.faults.extend(
+        [{"verb": "GET", "status": 503, "code": "SlowDown"}] * 3
+    )
+    remote = _read_s3(spark, fake_s3, "warehouse/s3tbl")
+    assert _rows(remote) == _rows(read_snapshot(spark, mirrored))
+    assert len(fake_s3.fault_hits) == 3  # all three throttles served

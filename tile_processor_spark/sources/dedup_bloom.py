@@ -440,6 +440,10 @@ def with_maybe_kept(
                 path = _shard_path(fp_path, version, int(shard))
                 bits = cache.get(path)
                 if bits is None:
+                    # bounded: a long-running executor crossing many
+                    # sidecar versions must not accumulate stale mmaps
+                    while len(cache) >= _SHARD_CACHE_MAX:
+                        cache.pop(next(iter(cache)))
                     bits = np.load(path, mmap_mode="r")
                     cache[path] = bits
                 sel = sv == shard
@@ -477,5 +481,7 @@ def with_maybe_kept(
 
 #: executor-process-level cache of memory-mapped shard bitmaps — keyed
 #: by absolute path (which embeds the version, so a new version is a
-#: new entry and stale maps age out with their files)
+#: new entry and stale maps age out with their files); FIFO-bounded so
+#: a long-lived executor crossing many versions cannot hoard handles
 _SHARD_MMAP_CACHE: dict[str, np.ndarray] = {}
+_SHARD_CACHE_MAX = 64

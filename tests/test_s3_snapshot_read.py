@@ -190,3 +190,37 @@ def test_s3_read_survives_injected_throttle(spark, fake_s3, mirrored):
     remote = _read_s3(spark, fake_s3, "warehouse/s3tbl")
     assert _rows(remote) == _rows(read_snapshot(spark, mirrored))
     assert len(fake_s3.fault_hits) == 3  # all three throttles served
+
+
+def test_s3_vacuum_store_reclaims_unreferenced(spark, fake_s3, mirrored):
+    """vacuum_store drops retired manifests first, then data objects no
+    retained manifest references; foreign keys under the prefix and
+    every retained-version object survive; the latest version reads
+    identically after the sweep."""
+    from tile_processor_spark.sources.s3_client import S3Client
+    from tile_processor_spark.sources.snapshot_datasource import vacuum_store
+
+    host, port = fake_s3.server_address
+    c = S3Client(f"http://{host}:{port}", BUCKET, ACCESS, SECRET, region=REGION)
+    c.put_object("warehouse/s3tbl/notes.txt", b"not a snapshot artifact")
+    before = _rows(_read_s3(spark, fake_s3, "warehouse/s3tbl"))
+    n_keys_before = len(c.list_objects("warehouse/s3tbl/"))
+
+    opts = {k: v for k, v in _s3_opts(fake_s3, "warehouse/s3tbl").items() if k != "path"}
+    out = vacuum_store(f"s3://{BUCKET}/warehouse/s3tbl", opts, keep_last=1)
+    assert out["retired_versions"] == [1]
+    assert out["kept_versions"] == [2]
+    assert out["manifests_removed"] == 1
+    assert out["files_removed"] >= 1  # v1's superseded partition file(s)
+
+    keys = c.list_objects("warehouse/s3tbl/")
+    assert len(keys) < n_keys_before
+    assert "warehouse/s3tbl/notes.txt" in keys  # foreign object untouched
+    assert not any("manifest-v00000001" in k for k in keys)
+    # the retained version reads byte-identically post-vacuum
+    assert _rows(_read_s3(spark, fake_s3, "warehouse/s3tbl")) == before
+    # the retired version is gone (surfaces as AnalysisException — the
+    # datasource worker wraps the reader's FileNotFoundError)
+    with pytest.raises(Exception, match="version 1 not in"):
+        _read_s3(spark, fake_s3, "warehouse/s3tbl", version="1").collect()
+    assert not fake_s3.rejections

@@ -156,6 +156,61 @@ def _make_store(options: dict) -> S3SnapshotStore | None:
     return S3SnapshotStore(path, options) if path.startswith("s3://") else None
 
 
+def vacuum_store(path: str, options: dict | None = None, keep_last: int = 2) -> dict:
+    """VACUUM for an S3-RESIDENT snapshot mirror: drop all but the last
+    ``keep_last`` manifests and delete data objects no retained
+    manifest references — the object-store twin of
+    ``snapshots.vacuum`` (whose local ``os.unlink`` calls never reach
+    the mirror). Same crash-safe ordering: retired MANIFESTS delete
+    first, then newly-unreferenced data keys — an interruption leaves
+    extra objects (harmless, re-vacuumable), never a manifest pointing
+    at deleted data.
+
+    Deletion scope is conservative: only retired manifest keys and
+    unreferenced keys under the table's data roots (every retained
+    manifest's ``base``/group side files stay). Keys the tool does not
+    recognize (sidecars, foreign objects under the prefix) are left
+    alone. Cost: one listing pass + one manifest read per retained
+    version + one DELETE per reclaimed object."""
+    store = S3SnapshotStore(path, options or {})
+    versions = store.versions()
+    kept = versions[-keep_last:] if keep_last else []
+    retired = [v for v in versions if v not in kept]
+    referenced: set[str] = set()
+    data_prefixes: set[str] = set()
+    for v in kept:
+        m = store.manifest(v)
+        root = m["root"]
+        files = _manifest_files(m, open_json=store.json_loader(root))
+        referenced |= {store.key_for(f, root) for f in files}
+        for g in m.get("groups") or []:
+            referenced.add(store.key_for(g["path"], root))
+        data_prefixes.add(store.key_for(m["base"], root).rstrip("/") + "/")
+    # retired manifests' data dirs are reclaim candidates too
+    for v in retired:
+        m = store.manifest(v)
+        root = m["root"]
+        data_prefixes.add(store.key_for(m["base"], root).rstrip("/") + "/")
+    client = store.client()
+    removed_manifests = 0
+    for v in retired:  # manifests first (crash-safe ordering)
+        client.delete_object(f"{store.prefix}/manifest-v{v:08d}.json")
+        removed_manifests += 1
+    removed_files = 0
+    for key in client.list_objects(store.prefix + "/"):
+        if key in referenced:
+            continue
+        if any(key.startswith(p) for p in data_prefixes):
+            client.delete_object(key)
+            removed_files += 1
+    return {
+        "retired_versions": retired,
+        "kept_versions": kept,
+        "manifests_removed": removed_manifests,
+        "files_removed": removed_files,
+    }
+
+
 def _resolve_manifest(options: dict) -> dict:
     path = options.get("path")
     if not path:

@@ -224,3 +224,37 @@ def test_s3_vacuum_store_reclaims_unreferenced(spark, fake_s3, mirrored):
     with pytest.raises(Exception, match="version 1 not in"):
         _read_s3(spark, fake_s3, "warehouse/s3tbl", version="1").collect()
     assert not fake_s3.rejections
+
+
+def test_s3_version_stream_emits_appended_batches(spark, fake_s3, tmp_path):
+    """The version stream works against an s3:// mirror: offsets come
+    from the store's manifest listing, batches carry exactly the
+    appended delta (fetched executor-side), and new versions mirrored
+    mid-stream arrive as their own micro-batches."""
+    import uuid as uuid_mod
+
+    from tile_processor_spark.sources.snapshots import append_snapshot
+
+    table = str(tmp_path / "s3stream")
+    append_snapshot(spark.createDataFrame([(1, "a")], "k long, s string"), table)
+    append_snapshot(spark.createDataFrame([(2, "b")], "k long, s string"), table)
+    prefix = "warehouse/s3stream"
+    _mirror(table, fake_s3, prefix)
+    register(spark)
+    qn = f"s3_snap_stream_{uuid_mod.uuid4().hex[:8]}"
+    reader = spark.readStream.format("tps_snapshot")
+    for k, v in _s3_opts(fake_s3, prefix).items():
+        reader = reader.option(k, v)
+    q = reader.load().writeStream.format("memory").queryName(qn).start()
+    try:
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in spark.sql(f"SELECT * FROM {qn}").collect())
+        assert got == [(1, "a"), (2, "b")]
+        append_snapshot(spark.createDataFrame([(3, "c")], "k long, s string"), table)
+        _mirror(table, fake_s3, prefix)  # mirror the new version
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in spark.sql(f"SELECT * FROM {qn}").collect())
+        assert got == [(1, "a"), (2, "b"), (3, "c")]
+    finally:
+        q.stop()
+    assert not fake_s3.rejections

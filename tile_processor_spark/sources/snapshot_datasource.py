@@ -419,7 +419,6 @@ class SnapshotDataSource(DataSource):
         return cls(schema, self.options)
 
     def streamReader(self, schema: StructType) -> "SnapshotStreamReader":
-        self._refuse_s3("streaming reads")
         return SnapshotStreamReader(schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> "SnapshotWriter":
@@ -477,26 +476,37 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("tps_snapshot stream requires .option('path', ...)")
+        # s3:// mirrors stream too: offsets and appended files resolve
+        # through the store; data fetches happen executor-side
+        self._store = _make_store(options)
         starting = options.get("starting_version")
         self._initial = (
             int(starting)
             if starting is not None
-            else (list_versions(self._path) or [0])[-1] if options.get(
+            else (self._versions() or [0])[-1] if options.get(
                 "latest_only", "false"
             ).lower() == "true" else 0
+        )
+
+    def _versions(self) -> list[int]:
+        return self._store.versions() if self._store else list_versions(self._path)
+
+    def _manifest(self, v: int) -> dict:
+        return (
+            self._store.manifest(v) if self._store else _read_manifest(self._path, v)
         )
 
     def initialOffset(self) -> dict:
         return {"version": self._initial}
 
     def latestOffset(self) -> dict:
-        versions = list_versions(self._path)
+        versions = self._versions()
         return {"version": versions[-1] if versions else self._initial}
 
     def partitions(self, start: dict, end: dict):
         parts: list[_FilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            manifest = _read_manifest(self._path, v)
+            manifest = self._manifest(v)
             appended = manifest.get("appended_files")
             if appended is None:
                 # version 1 of a table born by append_snapshot is a
@@ -510,6 +520,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
                         "without re-emitting history"
                     )
             base = manifest["base"]
+            if self._store:
+                root = manifest["root"]
+                base = self._store.key_for(base, root)
+                appended = [self._store.key_for(f, root) for f in appended]
             parts.extend(
                 _FilePartition(f, _partition_values(f, base)) for f in appended
             )
@@ -521,7 +535,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(self._schema)
-        tbl = pq.read_table(partition.file_path)
+        if self._store:
+            tbl = pq.read_table(
+                pa.BufferReader(self._store.fetch(partition.file_path))
+            )
+        else:
+            tbl = pq.read_table(partition.file_path)
         cols = []
         for field in target:
             if field.name in partition.part_values:

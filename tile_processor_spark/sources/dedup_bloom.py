@@ -201,6 +201,7 @@ def _build_shard_files(
     d = os.path.join(os.path.abspath(fp_path), _BLOOM_DIR)
     os.makedirs(d, exist_ok=True)
     mb = m_shard // 8
+    build_token = uuid.uuid4().hex  # scopes tmp cleanup to THIS build
     pos = _position_cols(kept_fps.select("fp"), m_shard, shards).drop("fp")
     pos = pos.repartition(shards, "_s")
 
@@ -214,7 +215,9 @@ def _build_shard_files(
                 _set_bits(bm, grp)
         rows = []
         for s, bm in local.items():
-            tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}-s{s}.npy")
+            tmp = os.path.join(
+                d, f".tmp-{build_token}-{uuid.uuid4().hex}-s{s}.npy"
+            )
             np.save(tmp, bm)
             rows.append({"s": s, "tmp": tmp})
         if rows:
@@ -228,9 +231,19 @@ def _build_shard_files(
         if tmp is None:  # no rows hashed into this shard
             if empty is None:
                 empty = np.zeros(mb, dtype=np.uint8)
-            tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}-s{s}.npy")
+            tmp = os.path.join(
+                d, f".tmp-{build_token}-{uuid.uuid4().hex}-s{s}.npy"
+            )
             np.save(tmp, empty)
         os.replace(tmp, final)
+    # reclaim duplicate tmp files from speculated/retried tasks — the
+    # build token scopes the sweep so a concurrent build is untouched
+    for name in os.listdir(d):
+        if name.startswith(f".tmp-{build_token}-"):
+            try:
+                os.unlink(os.path.join(d, name))
+            except OSError:
+                pass
 
 
 def load_bloom(fp_path: str, fp_version: int) -> DedupBloom | None:

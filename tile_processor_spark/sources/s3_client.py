@@ -424,9 +424,12 @@ class S3Client:
             if root.tag.rsplit("}", 1)[-1] != "CompleteMultipartUploadResult":
                 raise self._error(200, data)
         except BaseException:
-            self._request(
-                "DELETE", key, query=[("uploadId", upload_id)]
-            )  # best-effort abort; orphaned parts otherwise bill forever
+            try:
+                self._request("DELETE", key, query=[("uploadId", upload_id)])
+            except Exception:
+                # best-effort abort (orphaned parts otherwise bill
+                # forever) must never MASK the original failure
+                pass
             raise
 
     def get_object(self, key: str) -> bytes:

@@ -63,7 +63,7 @@ def test_full_lifecycle_without_hardlinks_or_rename(spark, tmp_path, object_stor
     assert _rows(
         read_snapshot(spark, tbl, partition_filter={"grp": "a"}).select("k")
     ) == [(1,), (3,)]
-    got = vacuum(tbl, keep_last=2)
+    got = vacuum(tbl, keep_last=2, claim_ttl_s=0)
     assert got["retired_versions"] == [1, 2]
     assert _rows(read_snapshot(spark, tbl).select("k")) == [(1,), (2,), (3,)]
 
@@ -110,7 +110,7 @@ def test_crash_before_publish_leaves_table_unchanged(spark, tmp_path):
         set_commit_fs(prev)
     assert list_versions(tbl) == [1]
     assert _rows(read_snapshot(spark, tbl)) == [(1,)]
-    removed = vacuum(tbl, keep_last=1)["files_removed"]
+    removed = vacuum(tbl, keep_last=1, claim_ttl_s=0)["files_removed"]
     assert removed >= 1  # the crashed writer's orphan data files
     assert _rows(read_snapshot(spark, tbl)) == [(1,)]
 
@@ -138,7 +138,7 @@ def test_crash_mid_rehome_is_recoverable(spark, tmp_path):
     append_snapshot(delta, tbl)
     assert _rows(read_snapshot(spark, tbl).select("k")) == [(1,), (2,)]
     # vacuum reclaims the crashed attempt's orphans, readers unharmed
-    vacuum(tbl, keep_last=1)
+    vacuum(tbl, keep_last=1, claim_ttl_s=0)
     assert _rows(read_snapshot(spark, tbl).select("k")) == [(1,), (2,)]
 
 

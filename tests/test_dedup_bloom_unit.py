@@ -346,3 +346,49 @@ def test_sharded_missing_shard_file_is_stale(sharded):
     fps, df, b, root = sharded
     os.unlink(mod._shard_path(root, 5, 2))
     assert load_bloom(root, 5) is None  # torn state -> rebuild
+
+
+def test_sharded_crossdevice_copy_fallback_streams(sharded, spark, monkeypatch):
+    """When hardlinks are unavailable (cross-device sidecar dir), the
+    untouched-shard carry must still produce byte-identical shard files
+    — and do it by STREAMING copy (shutil.copyfile), never an np.load
+    materialization (ADVICE r13: O(shards) full bitmaps on the driver
+    defeated the one-shard memory bound)."""
+    import os
+
+    import tile_processor_spark.sources.dedup_bloom as mod
+
+    fps, df, b, root = sharded
+
+    def _no_link(src, dst):
+        raise OSError("EXDEV: cross-device link")
+
+    monkeypatch.setattr(os, "link", _no_link)
+    loads = []
+    real_load = np.load
+
+    def _spy_load(*a, **kw):
+        loads.append(a[0] if a else kw.get("file"))
+        return real_load(*a, **kw)
+
+    monkeypatch.setattr(mod.np, "load", _spy_load)
+    r = load_bloom(root, 5)
+    before = {s: real_load(mod._shard_path(root, 5, s)).copy() for s in range(4)}
+    new = spark.createDataFrame([("xdev-new-fp",)], "fp string")
+    b2 = fold_in(r, new, 1, 7)
+    save_bloom(root, b2)
+    r2 = load_bloom(root, 7)
+    assert r2 is not None and r2.shards == 4
+    target = ref_shard("xdev-new-fp", 4)
+    for s in range(4):
+        after = real_load(mod._shard_path(root, 7, s))
+        if s == target:
+            assert np.array_equal(after & before[s], before[s])  # superset
+        else:
+            assert np.array_equal(after, before[s])  # streamed copy exact
+    # np.load during publish touched only fold_in's ONE hit shard, not
+    # the untouched carries (those went through copyfile)
+    publish_loads = [p for p in loads if str(p).endswith(".npy")]
+    assert len(publish_loads) <= 1
+    # the original fps still all test maybe-present through the copies
+    assert with_maybe_kept(df, r2).filter("NOT _maybe_kept").count() == 0

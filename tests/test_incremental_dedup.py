@@ -171,7 +171,7 @@ def test_vacuumed_gap_raises_instead_of_underdeduping(spark, tmp_path):
     fps = str(tmp_path / "fps")
     for i in range(4):
         append_snapshot(_docs(spark, [(i, f"t{i}")]), corpus)  # v1..v4
-    vacuum(corpus, keep_last=2)  # retires v1, v2
+    vacuum(corpus, keep_last=2, claim_ttl_s=0)  # retires v1, v2
     with pytest.raises(ValueError, match="vacuumed before being fingerprinted"):
         dedup_new_versions(spark, corpus, fps)
 

@@ -14,15 +14,29 @@ racing-committers test exercises REAL mutual exclusion.
 
 from __future__ import annotations
 
+import datetime as dt_mod
 import hashlib
 import os
 import threading
+import time as time_mod
 import urllib.parse
 import uuid as uuid_mod
 from concurrent.futures import ThreadPoolExecutor
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
+
+
+def _iso(ts: float | None) -> str:
+    """Epoch seconds → the listing timestamp format S3 emits; a key
+    whose mtime was never recorded reads as 'just written' (the SAFE
+    side for retention logic)."""
+    return (
+        dt_mod.datetime.fromtimestamp(
+            ts if ts is not None else time_mod.time(), dt_mod.timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3]
+        + "Z"
+    )
 
 from tile_processor_spark.sources.commit_fs import S3CommitFS
 from tile_processor_spark.sources.s3_client import (
@@ -85,6 +99,11 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
     # -- storage ---------------------------------------------------------
     def _objects(self) -> dict:
         return self.server.objects  # type: ignore[attr-defined]
+
+    def _touch(self, key: str) -> None:
+        """Record the key's LastModified (tests age objects by editing
+        ``srv.mtimes`` directly)."""
+        self.server.mtimes[key] = time_mod.time()  # type: ignore[attr-defined]
 
     def _lock(self) -> threading.Lock:
         return self.server.lock  # type: ignore[attr-defined]
@@ -162,7 +181,9 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
         if "uploads" in q:  # initiate
             uid = uuid_mod.uuid4().hex
             with self._lock():
-                uploads[uid] = {}
+                uploads[uid] = {
+                    "key": key, "initiated": time_mod.time(), "parts": {}
+                }
             return self._respond(
                 200,
                 (
@@ -177,9 +198,10 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
 
             wanted = re_mod.findall(rb"<PartNumber>(\d+)</PartNumber>", body)
             with self._lock():
-                parts = uploads.get(uid)
-                if parts is None:
+                entry = uploads.get(uid)
+                if entry is None:
                     return self._err(404, "NoSuchUpload")
+                parts = entry["parts"]
                 if sorted(int(p) for p in wanted) != sorted(parts):
                     return self._err(400, "InvalidPartOrder")
                 if (
@@ -190,6 +212,7 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
                 self._objects()[key] = b"".join(
                     parts[n2] for n2 in sorted(parts)
                 )
+                self._touch(key)
                 del uploads[uid]
             return self._respond(
                 200,
@@ -211,10 +234,10 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
         q = self._query()
         if "partNumber" in q and "uploadId" in q:
             with self._lock():
-                parts = self.server.uploads.get(q["uploadId"])  # type: ignore[attr-defined]
-                if parts is None:
+                entry = self.server.uploads.get(q["uploadId"])  # type: ignore[attr-defined]
+                if entry is None:
                     return self._err(404, "NoSuchUpload")
-                parts[int(q["partNumber"])] = body
+                entry["parts"][int(q["partNumber"])] = body
             self.send_response(200)
             self.send_header("ETag", f'"p{q["partNumber"]}"')
             self.send_header("Content-Length", "0")
@@ -227,12 +250,14 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
                 if src_key not in self._objects():
                     return self._err(404, "NoSuchKey")
                 self._objects()[key] = self._objects()[src_key]
+                self._touch(key)
                 return self._respond(
                     200, b"<CopyObjectResult><ETag>x</ETag></CopyObjectResult>"
                 )
             if self.headers.get("If-None-Match") == "*" and key in self._objects():
                 return self._err(412, "PreconditionFailed")
             self._objects()[key] = body
+            self._touch(key)
         self._respond(200, b"")
 
     def do_GET(self) -> None:  # noqa: N802
@@ -242,15 +267,18 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
         if bad:
             return self._err(403, "SignatureDoesNotMatch")
         path, _, query = self.path.partition("?")
-        q = dict(urllib.parse.parse_qsl(query))
+        q = dict(urllib.parse.parse_qsl(query, keep_blank_values=True))
         if q.get("list-type") == "2":
             prefix = q.get("prefix", "")
+            mtimes = self.server.mtimes  # type: ignore[attr-defined]
             keys = sorted(
                 k for k in self._objects() if k.startswith(prefix)
             )
             items = "".join(
                 f"<Contents><Key>{k}</Key>"
-                f"<Size>{len(self._objects()[k])}</Size></Contents>"
+                f"<Size>{len(self._objects()[k])}</Size>"
+                f"<LastModified>{_iso(mtimes.get(k))}</LastModified>"
+                "</Contents>"
                 for k in keys
             )
             return self._respond(
@@ -258,6 +286,27 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
                 (
                     "<ListBucketResult><IsTruncated>false</IsTruncated>"
                     f"{items}</ListBucketResult>"
+                ).encode(),
+            )
+        if "uploads" in q:  # ListMultipartUploads
+            prefix = q.get("prefix", "")
+            with self._lock():
+                rows = sorted(
+                    (e["key"], uid, e["initiated"])
+                    for uid, e in self.server.uploads.items()  # type: ignore[attr-defined]
+                    if e["key"].startswith(prefix)
+                )
+            items = "".join(
+                f"<Upload><Key>{k}</Key><UploadId>{uid}</UploadId>"
+                f"<Initiated>{_iso(ts)}</Initiated></Upload>"
+                for k, uid, ts in rows
+            )
+            return self._respond(
+                200,
+                (
+                    "<ListMultipartUploadsResult>"
+                    "<IsTruncated>false</IsTruncated>"
+                    f"{items}</ListMultipartUploadsResult>"
                 ).encode(),
             )
         key = self._key()
@@ -299,6 +348,7 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
 def fake_s3():
     srv = ThreadingHTTPServer(("127.0.0.1", 0), _FakeS3Handler)
     srv.objects = {}
+    srv.mtimes = {}
     srv.uploads = {}
     srv.lock = threading.Lock()
     srv.rejections = []

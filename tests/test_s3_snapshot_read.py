@@ -37,6 +37,7 @@ BUCKET = "tbl-bucket"
 def fake_s3():
     srv = ThreadingHTTPServer(("127.0.0.1", 0), _FakeS3Handler)
     srv.objects = {}
+    srv.mtimes = {}
     srv.uploads = {}
     srv.lock = threading.Lock()
     srv.rejections = []
@@ -207,7 +208,11 @@ def test_s3_vacuum_store_reclaims_unreferenced(spark, fake_s3, mirrored):
     n_keys_before = len(c.list_objects("warehouse/s3tbl/"))
 
     opts = {k: v for k, v in _s3_opts(fake_s3, "warehouse/s3tbl").items() if k != "path"}
-    out = vacuum_store(f"s3://{BUCKET}/warehouse/s3tbl", opts, keep_last=1)
+    # claim_ttl_s=0 declares writer quiescence (everything here is
+    # seconds old); the retention-window behavior has its own test
+    out = vacuum_store(
+        f"s3://{BUCKET}/warehouse/s3tbl", opts, keep_last=1, claim_ttl_s=0
+    )
     assert out["retired_versions"] == [1]
     assert out["kept_versions"] == [2]
     assert out["manifests_removed"] == 1
@@ -258,3 +263,109 @@ def test_s3_version_stream_emits_appended_batches(spark, fake_s3, tmp_path):
     finally:
         q.stop()
     assert not fake_s3.rejections
+
+
+def test_s3_vacuum_store_retention_protects_inflight_append(spark, fake_s3, mirrored):
+    """The mirror twin of the in-flight-append race (round 14): a data
+    object uploaded under a kept manifest's base prefix but not yet
+    referenced (its append's manifest commit hasn't landed) must
+    survive a concurrent vacuum_store — LastModified retention from the
+    same listing pass. Once aged past the window it is reclaimed."""
+    import time
+
+    from tile_processor_spark.sources.s3_client import S3Client
+    from tile_processor_spark.sources.snapshot_datasource import vacuum_store
+
+    host, port = fake_s3.server_address
+    c = S3Client(f"http://{host}:{port}", BUCKET, ACCESS, SECRET, region=REGION)
+    # find the head manifest's data prefix and stage an "in-flight" object
+    keys = c.list_objects("warehouse/s3tbl/")
+    data_key = next(k for k in keys if k.endswith(".parquet"))
+    staged = data_key.rsplit("/", 1)[0] + "/inflight-part.parquet"
+    c.put_object(staged, b"staged delta bytes")
+
+    opts = {k: v for k, v in _s3_opts(fake_s3, "warehouse/s3tbl").items() if k != "path"}
+    out = vacuum_store(f"s3://{BUCKET}/warehouse/s3tbl", opts, keep_last=2)
+    assert staged in c.list_objects("warehouse/s3tbl/"), "in-flight object reclaimed"
+    assert out["files_removed"] == 0  # everything else referenced or young
+
+    # age it past the window -> reclaimed on the next sweep
+    fake_s3.mtimes[staged] = time.time() - 7200
+    out2 = vacuum_store(
+        f"s3://{BUCKET}/warehouse/s3tbl", opts, keep_last=2, claim_ttl_s=3600
+    )
+    assert out2["files_removed"] == 1
+    assert staged not in c.list_objects("warehouse/s3tbl/")
+    assert not fake_s3.rejections
+
+
+def test_s3_vacuum_store_sweeps_orphaned_multipart_uploads(fake_s3, mirrored):
+    """A writer crash between CreateMultipartUpload and Complete/Abort
+    leaves parts invisible but billed; vacuum_store aborts uploads
+    older than the retention window and leaves live ones alone."""
+    import time
+
+    from tile_processor_spark.sources.snapshot_datasource import vacuum_store
+
+    fake_s3.uploads["orphan1"] = {
+        "key": "warehouse/s3tbl/data/x/part-a.parquet",
+        "initiated": time.time() - 7200,
+        "parts": {1: b"x"},
+    }
+    fake_s3.uploads["live1"] = {
+        "key": "warehouse/s3tbl/data/x/part-b.parquet",
+        "initiated": time.time(),
+        "parts": {1: b"y"},
+    }
+    fake_s3.uploads["foreign"] = {
+        "key": "elsewhere/part-c.parquet",  # other prefix: not ours to touch
+        "initiated": time.time() - 7200,
+        "parts": {},
+    }
+    opts = {k: v for k, v in _s3_opts(fake_s3, "warehouse/s3tbl").items() if k != "path"}
+    out = vacuum_store(
+        f"s3://{BUCKET}/warehouse/s3tbl", opts, keep_last=2, claim_ttl_s=3600
+    )
+    assert out["uploads_aborted"] == 1
+    assert "orphan1" not in fake_s3.uploads
+    assert "live1" in fake_s3.uploads and "foreign" in fake_s3.uploads
+    assert not fake_s3.rejections
+
+
+def test_s3_vacuum_store_refuses_keep_last_zero_without_force(fake_s3, mirrored):
+    import pytest as _pytest
+
+    from tile_processor_spark.sources.snapshot_datasource import vacuum_store
+
+    opts = {k: v for k, v in _s3_opts(fake_s3, "warehouse/s3tbl").items() if k != "path"}
+    with _pytest.raises(ValueError, match="force=True"):
+        vacuum_store(f"s3://{BUCKET}/warehouse/s3tbl", opts, keep_last=0)
+
+
+def test_s3_stream_pre_root_manifest_refuses_with_guidance(spark, fake_s3, tmp_path):
+    """The STREAM path's twin of test_s3_pre_root_manifest_refuses
+    (ADVICE r13): a pre-round-13 mirror manifest (no 'root' field) must
+    raise the same friendly recommit-or-read-locally ValueError from
+    partitions(), not a bare KeyError."""
+    import json
+
+    from tile_processor_spark.sources.s3_client import S3Client
+    from tile_processor_spark.sources.snapshot_datasource import (
+        SnapshotStreamReader,
+    )
+    from tile_processor_spark.sources.snapshots import append_snapshot
+
+    table = str(tmp_path / "s3oldstream")
+    append_snapshot(spark.createDataFrame([(1, "a")], "k long, s string"), table)
+    prefix = "warehouse/s3oldstream"
+    _mirror(table, fake_s3, prefix)
+    host, port = fake_s3.server_address
+    c = S3Client(f"http://{host}:{port}", BUCKET, ACCESS, SECRET, region=REGION)
+    key = f"{prefix}/manifest-v00000001.json"
+    m = json.loads(c.get_object(key))
+    m.pop("root", None)
+    c.put_object(key, json.dumps(m).encode())
+
+    reader = SnapshotStreamReader(None, _s3_opts(fake_s3, prefix))
+    with pytest.raises(ValueError, match="root.*recommit|recommit.*root"):
+        reader.partitions({"version": 0}, {"version": 1})

@@ -703,3 +703,26 @@ def test_reader_class_selection_by_pushdown_option(spark, tbl):
     assert (
         SnapshotPushdownReader.pushFilters is not DataSourceReader.pushFilters
     )
+
+
+def test_ensure_pushdown_conf_respects_explicit_pin(spark):
+    """register()'s conf enablement (both connectors route through
+    ensure_python_pushdown_conf) flips the conf ONLY when the session
+    never set it: an explicit admin pin — either value — is respected
+    (ADVICE r13), with .option('pushdown','false') as the documented
+    escape hatch for pinned-false environments."""
+    from tile_processor_spark.sources.ds_conf import (
+        ensure_python_pushdown_conf,
+    )
+
+    key = "spark.sql.python.filterPushdown.enabled"
+    orig = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")  # explicit pin
+        ensure_python_pushdown_conf(spark)
+        assert spark.conf.get(key) == "false"
+        spark.conf.unset(key)  # never set -> enablement kicks in
+        ensure_python_pushdown_conf(spark)
+        assert spark.conf.get(key) == "true"
+    finally:
+        spark.conf.set(key, orig)

@@ -68,7 +68,7 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
             history[ver] = dict(model)  # same state, grouped manifest
         else:
             keep = rng.randint(1, 3)
-            res = vacuum(tbl, keep_last=keep)
+            res = vacuum(tbl, keep_last=keep, claim_ttl_s=0)
             for retired in res["retired_versions"]:
                 history.pop(retired, None)
         # latest always equals the model

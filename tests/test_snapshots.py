@@ -57,7 +57,7 @@ def test_crash_orphan_is_invisible_and_vacuumed(spark, tmp_path):
     ev.limit(2).write.parquet(orphan)
     assert read_snapshot(spark, tbl).count() == 5  # orphan invisible
     write_snapshot(ev.limit(7), tbl)
-    res = vacuum(tbl, keep_last=1)
+    res = vacuum(tbl, keep_last=1, claim_ttl_s=0)
     assert res["kept_versions"] == [2]
     assert not os.path.isdir(orphan) or not os.listdir(orphan)
     assert read_snapshot(spark, tbl).count() == 7
@@ -69,7 +69,7 @@ def test_vacuum_keeps_referenced_files(spark, tmp_path):
     write_snapshot(ev.limit(4), tbl)
     write_snapshot(ev.limit(6), tbl)
     write_snapshot(ev.limit(8), tbl)
-    res = vacuum(tbl, keep_last=2)
+    res = vacuum(tbl, keep_last=2, claim_ttl_s=0)
     assert res["retired_versions"] == [1]
     assert list_versions(tbl) == [2, 3]
     assert read_snapshot(spark, tbl, version=2).count() == 6
@@ -251,7 +251,7 @@ def test_vacuum_cleans_partition_dirs(spark, tmp_path):
     df = spark.createDataFrame([("F", 1), ("O", 2)], "status string, k long")
     write_snapshot(df, tbl, partition_by=["status"])
     write_snapshot(df.filter("k = 1"), tbl, partition_by=["status"])
-    out = vacuum(tbl, keep_last=1)
+    out = vacuum(tbl, keep_last=1, claim_ttl_s=0)
     assert out["retired_versions"] == [1] and out["files_removed"] > 0
     # v2 still reads; v1's partition dirs are gone from data/
     assert read_snapshot(spark, tbl).count() == 1
@@ -388,13 +388,13 @@ def test_vacuum_respects_grouped_manifests(spark, tmp_path):
     write_snapshot(df, tbl, partition_by=["status"])          # v1 (flat)
     compact_manifest(tbl)                                     # v2 (grouped, shares v1 files)
     write_snapshot(df.filter("k = 1"), tbl, partition_by=["status"])  # v3
-    res = vacuum(tbl, keep_last=2)  # retires v1; v2 still references its files
+    res = vacuum(tbl, keep_last=2, claim_ttl_s=0)  # retires v1; v2 still references its files
     assert res["retired_versions"] == [1]
     assert _rows(read_snapshot(spark, tbl, version=2).select("status", "k")) == [
         ("F", 1), ("O", 2),
     ]
     # retire the grouped version too: its group side files must go
-    res2 = vacuum(tbl, keep_last=1)
+    res2 = vacuum(tbl, keep_last=1, claim_ttl_s=0)
     assert res2["retired_versions"] == [2]
     assert g.glob(str(tmp_path / "grpvac_tbl" / "groups" / "*.json")) == []
     assert _rows(read_snapshot(spark, tbl).select("status", "k")) == [("F", 1)]
@@ -453,7 +453,7 @@ def test_partitioned_append_via_shared_tree(spark, tmp_path):
     assert read_snapshot(spark, tbl).count() == 4
 
     # retire v1 (pre-conversion paths): hard links keep v2+ intact
-    res = vacuum(tbl, keep_last=3)
+    res = vacuum(tbl, keep_last=3, claim_ttl_s=0)
     assert 1 in res["retired_versions"]
     assert _rows(read_snapshot(spark, tbl).select("k")) == [(1,), (2,), (3,), (4,)]
     assert _rows(read_snapshot(spark, tbl, version=v3).select("k")) == [
@@ -777,3 +777,75 @@ def test_legacy_stream_batch_id_still_drops_replay(spark, tmp_path):
     files = sorted(str(p) for p in d.glob("*.parquet"))
     assert commit_append(tbl, files, stream_mark=("default", 7)) == 2
     assert list_versions(tbl) == [1, 2]
+
+
+def test_vacuum_retention_protects_inflight_append(spark, tmp_path):
+    """The vacuum/in-flight-append race (round 14): commit_append
+    writes its delta files BEFORE publishing the manifest, so for that
+    window they are unreferenced. A vacuum running inside the window
+    must leave them (mtime retention, Delta's VACUUM contract) so the
+    append can still publish a manifest whose files exist; a genuinely
+    dead orphan is reclaimed once it ages past the window."""
+    import glob
+    import time
+
+    from tile_processor_spark.sources.snapshots import (
+        _read_manifest,
+        commit_append,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "k long, s string"), tbl
+    )
+    # stage an append exactly like append_snapshot does: data first
+    snap = os.path.join(tbl, "data", "inflight")
+    spark.createDataFrame(
+        [(2, "b")], "k long, s string"
+    ).coalesce(1).write.parquet(snap)
+    staged = sorted(glob.glob(os.path.join(snap, "*.parquet")))
+    assert staged
+
+    # concurrent maintenance sweep mid-commit: default retention window
+    res = vacuum(tbl, keep_last=1)
+    assert all(os.path.exists(f) for f in staged), "in-flight delta reclaimed"
+    assert res["files_removed"] == 0 or all(os.path.exists(f) for f in staged)
+
+    # the append publishes and the committed version reads back intact
+    schema = _read_manifest(tbl, 1)["schema"]
+    v = commit_append(tbl, staged, expected_schema=schema)
+    got = sorted(tuple(r) for r in read_snapshot(spark, tbl, version=v).collect())
+    assert got == [(1, "a"), (2, "b")]
+
+    # an orphan that aged past the window IS reclaimed
+    orphan = os.path.join(tbl, "data", "dead")
+    spark.createDataFrame(
+        [(9, "z")], "k long, s string"
+    ).coalesce(1).write.parquet(orphan)
+    old = time.time() - 7200
+    for root, _dirs, names in os.walk(orphan):
+        for n in names:
+            os.utime(os.path.join(root, n), (old, old))
+    res2 = vacuum(tbl, keep_last=2, claim_ttl_s=3600)
+    assert res2["files_removed"] >= 1
+    assert not os.path.isdir(orphan) or not any(
+        n.endswith(".parquet")
+        for _r, _d, ns in os.walk(orphan)
+        for n in ns
+    )
+    # the table itself is untouched by the sweep
+    got = sorted(tuple(r) for r in read_snapshot(spark, tbl).collect())
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_vacuum_refuses_keep_last_zero_without_force(spark, tmp_path):
+    """keep_last=0 retires the live head — destroying the table must be
+    an explicit act (force=True), never a typo."""
+    tbl = str(tmp_path / "tbl")
+    write_snapshot(spark.createDataFrame([(1,)], "k int"), tbl)
+    with pytest.raises(ValueError, match="force=True"):
+        vacuum(tbl, keep_last=0)
+    assert list_versions(tbl) == [1]  # refused before touching anything
+    res = vacuum(tbl, keep_last=0, claim_ttl_s=0, force=True)
+    assert res["kept_versions"] == []
+    assert list_versions(tbl) == []

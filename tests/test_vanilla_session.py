@@ -81,6 +81,14 @@ except Exception as e:  # AnalysisException wraps the worker assertion
         "PUSHDOWN_DISABLED" if "PUSHDOWN_DISABLED" in str(e) else f"other: {e}"
     )
 
+# 4. register() RESPECTS an explicit admin pin (ADVICE r13): the conf
+# was pinned false above; re-registering must not flip it back
+from tile_processor_spark.sources.snapshot_datasource import register as reg_ds
+reg_ds(spark)
+out["pinned_after_register"] = spark.conf.get(
+    "spark.sql.python.filterPushdown.enabled"
+)
+
 print("VANILLA_RESULT " + json.dumps(out))
 spark.stop()
 """
@@ -107,3 +115,5 @@ def test_datasource_gate_rows_on_vanilla_session():
     # Spark's own loud-failure contract still holds for the default
     # reader under a pinned-off conf
     assert out["conf_off_default"] == "PUSHDOWN_DISABLED"
+    # register() never overrides an explicit pin (ADVICE r13)
+    assert out["pinned_after_register"] == "false"

@@ -310,9 +310,15 @@ def save_bloom(fp_path: str, bloom: DedupBloom) -> None:
             try:
                 os.link(src, final)
             except OSError:
-                # cross-device or FS without links: copy via tmp+replace
+                # cross-device or FS without links: STREAM the copy via
+                # tmp+replace (byte-identical for an .npy file) — an
+                # np.load materialization here would hold a full shard
+                # bitmap per untouched shard on the driver, defeating
+                # the sharding design's one-shard memory bound
+                import shutil
+
                 tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.npy")
-                np.save(tmp, np.load(src))
+                shutil.copyfile(src, tmp)
                 os.replace(tmp, final)
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.npz")
     meta = json.dumps(

@@ -381,8 +381,13 @@ def register(spark) -> None:
     default false in Spark 4.1): the default reader advertises
     ``pushFilters``, and Spark hard-errors rather than silently
     ignoring an advertised pushdown when the conf is off — on a
-    vanilla session the read would fail before fetching a row."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    vanilla session the read would fail before fetching a row. A conf
+    the session pinned EXPLICITLY (either value) is respected, never
+    overridden (ADVICE r13) — pinned-false environments read with
+    ``.option("pushdown", "false")``."""
+    from tile_processor_spark.sources.ds_conf import ensure_python_pushdown_conf
+
+    ensure_python_pushdown_conf(spark)
     spark.dataSource.register(PostgresDataSource)
 
 

@@ -63,6 +63,20 @@ _RETRIABLE_STATUSES = frozenset({500, 502, 503, 504})
 _CONN_ERRORS = (ConnectionError, TimeoutError, http.client.HTTPException, OSError)
 
 
+def _parse_s3_timestamp(s: str | None) -> float | None:
+    """ISO-8601 listing timestamp (``2009-10-12T17:50:30.000Z``) →
+    epoch seconds; ``None`` for absent/unparseable values so retention
+    logic can default to the SAFE side (too young to reclaim)."""
+    if not s:
+        return None
+    try:
+        return datetime.datetime.fromisoformat(
+            s.replace("Z", "+00:00")
+        ).timestamp()
+    except ValueError:
+        return None
+
+
 class S3Error(RuntimeError):
     def __init__(self, status: int, code: str, message: str):
         super().__init__(f"S3 {status} {code}: {message}")
@@ -478,13 +492,26 @@ class S3Client:
     def list_objects(self, prefix: str = "") -> list[str]:
         """All keys under ``prefix`` (ListObjectsV2, continuation-token
         pagination)."""
-        return [k for k, _size in self.list_objects_sizes(prefix)]
+        return [k for k, _size, _mt in self.list_objects_meta(prefix)]
 
     def list_objects_sizes(self, prefix: str = "") -> list[tuple[str, int]]:
         """``(key, size)`` pairs under ``prefix`` — one listing pass
         supplies the planner's bin-packing sizes, instead of a HEAD per
         data file (100k files would mean 100k round trips)."""
-        out: list[tuple[str, int]] = []
+        return [(k, size) for k, size, _mt in self.list_objects_meta(prefix)]
+
+    def list_objects_meta(
+        self, prefix: str = ""
+    ) -> list[tuple[str, int, float | None]]:
+        """``(key, size, last_modified_epoch_s)`` triples under
+        ``prefix`` — the same single ListObjectsV2 pass as
+        ``list_objects_sizes`` now also carries each object's
+        LastModified, which ``vacuum_store``'s retention window needs
+        (an unreferenced-but-young object may be an in-flight append's
+        staged data). ``None`` when the server omits the field —
+        callers must treat that as TOO YOUNG to reclaim (never-delete
+        is sound; wrongly-delete is data loss)."""
+        out: list[tuple[str, int, float | None]] = []
         token: str | None = None
         while True:
             q = [("list-type", "2"), ("prefix", prefix)]
@@ -501,6 +528,7 @@ class S3Client:
                 (
                     c.findtext(f"{ns}Key"),
                     int(c.findtext(f"{ns}Size") or 0),
+                    _parse_s3_timestamp(c.findtext(f"{ns}LastModified")),
                 )
                 for c in root.iter(f"{ns}Contents")
             )
@@ -511,3 +539,55 @@ class S3Client:
                                   "truncated listing without token")
                 continue
             return out
+
+    def list_multipart_uploads(
+        self, prefix: str = ""
+    ) -> list[tuple[str, str, float | None]]:
+        """In-progress multipart uploads under ``prefix`` as
+        ``(key, upload_id, initiated_epoch_s)`` triples
+        (ListMultipartUploads, key+upload-id marker pagination). A crash
+        between CreateMultipartUpload and Complete/Abort leaves the
+        uploaded parts invisible but BILLED until aborted —
+        ``vacuum_store`` sweeps aged ones through this listing."""
+        out: list[tuple[str, str, float | None]] = []
+        key_marker: str | None = None
+        id_marker: str | None = None
+        while True:
+            q = [("uploads", ""), ("prefix", prefix)]
+            if key_marker:
+                q.append(("key-marker", key_marker))
+            if id_marker:
+                q.append(("upload-id-marker", id_marker))
+            status, _h, data = self._request("GET", "", query=q)
+            if status != 200:
+                raise self._error(status, data)
+            root = ElementTree.fromstring(data)
+            ns = ""
+            if root.tag.startswith("{"):
+                ns = root.tag[: root.tag.index("}") + 1]
+            out.extend(
+                (
+                    u.findtext(f"{ns}Key"),
+                    u.findtext(f"{ns}UploadId"),
+                    _parse_s3_timestamp(u.findtext(f"{ns}Initiated")),
+                )
+                for u in root.iter(f"{ns}Upload")
+            )
+            if (root.findtext(f"{ns}IsTruncated") or "").lower() == "true":
+                key_marker = root.findtext(f"{ns}NextKeyMarker")
+                id_marker = root.findtext(f"{ns}NextUploadIdMarker")
+                if not (key_marker and id_marker):
+                    raise S3Error(200, "BadListing",
+                                  "truncated upload listing without markers")
+                continue
+            return out
+
+    def abort_multipart_upload(self, key: str, upload_id: str) -> None:
+        """Abort an in-progress multipart upload (frees its parts).
+        Idempotent in effect: an already-completed or already-aborted
+        upload answers 404 NoSuchUpload, which is success for a sweep."""
+        status, _h, data = self._request(
+            "DELETE", key, query=[("uploadId", upload_id)]
+        )
+        if status not in (200, 204, 404):
+            raise self._error(status, data)

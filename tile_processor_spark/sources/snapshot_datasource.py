@@ -156,7 +156,13 @@ def _make_store(options: dict) -> S3SnapshotStore | None:
     return S3SnapshotStore(path, options) if path.startswith("s3://") else None
 
 
-def vacuum_store(path: str, options: dict | None = None, keep_last: int = 2) -> dict:
+def vacuum_store(
+    path: str,
+    options: dict | None = None,
+    keep_last: int = 2,
+    claim_ttl_s: float = 3600.0,
+    force: bool = False,
+) -> dict:
     """VACUUM for an S3-RESIDENT snapshot mirror: drop all but the last
     ``keep_last`` manifests and delete data objects no retained
     manifest references — the object-store twin of
@@ -166,15 +172,41 @@ def vacuum_store(path: str, options: dict | None = None, keep_last: int = 2) -> 
     extra objects (harmless, re-vacuumable), never a manifest pointing
     at deleted data.
 
+    ``claim_ttl_s`` is the retention window for unreferenced DATA keys
+    (Delta's VACUUM retention check): appends upload their data objects
+    BEFORE the manifest commit, so an unreferenced-but-young key may be
+    an in-flight append's staged data — reclaiming it would let the
+    append publish a manifest pointing at deleted objects. Only keys
+    whose LastModified (from the same single listing pass) is older
+    than the window are reclaimed; a missing LastModified counts as too
+    young (never-delete is sound, wrongly-delete is data loss). Pass
+    ``claim_ttl_s=0`` only under declared writer quiescence.
+
+    Also sweeps ORPHANED MULTIPART UPLOADS under the table prefix older
+    than the same window (ListMultipartUploads + Abort): a writer crash
+    between CreateMultipartUpload and Complete/Abort leaves parts
+    invisible but billed forever.
+
     Deletion scope is conservative: only retired manifest keys and
     unreferenced keys under the table's data roots (every retained
     manifest's ``base``/group side files stay). Keys the tool does not
     recognize (sidecars, foreign objects under the prefix) are left
-    alone. Cost: one listing pass + one manifest read per retained
-    version + one DELETE per reclaimed object."""
+    alone. Cost: one object listing + one upload listing + one manifest
+    read per version + one DELETE per reclaimed object.
+
+    ``keep_last=0`` retires EVERY version including the live head —
+    refused unless ``force=True``."""
+    import time as _time
+
+    if keep_last <= 0 and not force:
+        raise ValueError(
+            "vacuum_store(keep_last=0) retires every version including "
+            "the live head (the table becomes unreadable) — pass "
+            "force=True to destroy the mirror on purpose"
+        )
     store = S3SnapshotStore(path, options or {})
     versions = store.versions()
-    kept = versions[-keep_last:] if keep_last else []
+    kept = versions[-keep_last:] if keep_last > 0 else []
     retired = [v for v in versions if v not in kept]
     referenced: set[str] = set()
     data_prefixes: set[str] = set()
@@ -197,17 +229,30 @@ def vacuum_store(path: str, options: dict | None = None, keep_last: int = 2) -> 
         client.delete_object(f"{store.prefix}/manifest-v{v:08d}.json")
         removed_manifests += 1
     removed_files = 0
-    for key in client.list_objects(store.prefix + "/"):
+    cutoff = _time.time() - claim_ttl_s
+    for key, _size, mtime in client.list_objects_meta(store.prefix + "/"):
         if key in referenced:
             continue
-        if any(key.startswith(p) for p in data_prefixes):
-            client.delete_object(key)
-            removed_files += 1
+        if not any(key.startswith(p) for p in data_prefixes):
+            continue
+        if mtime is None or mtime > cutoff:
+            continue  # in-flight-append grace: too young to reclaim
+        client.delete_object(key)
+        removed_files += 1
+    uploads_aborted = 0
+    for key, upload_id, initiated in client.list_multipart_uploads(
+        store.prefix + "/"
+    ):
+        if initiated is None or initiated > cutoff:
+            continue  # may be a live upload — leave it for a later sweep
+        client.abort_multipart_upload(key, upload_id)
+        uploads_aborted += 1
     return {
         "retired_versions": retired,
         "kept_versions": kept,
         "manifests_removed": removed_manifests,
         "files_removed": removed_files,
+        "uploads_aborted": uploads_aborted,
     }
 
 
@@ -442,17 +487,21 @@ def register(spark) -> None:
     """Idempotent format registration for the current session.
 
     Also enables ``spark.sql.python.filterPushdown.enabled`` (runtime
-    SQL conf, default FALSE in Spark 4.1): the default reader class
-    advertises ``pushFilters`` for manifest min/max data skipping, and
-    Spark's planning worker hard-errors rather than silently skipping
-    an advertised pushdown when the conf is off. Setting it here makes
+    SQL conf, default FALSE in Spark 4.1) — UNLESS the session set it
+    explicitly: the default reader class advertises ``pushFilters`` for
+    manifest min/max data skipping, and Spark's planning worker
+    hard-errors rather than silently skipping an advertised pushdown
+    when the conf is off. Enabling it here makes
     ``spark.read.format('tps_snapshot')`` work on a vanilla session —
     the exact combination the engine's own session factory masked until
-    a bare driver session exposed it (CORRECTNESS_r12). Environments
-    that must keep the conf off can still read with
+    a bare driver session exposed it (CORRECTNESS_r12) — while an
+    admin-pinned value (either way) is respected, never silently
+    overridden (ADVICE r13); pinned-false environments read with
     ``.option("pushdown", "false")`` (identical results, no skipping).
     """
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    from tile_processor_spark.sources.ds_conf import ensure_python_pushdown_conf
+
+    ensure_python_pushdown_conf(spark)
     spark.dataSource.register(SnapshotDataSource)
 
 
@@ -521,7 +570,15 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     )
             base = manifest["base"]
             if self._store:
-                root = manifest["root"]
+                root = manifest.get("root")
+                if root is None:
+                    # same contract as the batch path (_resolve_manifest):
+                    # a pre-round-13 manifest has no key-translation root
+                    raise ValueError(
+                        f"version {v} manifest lacks the table 'root' "
+                        "field (committed before round 13) — recommit or "
+                        "stream the table from a local path"
+                    )
                 base = self._store.key_for(base, root)
                 appended = [self._store.key_for(f, root) for f in appended]
             parts.extend(

@@ -961,7 +961,12 @@ def _apply_where(df: DataFrame, where: list[tuple] | None) -> DataFrame:
     return df.filter(cond)
 
 
-def vacuum(table_path: str, keep_last: int = 2, claim_ttl_s: float = 3600.0) -> dict:
+def vacuum(
+    table_path: str,
+    keep_last: int = 2,
+    claim_ttl_s: float = 3600.0,
+    force: bool = False,
+) -> dict:
     """Drop all but the last ``keep_last`` manifests and delete data
     files no retained manifest references (including crash orphans).
 
@@ -972,12 +977,31 @@ def vacuum(table_path: str, keep_last: int = 2, claim_ttl_s: float = 3600.0) -> 
     retention window is the caller's grace-period knob (same contract
     as Delta's VACUUM).
 
-    Also reclaims stale ``.manifest.tmp.*`` staging files: a committer
-    that died hard (kill -9) before its publish leaves its private tmp
-    behind; it is removed after ``claim_ttl_s`` of inactivity — before
-    that it may belong to an in-flight commit. Tmp files are
+    ``claim_ttl_s`` is the retention window for UNREFERENCED files of
+    every kind, data files included: ``commit_append`` writes its delta
+    files BEFORE publishing the manifest that references them, so an
+    unreferenced-but-young file may belong to an in-flight append — a
+    vacuum that reclaimed it would let the append commit a manifest
+    pointing at deleted data (permanent loss). Files are reclaimed only
+    after ``claim_ttl_s`` of mtime inactivity — Delta's VACUUM
+    retention check, here keyed to the commit window rather than the
+    reader window. Pass ``claim_ttl_s=0`` only under declared writer
+    quiescence (no commit in flight anywhere).
+
+    Also reclaims stale ``.manifest.tmp.*`` staging files under the
+    same window: a committer that died hard (kill -9) before its
+    publish leaves its private tmp behind. Tmp files are
     committer-private (uuid-named), so reclamation can never race a
-    live publish the way a shared marker could."""
+    live publish the way a shared marker could.
+
+    ``keep_last=0`` retires EVERY version including the live head —
+    the table becomes unreadable. Refused unless ``force=True``."""
+    if keep_last <= 0 and not force:
+        raise ValueError(
+            "vacuum(keep_last=0) retires every version including the "
+            "live head (the table becomes unreadable) — pass force=True "
+            "to destroy the table on purpose"
+        )
     table_path = os.path.abspath(table_path)
     if not os.path.isdir(table_path):
         # a never-created table has nothing to vacuum (cron loops
@@ -1011,6 +1035,17 @@ def vacuum(table_path: str, keep_last: int = 2, claim_ttl_s: float = 3600.0) -> 
         )
     for v in retired:
         os.unlink(_manifest_path(table_path, v))
+
+    def _aged_out(p: str) -> bool:
+        # the in-flight-append guard: an unreferenced file younger than
+        # the retention window may be a staged delta whose manifest has
+        # not published yet — leave it (the next vacuum gets it if its
+        # commit never lands)
+        try:
+            return time.time() - os.path.getmtime(p) > claim_ttl_s
+        except FileNotFoundError:
+            return False  # raced a concurrent vacuum / finishing commit
+
     removed = 0
     data_root = os.path.join(table_path, _DATA_DIR)
     if os.path.isdir(data_root):
@@ -1019,8 +1054,14 @@ def vacuum(table_path: str, keep_last: int = 2, claim_ttl_s: float = 3600.0) -> 
             for root, _dirs, fnames in os.walk(snap_dir):
                 for n in fnames:
                     p = os.path.abspath(os.path.join(root, n))
-                    if p not in referenced and (
-                        n.endswith(".parquet") or n.startswith("_") or n.startswith(".")
+                    if (
+                        p not in referenced
+                        and (
+                            n.endswith(".parquet")
+                            or n.startswith("_")
+                            or n.startswith(".")
+                        )
+                        and _aged_out(p)
                     ):
                         os.unlink(p)
                         removed += 1
@@ -1029,12 +1070,14 @@ def vacuum(table_path: str, keep_last: int = 2, claim_ttl_s: float = 3600.0) -> 
                 if not any(os.scandir(root)):
                     os.rmdir(root)
     # group side files (compact_manifest's manifest-list layout) are
-    # part of a version's manifest, so they retire with it
+    # part of a version's manifest, so they retire with it; the same
+    # retention window guards an in-flight append's freshly-written
+    # delta groups (commit_append writes them before its manifest)
     groups_root = os.path.join(table_path, _GROUPS_DIR)
     if os.path.isdir(groups_root):
         for n in sorted(os.listdir(groups_root)):
             p = os.path.abspath(os.path.join(groups_root, n))
-            if n.endswith(".json") and p not in referenced_groups:
+            if n.endswith(".json") and p not in referenced_groups and _aged_out(p):
                 os.unlink(p)
                 removed += 1
     return {

@@ -14,29 +14,13 @@ racing-committers test exercises REAL mutual exclusion.
 
 from __future__ import annotations
 
-import datetime as dt_mod
-import hashlib
 import os
 import threading
-import time as time_mod
-import urllib.parse
-import uuid as uuid_mod
 from concurrent.futures import ThreadPoolExecutor
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from http.server import ThreadingHTTPServer
 
 import pytest
 
-
-def _iso(ts: float | None) -> str:
-    """Epoch seconds → the listing timestamp format S3 emits; a key
-    whose mtime was never recorded reads as 'just written' (the SAFE
-    side for retention logic)."""
-    return (
-        dt_mod.datetime.fromtimestamp(
-            ts if ts is not None else time_mod.time(), dt_mod.timezone.utc
-        ).strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3]
-        + "Z"
-    )
 
 from tile_processor_spark.sources.commit_fs import S3CommitFS
 from tile_processor_spark.sources.s3_client import (
@@ -44,304 +28,11 @@ from tile_processor_spark.sources.s3_client import (
     S3Error,
     sigv4_signature,
 )
+from tile_processor_spark.testing.fake_s3 import (
+    FakeS3Handler as _FakeS3Handler,
+)
 
 ACCESS, SECRET, REGION = "TESTKEY", "testsecret/with+chars", "eu-test-1"
-
-
-class _FakeS3Handler(BaseHTTPRequestHandler):
-    protocol_version = "HTTP/1.1"
-
-    # -- independent SigV4 re-derivation from the raw request ----------
-    def _verify_signature(self, body: bytes) -> str | None:
-        auth = self.headers.get("Authorization", "")
-        if not auth.startswith("AWS4-HMAC-SHA256 "):
-            return "missing SigV4 authorization"
-        parts = dict(
-            p.strip().split("=", 1)
-            for p in auth[len("AWS4-HMAC-SHA256 "):].split(",")
-        )
-        cred = parts["Credential"].split("/")
-        ak, date, region, service = cred[0], cred[1], cred[2], cred[3]
-        if ak != ACCESS:
-            return "unknown access key"
-        signed = parts["SignedHeaders"].split(";")
-        raw_path, _, raw_query = self.path.partition("?")
-        # canonical re-derivation straight from the wire data
-        q = urllib.parse.parse_qsl(raw_query, keep_blank_values=True)
-        cq = "&".join(
-            f"{urllib.parse.quote(k, safe='-._~')}="
-            f"{urllib.parse.quote(v, safe='-._~')}"
-            for k, v in sorted(q)
-        )
-        ch = "".join(
-            f"{h}:{' '.join((self.headers.get(h) or '').split())}\n"
-            for h in signed
-        )
-        payload_hash = self.headers.get("x-amz-content-sha256", "")
-        if hashlib.sha256(body).hexdigest() != payload_hash:
-            return "payload hash mismatch"
-        creq = "\n".join(
-            [self.command, raw_path, cq, ch, ";".join(signed), payload_hash]
-        )
-        sts = "\n".join(
-            [
-                "AWS4-HMAC-SHA256",
-                self.headers.get("x-amz-date", ""),
-                f"{date}/{region}/{service}/aws4_request",
-                hashlib.sha256(creq.encode()).hexdigest(),
-            ]
-        )
-        expect = sigv4_signature(SECRET, date, region, service, sts)
-        if expect != parts["Signature"]:
-            return "signature mismatch"
-        return None
-
-    # -- storage ---------------------------------------------------------
-    def _objects(self) -> dict:
-        return self.server.objects  # type: ignore[attr-defined]
-
-    def _touch(self, key: str) -> None:
-        """Record the key's LastModified (tests age objects by editing
-        ``srv.mtimes`` directly)."""
-        self.server.mtimes[key] = time_mod.time()  # type: ignore[attr-defined]
-
-    def _lock(self) -> threading.Lock:
-        return self.server.lock  # type: ignore[attr-defined]
-
-    def _respond(self, status: int, body: bytes = b"",
-                 content_type: str = "application/xml") -> None:
-        self.send_response(status)
-        self.send_header("Content-Type", content_type)
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
-        if self.command != "HEAD":
-            self.wfile.write(body)
-
-    def _err(self, status: int, code: str) -> None:
-        self._respond(
-            status,
-            f"<Error><Code>{code}</Code><Message>{code}</Message></Error>"
-            .encode(),
-        )
-
-    def _key(self) -> str:
-        path = urllib.parse.unquote(self.path.partition("?")[0])
-        return path.lstrip("/").partition("/")[2]  # strip bucket
-
-    def _query(self) -> dict:
-        return dict(
-            urllib.parse.parse_qsl(
-                self.path.partition("?")[2], keep_blank_values=True
-            )
-        )
-
-    # -- fault injection (transient-failure tier) ----------------------
-    def _maybe_fault(self) -> bool:
-        """Serve a queued fault instead of the real handler: a 5xx/409
-        XML error, or an abrupt connection close (torn response). Each
-        queued fault fires once, matched by verb (+ optional path
-        substring) — the retry tests prove one throttle never fails a
-        commit and ambiguous outcomes propagate instead of blind-retry."""
-        faults = getattr(self.server, "faults", None)
-        if not faults:
-            return False
-        with self._lock():
-            hit = None
-            for idx, f in enumerate(faults):
-                if f.get("verb") and f["verb"] != self.command:
-                    continue
-                if f.get("path_substr") and f["path_substr"] not in self.path:
-                    continue
-                hit = faults.pop(idx)
-                break
-        if hit is None:
-            return False
-        self.server.fault_hits.append((self.command, self.path))  # type: ignore[attr-defined]
-        if hit.get("kind") == "close":
-            self.close_connection = True
-            self.connection.close()
-            return True
-        n = int(self.headers.get("Content-Length") or 0)
-        self.rfile.read(n)
-        self._err(hit.get("status", 503), hit.get("code", "SlowDown"))
-        return True
-
-    def do_POST(self) -> None:  # noqa: N802
-        if self._maybe_fault():
-            return
-        n = int(self.headers.get("Content-Length") or 0)
-        body = self.rfile.read(n)
-        bad = self._verify_signature(body)
-        if bad:
-            self.server.rejections.append(bad)  # type: ignore[attr-defined]
-            return self._err(403, "SignatureDoesNotMatch")
-        q = self._query()
-        key = self._key()
-        uploads = self.server.uploads  # type: ignore[attr-defined]
-        if "uploads" in q:  # initiate
-            uid = uuid_mod.uuid4().hex
-            with self._lock():
-                uploads[uid] = {
-                    "key": key, "initiated": time_mod.time(), "parts": {}
-                }
-            return self._respond(
-                200,
-                (
-                    "<InitiateMultipartUploadResult>"
-                    f"<UploadId>{uid}</UploadId>"
-                    "</InitiateMultipartUploadResult>"
-                ).encode(),
-            )
-        if "uploadId" in q:  # complete
-            uid = q["uploadId"]
-            import re as re_mod
-
-            wanted = re_mod.findall(rb"<PartNumber>(\d+)</PartNumber>", body)
-            with self._lock():
-                entry = uploads.get(uid)
-                if entry is None:
-                    return self._err(404, "NoSuchUpload")
-                parts = entry["parts"]
-                if sorted(int(p) for p in wanted) != sorted(parts):
-                    return self._err(400, "InvalidPartOrder")
-                if (
-                    self.headers.get("If-None-Match") == "*"
-                    and key in self._objects()
-                ):
-                    return self._err(412, "PreconditionFailed")
-                self._objects()[key] = b"".join(
-                    parts[n2] for n2 in sorted(parts)
-                )
-                self._touch(key)
-                del uploads[uid]
-            return self._respond(
-                200,
-                b"<CompleteMultipartUploadResult><ETag>x</ETag>"
-                b"</CompleteMultipartUploadResult>",
-            )
-        self._err(400, "BadRequest")
-
-    def do_PUT(self) -> None:  # noqa: N802
-        if self._maybe_fault():
-            return
-        n = int(self.headers.get("Content-Length") or 0)
-        body = self.rfile.read(n)
-        bad = self._verify_signature(body)
-        if bad:
-            self.server.rejections.append(bad)  # type: ignore[attr-defined]
-            return self._err(403, "SignatureDoesNotMatch")
-        key = self._key()
-        q = self._query()
-        if "partNumber" in q and "uploadId" in q:
-            with self._lock():
-                entry = self.server.uploads.get(q["uploadId"])  # type: ignore[attr-defined]
-                if entry is None:
-                    return self._err(404, "NoSuchUpload")
-                entry["parts"][int(q["partNumber"])] = body
-            self.send_response(200)
-            self.send_header("ETag", f'"p{q["partNumber"]}"')
-            self.send_header("Content-Length", "0")
-            self.end_headers()
-            return
-        src = self.headers.get("x-amz-copy-source")
-        with self._lock():
-            if src is not None:
-                src_key = urllib.parse.unquote(src).lstrip("/").partition("/")[2]
-                if src_key not in self._objects():
-                    return self._err(404, "NoSuchKey")
-                self._objects()[key] = self._objects()[src_key]
-                self._touch(key)
-                return self._respond(
-                    200, b"<CopyObjectResult><ETag>x</ETag></CopyObjectResult>"
-                )
-            if self.headers.get("If-None-Match") == "*" and key in self._objects():
-                return self._err(412, "PreconditionFailed")
-            self._objects()[key] = body
-            self._touch(key)
-        self._respond(200, b"")
-
-    def do_GET(self) -> None:  # noqa: N802
-        if self._maybe_fault():
-            return
-        bad = self._verify_signature(b"")
-        if bad:
-            return self._err(403, "SignatureDoesNotMatch")
-        path, _, query = self.path.partition("?")
-        q = dict(urllib.parse.parse_qsl(query, keep_blank_values=True))
-        if q.get("list-type") == "2":
-            prefix = q.get("prefix", "")
-            mtimes = self.server.mtimes  # type: ignore[attr-defined]
-            keys = sorted(
-                k for k in self._objects() if k.startswith(prefix)
-            )
-            items = "".join(
-                f"<Contents><Key>{k}</Key>"
-                f"<Size>{len(self._objects()[k])}</Size>"
-                f"<LastModified>{_iso(mtimes.get(k))}</LastModified>"
-                "</Contents>"
-                for k in keys
-            )
-            return self._respond(
-                200,
-                (
-                    "<ListBucketResult><IsTruncated>false</IsTruncated>"
-                    f"{items}</ListBucketResult>"
-                ).encode(),
-            )
-        if "uploads" in q:  # ListMultipartUploads
-            prefix = q.get("prefix", "")
-            with self._lock():
-                rows = sorted(
-                    (e["key"], uid, e["initiated"])
-                    for uid, e in self.server.uploads.items()  # type: ignore[attr-defined]
-                    if e["key"].startswith(prefix)
-                )
-            items = "".join(
-                f"<Upload><Key>{k}</Key><UploadId>{uid}</UploadId>"
-                f"<Initiated>{_iso(ts)}</Initiated></Upload>"
-                for k, uid, ts in rows
-            )
-            return self._respond(
-                200,
-                (
-                    "<ListMultipartUploadsResult>"
-                    "<IsTruncated>false</IsTruncated>"
-                    f"{items}</ListMultipartUploadsResult>"
-                ).encode(),
-            )
-        key = self._key()
-        if key not in self._objects():
-            return self._err(404, "NoSuchKey")
-        self._respond(200, self._objects()[key],
-                      content_type="application/octet-stream")
-
-    def do_HEAD(self) -> None:  # noqa: N802
-        if self._maybe_fault():
-            return
-        bad = self._verify_signature(b"")
-        if bad:
-            return self._err(403, "SignatureDoesNotMatch")
-        key = self._key()
-        if key not in self._objects():
-            return self._err(404, "NoSuchKey")
-        self._respond(200, self._objects()[key])
-
-    def do_DELETE(self) -> None:  # noqa: N802
-        if self._maybe_fault():
-            return
-        bad = self._verify_signature(b"")
-        if bad:
-            return self._err(403, "SignatureDoesNotMatch")
-        q = self._query()
-        with self._lock():
-            if "uploadId" in q:  # abort multipart
-                self.server.uploads.pop(q["uploadId"], None)  # type: ignore[attr-defined]
-            else:
-                self._objects().pop(self._key(), None)
-        self._respond(204)
-
-    def log_message(self, *a) -> None:  # quiet
-        pass
 
 
 @pytest.fixture()
@@ -354,6 +45,8 @@ def fake_s3():
     srv.rejections = []
     srv.faults = []
     srv.fault_hits = []
+    srv.access_key = ACCESS
+    srv.secret_key = SECRET
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     try:

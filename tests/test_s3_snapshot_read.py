@@ -12,12 +12,10 @@ executors fetch only their partitions' objects.
 from __future__ import annotations
 
 import os
-import threading
-from http.server import ThreadingHTTPServer
 
 import pytest
 
-from tests.test_s3_commit_fs import ACCESS, REGION, SECRET, _FakeS3Handler
+from tests.test_s3_commit_fs import ACCESS, REGION, SECRET
 from tile_processor_spark.sources.snapshot_datasource import (
     S3SnapshotStore,
     SnapshotReader,
@@ -35,16 +33,9 @@ BUCKET = "tbl-bucket"
 
 @pytest.fixture()
 def fake_s3():
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), _FakeS3Handler)
-    srv.objects = {}
-    srv.mtimes = {}
-    srv.uploads = {}
-    srv.lock = threading.Lock()
-    srv.rejections = []
-    srv.faults = []
-    srv.fault_hits = []
-    t = threading.Thread(target=srv.serve_forever, daemon=True)
-    t.start()
+    from tile_processor_spark.testing.fake_s3 import start_fake_s3
+
+    srv = start_fake_s3(ACCESS, SECRET)
     try:
         yield srv
     finally:

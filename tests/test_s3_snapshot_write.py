@@ -1,0 +1,299 @@
+"""S3-NATIVE snapshot writes (round 14): the connector commits straight
+against an ``s3://`` path — executors PUT parquet objects, the driver
+publishes the manifest via conditional PUT (``If-None-Match: *``), and
+appends retry optimistically on a lost version race — proven against
+the signature-verifying fake endpoint. The read half (round 13) then
+consumes what the write half produced: every test reads back through
+the same S3 read plane.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from tests.test_s3_commit_fs import ACCESS, REGION, SECRET
+
+BUCKET = "tbl-bucket"
+
+
+@pytest.fixture()
+def fake_s3():
+    from tile_processor_spark.testing.fake_s3 import start_fake_s3
+
+    srv = start_fake_s3(ACCESS, SECRET)
+    try:
+        yield srv
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def _s3_opts(srv, prefix: str) -> dict:
+    host, port = srv.server_address
+    return {
+        "path": f"s3://{BUCKET}/{prefix}",
+        "s3_endpoint": f"http://{host}:{port}",
+        "s3_access_key": ACCESS,
+        "s3_secret_key": SECRET,
+        "s3_region": REGION,
+    }
+
+
+def _write(df, srv, prefix: str, mode: str) -> None:
+    df.write.format("tps_snapshot").options(**_s3_opts(srv, prefix)).mode(
+        mode
+    ).save()
+
+
+def _read(spark, srv, prefix: str, **extra):
+    r = spark.read.format("tps_snapshot")
+    for k, v in {**_s3_opts(srv, prefix), **extra}.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _client(srv):
+    from tile_processor_spark.sources.s3_client import S3Client
+
+    host, port = srv.server_address
+    return S3Client(f"http://{host}:{port}", BUCKET, ACCESS, SECRET, region=REGION)
+
+
+@pytest.fixture(autouse=True)
+def _register(spark):
+    from tile_processor_spark.sources.snapshot_datasource import register
+
+    register(spark)
+
+
+def test_s3_write_read_roundtrip_and_append(spark, fake_s3):
+    """First write creates v1; mode('append') commits v2 referencing
+    v1's objects untouched plus the delta; both versions time-travel
+    through the S3 read plane; schema (committed dtypes) round-trips."""
+    prefix = "warehouse/native"
+    df1 = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "k long, s string, v double"
+    )
+    _write(df1, fake_s3, prefix, "overwrite")
+    got1 = _read(spark, fake_s3, prefix)
+    assert [f.dataType.simpleString() for f in got1.schema.fields] == [
+        "bigint", "string", "double",
+    ]
+    assert _rows(got1) == [(1, "a", 1.5), (2, "b", 2.5)]
+
+    df2 = spark.createDataFrame([(3, "c", 3.5)], "k long, s string, v double")
+    _write(df2, fake_s3, prefix, "append")
+    assert _rows(_read(spark, fake_s3, prefix)) == [
+        (1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5),
+    ]
+    # time travel: v1 unchanged
+    assert _rows(_read(spark, fake_s3, prefix, version="1")) == [
+        (1, "a", 1.5), (2, "b", 2.5),
+    ]
+    # the append manifest records the delta for the version stream
+    m2 = json.loads(_client(fake_s3).get_object(f"{prefix}/manifest-v00000002.json"))
+    assert m2["appended_to"] == 1 and len(m2["appended_files"]) >= 1
+    assert set(m2["appended_files"]) < set(m2["files"])
+    # native manifests carry the virtual root; files re-root under it
+    assert m2["root"] == f"/{BUCKET}/{prefix}"
+    assert all(f.startswith(m2["root"] + "/data/") for f in m2["files"])
+    assert not fake_s3.rejections  # every request signature-verified
+
+
+def test_s3_write_overwrite_replaces_state(spark, fake_s3):
+    prefix = "warehouse/native_ow"
+    _write(spark.createDataFrame([(1,)], "k long"), fake_s3, prefix, "overwrite")
+    _write(spark.createDataFrame([(9,)], "k long"), fake_s3, prefix, "overwrite")
+    assert _rows(_read(spark, fake_s3, prefix)) == [(9,)]
+    assert _rows(_read(spark, fake_s3, prefix, version="1")) == [(1,)]
+
+
+def test_s3_write_stats_enable_data_skipping(spark, fake_s3):
+    """Executor-side Arrow stats land in the manifest as file_stats in
+    the same shape as the local footer collector — the pushdown reader
+    then excludes whole objects from planning (`df.filter` compiles to
+    min/max exclusions)."""
+    from tile_processor_spark.sources.snapshot_datasource import (
+        SnapshotPushdownReader,
+    )
+
+    prefix = "warehouse/native_stats"
+    # two range-clustered appends -> two files with disjoint k ranges
+    _write(
+        spark.createDataFrame([(i, float(i)) for i in range(10)],
+                              "k long, v double").coalesce(1),
+        fake_s3, prefix, "overwrite",
+    )
+    _write(
+        spark.createDataFrame([(i, float(i)) for i in range(100, 110)],
+                              "k long, v double").coalesce(1),
+        fake_s3, prefix, "append",
+    )
+    m2 = json.loads(_client(fake_s3).get_object(f"{prefix}/manifest-v00000002.json"))
+    stats = m2.get("file_stats") or {}
+    assert len(stats) == 2 and all("k" in s and "v" in s for s in stats.values())
+
+    schema = _read(spark, fake_s3, prefix).schema
+    rdr = SnapshotPushdownReader(schema, dict(_s3_opts(fake_s3, prefix)))
+    list(rdr.pushFilters([]))  # no filters -> no exclusions
+    all_parts = rdr.partitions()
+    rdr2 = SnapshotPushdownReader(schema, dict(_s3_opts(fake_s3, prefix)))
+    rdr2._where = [("k", ">=", 100)]
+    pruned = rdr2.partitions()
+    assert sum(len(p.files) for p in pruned) < sum(len(p.files) for p in all_parts)
+    got = _read(spark, fake_s3, prefix).filter("k >= 100")
+    assert got.count() == 10  # skipping is an optimization, never semantics
+
+
+def test_s3_concurrent_appends_both_land(spark, fake_s3):
+    """The lost-race path: two append jobs racing on the version number
+    — the loser's conditional PUT answers 412, it re-reads the fresh
+    manifest and retries on top. Both deltas must land, in some order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    prefix = "warehouse/native_race"
+    _write(spark.createDataFrame([(0,)], "k long"), fake_s3, prefix, "overwrite")
+
+    def _append(k: int) -> None:
+        _write(spark.createDataFrame([(k,)], "k long"), fake_s3, prefix, "append")
+
+    with ThreadPoolExecutor(2) as ex:
+        list(ex.map(_append, [1, 2]))
+    assert _rows(_read(spark, fake_s3, prefix)) == [(0,), (1,), (2,)]
+    # three versions, each time-travelable
+    assert _rows(_read(spark, fake_s3, prefix, version="3")) == [(0,), (1,), (2,)]
+
+
+def test_s3_append_schema_mismatch_refuses(spark, fake_s3):
+    prefix = "warehouse/native_schema"
+    _write(spark.createDataFrame([(1, "a")], "k long, s string"),
+           fake_s3, prefix, "overwrite")
+    with pytest.raises(Exception, match="does not match committed"):
+        _write(spark.createDataFrame([(2,)], "k long"), fake_s3, prefix, "append")
+
+
+def test_s3_committer_append_on_top_of_concurrent_commit(fake_s3, spark, tmp_path):
+    """Unit-level: a committer that staged its objects, then lost the
+    race to a concurrent append, retries and commits a manifest whose
+    file list includes BOTH deltas (commit_append's commute contract)."""
+    from tile_processor_spark.sources.s3_snapshot_write import (
+        S3SnapshotCommitter,
+    )
+    from tile_processor_spark.sources.snapshot_datasource import S3SnapshotStore
+
+    prefix = "warehouse/native_unit"
+    _write(spark.createDataFrame([(1,)], "k long"), fake_s3, prefix, "overwrite")
+    store = S3SnapshotStore(f"s3://{BUCKET}/{prefix}", _s3_opts(fake_s3, prefix))
+    committer = S3SnapshotCommitter(store)
+    schema_json = store.manifest(1)["schema"]
+    c = _client(fake_s3)
+    # our staged delta object
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import io
+
+    buf = io.BytesIO()
+    pq.write_table(pa.table({"k": pa.array([7], pa.int64())}), buf)
+    key = f"{prefix}/data/unitsnap/part-unit.parquet"
+    c.put_object(key, buf.getvalue())
+    # a CONCURRENT append lands v2 before our commit
+    _write(spark.createDataFrame([(5,)], "k long"), fake_s3, prefix, "append")
+    v = committer.commit_append(
+        [key], schema_json, {}, "data/unitsnap", expected_schema=schema_json
+    )
+    assert v == 3
+    assert _rows(_read(spark, fake_s3, prefix)) == [(1,), (5,), (7,)]
+
+
+def test_s3_stream_sink_exactly_once_and_roundtrip(spark, fake_s3, tmp_path):
+    """End-to-end: a local snapshot version-stream feeds the s3-native
+    streaming sink; each micro-batch lands as one append commit; a
+    REPLAYED batch id is dropped (high-water carried in every
+    manifest), so retries cannot duplicate rows."""
+    from tile_processor_spark.sources.s3_snapshot_write import (
+        S3SnapshotStreamWriter,
+    )
+    from tile_processor_spark.sources.snapshots import append_snapshot
+
+    src = str(tmp_path / "src")
+    append_snapshot(spark.createDataFrame([(1, "a")], "k long, s string"), src)
+    append_snapshot(spark.createDataFrame([(2, "b")], "k long, s string"), src)
+    prefix = "warehouse/native_sink"
+    reader = spark.readStream.format("tps_snapshot").option("path", src)
+    writer = reader.load().writeStream.format("tps_snapshot")
+    for k, v in _s3_opts(fake_s3, prefix).items():
+        writer = writer.option(k, v)
+    writer = writer.option("stream_app_id", "t1").option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    )
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _rows(_read(spark, fake_s3, prefix)) == [(1, "a"), (2, "b")]
+
+    # replay the last committed batch id directly against the sink:
+    # the high-water check must drop it without a new version
+    store_versions_before = len(
+        [k for k in _client(fake_s3).list_objects(prefix + "/")
+         if "manifest-v" in k]
+    )
+    head = json.loads(
+        _client(fake_s3).get_object(
+            f"{prefix}/manifest-v{store_versions_before:08d}.json"
+        )
+    )
+    last_batch = head["stream_high_water"]["t1"]
+    sink = S3SnapshotStreamWriter(
+        _read(spark, fake_s3, prefix).schema,
+        {**_s3_opts(fake_s3, prefix), "stream_app_id": "t1"},
+        False,
+    )
+
+    class _Msg:
+        key = f"{prefix}/data/replayed/part-x.parquet"
+        rows = 1
+        stats = None
+
+    _client(fake_s3).put_object(_Msg.key, b"replayed bytes")
+    sink.commit([_Msg()], last_batch)  # replay -> dropped
+    manifests_after = [
+        k for k in _client(fake_s3).list_objects(prefix + "/")
+        if "manifest-v" in k
+    ]
+    assert len(manifests_after) == store_versions_before  # no new version
+    assert _rows(_read(spark, fake_s3, prefix)) == [(1, "a"), (2, "b")]
+    assert not fake_s3.rejections
+
+
+def test_s3_aborted_objects_age_into_vacuum(spark, fake_s3):
+    """A failed/aborted write's objects are invisible; once aged past
+    the retention window, vacuum_store reclaims them even though no
+    manifest's base covers their snap prefix (round 14: the table's own
+    data/ prefix is always a reclaim candidate)."""
+    import time
+
+    from tile_processor_spark.sources.snapshot_datasource import vacuum_store
+
+    prefix = "warehouse/native_orphans"
+    _write(spark.createDataFrame([(1,)], "k long"), fake_s3, prefix, "overwrite")
+    c = _client(fake_s3)
+    orphan = f"{prefix}/data/crashedsnap/part-orphan.parquet"
+    c.put_object(orphan, b"orphaned bytes")
+    fake_s3.mtimes[orphan] = time.time() - 7200
+    out = vacuum_store(
+        f"s3://{BUCKET}/{prefix}",
+        {k: v for k, v in _s3_opts(fake_s3, prefix).items() if k != "path"},
+        keep_last=2,
+        claim_ttl_s=3600,
+    )
+    assert out["files_removed"] == 1
+    assert orphan not in c.list_objects(prefix + "/")
+    assert _rows(_read(spark, fake_s3, prefix)) == [(1,)]

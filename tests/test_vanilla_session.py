@@ -61,6 +61,29 @@ out["datasource_read_statuses"] = sorted({r["status"] for r in rows})
 from tile_processor_spark.plans.snapshot_gate import _build_partitioned
 table = _build_partitioned(spark, sys.argv[1])
 
+# 1b. the s3-NATIVE write+append+read loop on the bare session (round
+# 14): executors PUT through the in-process endpoint, the driver
+# commits via conditional PUT, the read plane resolves it back
+from tile_processor_spark.testing.fake_s3 import start_fake_s3
+srv = start_fake_s3("VKEY", "vsecret")
+host, port = srv.server_address
+s3opts = {
+    "path": "s3://vanilla-bucket/warehouse/vtbl",
+    "s3_endpoint": f"http://{host}:{port}",
+    "s3_access_key": "VKEY",
+    "s3_secret_key": "vsecret",
+}
+for lo, hi, mode in ((0, 3, "overwrite"), (3, 5, "append")):
+    w = spark.range(lo, hi).selectExpr("id AS k").write.format("tps_snapshot")
+    for k, v in s3opts.items():
+        w = w.option(k, v)
+    w.mode(mode).save()
+r = spark.read.format("tps_snapshot")
+for k, v in s3opts.items():
+    r = r.option(k, v)
+out["s3_native_rows"] = sorted(x.k for x in r.load().collect())
+out["s3_rejections"] = len(srv.rejections)
+
 # 2. conf pinned off by an admin AFTER register: opt-out option works
 spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
 n_optout = (
@@ -117,3 +140,7 @@ def test_datasource_gate_rows_on_vanilla_session():
     assert out["conf_off_default"] == "PUSHDOWN_DISABLED"
     # register() never overrides an explicit pin (ADVICE r13)
     assert out["pinned_after_register"] == "false"
+    # the s3-native write plane works on the driver's bare session and
+    # every request it made was signature-verified (round 14)
+    assert out["s3_native_rows"] == [0, 1, 2, 3, 4]
+    assert out["s3_rejections"] == 0

@@ -62,17 +62,18 @@ def register(
 #: depositing this round's own file mid-round cannot retroactively
 #: invalidate the committed window (round-9 lifecycle bug). Bump this
 #: and regenerate the window together at each round start.
-_STAGED_FOR_ROUND: int = 13
+_STAGED_FOR_ROUND: int = 14
 
 #: rows whose CODE was re-planned since the previous staging commit —
 #: DERIVED MECHANICALLY (tools/gate_rotation.py derive_changed: git
-#: diff f57b5a6..worktree -> modules -> reverse-import closure, with
+#: diff 1f60667..worktree -> modules -> reverse-import closure, with
 #: per-NAME granularity inside a row's own module: changed lines
 #: attribute to their owning top-level node and resolve through the
-#: module's internal reference graph). Round 13: the datasource
-#: pushdown-reader split, the xxh64/sharded bloom sidecar, the S3
-#: retry layer, and the JPEG restart-contract fix mark 19 rows
-#: (snapshot + multimodal families).
+#: module's internal reference graph). Round 14: the vacuum retention
+#: window (snapshots.py), the s3-native write plane + datasource
+#: wiring, and the sidecar-store refactor (dedup_bloom.py) mark the
+#: snapshot + multimodal families (21 rows incl. the NEW
+#: snapshot_s3_write_read).
 #: To restage: python tools/gate_rotation.py --since <staging commit>
 #: (find it via: git log -S"_STAGED_FOR_ROUND: int = <N>").
 _ROUND_CHANGED: tuple[str, ...] = (
@@ -96,16 +97,19 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "multimodal_features",
     "multimodal_resize",
     "multimodal_dedup_binary",
+    "snapshot_s3_write_read",
 )
 
-# Round-13 window: q1 (flagship), the r12 RED row, the never-gated
-# CMYK-JPEG row,
-# (snapshot_datasource_read — healed this round, must re-gate first),
-# the changed set (_ROUND_CHANGED) stalest-first, then the ENTIRE r8
-# staleness tail (30 rows) — after this round no row's evidence is
-# older than r9.
+# Round-14 window: q1 (flagship), the never-gated s3-native write row
+# first among the changed set, the rest of the changed set
+# (_ROUND_CHANGED), then the ENTIRE r8 staleness tail (16 rows: the
+# events robust-stats family + the stream_* sketch rows) and the start
+# of the r9 tail — after this round no row's evidence is older than r9
+# (the r12 close's ask, deferred one round by the r13 changed-set
+# priority).
 _GATE_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
+    "snapshot_s3_write_read",
     "snapshot_datasource_read",
     "multimodal_jpeg_cmyk",
     "multimodal_jpeg_progressive",
@@ -126,35 +130,34 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "multimodal_resize",
     "multimodal_dedup_binary",
-    "distinct_projection",
-    "isin_filter",
-    "anti_join_missing",
-    "array_agg_group",
-    "priority_dedup_ties",
-    "null_guard_filter",
-    "groupby_month_rollup",
-    "q2_min_price_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q11_important_parts",
-    "q13_order_count_distribution",
-    "cube_segment_priority",
-    "rolling_7d_distinct_users",
-    "events_mad_by_type",
-    "dedup_minhash_pairs",
-    "decontaminate_overlap",
-    "pack_sequences",
-    "spatial_percentile_heights_approx",
-    "events_sliding_window",
-    "events_session_window",
-    "events_json_props",
-    "events_daily_profile",
-    "events_band_join",
-    "events_hypertable_rollup",
-    "events_gapfill_locf",
-    "events_ohlc_hourly",
-    "events_asof_forward",
+    "events_funnel",
+    "events_retention_cohorts",
+    "rolling_distinct_hll",
+    "stream_kmv_distinct_users",
+    "stream_hll_distinct_users",
+    "stream_cms_event_type_counts",
+    "stream_hist_quantiles",
+    "stream_topk_heavy_users",
+    "stream_sessionize_late_events",
+    "events_interval_overlap",
+    "events_cusum_drift",
+    "events_twap_hourly",
+    "events_rolling_median",
+    "events_ewma_approx",
+    "events_anomaly_intervals",
+    "events_winsorized_stats",
+    "semi_join_intersection",
+    "topk_per_group",
+    "regexp_extract_ids",
+    "union_dedup",
+    "q12_priority_by_status",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q22_idle_customers",
+    "window_running_sum",
+    "window_order_gaps",
+    "rollup_order_stats",
 )
 
 

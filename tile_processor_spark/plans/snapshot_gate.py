@@ -533,3 +533,78 @@ def snapshot_where_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("spend"),
     )
+
+
+# --- S3-native write -> read roundtrip (round 14) ---------------------------
+
+_S3_NATIVE_CACHE: dict[tuple[str, str], dict] = {}
+#: fixed fake-endpoint credentials (test-only, repo-native)
+_S3_GATE_CREDS = ("TPSGATEKEY", "tps-gate-secret")
+
+
+@register(
+    "snapshot_s3_write_read",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 2 AS INT) AS src_part,
+           md5(substr(text, 1, 16)) AS fp
+    FROM documents
+    """,
+    doc=(
+        "S3-NATIVE snapshot WRITE -> READ roundtrip through the "
+        "connector: an in-process signature-verifying S3 endpoint "
+        "(testing/fake_s3.py) stands in for the object store; the even "
+        "half of documents commits as v1 (executors PUT parquet "
+        "objects, the driver publishes the manifest via conditional "
+        "PUT), the odd half lands as an optimistic-concurrency APPEND "
+        "(v2), and the result is the latest version read back through "
+        "the round-13 S3 read plane. The oracle recomputes the state "
+        "from raw documents in plain SQL, so a bug anywhere in the "
+        "write plane — object upload, virtual-root path bookkeeping, "
+        "manifest publish, append carry-forward, dtype fidelity "
+        "through the parquet/HTTP roundtrip (md5 of the text prefix "
+        "pins bytes) — breaks parity. Scale: commit cost is O(delta) "
+        "objects + one conditional PUT; the driver never fetches data."
+    ),
+    tags=("snapshot", "s3", "connector", "storage"),
+)
+def snapshot_s3_write_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.sources.snapshot_datasource import (
+        register as reg_ds,
+    )
+
+    reg_ds(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    opts = _S3_NATIVE_CACHE.get(key)
+    if opts is None:
+        from tile_processor_spark.testing.fake_s3 import start_fake_s3
+
+        ak, sk = _S3_GATE_CREDS
+        srv = start_fake_s3(ak, sk)  # daemon thread; dies with the process
+        host, port = srv.server_address
+        opts = {
+            "path": "s3://tps-gate-bucket/warehouse/docs_state",
+            "s3_endpoint": f"http://{host}:{port}",
+            "s3_access_key": ak,
+            "s3_secret_key": sk,
+        }
+        docs = load_table(spark, "documents", sf_dir).select(
+            "doc_id",
+            (F.col("doc_id") % 2).cast("int").alias("src_part"),
+            F.md5(
+                F.encode(F.substring(F.col("text"), 1, 16), "UTF-8")
+            ).alias("fp"),
+        )
+        for part, mode in ((0, "overwrite"), (1, "append")):
+            w = docs.filter(F.col("src_part") == part).write.format(
+                "tps_snapshot"
+            )
+            for k, v in opts.items():
+                w = w.option(k, v)
+            w.mode(mode).save()
+        assert not srv.rejections, srv.rejections  # every request signed
+        _S3_NATIVE_CACHE[key] = opts
+    r = spark.read.format("tps_snapshot")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load().select("doc_id", "src_part", "fp")

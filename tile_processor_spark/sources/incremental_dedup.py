@@ -158,6 +158,7 @@ def dedup_new_versions(
     max_versions: int | None = None,
     auto_cluster: bool = True,
     bloom_shard_max_bits: int | None = None,
+    bloom_sidecar: str | None = None,
 ) -> list[dict]:
     """Process every corpus append version newer than the fingerprint
     table's high-water mark, in order. Per version: read ONLY the
@@ -177,7 +178,12 @@ def dedup_new_versions(
     caps the per-shard bitmap (default 1 GiB of bits): past it the
     sidecar shards by fingerprint hash — executor-side build, one-shard
     driver updates, zero-broadcast mmap prescreen (dedup_bloom module
-    doc). Pass ``telemetry=[]`` to
+    doc). ``bloom_sidecar`` relocates the sidecar store: None keeps it
+    next to the fingerprint table (shared-FS deployments);
+    ``"s3://bucket/prefix"`` puts state and shards on the object store
+    (client config via ``SPARK_GRAFT_S3_*`` env), where executors
+    fetch-through a per-host cache — the 100 TB deployment shape
+    (dedup_bloom module doc). Pass ``telemetry=[]`` to
     receive per-version ``{"version", "mode", "candidates",
     "fp_files_total", "fp_files_opened"}`` alongside the stats.
 
@@ -233,11 +239,12 @@ def dedup_new_versions(
     bloom = None
     if use_bloom and pending:
         fp_head = list_versions(fp_path)[-1]
-        bloom = load_bloom(fp_path, fp_head)
+        bloom = load_bloom(fp_path, fp_head, sidecar=bloom_sidecar)
         if bloom is None:
             kept = read_snapshot(spark, fp_path).select("fp")
             bloom = build_bloom(
                 spark, fp_path, fp_head, kept, kept.count(),
+                sidecar=bloom_sidecar,
                 **_shard_kw(bloom_shard_max_bits),
             )
             save_bloom(fp_path, bloom)
@@ -351,6 +358,7 @@ def dedup_new_versions(
                     kept = read_snapshot(spark, fp_path).select("fp")
                     bloom = build_bloom(
                         spark, fp_path, committed_v, kept, kept.count(),
+                        sidecar=bloom_sidecar,
                         **_shard_kw(bloom_shard_max_bits),
                     )
                 else:
@@ -368,8 +376,13 @@ def dedup_new_versions(
                     # global sort — re-cluster so the candidate verify's
                     # file pruning stays sharp; each kept row is rewritten
                     # O(log versions) times total
-                    cluster_fingerprints(spark, fp_path)
-                    bloom = load_bloom(fp_path, list_versions(fp_path)[-1])
+                    cluster_fingerprints(
+                        spark, fp_path, sidecar=bloom_sidecar
+                    )
+                    bloom = load_bloom(
+                        fp_path, list_versions(fp_path)[-1],
+                        sidecar=bloom_sidecar,
+                    )
         finally:
             for bc in bcs:
                 # released even when the version fails mid-way
@@ -390,7 +403,10 @@ def dedup_new_versions(
 
 
 def cluster_fingerprints(
-    spark: SparkSession, fp_path: str, files_target: int | None = None
+    spark: SparkSession,
+    fp_path: str,
+    files_target: int | None = None,
+    sidecar: str | None = None,
 ) -> int:
     """Maintenance rewrite: re-sort the fingerprint table GLOBALLY by
     ``fp`` into files with disjoint, tight min/max ranges, so the
@@ -407,7 +423,7 @@ def cluster_fingerprints(
     clustered = df.repartitionByRange(k, "fp").sortWithinPartitions("fp")
     pre = list_versions(fp_path)[-1]
     v = write_snapshot(clustered, fp_path)
-    bloom = load_bloom(fp_path, pre)
+    bloom = load_bloom(fp_path, pre, sidecar=sidecar)
     if bloom is not None:
         bloom.fp_version = v
         bloom.clustered_n = n

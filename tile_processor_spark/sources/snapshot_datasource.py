@@ -223,6 +223,11 @@ def vacuum_store(
         m = store.manifest(v)
         root = m["root"]
         data_prefixes.add(store.key_for(m["base"], root).rstrip("/") + "/")
+    # the table's own data/ prefix is always a candidate: s3-native
+    # appends stage under data/<uuid>/ prefixes no manifest's "base"
+    # covers, and a crashed/aborted write's objects must age into the
+    # sweep (the local vacuum's walk of data/ has the same scope)
+    data_prefixes.add(f"{store.prefix}/data/")
     client = store.client()
     removed_manifests = 0
     for v in retired:  # manifests first (crash-safe ordering)
@@ -466,21 +471,26 @@ class SnapshotDataSource(DataSource):
     def streamReader(self, schema: StructType) -> "SnapshotStreamReader":
         return SnapshotStreamReader(schema, self.options)
 
-    def writer(self, schema: StructType, overwrite: bool) -> "SnapshotWriter":
-        self._refuse_s3("writes")
+    def writer(self, schema: StructType, overwrite: bool):
+        if self._is_s3():
+            from tile_processor_spark.sources.s3_snapshot_write import (
+                S3SnapshotWriter,
+            )
+
+            return S3SnapshotWriter(schema, dict(self.options), overwrite)
         return SnapshotWriter(schema, self.options, overwrite)
 
-    def streamWriter(self, schema: StructType, overwrite: bool) -> "SnapshotStreamWriter":
-        self._refuse_s3("streaming writes")
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        if self._is_s3():
+            from tile_processor_spark.sources.s3_snapshot_write import (
+                S3SnapshotStreamWriter,
+            )
+
+            return S3SnapshotStreamWriter(schema, dict(self.options), overwrite)
         return SnapshotStreamWriter(schema, self.options, overwrite)
 
-    def _refuse_s3(self, what: str) -> None:
-        if str(self.options.get("path", "")).startswith("s3://"):
-            raise NotImplementedError(
-                f"tps_snapshot {what} against an s3:// path are not "
-                "implemented — batch READS are store-resident; commits "
-                "go through a local mount fronted by commit_fs.S3CommitFS"
-            )
+    def _is_s3(self) -> bool:
+        return str(self.options.get("path", "")).startswith("s3://")
 
 
 def register(spark) -> None:

@@ -59,8 +59,27 @@ def _mk_version_df(spark, v, rows, dup_rate):
     return fresh
 
 
+def _maybe_start_fake_endpoint(sidecar: str | None):
+    """An s3:// sidecar with no configured endpoint gets the in-process
+    signature-verifying fake (the same one the test tier uses) — the
+    rehearsal then measures the full wire path: SigV4 signing, HTTP,
+    staged-object publish, CopyObject carries, fetch-through cache."""
+    if not sidecar or os.environ.get("SPARK_GRAFT_S3_ENDPOINT"):
+        return None
+    from tile_processor_spark.testing.fake_s3 import start_fake_s3
+
+    ak, sk = "REHEARSEKEY", "rehearse-secret"
+    srv = start_fake_s3(ak, sk)
+    host, port = srv.server_address
+    os.environ["SPARK_GRAFT_S3_ENDPOINT"] = f"http://{host}:{port}"
+    os.environ["SPARK_GRAFT_S3_ACCESS_KEY"] = ak
+    os.environ["SPARK_GRAFT_S3_SECRET_KEY"] = sk
+    print(f"sidecar endpoint: in-process fake at {host}:{port}", flush=True)
+    return srv
+
+
 def run(versions, rows, dup_rate, baseline_versions, cluster_every,
-        cluster_files=None, shard_max_bits=None):
+        cluster_files=None, shard_max_bits=None, sidecar=None):
     from tile_processor_spark.session import get_spark
     from tile_processor_spark.sources.incremental_dedup import (
         cluster_fingerprints,
@@ -68,11 +87,12 @@ def run(versions, rows, dup_rate, baseline_versions, cluster_every,
     )
     from tile_processor_spark.sources.snapshots import append_snapshot
 
+    fake = _maybe_start_fake_endpoint(sidecar)
     spark = get_spark(app_name="rehearse-dedup", shuffle_partitions=8)
     root = tempfile.mkdtemp(prefix="tps_rehearse_dedup_")
     out = {"versions": versions, "rows_per_version": rows,
            "dup_rate": dup_rate, "shard_max_bits": shard_max_bits,
-           "bloom": [], "baseline": []}
+           "sidecar": sidecar, "bloom": [], "baseline": []}
     try:
         corpus = os.path.join(root, "corpus")
         fps = os.path.join(root, "fps")
@@ -87,6 +107,7 @@ def run(versions, rows, dup_rate, baseline_versions, cluster_every,
             stats = dedup_new_versions(
                 spark, corpus, fps, telemetry=tele, max_versions=1,
                 bloom_shard_max_bits=shard_max_bits,
+                bloom_sidecar=sidecar,
             )
             wall = time.time() - t0
             assert len(stats) == 1 and stats[0]["version"] == v
@@ -105,7 +126,9 @@ def run(versions, rows, dup_rate, baseline_versions, cluster_every,
             )
             if cluster_every and v % cluster_every == 0:
                 t0 = time.time()
-                cluster_fingerprints(spark, fps, files_target=cluster_files)
+                cluster_fingerprints(
+                    spark, fps, files_target=cluster_files, sidecar=sidecar
+                )
                 out["bloom"].append(
                     {"version": v, "mode": "cluster",
                      "wall_s": round(time.time() - t0, 3)}
@@ -136,6 +159,10 @@ def run(versions, rows, dup_rate, baseline_versions, cluster_every,
                 print(f"  v{v}: {out['baseline'][-1]}", flush=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+        if fake is not None:
+            out["sidecar_rejections"] = len(fake.rejections)
+            fake.shutdown()
+            fake.server_close()
 
     def bucket(rows_, lo, hi):
         sel = [r for r in rows_ if r.get("mode") != "cluster"
@@ -171,10 +198,12 @@ def run(versions, rows, dup_rate, baseline_versions, cluster_every,
         bucket(out["baseline"], b3 + 1, 2 * b3),
         bucket(out["baseline"], 2 * b3 + 1, baseline_versions),
     ]
-    print(json.dumps({k: out[k] for k in
-                      ("versions", "rows_per_version", "dup_rate",
-                       "shard_max_bits", "bloom_buckets",
-                       "baseline_buckets")}, indent=2))
+    summary_keys = ["versions", "rows_per_version", "dup_rate",
+                    "shard_max_bits", "sidecar", "bloom_buckets",
+                    "baseline_buckets"]
+    if "sidecar_rejections" in out:
+        summary_keys.append("sidecar_rejections")
+    print(json.dumps({k: out[k] for k in summary_keys}, indent=2))
     return out
 
 
@@ -193,6 +222,13 @@ if __name__ == "__main__":
         "at 1M rows",
     )
     ap.add_argument(
+        "--sidecar", default=None,
+        help="bloom sidecar location: an s3://bucket/prefix URL puts "
+        "state + shard objects on the object store (SPARK_GRAFT_S3_* "
+        "env, or an in-process fake endpoint is started when none is "
+        "configured); default keeps the sidecar next to the table",
+    )
+    ap.add_argument(
         "--shard-max-bits", type=int, default=None,
         help="per-shard bitmap cap in BITS (forces the sharded sidecar "
         "below its 1 GiB production default — e.g. 2**22 shards a 1M-row "
@@ -202,4 +238,4 @@ if __name__ == "__main__":
     a = ap.parse_args()
     run(a.versions, a.rows_per_version, a.dup_rate,
         a.baseline_versions, a.cluster_every, a.cluster_files,
-        a.shard_max_bits)
+        a.shard_max_bits, a.sidecar)

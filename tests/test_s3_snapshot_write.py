@@ -297,3 +297,117 @@ def test_s3_aborted_objects_age_into_vacuum(spark, fake_s3):
     assert out["files_removed"] == 1
     assert orphan not in c.list_objects(prefix + "/")
     assert _rows(_read(spark, fake_s3, prefix)) == [(1,)]
+
+
+def test_s3_write_survives_injected_throttle(spark, fake_s3):
+    """503 SlowDown on a data PUT (executor) and on the manifest's
+    conditional PUT (driver) must not fail the commit — a received 5xx
+    means the server did NOT perform the operation, retriable for
+    every verb including conditional writes."""
+    prefix = "warehouse/native_throttle"
+    fake_s3.faults.extend(
+        [
+            {"verb": "PUT", "status": 503, "code": "SlowDown"},
+            {"verb": "PUT", "status": 503, "code": "SlowDown",
+             "path_substr": "manifest-v"},
+        ]
+    )
+    _write(spark.createDataFrame([(1,), (2,)], "k long"),
+           fake_s3, prefix, "overwrite")
+    assert _rows(_read(spark, fake_s3, prefix)) == [(1,), (2,)]
+    assert len(fake_s3.fault_hits) == 2  # both throttles actually served
+    assert not fake_s3.rejections
+
+
+def test_s3_commit_ambiguous_failure_propagates(spark, fake_s3):
+    """A torn connection during the manifest's CONDITIONAL PUT leaves
+    the outcome ambiguous; the committer must FAIL LOUDLY (job error)
+    rather than blind-retry — a retry that then sees 412 cannot tell
+    our own landed manifest from a lost race. The staged data objects
+    stay invisible orphans for vacuum_store's retention sweep."""
+    import pytest as _pytest
+
+    from tile_processor_spark.sources.s3_snapshot_write import (
+        S3SnapshotCommitter,
+    )
+    from tile_processor_spark.sources.snapshot_datasource import S3SnapshotStore
+
+    prefix = "warehouse/native_torn"
+    store = S3SnapshotStore(f"s3://{BUCKET}/{prefix}", _s3_opts(fake_s3, prefix))
+    c = _client(fake_s3)
+    key = f"{prefix}/data/tornsnap/part-a.parquet"
+    c.put_object(key, b"staged bytes")
+    fake_s3.faults.append(
+        {"verb": "PUT", "kind": "close", "path_substr": "manifest-v"}
+    )
+    committer = S3SnapshotCommitter(store)
+    with _pytest.raises(Exception):
+        committer.commit_overwrite([key], '{"type":"struct","fields":[]}',
+                                   {}, "data/tornsnap")
+    assert len(fake_s3.fault_hits) == 1
+    # no manifest landed (the fake dropped the connection before
+    # applying the PUT), the table stays nonexistent, data stays staged
+    assert not [k for k in c.list_objects(prefix + "/") if "manifest-v" in k]
+    assert key in c.list_objects(prefix + "/")
+
+
+def test_s3_partitioned_overwrite_write_and_pruned_read(spark, fake_s3):
+    """Partitioned s3-native CREATE: .option('partition_by', 'status')
+    makes executors PUT one object per occupied partition value under
+    a Hive col=val key chain; the manifest records the scheme, so the
+    round-13 reader's driver-side partition pruning and committed-dtype
+    re-attachment work unchanged on a native table. Appending onto it
+    still refuses with mount guidance."""
+    from tile_processor_spark.sources.snapshot_datasource import (
+        SnapshotReader,
+    )
+
+    prefix = "warehouse/native_part"
+    df = spark.createDataFrame(
+        [("F", 1, 10.0), ("F", 2, 20.0), ("O", 3, 30.0), ("P", 4, 40.0)],
+        "status string, k long, v double",
+    )
+    (
+        df.write.format("tps_snapshot")
+        .options(**_s3_opts(fake_s3, prefix))
+        .option("partition_by", "status")
+        .mode("overwrite")
+        .save()
+    )
+    # partition columns live in the KEY CHAIN, not the data bytes
+    keys = _client(fake_s3).list_objects(prefix + "/data/")
+    assert keys and all("status=" in k for k in keys)
+
+    got = _read(spark, fake_s3, prefix)
+    assert [f.dataType.simpleString() for f in got.schema.fields] == [
+        "string", "bigint", "double",
+    ]
+    assert _rows(got.select("status", "k", "v")) == [
+        ("F", 1, 10.0), ("F", 2, 20.0), ("O", 3, 30.0), ("P", 4, 40.0),
+    ]
+    # manifest-level pruning: the F read PLANS fewer input partitions
+    schema = got.schema
+    opts = _s3_opts(fake_s3, prefix)
+    all_parts = SnapshotReader(schema, dict(opts)).partitions()
+    pruned = SnapshotReader(
+        schema, {**opts, "partition_filter": '{"status": "F"}'}
+    ).partitions()
+    assert 0 < len(pruned) < len(all_parts)
+    got_f = _read(spark, fake_s3, prefix, partition_filter='{"status": "F"}')
+    assert _rows(got_f.select("k")) == [(1,), (2,)]
+
+    with pytest.raises(Exception, match="PARTITIONED|S3CommitFS"):
+        _write(df, fake_s3, prefix, "append")
+    assert not fake_s3.rejections
+
+
+def test_s3_partition_by_validation(spark, fake_s3):
+    df = spark.createDataFrame([("a", 1)], "g string, k long")
+    w = (
+        df.write.format("tps_snapshot")
+        .options(**_s3_opts(fake_s3, "warehouse/native_badpart"))
+    )
+    with pytest.raises(Exception, match="not in the written"):
+        w.option("partition_by", "nope").mode("overwrite").save()
+    with pytest.raises(Exception, match="every column"):
+        w.option("partition_by", "g,k").mode("overwrite").save()

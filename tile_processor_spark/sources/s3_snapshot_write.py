@@ -42,10 +42,16 @@ uniformly. Appending onto a GROUPED manifest (compact_manifest mirror)
 flattens it to a plain file list — correct, but group-level stats are
 dropped; re-run compaction locally and re-mirror to restore them.
 
-Scope: UNPARTITIONED tables. A partitioned append needs the shared
+Scope: full read/write for UNPARTITIONED tables; PARTITIONED tables
+support ``mode('overwrite')`` (and table creation) via
+``.option("partition_by", "col1,col2")`` — executors split their
+batches by partition value and PUT each sub-table under a Hive
+``col=val`` key chain, so the round-13 reader's driver-side
+partition pruning (``partition_filter``) works unchanged on native
+tables. Partitioned APPENDS are the one refusal: they need the shared
 Hive tree re-home (driver-side renames), which an object store cannot
-do without copying data — partitioned s3-native appends refuse with
-guidance to commit through an ``S3CommitFS`` mount instead. Ambiguous
+do without copying data — commit those through an ``S3CommitFS``
+mount instead. Ambiguous
 commit outcomes (connection death during the conditional PUT)
 propagate: the write job fails loudly, its objects stay invisible, and
 ``vacuum_store`` reclaims them after the retention window — never a
@@ -80,6 +86,15 @@ class _S3WriteMessage(WriterCommitMessage):
         self.key = key
         self.rows = rows
         self.stats = stats
+
+
+class _S3PartWriteMessage(WriterCommitMessage):
+    """Partitioned-write commit message: one (key, per-file stats)
+    pair per occupied partition-value combination the task saw."""
+
+    def __init__(self, files: list[tuple[str, dict | None]], rows: int):
+        self.files = files
+        self.rows = rows
 
 
 def _arrow_stats(tbl) -> dict[str, list]:
@@ -186,10 +201,14 @@ class S3SnapshotCommitter:
         schema_json: str,
         file_stats: dict,
         snap_rel: str,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Replace the table state as the next version (single-writer
         rewrites, like the local path: the loser of a version race
-        raises rather than clobbering)."""
+        raises rather than clobbering). With ``partition_by`` the data
+        keys carry Hive ``col=val`` chains under the snap prefix and
+        the manifest records the scheme — the reader's driver-side
+        partition pruning works unchanged."""
         import time
 
         versions = self.store.versions()
@@ -200,7 +219,7 @@ class S3SnapshotCommitter:
             "files": [self.vpath(k) for k in sorted(data_keys)],
             "schema": schema_json,
             "base": f"{self.vroot}/{snap_rel}",
-            "partition_by": [],
+            "partition_by": list(partition_by or []),
         }
         if file_stats:
             manifest["file_stats"] = file_stats
@@ -322,46 +341,87 @@ class S3SnapshotCommitter:
         ) from last_err
 
 
-def _write_one_object(store, schema, snap_rel: str, iterator):
+def _put_parquet(store, tbl, key: str) -> None:
+    import io
+
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf)
+    store.client().put_object(key, buf.getvalue())
+
+
+def _write_one_object(store, schema, snap_rel: str, iterator,
+                      part_cols: list[str] | None = None):
     """Executor body shared by the batch writer and the stream sink:
     Arrow batches → one parquet object under the task-private snap
-    prefix; returns the commit message (key + rows + stats)."""
-    import io
+    prefix (one object PER occupied partition-value combination when
+    ``part_cols`` is set — partition columns live in the Hive key
+    chain, not the data bytes); returns the commit message."""
     import uuid
 
     import pyarrow as pa
-    import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
     batches = list(iterator)
     rows = sum(b.num_rows for b in batches)
+    if part_cols:
+        if rows == 0:
+            return _S3PartWriteMessage([], 0)
+        from tile_processor_spark.sources.snapshot_datasource import (
+            _hive_chain,
+            _split_by_partitions,
+        )
+
+        target = to_arrow_schema(schema)
+        tbl = pa.Table.from_batches(batches).cast(target)
+        staged: list[tuple[str, dict | None]] = []
+        for values, sub in _split_by_partitions(tbl, part_cols):
+            chain = _hive_chain(part_cols, values)
+            key = (
+                f"{store.prefix}/{snap_rel}/{chain}/"
+                f"part-{uuid.uuid4().hex}.parquet"
+            )
+            _put_parquet(store, sub, key)
+            staged.append((key, _arrow_stats(sub)))
+        return _S3PartWriteMessage(staged, rows)
     if rows == 0:
         return _S3WriteMessage(None, 0, None)
     target = to_arrow_schema(schema)
     tbl = pa.Table.from_batches(batches).cast(target)
-    buf = io.BytesIO()
-    pq.write_table(tbl, buf)
     key = f"{store.prefix}/{snap_rel}/part-{uuid.uuid4().hex}.parquet"
-    store.client().put_object(key, buf.getvalue())
+    _put_parquet(store, tbl, key)
     return _S3WriteMessage(key, rows, _arrow_stats(tbl))
+
+
+def _message_files(messages) -> list[tuple[str, dict | None]]:
+    """Flatten commit messages into (key, stats) pairs."""
+    out: list[tuple[str, dict | None]] = []
+    for m in messages:
+        if m is None:
+            continue
+        if isinstance(m, _S3PartWriteMessage):
+            out.extend(m.files)
+        elif m.key:
+            out.append((m.key, m.stats))
+    return out
 
 
 def _drop_staged_objects(store, messages) -> None:
     """Abort path: best-effort DELETE of acknowledged objects (anything
     missed stays invisible and ages into vacuum_store's sweep)."""
-    for m in messages:
-        if m is not None and m.key:
-            try:
-                store.client().delete_object(m.key)
-            except Exception:
-                pass
+    for key, _stats in _message_files(messages):
+        try:
+            store.client().delete_object(key)
+        except Exception:
+            pass
 
 
 def _collect_file_stats(committer, messages) -> dict:
     return {
-        committer.vpath(m.key): m.stats
-        for m in messages
-        if m is not None and m.key and m.stats
+        committer.vpath(key): stats
+        for key, stats in _message_files(messages)
+        if stats
     }
 
 
@@ -383,8 +443,28 @@ class S3SnapshotWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
         self._snap_rel = f"data/{uuid.uuid4().hex}"
         self._expected_schema: str | None = None
+        raw_parts = options.get("partition_by", "")
+        self._part_cols = [c.strip() for c in raw_parts.split(",") if c.strip()]
+        bad = [c for c in self._part_cols if c not in schema.fieldNames()]
+        if bad:
+            raise ValueError(
+                f"partition_by column(s) {bad} not in the written "
+                f"schema {schema.fieldNames()}"
+            )
+        if self._part_cols and len(self._part_cols) == len(schema.fields):
+            raise ValueError(
+                "partition_by covers every column — the data files "
+                "would be empty; leave at least one data column"
+            )
         if not overwrite:
             versions = self._store.versions()
+            if self._part_cols and versions:
+                raise NotImplementedError(
+                    "partition_by applies to table creation / "
+                    "mode('overwrite'); appending onto a PARTITIONED "
+                    "snapshot table s3-natively is not implemented — "
+                    "commit through an S3CommitFS mount instead"
+                )
             if versions:
                 latest = self._store.manifest(versions[-1])
                 if latest.get("partition_by"):
@@ -407,16 +487,18 @@ class S3SnapshotWriter(DataSourceArrowWriter):
 
     def write(self, iterator):
         return _write_one_object(
-            self._store, self._schema, self._snap_rel, iterator
+            self._store, self._schema, self._snap_rel, iterator,
+            part_cols=self._part_cols or None,
         )
 
     def commit(self, messages) -> None:
         committer = S3SnapshotCommitter(self._store)
-        keys = sorted(m.key for m in messages if m is not None and m.key)
+        keys = sorted(key for key, _st in _message_files(messages))
         stats = _collect_file_stats(committer, messages)
-        if self._overwrite or not self._store.versions():
+        if self._part_cols or self._overwrite or not self._store.versions():
             committer.commit_overwrite(
-                keys, self._schema.json(), stats, self._snap_rel
+                keys, self._schema.json(), stats, self._snap_rel,
+                partition_by=self._part_cols or None,
             )
         else:
             committer.commit_append(
@@ -472,7 +554,7 @@ class S3SnapshotStreamWriter(DataSourceStreamArrowWriter):
 
     def commit(self, messages, batchId: int) -> None:
         committer = S3SnapshotCommitter(self._store)
-        keys = sorted(m.key for m in messages if m is not None and m.key)
+        keys = sorted(key for key, _st in _message_files(messages))
         stats = _collect_file_stats(committer, messages)
         # per-batch snap_rel only matters for a FIRST commit's base;
         # derive it from the first acknowledged key

@@ -411,3 +411,28 @@ def test_s3_partition_by_validation(spark, fake_s3):
         w.option("partition_by", "nope").mode("overwrite").save()
     with pytest.raises(Exception, match="every column"):
         w.option("partition_by", "g,k").mode("overwrite").save()
+
+
+def test_s3_concurrent_appends_create_new_table(spark, fake_s3):
+    """Raced TABLE CREATION under mode('append'): both jobs see an
+    empty table; the loser's v1 conditional PUT answers 412 and the
+    retry lands it as v2 on top of the winner — both deltas land
+    (previously the empty-table case routed to commit_overwrite's
+    single-writer contract and the loser failed outright)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    prefix = "warehouse/native_birthrace"
+
+    def _append(k: int) -> None:
+        _write(spark.createDataFrame([(k,)], "k long"), fake_s3, prefix, "append")
+
+    with ThreadPoolExecutor(2) as ex:
+        list(ex.map(_append, [1, 2]))
+    assert _rows(_read(spark, fake_s3, prefix)) == [(1,), (2,)]
+    # two committed versions: the winner's v1 and the loser's retried v2
+    manifests = [
+        k for k in _client(fake_s3).list_objects(prefix + "/")
+        if "manifest-v" in k
+    ]
+    assert len(manifests) == 2
+    assert not fake_s3.rejections

@@ -146,18 +146,20 @@ class LocalBloomSidecar:
 
     # -- driver plane ---------------------------------------------------
 
-    def load_state_bytes(self, version: int) -> bytes | None:
-        try:
-            with open(os.path.join(self.dir, _state_name(version)), "rb") as f:
-                return f.read()
-        except OSError:
-            return None
+    def state_source(self, version: int):
+        """An ``np.load``-able source for the version's state, or None.
+        Returns the file PATH — np.load streams it, so a 1 GiB
+        single-bitmap state never doubles through a bytes buffer."""
+        p = os.path.join(self.dir, _state_name(version))
+        return p if os.path.exists(p) else None
 
-    def save_state_bytes(self, version: int, data: bytes) -> None:
+    def save_state_npz(self, version: int, arrays: dict) -> None:
+        """tmp + rename publish, streamed by np.savez directly to the
+        file (never an in-memory .npz image)."""
         os.makedirs(self.dir, exist_ok=True)
         tmp = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}.npz")
         with open(tmp, "wb") as f:
-            f.write(data)
+            np.savez(f, **arrays)
         os.replace(tmp, os.path.join(self.dir, _state_name(version)))
 
     def intact_shards(self, version: int, shards: int, min_bytes: int) -> set[int]:
@@ -261,24 +263,17 @@ class S3BloomSidecar:
     table are pruned opportunistically."""
 
     def __init__(self, url: str, options: dict | None = None):
-        opts = dict(options or {})
-        rest = url[len("s3://"):]
-        self.bucket, _, self.prefix = rest.partition("/")
-        self.prefix = self.prefix.rstrip("/")
-        if not self.bucket or not self.prefix:
-            raise ValueError(
-                f"sidecar must be s3://<bucket>/<prefix>, got {url!r}"
-            )
-        env = os.environ.get
-        self.endpoint = opts.get("s3_endpoint") or env("SPARK_GRAFT_S3_ENDPOINT")
-        self.access_key = opts.get("s3_access_key") or env("SPARK_GRAFT_S3_ACCESS_KEY")
-        self.secret_key = opts.get("s3_secret_key") or env("SPARK_GRAFT_S3_SECRET_KEY")
-        self.region = opts.get("s3_region") or env("SPARK_GRAFT_S3_REGION") or "us-east-1"
-        if not (self.endpoint and self.access_key and self.secret_key):
-            raise ValueError(
-                "s3:// bloom sidecar needs s3_endpoint/s3_access_key/"
-                "s3_secret_key (options or SPARK_GRAFT_S3_* env)"
-            )
+        from tile_processor_spark.sources.s3_client import (
+            parse_s3_url,
+            resolve_s3_config,
+        )
+
+        self.bucket, self.prefix = parse_s3_url(url, "bloom sidecar")
+        cfg = resolve_s3_config(options, "s3:// bloom sidecar")
+        self.endpoint = cfg["endpoint"]
+        self.access_key = cfg["access_key"]
+        self.secret_key = cfg["secret_key"]
+        self.region = cfg["region"]
         self._client = None
 
     def __getstate__(self):
@@ -301,15 +296,29 @@ class S3BloomSidecar:
 
     # -- driver plane ---------------------------------------------------
 
-    def load_state_bytes(self, version: int) -> bytes | None:
+    def state_source(self, version: int):
+        """An ``np.load``-able source (BytesIO) for the version's
+        state, or None — network fetches are unavoidably buffered; the
+        sharded-mode state is meta-only (tiny) and single-bitmap mode
+        on a remote sidecar is the caller's trade."""
+        import io
+
         try:
-            return self.client().get_object(self._key(_state_name(version)))
+            return io.BytesIO(
+                self.client().get_object(self._key(_state_name(version)))
+            )
         except FileNotFoundError:
             return None
 
-    def save_state_bytes(self, version: int, data: bytes) -> None:
+    def save_state_npz(self, version: int, arrays: dict) -> None:
+        import io
+
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
         # a single PUT is atomic server-side; no tmp dance needed
-        self.client().put_object(self._key(_state_name(version)), data)
+        # (put_object accepts the seekable buffer without re-copying)
+        buf.seek(0)
+        self.client().put_object(self._key(_state_name(version)), buf)
 
     def intact_shards(self, version: int, shards: int, min_bytes: int) -> set[int]:
         """ONE listing pass → which shard objects exist at full size
@@ -385,6 +394,12 @@ class S3BloomSidecar:
 
     # -- executor read plane (fetch-through cache) ------------------------
 
+    #: stale cache entries younger than this survive the opportunistic
+    #: prune — a CONCURRENT app on the same host may be between
+    #: resolving an older version's path and mmapping it (deleting a
+    #: freshly-used file under it would fail its task for nothing)
+    _CACHE_PRUNE_AGE_S = 3600.0
+
     def _cache_dir(self) -> str:
         import hashlib
         import tempfile
@@ -392,15 +407,26 @@ class S3BloomSidecar:
         tag = hashlib.sha1(
             f"{self.endpoint}|{self.bucket}|{self.prefix}".encode()
         ).hexdigest()[:16]
-        return os.path.join(tempfile.gettempdir(), "tps_bloom_cache", tag)
+        # per-UID root, created 0700: a world-shared tempdir cache
+        # would let any local user pre-plant a size-valid file and
+        # poison the prescreen (bloom false negatives = silently kept
+        # duplicates)
+        uid = os.getuid() if hasattr(os, "getuid") else 0
+        return os.path.join(
+            tempfile.gettempdir(), f"tps_bloom_cache-{uid}", tag
+        )
 
     def local_shard_path(self, version: int, shard: int, min_bytes: int) -> str:
         """Fetch-through: download the shard object once per executor
         host (atomic tmp+rename placement, size-validated on hit), then
-        serve the local path for mmap. Stale versions of THIS table's
-        cache entries are pruned opportunistically — a long-lived
-        executor crossing many sidecar versions holds one version's
-        shards, not the history's."""
+        serve the local path for mmap. Other versions of THIS table's
+        cache entries are pruned opportunistically once they are BOTH
+        stale (different version) and old (past the prune age) — a
+        long-lived executor crossing many sidecar versions holds one
+        version's shards, while a concurrent reader still on the
+        previous version keeps its recently-touched files."""
+        import time
+
         d = self._cache_dir()
         final = os.path.join(d, _shard_name(version, shard))
         try:
@@ -408,7 +434,8 @@ class S3BloomSidecar:
                 return final
         except OSError:
             pass
-        os.makedirs(d, exist_ok=True)
+        os.makedirs(os.path.dirname(d), mode=0o700, exist_ok=True)
+        os.makedirs(d, mode=0o700, exist_ok=True)
         data = self.client().get_object(self._key(_shard_name(version, shard)))
         if len(data) < min_bytes:
             raise ValueError(
@@ -420,12 +447,16 @@ class S3BloomSidecar:
             f.write(data)
         os.replace(tmp, final)
         this_version = f"state-v{version}-"
+        cutoff = time.time() - self._CACHE_PRUNE_AGE_S
         for name in os.listdir(d):
-            if name.startswith("state-v") and not name.startswith(this_version):
-                try:
-                    os.unlink(os.path.join(d, name))
-                except OSError:
-                    pass
+            if not name.startswith("state-v") or name.startswith(this_version):
+                continue
+            p = os.path.join(d, name)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    os.unlink(p)
+            except OSError:
+                pass
         return final
 
 
@@ -575,17 +606,15 @@ def load_bloom(
     None (missing / stale / unreadable / foreign hash scheme → caller
     rebuilds or skips). ``sidecar`` selects the store location (None =
     next to the table; ``s3://...`` = object-store resident)."""
-    import io
-
     sc = _make_sidecar(fp_path, sidecar)
     try:
-        raw = sc.load_state_bytes(fp_version)
+        src = sc.state_source(fp_version)
     except Exception:
         return None  # unreachable store = missing cache, not an error
-    if raw is None:
+    if src is None:
         return None
     try:
-        with np.load(io.BytesIO(raw)) as z:
+        with np.load(src) as z:
             meta = json.loads(str(z["meta"]))
             bits = z["bits"] if "bits" in z else None
     except (OSError, KeyError, ValueError):
@@ -627,8 +656,6 @@ def save_bloom(fp_path: str, bloom: DedupBloom) -> None:
     across — hardlink locally, server-side copy on s3: O(S) metadata
     ops, no byte movement); the meta commits LAST, so a torn sequence
     leaves a stale-but-detectable state."""
-    import io
-
     sc = bloom._sidecar()
     if bloom.shards > 1:
         mb = bloom.m_shard // 8
@@ -648,12 +675,10 @@ def save_bloom(fp_path: str, bloom: DedupBloom) -> None:
             "clustered_n": bloom.clustered_n,
         }
     )
-    buf = io.BytesIO()
+    arrays = {"meta": np.array(meta)}
     if bloom.shards == 1:
-        np.savez(buf, bits=bloom.bits, meta=np.array(meta))
-    else:
-        np.savez(buf, meta=np.array(meta))
-    sc.save_state_bytes(bloom.fp_version, buf.getvalue())
+        arrays["bits"] = bloom.bits
+    sc.save_state_npz(bloom.fp_version, arrays)
     bloom.shard_src_version = bloom.fp_version
     sc.prune_other_versions(bloom.fp_version, bloom.shards)
 

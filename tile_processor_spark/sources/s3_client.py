@@ -63,6 +63,39 @@ _RETRIABLE_STATUSES = frozenset({500, 502, 503, 504})
 _CONN_ERRORS = (ConnectionError, TimeoutError, http.client.HTTPException, OSError)
 
 
+def parse_s3_url(url: str, what: str = "s3 path") -> tuple[str, str]:
+    """``s3://bucket/prefix`` → (bucket, prefix) with trailing slash
+    stripped; raises on a missing bucket or prefix."""
+    rest = url[len("s3://"):] if url.startswith("s3://") else ""
+    bucket, _, prefix = rest.partition("/")
+    prefix = prefix.rstrip("/")
+    if not bucket or not prefix:
+        raise ValueError(f"{what} must be s3://<bucket>/<prefix>, got {url!r}")
+    return bucket, prefix
+
+
+def resolve_s3_config(options: dict | None, what: str) -> dict:
+    """The ONE place client config resolves from options or the
+    ``SPARK_GRAFT_S3_*`` environment — shared by every store/sidecar so
+    a new knob (e.g. session tokens) lands everywhere at once. Returns
+    ``{"endpoint", "access_key", "secret_key", "region"}``; raises with
+    the caller's name when credentials are absent."""
+    opts = dict(options or {})
+    env = os.environ.get
+    cfg = {
+        "endpoint": opts.get("s3_endpoint") or env("SPARK_GRAFT_S3_ENDPOINT"),
+        "access_key": opts.get("s3_access_key") or env("SPARK_GRAFT_S3_ACCESS_KEY"),
+        "secret_key": opts.get("s3_secret_key") or env("SPARK_GRAFT_S3_SECRET_KEY"),
+        "region": opts.get("s3_region") or env("SPARK_GRAFT_S3_REGION") or "us-east-1",
+    }
+    if not (cfg["endpoint"] and cfg["access_key"] and cfg["secret_key"]):
+        raise ValueError(
+            f"{what} needs s3_endpoint/s3_access_key/s3_secret_key "
+            "(options or SPARK_GRAFT_S3_* env)"
+        )
+    return cfg
+
+
 def _parse_s3_timestamp(s: str | None) -> float | None:
     """ISO-8601 listing timestamp (``2009-10-12T17:50:30.000Z``) →
     epoch seconds; ``None`` for absent/unparseable values so retention

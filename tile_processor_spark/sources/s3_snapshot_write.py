@@ -495,18 +495,28 @@ class S3SnapshotWriter(DataSourceArrowWriter):
         committer = S3SnapshotCommitter(self._store)
         keys = sorted(key for key, _st in _message_files(messages))
         stats = _collect_file_stats(committer, messages)
-        if self._part_cols or self._overwrite or not self._store.versions():
+        if self._part_cols or self._overwrite:
             committer.commit_overwrite(
                 keys, self._schema.json(), stats, self._snap_rel,
                 partition_by=self._part_cols or None,
             )
         else:
+            # mode('append') always goes through commit_append — its
+            # empty-table branch creates v1 AND retries on a raced
+            # table creation (two jobs appending to a new table must
+            # BOTH land, one as v1 and one as v2; commit_overwrite's
+            # single-writer contract would fail the loser outright)
             committer.commit_append(
                 keys,
                 self._schema.json(),
                 stats,
                 self._snap_rel,
-                expected_schema=self._expected_schema,
+                # the files were written against self._schema; an
+                # existing table validated (name, type) equality at
+                # init, and a raced creator with a DIFFERENT schema
+                # must fail this check inside the retry, not commit
+                # files the manifest's declared schema contradicts
+                expected_schema=self._schema.json(),
             )
 
     def abort(self, messages) -> None:

@@ -72,25 +72,17 @@ class S3SnapshotStore:
     (rebuilt lazily per process)."""
 
     def __init__(self, path: str, options: dict):
-        import os
+        from tile_processor_spark.sources.s3_client import (
+            parse_s3_url,
+            resolve_s3_config,
+        )
 
-        rest = path[len("s3://"):]
-        self.bucket, _, self.prefix = rest.partition("/")
-        self.prefix = self.prefix.rstrip("/")
-        if not self.bucket or not self.prefix:
-            raise ValueError(
-                f"s3 table path must be s3://<bucket>/<prefix>, got {path!r}"
-            )
-        env = os.environ.get
-        self.endpoint = options.get("s3_endpoint") or env("SPARK_GRAFT_S3_ENDPOINT")
-        self.access_key = options.get("s3_access_key") or env("SPARK_GRAFT_S3_ACCESS_KEY")
-        self.secret_key = options.get("s3_secret_key") or env("SPARK_GRAFT_S3_SECRET_KEY")
-        self.region = options.get("s3_region") or env("SPARK_GRAFT_S3_REGION") or "us-east-1"
-        if not (self.endpoint and self.access_key and self.secret_key):
-            raise ValueError(
-                "s3:// snapshot reads need s3_endpoint/s3_access_key/"
-                "s3_secret_key (options or SPARK_GRAFT_S3_* env)"
-            )
+        self.bucket, self.prefix = parse_s3_url(path, "s3 table path")
+        cfg = resolve_s3_config(options, "s3:// snapshot tables")
+        self.endpoint = cfg["endpoint"]
+        self.access_key = cfg["access_key"]
+        self.secret_key = cfg["secret_key"]
+        self.region = cfg["region"]
         self._client = None
 
     def __getstate__(self):
@@ -160,7 +152,7 @@ def vacuum_store(
     path: str,
     options: dict | None = None,
     keep_last: int = 2,
-    claim_ttl_s: float = 3600.0,
+    claim_ttl_s: float = 86400.0,
     force: bool = False,
 ) -> dict:
     """VACUUM for an S3-RESIDENT snapshot mirror: drop all but the last
@@ -179,8 +171,12 @@ def vacuum_store(
     append publish a manifest pointing at deleted objects. Only keys
     whose LastModified (from the same single listing pass) is older
     than the window are reclaimed; a missing LastModified counts as too
-    young (never-delete is sound, wrongly-delete is data loss). Pass
-    ``claim_ttl_s=0`` only under declared writer quiescence.
+    young (never-delete is sound, wrongly-delete is data loss). The
+    CONTRACT: ``claim_ttl_s`` must exceed the longest
+    staging-to-publish duration of any writer on the table — a commit
+    that outlasts the window re-opens the race. The 24 h default covers
+    multi-hour large-table writes; pass ``claim_ttl_s=0`` only under
+    declared writer quiescence.
 
     Also sweeps ORPHANED MULTIPART UPLOADS under the table prefix older
     than the same window (ListMultipartUploads + Abort): a writer crash
@@ -239,6 +235,16 @@ def vacuum_store(
         if key in referenced:
             continue
         if not any(key.startswith(p) for p in data_prefixes):
+            continue
+        base = key.rsplit("/", 1)[-1]
+        if not (
+            base.endswith(".parquet")
+            or base.startswith("_")
+            or base.startswith(".")
+        ):
+            # same filename scope as the local vacuum: foreign objects
+            # a user parked under the data prefix are not ours to
+            # delete (the docstring's conservative-scope promise)
             continue
         if mtime is None or mtime > cutoff:
             continue  # in-flight-append grace: too young to reclaim

@@ -964,7 +964,7 @@ def _apply_where(df: DataFrame, where: list[tuple] | None) -> DataFrame:
 def vacuum(
     table_path: str,
     keep_last: int = 2,
-    claim_ttl_s: float = 3600.0,
+    claim_ttl_s: float = 86400.0,
     force: bool = False,
 ) -> dict:
     """Drop all but the last ``keep_last`` manifests and delete data
@@ -985,8 +985,12 @@ def vacuum(
     pointing at deleted data (permanent loss). Files are reclaimed only
     after ``claim_ttl_s`` of mtime inactivity — Delta's VACUUM
     retention check, here keyed to the commit window rather than the
-    reader window. Pass ``claim_ttl_s=0`` only under declared writer
-    quiescence (no commit in flight anywhere).
+    reader window. The CONTRACT is therefore: ``claim_ttl_s`` must
+    exceed the longest staging-to-publish duration of any writer on
+    the table — a commit that outlasts the window re-opens the race.
+    The 24 h default covers multi-hour large-table writes; pass
+    ``claim_ttl_s=0`` only under declared writer quiescence (no commit
+    in flight anywhere).
 
     Also reclaims stale ``.manifest.tmp.*`` staging files under the
     same window: a committer that died hard (kill -9) before its

@@ -275,15 +275,20 @@ class FakeS3Handler(BaseHTTPRequestHandler):
         if q.get("list-type") == "2":
             prefix = q.get("prefix", "")
             mtimes = self.server.mtimes  # type: ignore[attr-defined]
-            keys = sorted(
-                k for k in self._objects() if k.startswith(prefix)
-            )
+            with self._lock():  # snapshot under the writers' lock — a
+                # concurrent PUT mutating the dict mid-iteration would
+                # 500 the listing (dict changed size during iteration)
+                snap = {
+                    k: (len(v), mtimes.get(k))
+                    for k, v in self._objects().items()
+                    if k.startswith(prefix)
+                }
             items = "".join(
                 f"<Contents><Key>{k}</Key>"
-                f"<Size>{len(self._objects()[k])}</Size>"
-                f"<LastModified>{iso_timestamp(mtimes.get(k))}</LastModified>"
+                f"<Size>{size}</Size>"
+                f"<LastModified>{iso_timestamp(mt)}</LastModified>"
                 "</Contents>"
-                for k in keys
+                for k, (size, mt) in sorted(snap.items())
             )
             return self._respond(
                 200,
@@ -314,10 +319,11 @@ class FakeS3Handler(BaseHTTPRequestHandler):
                 ).encode(),
             )
         key = self._key()
-        if key not in self._objects():
+        with self._lock():
+            body = self._objects().get(key)
+        if body is None:
             return self._err(404, "NoSuchKey")
-        self._respond(200, self._objects()[key],
-                      content_type="application/octet-stream")
+        self._respond(200, body, content_type="application/octet-stream")
 
     def do_HEAD(self) -> None:  # noqa: N802
         if self._maybe_fault():
@@ -326,9 +332,11 @@ class FakeS3Handler(BaseHTTPRequestHandler):
         if bad:
             return self._err(403, "SignatureDoesNotMatch")
         key = self._key()
-        if key not in self._objects():
+        with self._lock():
+            body = self._objects().get(key)
+        if body is None:
             return self._err(404, "NoSuchKey")
-        self._respond(200, self._objects()[key])
+        self._respond(200, body)
 
     def do_DELETE(self) -> None:  # noqa: N802
         if self._maybe_fault():

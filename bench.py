@@ -195,6 +195,43 @@ def main() -> None:
         calib = round(min(calib, time.perf_counter() - t0), 4)
         time.sleep(0.5)
     print(f"[bench] calibration range-sum (min/5): {calib:.2f}s", file=sys.stderr, flush=True)
+
+    # I/O-aware calibration companion (round 15, VERDICT r14): the
+    # CPU-only range-sum probe is blind to I/O stalls — a stall window
+    # that hits the workload but not the probe makes the normalized
+    # number look honest when it is not (documented twice in SCALE.md
+    # r14). This second component times a fixed parquet scan+agg —
+    # file listing, footer decode, column decode, the storage path the
+    # workload actually exercises. The probe data regenerates per run
+    # (deterministic content) under the default tempdir — NOT /dev/shm,
+    # which session.py routes shuffle to — and min-of-5 estimates
+    # uncontended capability exactly like the CPU probe. Recorded as a
+    # SECOND component; the close normalizes against the combined sum.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    probe_dir = _tempfile.mkdtemp(prefix="tps_bench_ioprobe_")
+    try:
+        spark.range(0, 10_000_000, 1, 32).selectExpr(
+            "id",
+            "cast(id % 97 as double) as a",
+            "cast(id % 101 as double) as b",
+        ).write.mode("overwrite").parquet(probe_dir + "/t")
+        io_calib = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            spark.read.parquet(probe_dir + "/t").selectExpr(
+                "sum(a * b + id)"
+            ).collect()
+            io_calib = round(min(io_calib, time.perf_counter() - t0), 4)
+            time.sleep(0.5)
+    finally:
+        _shutil.rmtree(probe_dir, ignore_errors=True)
+    print(
+        f"[bench] calibration parquet scan+agg (min/5): {io_calib:.2f}s",
+        file=sys.stderr,
+        flush=True,
+    )
     time.sleep(2)
 
     # Measured passes: two full interleaved rounds, best time per query.
@@ -282,6 +319,12 @@ def main() -> None:
         # r1-r5 calibration values are single-shot and NOT comparable.
         "calibration_method": "min_of_5_range_sum",
         "calibration_ref_sec": CALIB_REF_SEC,
+        # second probe component (round 15): fixed parquet scan+agg —
+        # the I/O-path twin of the CPU probe; the bench close's
+        # normalized targets divide by (range_sum + scan_agg) so stall
+        # windows that only hit storage still normalize honestly
+        "calibration_scan_agg_sec": io_calib,
+        "calibration_combined_sec": round(calib + io_calib, 4),
         "value_calibrated": round(total * (CALIB_REF_SEC / calib), 4) if calib > 0 else total,
     }
     if rel_out:
@@ -300,6 +343,9 @@ def main() -> None:
             out["control_fresh_sum"] = ctl["value"]
             out["control_fresh_calibration_sec"] = ctl.get(
                 "calibration_range_sum_sec"
+            )
+            out["control_fresh_calibration_scan_sec"] = ctl.get(
+                "calibration_scan_agg_sec"
             )
             if ctl["value"] > 0:
                 out["control_insuite_over_fresh"] = round(

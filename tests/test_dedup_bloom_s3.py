@@ -100,8 +100,9 @@ def test_s3_sidecar_sharded_parity_with_local(spark, tmp_path, fake_s3):
 def test_s3_sidecar_fold_in_carries_by_server_side_copy(spark, tmp_path, fake_s3):
     """fold_in touches ONE shard object (GET+PUT); save_bloom carries
     the untouched shards to the new version via CopyObject and prunes
-    the old version's objects — no bitmap bytes transit the driver for
-    untouched shards, no stale objects linger."""
+    superseded objects — RETAINING the most recent superseded version
+    (round 15: a concurrent reader still on the previous version never
+    pays a mid-job rebuild; versions two+ behind are reclaimed)."""
     fps, df = _fps_df(spark)
     root = str(tmp_path / "fps")
     b = build_bloom(spark, root, 5, df, 600,
@@ -114,12 +115,24 @@ def test_s3_sidecar_fold_in_carries_by_server_side_copy(spark, tmp_path, fake_s3
     save_bloom(root, b2)
     r2 = load_bloom(root, 6, sidecar=SIDECAR_URL)
     assert r2 is not None and r2.n == 601 and r2.shards == 4
-    # old version's objects pruned; v6 has the full shard set + state
+
+    def _version_files(v: int) -> set:
+        return {
+            f"sidecars/fps/state-v{v}.npz",
+            *{f"sidecars/fps/state-v{v}-s{s}.npy" for s in range(4)},
+        }
+
+    # the immediately superseded v5 is RETAINED alongside v6
     keys = set(S3BloomSidecar(SIDECAR_URL).client().list_objects("sidecars/fps/"))
-    assert keys == {
-        "sidecars/fps/state-v6.npz",
-        *{f"sidecars/fps/state-v6-s{s}.npy" for s in range(4)},
-    }
+    assert keys == _version_files(5) | _version_files(6)
+    # ...and a reader still on v5 loads it intact, no rebuild
+    assert load_bloom(root, 5, sidecar=SIDECAR_URL) is not None
+
+    # a THIRD version reclaims v5 (two behind) while keeping v6
+    b3 = fold_in(r2, spark.createDataFrame([("newer-fp",)], "fp string"), 1, 7)
+    save_bloom(root, b3)
+    keys = set(S3BloomSidecar(SIDECAR_URL).client().list_objects("sidecars/fps/"))
+    assert keys == _version_files(6) | _version_files(7)
     # every original fp still maybe-present through the carried shards
     flagged = with_maybe_kept(df, r2)
     assert flagged.filter("NOT _maybe_kept").count() == 0
@@ -202,3 +215,35 @@ def test_s3_sidecar_end_to_end_incremental_dedup(spark, tmp_path, fake_s3):
     )
     assert docs == distinct_texts
     assert not fake_s3.rejections
+
+
+def test_cache_root_squat_refused(fake_s3, tmp_path, monkeypatch):
+    """ADVICE r14: makedirs(mode=0o700, exist_ok=True) does not apply
+    the mode to a PRE-EXISTING directory — a local attacker who
+    pre-creates the per-UID cache root could plant size-valid shard
+    files (bloom false negatives). The fetch-through cache must verify
+    ownership + no group/other write bits and refuse, on the hit path
+    too (a pre-planted size-valid file must never be served)."""
+    import os
+    import tempfile
+
+    uid = os.getuid()
+    root = tmp_path / f"tps_bloom_cache-{uid}"
+    root.mkdir()
+    os.chmod(root, 0o777)  # squatted: world-writable
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    sc = S3BloomSidecar(SIDECAR_URL)
+    with pytest.raises(RuntimeError, match="cache root"):
+        sc.local_shard_path(1, 0, 1)
+    # pre-plant a size-valid file where the hit path would find it:
+    # still refused (verification precedes the size check)
+    d = sc._cache_dir()
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "state-v1-s0.npy"), "wb") as f:
+        f.write(b"poisoned bytes")
+    with pytest.raises(RuntimeError, match="cache root"):
+        sc.local_shard_path(1, 0, 1)
+    # a properly-owned 0700 root passes verification (the next failure,
+    # if any, is the missing remote object — not ownership)
+    os.chmod(root, 0o700)
+    assert sc.local_shard_path(1, 0, 1).endswith("state-v1-s0.npy")

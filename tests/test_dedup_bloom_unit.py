@@ -329,13 +329,19 @@ def test_sharded_fold_in_touches_only_hit_shards(sharded, spark, tmp_path):
             assert np.array_equal(after & before[s], before[s])
         else:
             assert np.array_equal(after, before[s])
-    # untouched shards were hardlinked, not copied
-    st_old = mod._shard_path(root, 5, (target + 1) % 4)
-    # v5 files are cleaned by save_bloom; the v6 untouched file must
-    # still test all original fps maybe-present
+    # the v6 untouched file must still test all original fps
+    # maybe-present
     flagged = with_maybe_kept(df, r2)
     assert flagged.filter("NOT _maybe_kept").count() == 0
-    assert not __import__("os").path.exists(st_old)  # old version pruned
+    # round 15 retention: the immediately superseded v5 is RETAINED (a
+    # reader mid-job on it never rebuilds); a v7 publish reclaims it
+    st_old = mod._shard_path(root, 5, (target + 1) % 4)
+    assert __import__("os").path.exists(st_old)
+    assert load_bloom(root, 5) is not None
+    b3 = fold_in(r2, spark.createDataFrame([("newer-fp",)], "fp string"), 1, 7)
+    save_bloom(root, b3)
+    assert not __import__("os").path.exists(st_old)  # two behind: pruned
+    assert __import__("os").path.exists(mod._shard_path(root, 6, 0))
 
 
 def test_sharded_missing_shard_file_is_stale(sharded):

@@ -137,15 +137,61 @@ def test_s3_filter_pushdown_skips_and_matches(spark, fake_s3, mirrored):
     assert _rows(remote) == _rows(local)
 
 
-def test_s3_writes_refuse_loudly(spark, fake_s3, mirrored):
+def test_s3_append_onto_mirrored_partitioned_table(spark, fake_s3, mirrored):
+    """Round 15: s3-native APPENDS onto partitioned tables work — the
+    delta's objects carry Hive key chains under their own snap prefix,
+    the committed manifest's LOCAL root re-roots under the virtual
+    root, and the reader's manifest-level pruning resolves partition
+    values for old and new files alike (the delta relativizes to the
+    old base through ``..`` segments, which carry no ``=``)."""
+    before = _rows(_read_s3(spark, fake_s3, "warehouse/s3tbl"))
     df = spark.createDataFrame([("2026", 9, 1.0)], "yr string, k long, v double")
-    with pytest.raises(Exception, match="not\\s+implemented|NotImplemented"):
-        (
-            df.write.format("tps_snapshot")
-            .options(**_s3_opts(fake_s3, "warehouse/s3tbl"))
-            .mode("append")
-            .save()
-        )
+    (
+        df.write.format("tps_snapshot")
+        .options(**_s3_opts(fake_s3, "warehouse/s3tbl"))
+        .mode("append")
+        .save()
+    )
+    got = _read_s3(spark, fake_s3, "warehouse/s3tbl")
+    assert _rows(got) == sorted(before + [("2026", 9, 1.0)])
+    # pruning still plans strictly fewer partitions, and the NEW
+    # partition resolves from the delta's own key chain
+    only_new = _read_s3(
+        spark, fake_s3, "warehouse/s3tbl", partition_filter='{"yr": "2026"}'
+    )
+    assert _rows(only_new) == [("2026", 9, 1.0)]
+    opts = _s3_opts(fake_s3, "warehouse/s3tbl")
+    schema = got.schema
+    all_parts = SnapshotReader(schema, dict(opts)).partitions()
+    pruned = SnapshotReader(
+        schema, {**opts, "partition_filter": '{"yr": "2026"}'}
+    ).partitions()
+    assert 0 < len(pruned) < len(all_parts)
+    assert not fake_s3.rejections
+
+
+def test_s3_vacuum_pre_root_manifest_friendly_error(spark, fake_s3, mirrored):
+    """vacuum_store on a mirror whose latest manifest predates the root
+    field must raise the same friendly ValueError as the read paths —
+    and must do so BEFORE deleting anything (the referenced-set build
+    precedes the sweep)."""
+    import json
+
+    from tile_processor_spark.sources.s3_client import S3Client
+    from tile_processor_spark.sources.snapshot_datasource import vacuum_store
+
+    host, port = fake_s3.server_address
+    c = S3Client(f"http://{host}:{port}", BUCKET, ACCESS, SECRET, region=REGION)
+    key = "warehouse/s3tbl/manifest-v00000002.json"
+    m = json.loads(c.get_object(key))
+    m.pop("root", None)
+    c.put_object(key, json.dumps(m).encode())
+    keys_before = sorted(c.list_objects("warehouse/s3tbl/"))
+    opts = {k: v for k, v in _s3_opts(fake_s3, "warehouse/s3tbl").items()
+            if k != "path"}
+    with pytest.raises(ValueError, match="root.*recommit|recommit"):
+        vacuum_store(f"s3://{BUCKET}/warehouse/s3tbl", opts, keep_last=1)
+    assert sorted(c.list_objects("warehouse/s3tbl/")) == keys_before
 
 
 def test_s3_pre_root_manifest_refuses(spark, fake_s3, mirrored):

@@ -356,8 +356,7 @@ def test_s3_partitioned_overwrite_write_and_pruned_read(spark, fake_s3):
     makes executors PUT one object per occupied partition value under
     a Hive col=val key chain; the manifest records the scheme, so the
     round-13 reader's driver-side partition pruning and committed-dtype
-    re-attachment work unchanged on a native table. Appending onto it
-    still refuses with mount guidance."""
+    re-attachment work unchanged on a native table."""
     from tile_processor_spark.sources.snapshot_datasource import (
         SnapshotReader,
     )
@@ -395,9 +394,220 @@ def test_s3_partitioned_overwrite_write_and_pruned_read(spark, fake_s3):
     assert 0 < len(pruned) < len(all_parts)
     got_f = _read(spark, fake_s3, prefix, partition_filter='{"status": "F"}')
     assert _rows(got_f.select("k")) == [(1,), (2,)]
+    assert not fake_s3.rejections
 
-    with pytest.raises(Exception, match="PARTITIONED|S3CommitFS"):
-        _write(df, fake_s3, prefix, "append")
+
+def test_s3_partitioned_append_roundtrip_and_pruning(spark, fake_s3):
+    """Round 15: APPEND onto a partitioned native table — the delta's
+    objects carry Hive key chains under their own ``data/<uuid>/``
+    prefix (no shared-tree re-home); the append manifest carries the
+    committed ``partition_by`` forward; pruned reads resolve partition
+    values for v1 files (relative to the manifest base) and delta
+    files (through ``..`` segments) alike; time travel sees v1
+    unchanged."""
+    from tile_processor_spark.sources.snapshot_datasource import (
+        SnapshotReader,
+    )
+
+    prefix = "warehouse/native_part_append"
+    df1 = spark.createDataFrame(
+        [("F", 1, 10.0), ("O", 2, 20.0)], "status string, k long, v double"
+    )
+    (
+        df1.write.format("tps_snapshot")
+        .options(**_s3_opts(fake_s3, prefix))
+        .option("partition_by", "status")
+        .mode("overwrite")
+        .save()
+    )
+    df2 = spark.createDataFrame(
+        [("F", 3, 30.0), ("P", 4, 40.0)], "status string, k long, v double"
+    )
+    _write(df2, fake_s3, prefix, "append")
+
+    m2 = json.loads(
+        _client(fake_s3).get_object(f"{prefix}/manifest-v00000002.json")
+    )
+    assert m2["partition_by"] == ["status"]
+    assert m2["appended_to"] == 1
+    # delta keys carry chains; partition cols stay OUT of the data bytes
+    assert all("status=" in f for f in m2["appended_files"])
+
+    got = _read(spark, fake_s3, prefix)
+    assert _rows(got) == [
+        ("F", 1, 10.0), ("F", 3, 30.0), ("O", 2, 20.0), ("P", 4, 40.0),
+    ]
+    assert _rows(_read(spark, fake_s3, prefix, version="1")) == [
+        ("F", 1, 10.0), ("O", 2, 20.0),
+    ]
+    # pruning spans both the v1 base and the delta prefix: the F filter
+    # must keep exactly the two F files (one per snap prefix) and the
+    # P filter exactly the delta's P file
+    opts = _s3_opts(fake_s3, prefix)
+    schema = got.schema
+    all_parts = SnapshotReader(schema, dict(opts)).partitions()
+    f_parts = SnapshotReader(
+        schema, {**opts, "partition_filter": '{"status": "F"}'}
+    ).partitions()
+    assert 0 < len(f_parts) < len(all_parts)
+    assert _rows(
+        _read(spark, fake_s3, prefix, partition_filter='{"status": "F"}')
+        .select("k")
+    ) == [(1,), (3,)]
+    assert _rows(
+        _read(spark, fake_s3, prefix, partition_filter='{"status": "P"}')
+        .select("k")
+    ) == [(4,)]
+    assert not fake_s3.rejections
+
+
+def test_s3_partitioned_append_creates_new_table(spark, fake_s3):
+    """mode('append') + partition_by on a nonexistent table creates v1
+    PARTITIONED through commit_append's race-safe path (not
+    commit_overwrite — a raced creator must never be silently
+    replaced under append semantics)."""
+    prefix = "warehouse/native_part_birth"
+    df = spark.createDataFrame([("a", 1)], "g string, k long")
+    (
+        df.write.format("tps_snapshot")
+        .options(**_s3_opts(fake_s3, prefix))
+        .option("partition_by", "g")
+        .mode("append")
+        .save()
+    )
+    m1 = json.loads(
+        _client(fake_s3).get_object(f"{prefix}/manifest-v00000001.json")
+    )
+    assert m1["partition_by"] == ["g"]
+    assert m1["appended_files"] == m1["files"]  # version-stream contract
+    assert _rows(_read(spark, fake_s3, prefix)) == [("a", 1)]
+
+
+def test_s3_partitioned_concurrent_appends_both_land(spark, fake_s3):
+    """The lost-race path on a PARTITIONED table: the loser's
+    conditional PUT answers 412 and the retry re-validates the
+    partition scheme against the fresh latest before committing on
+    top — both deltas land, all partition values resolve."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    prefix = "warehouse/native_part_race"
+    (
+        spark.createDataFrame([("a", 0)], "g string, k long")
+        .write.format("tps_snapshot")
+        .options(**_s3_opts(fake_s3, prefix))
+        .option("partition_by", "g")
+        .mode("overwrite")
+        .save()
+    )
+
+    def _append(k: int) -> None:
+        _write(
+            spark.createDataFrame([(f"g{k}", k)], "g string, k long"),
+            fake_s3, prefix, "append",
+        )
+
+    with ThreadPoolExecutor(2) as ex:
+        list(ex.map(_append, [1, 2]))
+    assert _rows(_read(spark, fake_s3, prefix)) == [
+        ("a", 0), ("g1", 1), ("g2", 2),
+    ]
+    m3 = json.loads(
+        _client(fake_s3).get_object(f"{prefix}/manifest-v00000003.json")
+    )
+    assert m3["partition_by"] == ["g"]
+    assert not fake_s3.rejections
+
+
+def test_s3_partitioned_append_scheme_mismatch_refuses(spark, fake_s3):
+    """Scheme drift refuses loudly at both layers: (a) a partition_by
+    option that contradicts the committed scheme fails at writer init;
+    (b) a raced creation whose scheme differs from the delta's key
+    chains fails inside commit_append's retry — never a manifest whose
+    declared scheme contradicts its files."""
+    from tile_processor_spark.sources.s3_snapshot_write import (
+        S3SnapshotCommitter,
+    )
+    from tile_processor_spark.sources.snapshot_datasource import S3SnapshotStore
+
+    prefix = "warehouse/native_part_drift"
+    df = spark.createDataFrame([("a", 1)], "g string, k long")
+    (
+        df.write.format("tps_snapshot")
+        .options(**_s3_opts(fake_s3, prefix))
+        .option("partition_by", "g")
+        .mode("overwrite")
+        .save()
+    )
+    with pytest.raises(Exception, match="does not match the committed"):
+        (
+            df.write.format("tps_snapshot")
+            .options(**_s3_opts(fake_s3, prefix))
+            .option("partition_by", "k")
+            .mode("append")
+            .save()
+        )
+    # committer-level: flat delta keys vs a partitioned table (the
+    # raced-creation shape the writer init cannot see)
+    store = S3SnapshotStore(f"s3://{BUCKET}/{prefix}", _s3_opts(fake_s3, prefix))
+    c = _client(fake_s3)
+    key = f"{prefix}/data/driftsnap/part-flat.parquet"
+    c.put_object(key, b"flat bytes")
+    committer = S3SnapshotCommitter(store)
+    with pytest.raises(ValueError, match="partitioned by"):
+        committer.commit_append(
+            [key], store.manifest(1)["schema"], {}, "data/driftsnap"
+        )
+
+
+def test_s3_partitioned_stream_sink(spark, fake_s3, tmp_path):
+    """The streaming sink inherits a partitioned table's scheme: each
+    micro-batch's objects carry Hive key chains, partition values
+    resolve on read, and a writer whose query schema drifted from the
+    committed table refuses at sink construction (round-15 init
+    check)."""
+    from tile_processor_spark.sources.s3_snapshot_write import (
+        S3SnapshotStreamWriter,
+    )
+    from tile_processor_spark.sources.snapshots import append_snapshot
+
+    prefix = "warehouse/native_part_sink"
+    (
+        spark.createDataFrame([("F", 1)], "status string, k long")
+        .write.format("tps_snapshot")
+        .options(**_s3_opts(fake_s3, prefix))
+        .option("partition_by", "status")
+        .mode("overwrite")
+        .save()
+    )
+    src = str(tmp_path / "src")
+    append_snapshot(
+        spark.createDataFrame([("O", 2), ("F", 3)], "status string, k long"),
+        src,
+    )
+    writer = (
+        spark.readStream.format("tps_snapshot").option("path", src).load()
+        .writeStream.format("tps_snapshot")
+    )
+    for k, v in _s3_opts(fake_s3, prefix).items():
+        writer = writer.option(k, v)
+    q = writer.option("stream_app_id", "p1").option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _rows(_read(spark, fake_s3, prefix)) == [("F", 1), ("F", 3), ("O", 2)]
+    assert _rows(
+        _read(spark, fake_s3, prefix, partition_filter='{"status": "O"}')
+    ) == [("O", 2)]
+    # schema drift refuses at sink construction, not at first commit
+    with pytest.raises(ValueError, match="does not match\\s+committed"):
+        S3SnapshotStreamWriter(
+            spark.createDataFrame([(1,)], "k long").schema,
+            {**_s3_opts(fake_s3, prefix), "stream_app_id": "p1"},
+            False,
+        )
     assert not fake_s3.rejections
 
 

@@ -62,102 +62,92 @@ def register(
 #: depositing this round's own file mid-round cannot retroactively
 #: invalidate the committed window (round-9 lifecycle bug). Bump this
 #: and regenerate the window together at each round start.
-_STAGED_FOR_ROUND: int = 14
+_STAGED_FOR_ROUND: int = 15
 
 #: rows whose CODE was re-planned since the previous staging commit —
 #: DERIVED MECHANICALLY (tools/gate_rotation.py derive_changed: git
-#: diff 1f60667..worktree -> modules -> reverse-import closure, with
+#: diff d5a4452..worktree -> modules -> reverse-import closure, with
 #: per-NAME granularity inside a row's own module: changed lines
 #: attribute to their owning top-level node and resolve through the
-#: module's internal reference graph). Round 14: the vacuum retention
-#: window (snapshots.py), the s3-native write plane + datasource
-#: wiring, and the sidecar-store refactor (dedup_bloom.py) mark the
-#: snapshot + multimodal families (21 rows incl. the NEW
-#: snapshot_s3_write_read).
+#: module's internal reference graph). Round 15: partitioned
+#: s3-native appends + stream-sink scheme inheritance
+#: (s3_snapshot_write.py), the vacuum_store root guard
+#: (snapshot_datasource.py), the sidecar retention window + cache
+#: ownership check (dedup_bloom.py), and the gate module's assert
+#: hygiene + the NEW snapshot_s3_partitioned_append row mark the
+#: snapshot family (10 rows).
 #: To restage: python tools/gate_rotation.py --since <staging commit>
 #: (find it via: git log -S"_STAGED_FOR_ROUND: int = <N>").
 _ROUND_CHANGED: tuple[str, ...] = (
+    "snapshot_s3_write_read",
     "snapshot_datasource_read",
-    "multimodal_jpeg_cmyk",
-    "multimodal_jpeg_progressive",
     "snapshot_merge_upsert_state",
     "snapshot_time_travel_diff",
-    "multimodal_frame_sample",
-    "multimodal_bmp_decode",
-    "multimodal_bmp_resize2d",
-    "multimodal_wav_decode",
-    "multimodal_png_decode",
-    "multimodal_video_frame_sample",
     "snapshot_schema_evolution_state",
     "snapshot_schema_evolution_diff",
     "snapshot_partition_pruned_read",
-    "multimodal_jpeg_decode",
     "snapshot_incremental_dedup",
     "snapshot_where_pruned_read",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_dedup_binary",
-    "snapshot_s3_write_read",
+    "snapshot_s3_partitioned_append",
 )
 
-# Round-14 window: q1 (flagship), the never-gated s3-native write row
-# first among the changed set, the rest of the changed set
-# (_ROUND_CHANGED), then the ENTIRE r8 staleness tail (16 rows: the
-# events robust-stats family + the stream_* sketch rows) and the start
-# of the r9 tail — after this round no row's evidence is older than r9
-# (the r12 close's ask, deferred one round by the r13 changed-set
-# priority).
+# Round-15 window: q1 (flagship), the never-gated partitioned-append
+# row first among the changed set, the rest of the changed snapshot
+# family, then the ENTIRE r9 staleness tail (33 rows:
+# ann/cc/dedup-eval/sampling/q15-q17/text families) and six r10 rows
+# to fill — after this round no row's evidence is older than r10
+# (the r14 verdict's ask, item 2).
 _GATE_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
+    "snapshot_s3_partitioned_append",
     "snapshot_s3_write_read",
     "snapshot_datasource_read",
-    "multimodal_jpeg_cmyk",
-    "multimodal_jpeg_progressive",
     "snapshot_merge_upsert_state",
     "snapshot_time_travel_diff",
-    "multimodal_frame_sample",
-    "multimodal_bmp_decode",
-    "multimodal_bmp_resize2d",
-    "multimodal_wav_decode",
-    "multimodal_png_decode",
-    "multimodal_video_frame_sample",
     "snapshot_schema_evolution_state",
     "snapshot_schema_evolution_diff",
     "snapshot_partition_pruned_read",
-    "multimodal_jpeg_decode",
     "snapshot_incremental_dedup",
     "snapshot_where_pruned_read",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_dedup_binary",
-    "events_funnel",
-    "events_retention_cohorts",
-    "rolling_distinct_hll",
-    "stream_kmv_distinct_users",
-    "stream_hll_distinct_users",
-    "stream_cms_event_type_counts",
-    "stream_hist_quantiles",
-    "stream_topk_heavy_users",
-    "stream_sessionize_late_events",
-    "events_interval_overlap",
-    "events_cusum_drift",
-    "events_twap_hourly",
-    "events_rolling_median",
-    "events_ewma_approx",
-    "events_anomaly_intervals",
-    "events_winsorized_stats",
-    "semi_join_intersection",
-    "topk_per_group",
-    "regexp_extract_ids",
-    "union_dedup",
-    "q12_priority_by_status",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q19_disjunctive_pred",
-    "q22_idle_customers",
-    "window_running_sum",
-    "window_order_gaps",
-    "rollup_order_stats",
+    "window_rank_family",
+    "grouping_sets_order_stats",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q20_substantial_suppliers",
+    "q21_waiting_suppliers",
+    "lateral_top_order_per_customer",
+    "lineitem_weighted_median",
+    "dedup_simhash",
+    "ann_lsh_buckets",
+    "dedup_ngram_jaccard_sampled",
+    "ann_ivf_search",
+    "text_chunk_windows",
+    "dedup_connected_components",
+    "dedup_keep_canonical",
+    "sample_stratified",
+    "sample_per_group_topk",
+    "sample_split_assign",
+    "embedding_dim_stats",
+    "curate_quality_by_cluster",
+    "text_repetition_stats",
+    "text_top_terms",
+    "embedding_normalize",
+    "corpus_shard_assign",
+    "text_doc_frequency_score",
+    "dedup_connected_components_star",
+    "sample_temperature_mixture",
+    "corpus_curation_manifest",
+    "ann_pq_adc_recall",
+    "spatial_tin_simplify",
+    "spatial_zorder_keys",
+    "dedup_minhash_recall_sampled",
+    "window_range_frame_spend",
+    "scd2_snapshot_values",
+    "sessionize_gap_ids",
+    "islands_active_days",
+    "price_band_assign",
+    "argmax_order_per_customer",
 )
 
 

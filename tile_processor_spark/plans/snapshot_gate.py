@@ -40,6 +40,14 @@ _V1_BEFORE = "1996-01-01"  # version 1: all orders before 1996
 _V2_BEFORE = "1997-01-01"  # version 2 delta: the 1996 order year
 
 
+def _expect(cond: bool, msg: str) -> None:
+    """Invariant guard for registered gate paths that survives
+    ``python -O`` — a bare ``assert`` is stripped under optimization,
+    and these checks are part of the row's evidence (VERDICT r14)."""
+    if not cond:
+        raise RuntimeError(msg)
+
+
 def _period_state(spark: SparkSession, sf_dir: str, lo: str | None, hi: str) -> DataFrame:
     """Per-customer (n_orders, spend) over one o_orderdate period —
     decimal-exact spend, ONE double cast at the end (float discipline)."""
@@ -77,11 +85,11 @@ def _build_two_versions(spark: SparkSession, sf_dir: str) -> str:
     shutil.rmtree(table)
     atexit.register(shutil.rmtree, table, ignore_errors=True)
     v1 = write_snapshot(_period_state(spark, sf_dir, None, _V1_BEFORE), table)
-    assert v1 == 1
+    _expect(v1 == 1, f"expected v1, got {v1}")
     v2 = upsert_snapshot(
         _period_state(spark, sf_dir, _V1_BEFORE, _V2_BEFORE), table, ["custkey"]
     )
-    assert v2 == 2
+    _expect(v2 == 2, f"expected v2, got {v2}")
     _BUILD_CACHE[key] = table
     return table
 
@@ -204,14 +212,14 @@ def _build_evolved_versions(spark: SparkSession, sf_dir: str) -> str:
     shutil.rmtree(table)
     atexit.register(shutil.rmtree, table, ignore_errors=True)
     v1 = write_snapshot(_period_state(spark, sf_dir, None, _V1_BEFORE), table)
-    assert v1 == 1
+    _expect(v1 == 1, f"expected v1, got {v1}")
     v2 = upsert_snapshot(
         _delta_with_last_order(spark, sf_dir),
         table,
         ["custkey"],
         allow_new_columns=True,
     )
-    assert v2 == 2
+    _expect(v2 == 2, f"expected v2, got {v2}")
     _EVOLVE_CACHE[key] = table
     return table
 
@@ -321,7 +329,7 @@ def _build_partitioned(spark: SparkSession, sf_dir: str) -> str:
         .alias("spend"),
     )
     v = write_snapshot(state, table, partition_by=["status"])
-    assert v == 1
+    _expect(v == 1, f"expected v1, got {v}")
     _PARTITIONED_CACHE[key] = table
     return table
 
@@ -602,9 +610,110 @@ def snapshot_s3_write_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k, v in opts.items():
                 w = w.option(k, v)
             w.mode(mode).save()
-        assert not srv.rejections, srv.rejections  # every request signed
+        _expect(not srv.rejections, f"unsigned requests: {srv.rejections}")
         _S3_NATIVE_CACHE[key] = opts
     r = spark.read.format("tps_snapshot")
     for k, v in opts.items():
         r = r.option(k, v)
     return r.load().select("doc_id", "src_part", "fp")
+
+
+# --- S3-native PARTITIONED append -> pruned read (round 15) ------------------
+
+_S3_PART_CACHE: dict[tuple[str, str], dict] = {}
+
+
+@register(
+    "snapshot_s3_partitioned_append",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_custkey
+    """,
+    doc=(
+        "S3-NATIVE APPEND onto a PARTITIONED snapshot table — the "
+        "date-partitioned incremental-ingest shape at 100 TB (VERDICT "
+        "r14 Missing #1): the even half of orders commits as v1 "
+        "Hive-partitioned by o_orderstatus (executors PUT one object "
+        "per occupied partition value under a col=val key chain), the "
+        "odd half lands as an optimistic-concurrency APPEND whose "
+        "delta objects carry their own chains under a NEW snap prefix "
+        "— no shared-tree re-home; the reader prunes driver-side from "
+        "the manifest, resolving partition values for v1 files "
+        "(relative to the base) and delta files (through '..' "
+        "segments) alike. The result is the latest version read with "
+        "partition_filter status='F' — files of the other statuses "
+        "from BOTH snap prefixes are never planned — aggregated per "
+        "customer. The oracle recomputes the F-state from raw orders; "
+        "a committer that dropped the scheme from the append manifest, "
+        "a pruner that missed delta files, or a lost partition column "
+        "breaks parity. Scale: append cost is O(delta objects) + one "
+        "conditional PUT; pruning is O(manifest), not O(listing)."
+    ),
+    tags=("snapshot", "s3", "partition-pruning", "connector", "storage"),
+)
+def snapshot_s3_partitioned_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tile_processor_spark.sources.snapshot_datasource import (
+        register as reg_ds,
+    )
+
+    reg_ds(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    opts = _S3_PART_CACHE.get(key)
+    if opts is None:
+        from tile_processor_spark.testing.fake_s3 import start_fake_s3
+
+        ak, sk = _S3_GATE_CREDS
+        srv = start_fake_s3(ak, sk)  # daemon thread; dies with the process
+        host, port = srv.server_address
+        opts = {
+            "path": "s3://tps-gate-bucket/warehouse/orders_by_status",
+            "s3_endpoint": f"http://{host}:{port}",
+            "s3_access_key": ak,
+            "s3_secret_key": sk,
+        }
+        orders = load_table(spark, "orders", sf_dir).select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        for parity, mode in ((0, "overwrite"), (1, "append")):
+            w = orders.filter(F.col("okey") % 2 == parity).write.format(
+                "tps_snapshot"
+            )
+            for k, v in opts.items():
+                w = w.option(k, v)
+            if mode == "overwrite":
+                w = w.option("partition_by", "status")
+            w.mode(mode).save()
+        _expect(not srv.rejections, f"unsigned requests: {srv.rejections}")
+        # the append manifest must carry the scheme forward and its
+        # delta keys their own Hive chains (the contract under test)
+        from tile_processor_spark.sources.snapshot_datasource import (
+            S3SnapshotStore,
+        )
+
+        m2 = S3SnapshotStore(opts["path"], opts).manifest(2)
+        _expect(
+            m2.get("partition_by") == ["status"],
+            f"append manifest lost the scheme: {m2.get('partition_by')}",
+        )
+        _expect(
+            all("status=" in f for f in m2["appended_files"]),
+            "delta objects missing their Hive key chains",
+        )
+        _S3_PART_CACHE[key] = opts
+    r = spark.read.format("tps_snapshot").option(
+        "partition_filter", '{"status": "F"}'
+    )
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load().groupBy("custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("price").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("spend"),
+    )

@@ -59,6 +59,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from dataclasses import dataclass, field
 
@@ -135,6 +136,35 @@ def _shard_name(version: int, shard: int) -> str:
     return f"state-v{version}-s{shard}.npy"
 
 
+_SIDECAR_FILE_RE = re.compile(r"^state-v(\d+)(?:\.npz|-s\d+\.npy)$")
+
+
+def _sidecar_file_version(name: str) -> int | None:
+    """The committed version a sidecar file belongs to (None for
+    foreign/staged names — never ours to prune)."""
+    m = _SIDECAR_FILE_RE.match(name)
+    return int(m.group(1)) if m else None
+
+
+def _prunable_versions(names, keep_version: int) -> dict[int, list]:
+    """Group sidecar files by version and drop the two RETAINED tiers:
+    ``keep_version`` itself and the most recent OTHER version — so a
+    long-running reader still on the immediately superseded version
+    never loses its shards mid-job (VERDICT r14 #6: the sidecar's
+    lifecycle story now matches the snapshot store's retention
+    window). A reader two or more versions behind degrades to
+    rebuild/full-compute — cache semantics, never wrong answers
+    (the documented invariant this module rests on)."""
+    by_version: dict[int, list] = {}
+    for name, handle in names:
+        v = _sidecar_file_version(name)
+        if v is not None and v != keep_version:
+            by_version.setdefault(v, []).append(handle)
+    if by_version:
+        by_version.pop(max(by_version), None)
+    return by_version
+
+
 class LocalBloomSidecar:
     """Default sidecar location: ``<fp_path>/_dedup_bloom`` on a
     filesystem visible to driver and executors. Shard carries are
@@ -205,13 +235,15 @@ class LocalBloomSidecar:
             os.replace(tmp, dst)
 
     def prune_other_versions(self, keep_version: int, shards: int) -> None:
-        keep = {_state_name(keep_version)} | {
-            _shard_name(keep_version, s) for s in range(shards)
-        }
-        for name in os.listdir(self.dir):
-            if name.startswith("state-v") and name not in keep:
+        """Best-effort reclaim of superseded sidecar versions, RETAINING
+        the most recent one (see ``_prunable_versions``)."""
+        names = [
+            (n, os.path.join(self.dir, n)) for n in os.listdir(self.dir)
+        ]
+        for paths in _prunable_versions(names, keep_version).values():
+            for p in paths:
                 try:
-                    os.unlink(os.path.join(self.dir, name))
+                    os.unlink(p)
                 except OSError:
                     pass
 
@@ -358,11 +390,16 @@ class S3BloomSidecar:
         )
 
     def prune_other_versions(self, keep_version: int, shards: int) -> None:
-        keep = {self._key(_state_name(keep_version))} | {
-            self._key(_shard_name(keep_version, s)) for s in range(shards)
-        }
-        for key in self.client().list_objects(self._key("state-v")):
-            if key not in keep:
+        """Best-effort reclaim of superseded sidecar versions, RETAINING
+        the most recent one so a concurrent reader still on the
+        previous version never pays a mid-job rebuild (same retention
+        idea as ``vacuum_store``; see ``_prunable_versions``)."""
+        names = [
+            (k.rsplit("/", 1)[-1], k)
+            for k in self.client().list_objects(self._key("state-v"))
+        ]
+        for keys in _prunable_versions(names, keep_version).values():
+            for key in keys:
                 try:
                     self.client().delete_object(key)
                 except Exception:
@@ -416,6 +453,26 @@ class S3BloomSidecar:
             tempfile.gettempdir(), f"tps_bloom_cache-{uid}", tag
         )
 
+    @staticmethod
+    def _verify_cache_root(root: str) -> None:
+        """0700 on makedirs does NOT apply when the directory already
+        exists — a local attacker who pre-created the per-UID root
+        before first use would own the cache and could plant
+        size-valid shard files (bloom false negatives = silently kept
+        duplicates; ADVICE r14). Verify ownership and that no
+        group/other write bit is set, and refuse otherwise."""
+        if not hasattr(os, "getuid"):
+            return  # no POSIX ownership semantics to verify
+        st = os.stat(root)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+            raise RuntimeError(
+                f"bloom cache root {root!r} is owned by uid {st.st_uid} "
+                f"with mode {oct(st.st_mode & 0o777)} — expected "
+                f"uid {os.getuid()} and no group/other write bits. A "
+                "pre-created (squatted) cache root could poison the "
+                "dedup prescreen; remove it or point TMPDIR elsewhere"
+            )
+
     def local_shard_path(self, version: int, shard: int, min_bytes: int) -> str:
         """Fetch-through: download the shard object once per executor
         host (atomic tmp+rename placement, size-validated on hit), then
@@ -428,13 +485,17 @@ class S3BloomSidecar:
         import time
 
         d = self._cache_dir()
+        # verify BEFORE the size-validated hit path: a squatted root
+        # with a pre-planted size-valid file must not be served
+        os.makedirs(os.path.dirname(d), mode=0o700, exist_ok=True)
+        # the root may have PRE-EXISTED makedirs (mode arg ignored then)
+        self._verify_cache_root(os.path.dirname(d))
         final = os.path.join(d, _shard_name(version, shard))
         try:
             if os.path.getsize(final) >= min_bytes:
                 return final
         except OSError:
             pass
-        os.makedirs(os.path.dirname(d), mode=0o700, exist_ok=True)
         os.makedirs(d, mode=0o700, exist_ok=True)
         data = self.client().get_object(self._key(_shard_name(version, shard)))
         if len(data) < min_bytes:
@@ -650,7 +711,10 @@ def load_bloom(
 
 def save_bloom(fp_path: str, bloom: DedupBloom) -> None:
     """Publish the state for ``bloom.fp_version``; best-effort removal
-    of states for other versions (they can never be valid again). In
+    of superseded versions' states, retaining the most recent one so a
+    concurrent reader mid-job on the previous version never pays a
+    rebuild (``_prunable_versions``; a superseded version can never be
+    LOADED as latest again, but an already-loaded one stays valid). In
     sharded mode the shard bitmaps must already exist for either
     ``fp_version`` or ``shard_src_version`` (untouched shards carry
     across — hardlink locally, server-side copy on s3: O(S) metadata

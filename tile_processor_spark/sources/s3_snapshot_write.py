@@ -42,16 +42,23 @@ uniformly. Appending onto a GROUPED manifest (compact_manifest mirror)
 flattens it to a plain file list — correct, but group-level stats are
 dropped; re-run compaction locally and re-mirror to restore them.
 
-Scope: full read/write for UNPARTITIONED tables; PARTITIONED tables
-support ``mode('overwrite')`` (and table creation) via
-``.option("partition_by", "col1,col2")`` — executors split their
-batches by partition value and PUT each sub-table under a Hive
-``col=val`` key chain, so the round-13 reader's driver-side
-partition pruning (``partition_filter``) works unchanged on native
-tables. Partitioned APPENDS are the one refusal: they need the shared
-Hive tree re-home (driver-side renames), which an object store cannot
-do without copying data — commit those through an ``S3CommitFS``
-mount instead. Ambiguous
+Scope: full read/write for both UNPARTITIONED and PARTITIONED tables.
+Partitioned creation/overwrite takes ``.option("partition_by",
+"col1,col2")``; appends (and the stream sink) inherit the committed
+table's scheme — executors split their batches by partition value and
+PUT each sub-table under a Hive ``col=val`` key chain inside their own
+task-private ``data/<uuid>/`` prefix. No shared-tree re-home is needed
+(the local path's requirement, snapshot_datasource.SnapshotWriter):
+the reader prunes DRIVER-SIDE from the manifest's file list, and
+``_partition_values`` parses ``col=val`` segments from each file's
+path RELATIVE to the manifest base — a delta living under a different
+snap prefix than the base relativizes through ``..`` segments, which
+carry no ``=`` and so cannot alias a partition pair (pinned by
+tests/test_s3_snapshot_write.py). Appends re-validate the committed
+``partition_by`` against the delta's key chains inside every commit
+retry, so a rewrite (or raced creation) that changed the layout
+mid-append raises instead of publishing files whose chains contradict
+the manifest's declared scheme. Ambiguous
 commit outcomes (connection death during the conditional PUT)
 propagate: the write job fails loudly, its objects stay invisible, and
 ``vacuum_store`` reclaims them after the retention window — never a
@@ -179,7 +186,11 @@ class S3SnapshotCommitter:
         return version
 
     def first_manifest(
-        self, files: list[str], schema_json: str, snap_rel: str
+        self,
+        files: list[str],
+        schema_json: str,
+        snap_rel: str,
+        partition_by: list[str] | None = None,
     ) -> dict:
         import time
 
@@ -189,7 +200,7 @@ class S3SnapshotCommitter:
             "files": files,
             "schema": schema_json,
             "base": f"{self.vroot}/{snap_rel}",
-            "partition_by": [],
+            "partition_by": list(partition_by or []),
             # version 1 of an append-born table: its full file list IS
             # the appended delta (the version-stream reader's contract)
             "appended_files": files,
@@ -246,21 +257,29 @@ class S3SnapshotCommitter:
         expected_schema: str | None = None,
         extra: dict | None = None,
         stream_mark: tuple[str, int] | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Optimistic-concurrency append on the store —
         ``snapshots.commit_append`` re-expressed over conditional PUT:
-        every retry re-lists versions, re-validates the schema, and
-        re-runs the streaming high-water replay check on the FRESH
-        latest manifest."""
+        every retry re-lists versions, re-validates the schema AND the
+        partition scheme, and re-runs the streaming high-water replay
+        check on the FRESH latest manifest. ``partition_by`` declares
+        the Hive scheme the delta keys were written under (empty/None
+        for flat keys); it must match the committed table's scheme —
+        a mismatch means the data objects carry the wrong key chains
+        for the table, so the commit refuses rather than publishing a
+        manifest whose declared scheme contradicts its files."""
         import time
 
         new_vpaths = [self.vpath(k) for k in sorted(data_keys)]
+        delta_parts = list(partition_by or [])
         last_err: Exception | None = None
         for _ in range(_APPEND_RETRIES):
             versions = self.store.versions()
             if not versions:
                 manifest = self.first_manifest(
-                    new_vpaths, schema_json, snap_rel
+                    new_vpaths, schema_json, snap_rel,
+                    partition_by=delta_parts,
                 )
                 if file_stats:
                     manifest["file_stats"] = file_stats
@@ -289,13 +308,16 @@ class S3SnapshotCommitter:
                     f"s3://{self.store.bucket}/{self.store.prefix}); "
                     "the delta objects were written against the old schema"
                 )
-            if latest.get("partition_by"):
-                raise NotImplementedError(
-                    "appending onto a PARTITIONED snapshot table "
-                    "s3-natively (the shared-Hive-tree re-home is a "
-                    "driver-side rename an object store cannot do "
-                    "without copying data) — commit through an "
-                    "S3CommitFS mount instead"
+            committed_parts = list(latest.get("partition_by") or [])
+            if committed_parts != delta_parts:
+                raise ValueError(
+                    "append aborted: the table is partitioned by "
+                    f"{committed_parts} but the delta objects were "
+                    f"written under partition scheme {delta_parts} (a "
+                    "rewrite or raced table creation changed the layout "
+                    "mid-append at "
+                    f"s3://{self.store.bucket}/{self.store.prefix}); "
+                    "their key chains would contradict the manifest"
                 )
             old_root = latest.get("root")
             if old_root is None:
@@ -324,7 +346,7 @@ class S3SnapshotCommitter:
                 "files": old_files + new_vpaths,
                 "appended_files": new_vpaths,
                 "appended_to": versions[-1],
-                "partition_by": [],
+                "partition_by": committed_parts,
             }
             if merged_stats:
                 manifest["file_stats"] = merged_stats
@@ -458,22 +480,21 @@ class S3SnapshotWriter(DataSourceArrowWriter):
             )
         if not overwrite:
             versions = self._store.versions()
-            if self._part_cols and versions:
-                raise NotImplementedError(
-                    "partition_by applies to table creation / "
-                    "mode('overwrite'); appending onto a PARTITIONED "
-                    "snapshot table s3-natively is not implemented — "
-                    "commit through an S3CommitFS mount instead"
-                )
             if versions:
                 latest = self._store.manifest(versions[-1])
-                if latest.get("partition_by"):
-                    raise NotImplementedError(
-                        "appending onto a PARTITIONED snapshot table "
-                        "s3-natively is not implemented (shared-tree "
-                        "re-home needs driver-side renames) — commit "
-                        "through an S3CommitFS mount instead"
+                committed_parts = list(latest.get("partition_by") or [])
+                if self._part_cols and self._part_cols != committed_parts:
+                    raise ValueError(
+                        f"partition_by option {self._part_cols} does "
+                        "not match the committed table's scheme "
+                        f"{committed_parts} — appends inherit the "
+                        "table's partitioning (omit the option)"
                     )
+                # appends onto a partitioned table inherit its scheme:
+                # executors write Hive col=val chains under their own
+                # snap prefix; the reader prunes from the manifest, so
+                # no shared-tree re-home is needed (module docstring)
+                self._part_cols = committed_parts
                 committed = json.loads(latest["schema"])
                 want = [(f["name"], f["type"]) for f in committed["fields"]]
                 got = [(f.name, f.dataType.jsonValue()) for f in schema.fields]
@@ -495,17 +516,20 @@ class S3SnapshotWriter(DataSourceArrowWriter):
         committer = S3SnapshotCommitter(self._store)
         keys = sorted(key for key, _st in _message_files(messages))
         stats = _collect_file_stats(committer, messages)
-        if self._part_cols or self._overwrite:
+        if self._overwrite:
             committer.commit_overwrite(
                 keys, self._schema.json(), stats, self._snap_rel,
                 partition_by=self._part_cols or None,
             )
         else:
-            # mode('append') always goes through commit_append — its
-            # empty-table branch creates v1 AND retries on a raced
-            # table creation (two jobs appending to a new table must
-            # BOTH land, one as v1 and one as v2; commit_overwrite's
-            # single-writer contract would fail the loser outright)
+            # mode('append') always goes through commit_append —
+            # partitioned or not. Its empty-table branch creates v1 AND
+            # retries on a raced table creation (two jobs appending to
+            # a new table must BOTH land, one as v1 and one as v2;
+            # commit_overwrite's single-writer contract would fail the
+            # loser outright — and routing a raced partitioned creation
+            # through commit_overwrite would silently REPLACE the
+            # winner's data under append semantics)
             committer.commit_append(
                 keys,
                 self._schema.json(),
@@ -517,6 +541,10 @@ class S3SnapshotWriter(DataSourceArrowWriter):
                 # must fail this check inside the retry, not commit
                 # files the manifest's declared schema contradicts
                 expected_schema=self._schema.json(),
+                # likewise the delta's key chains were written under
+                # this scheme; a raced creator with a DIFFERENT scheme
+                # must fail the partition check inside the retry
+                partition_by=self._part_cols or None,
             )
 
     def abort(self, messages) -> None:
@@ -543,23 +571,37 @@ class S3SnapshotStreamWriter(DataSourceStreamArrowWriter):
         self._store = S3SnapshotStore(options["path"], dict(options))
         self._app_id = options.get("stream_app_id", "default")
         self._committed_schema: str | None = None
+        # a PARTITIONED sink table inherits the committed scheme: each
+        # micro-batch's objects carry Hive key chains under their own
+        # stream snap prefix, exactly like the batch appender
+        self._part_cols: list[str] = []
         versions = self._store.versions()
         if versions:
             latest = self._store.manifest(versions[-1])
-            if latest.get("partition_by"):
-                raise NotImplementedError(
-                    "streaming into a PARTITIONED snapshot table "
-                    "s3-natively is not implemented — commit through an "
-                    "S3CommitFS mount instead"
-                )
+            self._part_cols = list(latest.get("partition_by") or [])
             self._committed_schema = latest.get("schema")
+            if self._committed_schema is not None:
+                # validate writer-vs-committed NOW (the batch writer's
+                # init check): a stream whose query schema drifted from
+                # the table must refuse before appending objects the
+                # manifest's declared schema contradicts —
+                # commit_append's expected_schema only guards
+                # committed-vs-fresh-latest
+                committed = json.loads(self._committed_schema)
+                want = [(f["name"], f["type"]) for f in committed["fields"]]
+                got = [(f.name, f.dataType.jsonValue()) for f in schema.fields]
+                if got != want:
+                    raise ValueError(
+                        f"stream write schema {got} does not match "
+                        f"committed {want}"
+                    )
 
     def write(self, iterator):
         import uuid
 
         return _write_one_object(
             self._store, self._schema, f"data/stream-{uuid.uuid4().hex}",
-            iterator,
+            iterator, part_cols=self._part_cols or None,
         )
 
     def commit(self, messages, batchId: int) -> None:
@@ -567,9 +609,12 @@ class S3SnapshotStreamWriter(DataSourceStreamArrowWriter):
         keys = sorted(key for key, _st in _message_files(messages))
         stats = _collect_file_stats(committer, messages)
         # per-batch snap_rel only matters for a FIRST commit's base;
-        # derive it from the first acknowledged key
+        # the writer lays keys as <prefix>/data/stream-<uuid>/[chain/]
+        # part-*.parquet, so the snap prefix is the first two segments
+        # under the table prefix (a partitioned key's chain must NOT
+        # leak into the base, or partition parsing would miss it)
         snap_rel = (
-            keys[0][len(self._store.prefix) + 1:].rsplit("/", 1)[0]
+            "/".join(keys[0][len(self._store.prefix) + 1:].split("/")[:2])
             if keys
             else "data/empty"
         )
@@ -581,6 +626,7 @@ class S3SnapshotStreamWriter(DataSourceStreamArrowWriter):
             expected_schema=self._committed_schema,
             extra={"stream_batch_id": batchId},
             stream_mark=(self._app_id, batchId),
+            partition_by=self._part_cols or None,
         )
 
     def abort(self, messages, batchId: int) -> None:

@@ -148,6 +148,21 @@ def _make_store(options: dict) -> S3SnapshotStore | None:
     return S3SnapshotStore(path, options) if path.startswith("s3://") else None
 
 
+def _require_root(manifest: dict, path: str) -> str:
+    """The table ``root`` every store-resident code path needs for
+    key translation — with the same friendly contract as the read
+    paths (``_resolve_manifest``) instead of a bare ``KeyError`` when
+    a pre-round-13 manifest lacks it."""
+    root = manifest.get("root")
+    if root is None:
+        raise ValueError(
+            f"manifest v{manifest.get('version', '?')} at {path} lacks "
+            "the table 'root' field (committed before round 13) — "
+            "recommit or maintain the table from a local path"
+        )
+    return root
+
+
 def vacuum_store(
     path: str,
     options: dict | None = None,
@@ -208,7 +223,7 @@ def vacuum_store(
     data_prefixes: set[str] = set()
     for v in kept:
         m = store.manifest(v)
-        root = m["root"]
+        root = _require_root(m, path)
         files = _manifest_files(m, open_json=store.json_loader(root))
         referenced |= {store.key_for(f, root) for f in files}
         for g in m.get("groups") or []:
@@ -217,7 +232,7 @@ def vacuum_store(
     # retired manifests' data dirs are reclaim candidates too
     for v in retired:
         m = store.manifest(v)
-        root = m["root"]
+        root = _require_root(m, path)
         data_prefixes.add(store.key_for(m["base"], root).rstrip("/") + "/")
     # the table's own data/ prefix is always a candidate: s3-native
     # appends stage under data/<uuid>/ prefixes no manifest's "base"

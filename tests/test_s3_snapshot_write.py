@@ -646,3 +646,34 @@ def test_s3_concurrent_appends_create_new_table(spark, fake_s3):
     ]
     assert len(manifests) == 2
     assert not fake_s3.rejections
+
+
+def test_partition_values_resolve_across_snap_prefixes():
+    """The mechanism partitioned s3-native appends rest on: a delta
+    file under a DIFFERENT data/<uuid>/ prefix than the manifest base
+    relativizes through '..' segments, which carry no '=' — so the
+    Hive col=val pairs still parse, and an escaped '=' in a value
+    cannot alias a pair boundary."""
+    from tile_processor_spark.sources.snapshot_datasource import (
+        _hive_chain,
+    )
+    from tile_processor_spark.sources.snapshots import _partition_values
+
+    base = "/tbl-bucket/warehouse/t/data/aaaa1111"
+    # same-prefix file (the v1 shape)
+    assert _partition_values(
+        f"{base}/status=F/part-1.parquet", base
+    ) == {"status": "F"}
+    # delta file under a sibling snap prefix (the append shape)
+    assert _partition_values(
+        "/tbl-bucket/warehouse/t/data/bbbb2222/status=O/part-2.parquet",
+        base,
+    ) == {"status": "O"}
+    # multi-level chains + Hive escaping round-trip through the writer's
+    # own escaper ('=' and '/' are in the escape set)
+    chain = _hive_chain(["g", "s"], {"g": "a=b", "s": "x/y"})
+    got = _partition_values(
+        f"/tbl-bucket/warehouse/t/data/cccc3333/{chain}/part-3.parquet",
+        base,
+    )
+    assert got == {"g": "a=b", "s": "x/y"}

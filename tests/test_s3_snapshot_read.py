@@ -406,3 +406,37 @@ def test_s3_stream_pre_root_manifest_refuses_with_guidance(spark, fake_s3, tmp_p
     reader = SnapshotStreamReader(None, _s3_opts(fake_s3, prefix))
     with pytest.raises(ValueError, match="root.*recommit|recommit.*root"):
         reader.partitions({"version": 0}, {"version": 1})
+
+
+def test_s3_append_onto_grouped_partitioned_mirror(spark, fake_s3, mirrored):
+    """Appending s3-natively onto a COMPACTED (grouped-manifest)
+    partitioned mirror: the committer flattens the group side files
+    into a plain file list (group-level stats drop, documented), the
+    scheme carries forward, and pruning resolves partition values for
+    flattened old files and the new delta alike."""
+    v3 = compact_manifest(mirrored)
+    _mirror(mirrored, fake_s3, "warehouse/s3tbl")  # re-mirror v3 + sides
+    before = _rows(_read_s3(spark, fake_s3, "warehouse/s3tbl", version=str(v3)))
+    df = spark.createDataFrame([("2027", 11, 2.0)], "yr string, k long, v double")
+    (
+        df.write.format("tps_snapshot")
+        .options(**_s3_opts(fake_s3, "warehouse/s3tbl"))
+        .mode("append")
+        .save()
+    )
+    got = _read_s3(spark, fake_s3, "warehouse/s3tbl")
+    assert _rows(got) == sorted(before + [("2027", 11, 2.0)])
+    assert _rows(
+        _read_s3(
+            spark, fake_s3, "warehouse/s3tbl",
+            partition_filter='{"yr": "2027"}',
+        )
+    ) == [("2027", 11, 2.0)]
+    # pre-existing partition still prunes correctly post-flatten
+    assert _rows(
+        _read_s3(
+            spark, fake_s3, "warehouse/s3tbl",
+            partition_filter='{"yr": "2024"}',
+        )
+    ) == [r for r in before if r[0] == "2024"]
+    assert not fake_s3.rejections

@@ -726,3 +726,35 @@ def test_ensure_pushdown_conf_respects_explicit_pin(spark):
         assert spark.conf.get(key) == "true"
     finally:
         spark.conf.set(key, orig)
+
+
+def test_stream_writer_refuses_drifted_schema_at_construction(spark, tmp_path):
+    """Round 15 (ADVICE r14 symmetry): the LOCAL stream sink validates
+    its writer schema against the committed table at construction,
+    like the batch writer and the s3 sink — a drifted streaming query
+    must refuse before any object is appended, not depend on
+    commit_append's committed-vs-fresh guard (which only fires if a
+    rewrite races the batch)."""
+    import pytest
+
+    from tile_processor_spark.sources.snapshot_datasource import (
+        SnapshotStreamWriter,
+    )
+    from tile_processor_spark.sources.snapshots import append_snapshot
+
+    tbl = str(tmp_path / "tbl")
+    append_snapshot(
+        spark.createDataFrame([(1, "a")], "k long, s string"), tbl
+    )
+    with pytest.raises(ValueError, match="does not match committed"):
+        SnapshotStreamWriter(
+            spark.createDataFrame([(1,)], "k long").schema,
+            {"path": tbl},
+            overwrite=False,
+        )
+    # matching schema still constructs
+    SnapshotStreamWriter(
+        spark.createDataFrame([(2, "b")], "k long, s string").schema,
+        {"path": tbl},
+        overwrite=False,
+    )

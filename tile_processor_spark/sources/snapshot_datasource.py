@@ -961,6 +961,25 @@ class SnapshotStreamWriter(DataSourceStreamArrowWriter):
             self._part_cols = list(part_cols)
             self._tree = manifest["base"] if part_cols else None
             self._committed_schema = manifest.get("schema")
+            if self._committed_schema is not None:
+                # validate writer-vs-committed NOW, like the batch
+                # writer and the s3 sink (round 15): a stream whose
+                # query schema drifted from the table must refuse at
+                # construction, not append files the manifest's
+                # declared schema contradicts — commit_append's
+                # expected_schema only guards committed-vs-fresh-latest
+                want = [
+                    (f["name"], f["type"])
+                    for f in json.loads(self._committed_schema)["fields"]
+                ]
+                got = [
+                    (f.name, f.dataType.jsonValue()) for f in schema.fields
+                ]
+                if got != want:
+                    raise ValueError(
+                        f"stream write schema {got} does not match "
+                        f"committed {want}"
+                    )
 
     def write(self, iterator):
         import os

@@ -171,7 +171,15 @@ def test_bloom_disabled_matches_bloom_enabled(spark, tmp_path):
 
 def test_stale_sidecar_is_rebuilt_not_trusted(spark, tmp_path):
     """A sidecar for an older fingerprint version must be ignored: a
-    missed entry would be a silent missed duplicate."""
+    missed entry would be a silent missed duplicate. Round 15: the
+    retention prune keeps the most recent OTHER version, so a
+    wrong-version save no longer destroys the head state (strictly
+    safer) — the sabotage therefore also deletes the head's state file
+    to prove the stale file alone is never trusted."""
+    import os
+
+    from tile_processor_spark.sources.dedup_bloom import _state_path
+
     corpus = str(tmp_path / "corpus")
     fps = str(tmp_path / "fps")
     append_snapshot(_docs(spark, [(1, "a")]), corpus)
@@ -185,6 +193,10 @@ def test_stale_sidecar_is_rebuilt_not_trusted(spark, tmp_path):
         spark.createDataFrame([], "fp string"), 0,
     )
     save_bloom(fps, empty)
+    # the head state SURVIVES the wrong-version save (retention)
+    assert load_bloom(fps, head) is not None
+    # now only the stale (head-1) state remains on disk
+    os.unlink(_state_path(fps, head))
     assert load_bloom(fps, head) is None  # stale → rejected
     # a duplicate in the next version is still caught (rebuild path)
     append_snapshot(_docs(spark, [(2, "a"), (3, "b")]), corpus)

@@ -440,3 +440,72 @@ def test_s3_append_onto_grouped_partitioned_mirror(spark, fake_s3, mirrored):
         )
     ) == [r for r in before if r[0] == "2024"]
     assert not fake_s3.rejections
+
+
+def test_function_api_reads_s3_tables(spark, fake_s3, mirrored):
+    """Round 15: the FUNCTION API is object-store-transparent —
+    read_snapshot / snapshot_diff accept s3:// table paths and route
+    through the connector's read plane with identical semantics
+    (version resolution, partition pruning, where filters, committed
+    dtypes)."""
+    from tile_processor_spark.sources.snapshots import snapshot_diff
+
+    url = f"s3://{BUCKET}/warehouse/s3tbl"
+    opts = {k: v for k, v in _s3_opts(fake_s3, "warehouse/s3tbl").items()
+            if k != "path"}
+    for v in (1, 2, None):
+        local = read_snapshot(spark, mirrored, version=v)
+        remote = read_snapshot(spark, url, version=v, s3_options=opts)
+        assert remote.schema == local.schema
+        assert _rows(remote) == _rows(local)
+    # partition pruning + where through the function API
+    assert _rows(
+        read_snapshot(spark, url, partition_filter={"yr": "2025"},
+                      s3_options=opts)
+    ) == _rows(read_snapshot(spark, mirrored, partition_filter={"yr": "2025"}))
+    assert _rows(
+        read_snapshot(spark, url, where=[("k", ">=", 3)], s3_options=opts)
+    ) == _rows(read_snapshot(spark, mirrored, where=[("k", ">=", 3)]))
+    with pytest.raises(ValueError, match="non-partition"):
+        read_snapshot(spark, url, partition_filter={"k": "3"}, s3_options=opts)
+    # CDC across the mirror matches the local diff
+    d_local = _rows(snapshot_diff(spark, mirrored, 1, 2, ["k"]))
+    d_remote = _rows(snapshot_diff(spark, url, 1, 2, ["k"], s3_options=opts))
+    assert d_remote == d_local
+    assert not fake_s3.rejections
+
+
+def test_function_api_upserts_s3_tables(spark, fake_s3):
+    """Round 15: upsert_snapshot MERGEs into an s3:// table — current
+    state read through the s3 plane, merged state committed through
+    the connector's native writer, partition layout preserved across
+    MERGEs (the local contract, object-store-resident)."""
+    from tile_processor_spark.sources.snapshots import upsert_snapshot
+
+    prefix = "warehouse/fn_upsert"
+    url = f"s3://{BUCKET}/{prefix}"
+    all_opts = _s3_opts(fake_s3, prefix)
+    opts = {k: v for k, v in all_opts.items() if k != "path"}
+    df = spark.createDataFrame(
+        [("F", 1, 10.0), ("O", 2, 20.0)], "status string, k long, v double"
+    )
+    (
+        df.write.format("tps_snapshot").options(**all_opts)
+        .option("partition_by", "status").mode("overwrite").save()
+    )
+    upd = spark.createDataFrame(
+        [("O", 2, 22.0), ("P", 3, 30.0)], "status string, k long, v double"
+    )
+    v = upsert_snapshot(upd, url, ["k"], s3_options=opts)
+    assert v == 2
+    got = read_snapshot(spark, url, s3_options=opts)
+    assert _rows(got) == [("F", 1, 10.0), ("O", 2, 22.0), ("P", 3, 30.0)]
+    # rollback stays one time-travel away; partition layout preserved
+    assert _rows(read_snapshot(spark, url, version=1, s3_options=opts)) == [
+        ("F", 1, 10.0), ("O", 2, 20.0),
+    ]
+    assert _rows(
+        read_snapshot(spark, url, partition_filter={"status": "P"},
+                      s3_options=opts)
+    ) == [("P", 3, 30.0)]
+    assert not fake_s3.rejections

@@ -848,12 +848,68 @@ def compact_manifest(
     return _commit_manifest(table_path, new_manifest, new_version)
 
 
+def _read_snapshot_s3(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None,
+    partition_filter: dict[str, object] | None,
+    where: list[tuple] | None,
+    s3_options: dict | None,
+) -> DataFrame:
+    """``read_snapshot`` routed through the connector for ``s3://``
+    table paths (round 15: the function API is object-store-
+    transparent — same semantics, the s3 read plane underneath).
+    ``where`` applies as an exact row filter; its simple comparisons
+    reach the pushdown reader's ``pushFilters`` hook, so manifest
+    min/max data skipping engages exactly like the local path's
+    pre-planning exclusion. Credentials come from ``s3_options``
+    (``s3_endpoint``/``s3_access_key``/...) or the ``SPARK_GRAFT_S3_*``
+    env, the store's usual resolution order."""
+    import json as _json
+
+    from tile_processor_spark.sources.snapshot_datasource import (
+        _resolve_manifest,
+    )
+    from tile_processor_spark.sources.snapshot_datasource import (
+        register as _register_ds,
+    )
+
+    # EAGER existence/version/filter validation, matching the local
+    # path's contract (the connector's own checks fire lazily at plan
+    # time, wrapped in Spark's analysis errors): one manifest GET.
+    probe_opts = {**(s3_options or {}), "path": table_path}
+    if version is not None:
+        probe_opts["version"] = int(version)
+    manifest = _resolve_manifest(probe_opts)
+    if partition_filter:
+        part_cols = manifest.get("partition_by") or []
+        bad = [c for c in partition_filter if c not in part_cols]
+        if bad:
+            raise ValueError(
+                f"partition_filter on non-partition column(s) {bad}; "
+                f"version {manifest['version']} is partitioned by "
+                f"{part_cols or 'nothing'}"
+            )
+    _register_ds(spark)
+    r = spark.read.format("tps_snapshot").option("path", table_path)
+    for k, v in (s3_options or {}).items():
+        r = r.option(k, v)
+    # pin the version resolved NOW — the local contract ("the file
+    # list is resolved HERE, once"): later commits or vacuums never
+    # shift what the returned frame reads
+    r = r.option("version", int(manifest["version"]))
+    if partition_filter:
+        r = r.option("partition_filter", _json.dumps(partition_filter))
+    return _apply_where(r.load(), _validate_where(where) if where else None)
+
+
 def read_snapshot(
     spark: SparkSession,
     table_path: str,
     version: int | None = None,
     partition_filter: dict[str, object] | None = None,
     where: list[tuple] | None = None,
+    s3_options: dict | None = None,
 ) -> DataFrame:
     """Read one committed version (default: latest). The file list is
     resolved HERE, once — the returned frame keeps reading this
@@ -877,7 +933,16 @@ def read_snapshot(
     data-skipping half that partition pruning doesn't cover (range
     predicates on a sort/cluster key without partitioning by it). The
     surviving files still get the real filter applied, so the result
-    is exact regardless of which files had stats."""
+    is exact regardless of which files had stats.
+
+    ``table_path`` may be an ``s3://bucket/prefix`` (round 15): the
+    read routes through the connector's s3 plane with identical
+    semantics — see ``_read_snapshot_s3``; ``s3_options`` carries the
+    client config when the ``SPARK_GRAFT_S3_*`` env is not set."""
+    if table_path.startswith("s3://"):
+        return _read_snapshot_s3(
+            spark, table_path, version, partition_filter, where, s3_options
+        )
     versions = list_versions(table_path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
@@ -1096,6 +1161,7 @@ def upsert_snapshot(
     table_path: str,
     key_cols: list[str],
     allow_new_columns: bool = False,
+    s3_options: dict | None = None,
 ) -> int:
     """MERGE INTO for snapshot tables: rows in ``df`` replace
     same-keyed rows of the latest version (update) or append (insert);
@@ -1117,7 +1183,13 @@ def upsert_snapshot(
     union — the core of Delta's MERGE without the transaction log,
     correct under the same single-writer contract as write_snapshot.
     At 100 TB the anti-join is the cost; partition the table on a key
-    prefix and this rewrites only matched partitions (copy-on-write)."""
+    prefix and this rewrites only matched partitions (copy-on-write).
+
+    ``table_path`` may be an ``s3://`` table (round 15): the current
+    state reads through the s3 plane and the merged state commits
+    through the connector's native writer (conditional-PUT publish) —
+    same single-writer contract as the local path (a concurrent
+    rewrite makes the loser's commit raise, never clobber)."""
     spark = df.sparkSession
     # MERGE contract: multiple delta rows for one key would silently
     # commit a multi-valued key (Delta's MERGE raises here; so do we).
@@ -1129,8 +1201,21 @@ def upsert_snapshot(
             f"upsert delta has duplicate key {tuple(dup[0])[:-1]!r}; "
             "deduplicate the delta before merging"
         )
-    if list_versions(table_path):
-        current = read_snapshot(spark, table_path)
+    is_s3 = table_path.startswith("s3://")
+    if is_s3:
+        from tile_processor_spark.sources.snapshot_datasource import (
+            S3SnapshotStore,
+        )
+
+        store = S3SnapshotStore(table_path, dict(s3_options or {}))
+        versions = store.versions()
+        has_versions = bool(versions)
+    else:
+        has_versions = bool(list_versions(table_path))
+    if has_versions:
+        current = read_snapshot(
+            spark, table_path, s3_options=s3_options
+        )
         missing = [c for c in current.columns if c not in df.columns]
         if missing:
             raise ValueError(
@@ -1153,12 +1238,31 @@ def upsert_snapshot(
         )
         # a partitioned table stays partitioned across MERGEs — losing
         # the layout would silently break later partition_filter reads
-        part_by = _read_manifest(table_path, list_versions(table_path)[-1]).get(
-            "partition_by"
-        )
+        if is_s3:
+            part_by = store.manifest(versions[-1]).get("partition_by")
+        else:
+            part_by = _read_manifest(
+                table_path, list_versions(table_path)[-1]
+            ).get("partition_by")
     else:
         merged = df
         part_by = None
+    if is_s3:
+        # commit the merged state natively: the connector's overwrite
+        # is the store twin of write_snapshot's rewrite commit
+        # (conditional PUT; a lost version race raises)
+        from tile_processor_spark.sources.snapshot_datasource import (
+            register as _register_ds,
+        )
+
+        _register_ds(spark)
+        w = merged.write.format("tps_snapshot").option("path", table_path)
+        for k, v in (s3_options or {}).items():
+            w = w.option(k, v)
+        if part_by:
+            w = w.option("partition_by", ",".join(part_by))
+        w.mode("overwrite").save()
+        return store.versions()[-1]
     return write_snapshot(merged, table_path, partition_by=part_by or None)
 
 
@@ -1169,6 +1273,7 @@ def snapshot_diff(
     to_version: int,
     key_cols: list[str],
     on_schema_drift: str = "error",
+    s3_options: dict | None = None,
 ) -> DataFrame:
     """CDC between two committed versions: one row per key whose state
     changed, with ``change_type`` in {'insert', 'delete', 'update'}.
@@ -1194,8 +1299,14 @@ def snapshot_diff(
     manifests share identical files."""
     if on_schema_drift not in ("error", "evolve"):
         raise ValueError(f"on_schema_drift must be 'error' or 'evolve', got {on_schema_drift!r}")
-    old = read_snapshot(spark, table_path, version=from_version)
-    new = read_snapshot(spark, table_path, version=to_version)
+    # an s3:// table_path routes both version reads through the
+    # connector's s3 plane (read_snapshot round-15 contract)
+    old = read_snapshot(
+        spark, table_path, version=from_version, s3_options=s3_options
+    )
+    new = read_snapshot(
+        spark, table_path, version=to_version, s3_options=s3_options
+    )
     only_old = [c for c in old.columns if c not in new.columns]
     only_new = [c for c in new.columns if c not in old.columns]
     if only_old or (only_new and on_schema_drift == "error"):

@@ -246,13 +246,23 @@ def vacuum_store(
         removed_manifests += 1
     removed_files = 0
     cutoff = _time.time() - claim_ttl_s
+    from tile_processor_spark.sources.snapshots import _GROUPS_DIR
+
+    # group side objects (compact_store / mirrored compact_manifest
+    # layouts) retire with their manifests, exactly like the local
+    # vacuum's groups sweep; the retention window guards an in-flight
+    # commit's freshly-written side objects
+    groups_prefix = f"{store.prefix}/{_GROUPS_DIR}/"
     for key, _size, mtime in client.list_objects_meta(store.prefix + "/"):
         if key in referenced:
             continue
-        if not any(key.startswith(p) for p in data_prefixes):
-            continue
         base = key.rsplit("/", 1)[-1]
-        if not (
+        if key.startswith(groups_prefix):
+            if not base.endswith(".json"):
+                continue
+        elif not any(key.startswith(p) for p in data_prefixes):
+            continue
+        elif not (
             base.endswith(".parquet")
             or base.startswith("_")
             or base.startswith(".")
@@ -280,6 +290,132 @@ def vacuum_store(
         "files_removed": removed_files,
         "uploads_aborted": uploads_aborted,
     }
+
+
+def compact_store(
+    path: str,
+    options: dict | None = None,
+    version: int | None = None,
+    group_files: int = 100,
+    allow_rollback: bool = False,
+) -> int:
+    """``compact_manifest`` for an S3-RESIDENT table (round 15): rewrite
+    a committed version's flat manifest into the two-level grouped
+    layout and publish it as the NEXT version via conditional PUT —
+    entirely driver-side metadata work (one GET per source manifest,
+    one PUT per group side object, one conditional PUT), zero data
+    bytes moved. Previously a mirror had to be compacted locally and
+    re-mirrored; now the maintenance plane (compact + vacuum) is fully
+    store-native.
+
+    Grouping matches the local compactor exactly (shared bucketing
+    rules): one group per partition value on partitioned tables — so
+    ``partition_filter`` reads open only matching groups' side
+    objects — else ``group_files``-sized chunks, bounding the top
+    manifest at O(partitions) / O(files ÷ chunk). Group side objects
+    land under ``<prefix>/groups/`` and are recorded against the
+    source manifest's root, so ``key_for`` resolves them like every
+    other side file. Same rollback guard as the local path: compacting
+    a non-latest version without ``allow_rollback=True`` refuses (it
+    would commit an older file set as the new head). The streaming
+    replay watermark carries from the CURRENT head, never backwards."""
+    import time as _time
+    import uuid as _uuid
+
+    from tile_processor_spark.sources.snapshots import (
+        _GROUPS_DIR,
+        _merge_stats,
+    )
+
+    store = S3SnapshotStore(path, options or {})
+    versions = store.versions()
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    v = versions[-1] if version is None else int(version)
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions} at {path}")
+    if v != versions[-1] and not allow_rollback:
+        raise ValueError(
+            f"compact_store(version={v}) would commit a non-latest "
+            f"version's file set as the new head (latest is "
+            f"{versions[-1]}), silently rolling back later appends; "
+            "pass allow_rollback=True for an explicit RESTORE"
+        )
+    manifest = store.manifest(v)
+    root = _require_root(manifest, path)
+    loader = store.json_loader(root)
+    files = _manifest_files(manifest, open_json=loader)
+    part_cols = manifest.get("partition_by") or []
+    base = manifest["base"]
+    buckets: dict[tuple, list[str]] = {}
+    if part_cols:
+        for f in files:
+            pv = _partition_values(f, base)
+            buckets.setdefault(
+                tuple((c, pv.get(c)) for c in part_cols), []
+            ).append(f)
+    else:
+        ordered = sorted(files)
+        for i in range(0, len(ordered), group_files):
+            buckets[(("_chunk", str(i // group_files)),)] = (
+                ordered[i: i + group_files]
+            )
+    # all stats the source version knows, through either layout
+    if "groups" in manifest:
+        all_stats: dict = {}
+        for g in manifest["groups"]:
+            side = loader(g["path"])
+            all_stats.update(side.get("file_stats") or {})
+    else:
+        all_stats = dict(manifest.get("file_stats") or {})
+    groups = []
+    for key, flist in sorted(buckets.items()):
+        name = f"{_GROUPS_DIR}/{_uuid.uuid4().hex}.json"
+        ordered = sorted(flist)
+        fstats = {f: all_stats[f] for f in ordered if f in all_stats}
+        side = {"files": ordered}
+        if fstats:
+            side["file_stats"] = fstats
+        store.client().put_object(
+            f"{store.prefix}/{name}", json.dumps(side).encode()
+        )
+        entry = {
+            "values": dict(key),
+            "path": f"{root}/{name}",
+            "n_files": len(ordered),
+        }
+        gstats = _merge_stats(ordered, all_stats)
+        if gstats:
+            entry["stats"] = gstats
+        groups.append(entry)
+    new_version = versions[-1] + 1
+    new_manifest = {
+        "version": new_version,
+        "committed_at": _time.time(),
+        "groups": groups,
+        "schema": manifest["schema"],
+        "base": base,
+        "root": root,
+        "partition_by": list(part_cols),
+        "compacted_from": v,
+    }
+    if manifest.get("layout"):
+        new_manifest["layout"] = manifest["layout"]
+    hw = store.manifest(versions[-1]).get("stream_high_water")
+    if hw:
+        new_manifest["stream_high_water"] = hw
+    from tile_processor_spark.sources.s3_snapshot_write import (
+        S3SnapshotCommitter,
+    )
+
+    try:
+        return S3SnapshotCommitter(store).publish(new_manifest, new_version)
+    except FileExistsError:
+        raise RuntimeError(
+            f"version {new_version} already committed at "
+            f"s3://{store.bucket}/{store.prefix} (a concurrent commit "
+            "raced the compaction) — re-run compact_store"
+        ) from None
 
 
 def _resolve_manifest(options: dict) -> dict:

@@ -509,3 +509,35 @@ def test_function_api_upserts_s3_tables(spark, fake_s3):
                       s3_options=opts)
     ) == [("P", 3, 30.0)]
     assert not fake_s3.rejections
+
+
+def test_function_api_writes_s3_tables(spark, fake_s3):
+    """write_snapshot / append_snapshot accept s3:// paths (round 15):
+    a partitioned create + append through the function API lands as
+    native connector commits — scheme recorded, pruning works, and the
+    returned version numbers match the local contract."""
+    from tile_processor_spark.sources.snapshots import (
+        append_snapshot,
+        write_snapshot,
+    )
+
+    prefix = "warehouse/fn_write"
+    url = f"s3://{BUCKET}/{prefix}"
+    opts = {k: v for k, v in _s3_opts(fake_s3, prefix).items() if k != "path"}
+    df1 = spark.createDataFrame(
+        [("F", 1, 10.0), ("O", 2, 20.0)], "status string, k long, v double"
+    )
+    v1 = write_snapshot(df1, url, partition_by=["status"], s3_options=opts)
+    assert v1 == 1
+    df2 = spark.createDataFrame(
+        [("P", 3, 30.0)], "status string, k long, v double"
+    )
+    v2 = append_snapshot(df2, url, s3_options=opts)
+    assert v2 == 2
+    got = read_snapshot(spark, url, s3_options=opts)
+    assert _rows(got) == [("F", 1, 10.0), ("O", 2, 20.0), ("P", 3, 30.0)]
+    assert _rows(
+        read_snapshot(spark, url, partition_filter={"status": "P"},
+                      s3_options=opts)
+    ) == [("P", 3, 30.0)]
+    assert not fake_s3.rejections

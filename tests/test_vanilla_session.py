@@ -84,6 +84,32 @@ for k, v in s3opts.items():
 out["s3_native_rows"] = sorted(x.k for x in r.load().collect())
 out["s3_rejections"] = len(srv.rejections)
 
+# 1c. the FUNCTION API against s3:// paths on the bare session (round
+# 15): write_snapshot / append_snapshot / upsert_snapshot /
+# read_snapshot route through the connector, needing no engine confs
+from tile_processor_spark.sources.snapshots import (
+    append_snapshot, read_snapshot, upsert_snapshot, write_snapshot,
+)
+fn_opts = {k: v for k, v in s3opts.items() if k != "path"}
+fn_url = "s3://vanilla-bucket/warehouse/vfn"
+v1 = write_snapshot(
+    spark.range(0, 3).selectExpr("id AS k", "CAST(id AS double) AS v"),
+    fn_url, s3_options=fn_opts,
+)
+v2 = append_snapshot(
+    spark.range(3, 5).selectExpr("id AS k", "CAST(id AS double) AS v"),
+    fn_url, s3_options=fn_opts,
+)
+v3 = upsert_snapshot(
+    spark.range(4, 6).selectExpr("id AS k", "CAST(id * 10 AS double) AS v"),
+    fn_url, ["k"], s3_options=fn_opts,
+)
+out["fn_versions"] = [v1, v2, v3]
+out["fn_rows"] = sorted(
+    (x.k, x.v)
+    for x in read_snapshot(spark, fn_url, s3_options=fn_opts).collect()
+)
+
 # 2. conf pinned off by an admin AFTER register: opt-out option works
 spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
 n_optout = (
@@ -144,3 +170,9 @@ def test_datasource_gate_rows_on_vanilla_session():
     # every request it made was signature-verified (round 14)
     assert out["s3_native_rows"] == [0, 1, 2, 3, 4]
     assert out["s3_rejections"] == 0
+    # the FUNCTION API's s3 routing works on the bare session too
+    # (round 15): three commits, upsert replaces k=4 and inserts k=5
+    assert out["fn_versions"] == [1, 2, 3]
+    assert out["fn_rows"] == [
+        [0, 0.0], [1, 1.0], [2, 2.0], [3, 3.0], [4, 40.0], [5, 50.0],
+    ]

@@ -208,8 +208,42 @@ def _schema_fields(schema_json: str) -> list[tuple[str, object]]:
     return [(f["name"], f["type"]) for f in json.loads(schema_json)["fields"]]
 
 
+def _write_snapshot_s3(
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str] | None,
+    s3_options: dict | None,
+    mode: str,
+) -> int:
+    """``write_snapshot``/``append_snapshot`` routed through the
+    connector's native S3 writer (round 15, the write half of the
+    function API's object-store transparency): executors PUT parquet
+    objects, the driver publishes by conditional PUT — same commit
+    semantics as the connector ``df.write.format('tps_snapshot')``
+    path. Returns the table's latest version after the commit (exact
+    under the single-writer rewrite contract / commuting appends)."""
+    from tile_processor_spark.sources.snapshot_datasource import (
+        S3SnapshotStore,
+    )
+    from tile_processor_spark.sources.snapshot_datasource import (
+        register as _register_ds,
+    )
+
+    _register_ds(df.sparkSession)
+    w = df.write.format("tps_snapshot").option("path", table_path)
+    for k, v in (s3_options or {}).items():
+        w = w.option(k, v)
+    if partition_by:
+        w = w.option("partition_by", ",".join(partition_by))
+    w.mode(mode).save()
+    return S3SnapshotStore(table_path, dict(s3_options or {})).versions()[-1]
+
+
 def write_snapshot(
-    df: DataFrame, table_path: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str] | None = None,
+    s3_options: dict | None = None,
 ) -> int:
     """Commit ``df`` as the next table version; returns the version.
 
@@ -228,7 +262,15 @@ def write_snapshot(
     from the MANIFEST (driver-side, before any Spark scan is planned):
     the Iceberg-style partition skip, the difference between reading
     one partition and listing 100 TB.
+
+    ``table_path`` may be an ``s3://`` table (round 15): the commit
+    routes through the connector's native writer with identical
+    semantics (``_write_snapshot_s3``).
     """
+    if table_path.startswith("s3://"):
+        return _write_snapshot_s3(
+            df, table_path, partition_by, s3_options, "overwrite"
+        )
     table_path = os.path.abspath(table_path)
     os.makedirs(os.path.join(table_path, _DATA_DIR), exist_ok=True)
     snap_dir = os.path.join(table_path, _DATA_DIR, uuid.uuid4().hex)
@@ -296,7 +338,9 @@ def _commit_manifest(table_path: str, manifest: dict, version: int) -> int:
     return version
 
 
-def append_snapshot(df: DataFrame, table_path: str) -> int:
+def append_snapshot(
+    df: DataFrame, table_path: str, s3_options: dict | None = None
+) -> int:
     """APPEND ``df`` as the next version: the new manifest references
     the previous version's data files UNCHANGED plus the delta's new
     files — commit cost is O(new data), never O(table). This is the
@@ -318,7 +362,14 @@ def append_snapshot(df: DataFrame, table_path: str) -> int:
     version-number race this re-reads the new latest manifest and
     retries the commit with the same already-written delta files —
     Delta's conflict-resolution shape. Non-commuting commits (a rewrite
-    or partition change landing mid-retry) still raise."""
+    or partition change landing mid-retry) still raise.
+
+    ``table_path`` may be an ``s3://`` table (round 15): the append
+    routes through the connector's native writer — partitioned tables
+    append WITHOUT any shared-tree conversion there (delta key chains
+    under task-private snap prefixes)."""
+    if table_path.startswith("s3://"):
+        return _write_snapshot_s3(df, table_path, None, s3_options, "append")
     table_path = os.path.abspath(table_path)
     versions = list_versions(table_path)
     if not versions:

@@ -168,3 +168,56 @@ def test_vacuum_store_reclaims_superseded_group_objects(spark, fake_s3):
     # the grouped head still reads after the sweep
     assert _rows(_read(spark, fake_s3, prefix)) == [(1,), (2,)]
     assert not fake_s3.rejections
+
+
+def test_snapshot_history_local_and_s3(spark, fake_s3, tmp_path):
+    """DESCRIBE HISTORY twin (round 15): one metadata row per version
+    with the operation classified — create / append / rewrite /
+    compact — identical through the local and s3 paths."""
+    from tile_processor_spark.sources.snapshot_datasource import (
+        compact_store,
+    )
+    from tile_processor_spark.sources.snapshots import (
+        append_snapshot,
+        compact_manifest,
+        snapshot_history,
+        upsert_snapshot,
+        write_snapshot,
+    )
+
+    # local: create -> append -> upsert(rewrite) -> compact
+    tbl = str(tmp_path / "tbl")
+    write_snapshot(spark.createDataFrame([(1, "a")], "k long, s string"), tbl)
+    append_snapshot(spark.createDataFrame([(2, "b")], "k long, s string"), tbl)
+    upsert_snapshot(
+        spark.createDataFrame([(2, "B")], "k long, s string"), tbl, ["k"]
+    )
+    compact_manifest(tbl)
+    h = snapshot_history(tbl)
+    assert [e["operation"] for e in h] == [
+        "create", "append", "rewrite", "compact",
+    ]
+    assert [e["version"] for e in h] == [1, 2, 3, 4]
+    assert h[1]["n_appended"] >= 1 and h[1]["n_files"] > h[0]["n_files"]
+    assert h[3]["compacted_from"] == 3
+    # grouped head reports file counts without opening side files
+    assert h[3]["n_files"] == h[2]["n_files"]
+
+    # s3: the native write plane produces the same classified history
+    prefix = "warehouse/fn_history"
+    url = f"s3://{BUCKET}/{prefix}"
+    opts = {k: v for k, v in _s3_opts(fake_s3, prefix).items() if k != "path"}
+    write_snapshot(
+        spark.createDataFrame([("F", 1)], "g string, k long"),
+        url, partition_by=["g"], s3_options=opts,
+    )
+    append_snapshot(
+        spark.createDataFrame([("O", 2)], "g string, k long"),
+        url, s3_options=opts,
+    )
+    compact_store(url, opts)
+    hs = snapshot_history(url, s3_options=opts)
+    assert [e["operation"] for e in hs] == ["create", "append", "compact"]
+    assert all(e["partition_by"] == ["g"] for e in hs)
+    assert hs[1]["n_appended"] == 1
+    assert not fake_s3.rejections

@@ -1207,6 +1207,75 @@ def vacuum(
     }
 
 
+def snapshot_history(
+    table_path: str, s3_options: dict | None = None
+) -> list[dict]:
+    """DESCRIBE HISTORY for a snapshot table: one dict per committed
+    version, oldest first — the audit surface Delta exposes as
+    ``DESCRIBE HISTORY`` (reference parity: the reference's in-place
+    directory overwrites keep no history at all, tile_processor/
+    output.py DirOutput). Metadata only: one manifest read per
+    version, zero data access; grouped manifests report file counts
+    from their top-level group entries without opening side objects.
+    ``table_path`` may be local or ``s3://`` (the store resolves
+    manifests through the SigV4 client).
+
+    Fields: ``version``, ``committed_at`` (epoch seconds),
+    ``operation`` ('create' | 'append' | 'stream-append' | 'compact' |
+    'rewrite' — rewrites cover write_snapshot replacements AND
+    upsert/merge commits, which share the full-state commit shape),
+    ``n_files`` (total files referenced), ``n_appended`` (delta size,
+    append commits only), ``partition_by``, plus ``compacted_from`` /
+    ``stream_batch_id`` when present."""
+    if table_path.startswith("s3://"):
+        from tile_processor_spark.sources.snapshot_datasource import (
+            S3SnapshotStore,
+        )
+
+        store = S3SnapshotStore(table_path, dict(s3_options or {}))
+        versions = store.versions()
+        read = store.manifest
+    else:
+        local = os.path.abspath(table_path)
+        versions = list_versions(local)
+
+        def read(v: int) -> dict:
+            return _read_manifest(local, v)
+
+    out: list[dict] = []
+    for v in versions:
+        m = read(v)
+        if "groups" in m:
+            n_files = sum(int(g.get("n_files", 0)) for g in m["groups"])
+        else:
+            n_files = len(m.get("files") or [])
+        appended = m.get("appended_files")
+        if m.get("compacted_from") is not None:
+            op = "compact"
+        elif m.get("stream_batch_id") is not None:
+            op = "stream-append"
+        elif v == (versions[0] if versions else 1) and v == 1:
+            op = "create"
+        elif appended is not None:
+            op = "append"
+        else:
+            op = "rewrite"
+        entry: dict = {
+            "version": int(m.get("version", v)),
+            "committed_at": m.get("committed_at"),
+            "operation": op,
+            "n_files": n_files,
+            "n_appended": len(appended) if appended is not None else None,
+            "partition_by": list(m.get("partition_by") or []),
+        }
+        if m.get("compacted_from") is not None:
+            entry["compacted_from"] = m["compacted_from"]
+        if m.get("stream_batch_id") is not None:
+            entry["stream_batch_id"] = m["stream_batch_id"]
+        out.append(entry)
+    return out
+
+
 def upsert_snapshot(
     df: DataFrame,
     table_path: str,

@@ -541,3 +541,40 @@ def test_function_api_writes_s3_tables(spark, fake_s3):
                       s3_options=opts)
     ) == [("P", 3, 30.0)]
     assert not fake_s3.rejections
+
+
+def test_function_api_s3_upsert_schema_evolution(spark, fake_s3):
+    """Additive schema evolution through the s3 upsert path: the delta
+    carries a new column, carried-over rows get NULL for it, and the
+    evolved state commits natively; snapshot_diff(evolve) then
+    classifies the backfill as updates — the local evolution contract,
+    object-store-resident."""
+    from tile_processor_spark.sources.snapshots import (
+        snapshot_diff,
+        upsert_snapshot,
+        write_snapshot,
+    )
+
+    prefix = "warehouse/fn_evolve"
+    url = f"s3://{BUCKET}/{prefix}"
+    opts = {k: v for k, v in _s3_opts(fake_s3, prefix).items() if k != "path"}
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
+        url, s3_options=opts,
+    )
+    # extra column without the flag refuses (local contract)
+    delta = spark.createDataFrame([(2, "B", 9.5)], "k long, s string, score double")
+    with pytest.raises(ValueError, match="allow_new_columns"):
+        upsert_snapshot(delta, url, ["k"], s3_options=opts)
+    v2 = upsert_snapshot(
+        delta, url, ["k"], allow_new_columns=True, s3_options=opts
+    )
+    assert v2 == 2
+    got = read_snapshot(spark, url, s3_options=opts)
+    assert got.columns == ["k", "s", "score"]
+    assert _rows(got) == [(1, "a", None), (2, "B", 9.5)]
+    d = snapshot_diff(
+        spark, url, 1, 2, ["k"], on_schema_drift="evolve", s3_options=opts
+    )
+    assert _rows(d) == [(2, "update")]
+    assert not fake_s3.rejections

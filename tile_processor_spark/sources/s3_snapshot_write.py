@@ -83,6 +83,7 @@ from pyspark.sql.types import StructType
 
 from tile_processor_spark.sources.snapshots import (
     _APPEND_RETRIES,
+    _CONFLICT_MARKER,
     _manifest_files,
     _schema_fields,
 )
@@ -213,17 +214,33 @@ class S3SnapshotCommitter:
         file_stats: dict,
         snap_rel: str,
         partition_by: list[str] | None = None,
+        expected_version: int | None = None,
+        extra: dict | None = None,
     ) -> int:
-        """Replace the table state as the next version (single-writer
-        rewrites, like the local path: the loser of a version race
-        raises rather than clobbering). With ``partition_by`` the data
-        keys carry Hive ``col=val`` chains under the snap prefix and
-        the manifest records the scheme — the reader's driver-side
-        partition pruning works unchanged."""
+        """Replace the table state as the next version. Two committers
+        racing on the same version number are arbitrated by the
+        conditional PUT (the loser raises, never clobbers); pass
+        ``expected_version`` (the version the written state derives
+        from — round 16, Delta's read-version conflict detection) to
+        ALSO refuse when any commit landed after the caller's read:
+        the publish then targets exactly ``expected_version + 1``, so
+        an append sneaking in between read and publish fails this
+        commit instead of silently vanishing from the new head. With
+        ``partition_by`` the data keys carry Hive ``col=val`` chains
+        under the snap prefix and the manifest records the scheme —
+        the reader's driver-side partition pruning works unchanged."""
         import time
 
         versions = self.store.versions()
-        version = (versions[-1] + 1) if versions else 1
+        latest = versions[-1] if versions else 0
+        if expected_version is not None and latest != expected_version:
+            raise RuntimeError(
+                f"rewrite derived from version {expected_version} but "
+                f"s3://{self.store.bucket}/{self.store.prefix} is at "
+                f"version {latest} — a concurrent commit landed after "
+                f"the read; re-derive and retry {_CONFLICT_MARKER}"
+            )
+        version = latest + 1
         manifest = {
             "version": version,
             "committed_at": time.time(),
@@ -240,12 +257,88 @@ class S3SnapshotCommitter:
             hw = self.store.manifest(versions[-1]).get("stream_high_water")
             if hw:
                 manifest["stream_high_water"] = hw
+        manifest.update(extra or {})
         try:
             return self.publish(manifest, version)
         except FileExistsError:
             raise RuntimeError(
                 f"version {version} already committed at "
-                f"s3://{self.store.bucket}/{self.store.prefix}"
+                f"s3://{self.store.bucket}/{self.store.prefix} "
+                f"{_CONFLICT_MARKER}"
+            ) from None
+
+    def commit_replace(
+        self,
+        data_keys: list[str],
+        schema_json: str,
+        file_stats: dict,
+        replace_vpaths: list[str],
+        expected_version: int,
+        extra: dict | None = None,
+    ) -> int:
+        """Copy-on-write REPLACE (the ``delete_snapshot`` commit
+        shape): the files named in ``replace_vpaths`` (paths in the
+        READ manifest's own namespace) drop out of the carried state
+        and the freshly-PUT ``data_keys`` stand in for them; every
+        other file carries by reference. Schema, base, partition
+        scheme, and the streaming watermark carry unchanged. Publishes
+        at exactly ``expected_version + 1`` — any concurrent commit
+        makes this raise (conflict marker) rather than lose rows."""
+        import time
+
+        versions = self.store.versions()
+        latest = versions[-1] if versions else 0
+        if latest != expected_version:
+            raise RuntimeError(
+                f"replace derived from version {expected_version} but "
+                f"s3://{self.store.bucket}/{self.store.prefix} is at "
+                f"version {latest} — a concurrent commit landed after "
+                f"the read; re-derive and retry {_CONFLICT_MARKER}"
+            )
+        latest_m = self.store.manifest(latest)
+        old_root = latest_m.get("root")
+        if old_root is None:
+            raise ValueError(
+                "latest manifest lacks the table 'root' field "
+                "(committed before round 13) — recommit or delete "
+                "through a local mount"
+            )
+        replaced = set(replace_vpaths)
+        carried = [
+            self.re_root(f, old_root)
+            for f in _manifest_files(
+                latest_m, open_json=self.store.json_loader(old_root)
+            )
+            if f not in replaced
+        ]
+        merged_stats = {
+            self.re_root(p, old_root): s
+            for p, s in (latest_m.get("file_stats") or {}).items()
+            if p not in replaced
+        }
+        merged_stats.update(file_stats)
+        version = latest + 1
+        manifest = {
+            "version": version,
+            "committed_at": time.time(),
+            "files": carried + [self.vpath(k) for k in sorted(data_keys)],
+            "schema": latest_m["schema"],
+            "base": self.re_root(latest_m["base"], old_root),
+            "partition_by": list(latest_m.get("partition_by") or []),
+        }
+        if merged_stats:
+            manifest["file_stats"] = merged_stats
+        hw = latest_m.get("stream_high_water")
+        if hw:
+            manifest["stream_high_water"] = hw
+        manifest.update(extra or {})
+        try:
+            return self.publish(manifest, version)
+        except FileExistsError:
+            raise RuntimeError(
+                f"version {version} already committed at "
+                f"s3://{self.store.bucket}/{self.store.prefix} "
+                f"{_CONFLICT_MARKER}"
             ) from None
 
     def commit_append(
@@ -465,6 +558,26 @@ class S3SnapshotWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
         self._snap_rel = f"data/{uuid.uuid4().hex}"
         self._expected_schema: str | None = None
+        # round 16: read-version conflict detection + exact-version /
+        # audit plumbing for the function API (upsert/delete) — see
+        # snapshots._write_snapshot_s3
+        ev = options.get("expected_version")
+        self._expected_version = int(ev) if ev is not None else None
+        self._extra = json.loads(options.get("commit_extra", "{}")) or None
+        raw_replace = options.get("replace_files")
+        self._replace = (
+            json.loads(raw_replace) if raw_replace is not None else None
+        )
+        if self._replace is not None and not overwrite:
+            raise ValueError(
+                "replace_files requires mode('overwrite') — a replace "
+                "commit rewrites part of the table state"
+            )
+        if self._replace is not None and self._expected_version is None:
+            raise ValueError(
+                "replace_files requires expected_version — a replace "
+                "commit is only sound against the exact state it read"
+            )
         raw_parts = options.get("partition_by", "")
         self._part_cols = [c.strip() for c in raw_parts.split(",") if c.strip()]
         bad = [c for c in self._part_cols if c not in schema.fieldNames()]
@@ -478,6 +591,20 @@ class S3SnapshotWriter(DataSourceArrowWriter):
                 "partition_by covers every column — the data files "
                 "would be empty; leave at least one data column"
             )
+        if self._replace is not None:
+            # a replace carries the COMMITTED schema forward — data
+            # written against a drifted schema would contradict it
+            versions = self._store.versions()
+            if versions:
+                committed = json.loads(
+                    self._store.manifest(versions[-1])["schema"]
+                )
+                want = [(f["name"], f["type"]) for f in committed["fields"]]
+                got = [(f.name, f.dataType.jsonValue()) for f in schema.fields]
+                if got != want:
+                    raise ValueError(
+                        f"replace schema {got} does not match committed {want}"
+                    )
         if not overwrite:
             versions = self._store.versions()
             if versions:
@@ -516,10 +643,21 @@ class S3SnapshotWriter(DataSourceArrowWriter):
         committer = S3SnapshotCommitter(self._store)
         keys = sorted(key for key, _st in _message_files(messages))
         stats = _collect_file_stats(committer, messages)
-        if self._overwrite:
+        if self._replace is not None:
+            committer.commit_replace(
+                keys,
+                self._schema.json(),
+                stats,
+                self._replace,
+                self._expected_version,
+                extra=self._extra,
+            )
+        elif self._overwrite:
             committer.commit_overwrite(
                 keys, self._schema.json(), stats, self._snap_rel,
                 partition_by=self._part_cols or None,
+                expected_version=self._expected_version,
+                extra=self._extra,
             )
         else:
             # mode('append') always goes through commit_append —
@@ -541,6 +679,7 @@ class S3SnapshotWriter(DataSourceArrowWriter):
                 # must fail this check inside the retry, not commit
                 # files the manifest's declared schema contradicts
                 expected_schema=self._schema.json(),
+                extra=self._extra,
                 # likewise the delta's key chains were written under
                 # this scheme; a raced creator with a DIFFERENT scheme
                 # must fail the partition check inside the retry

@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from tile_processor_spark.sources.snapshots import (
+    _bucket_sort_key,
     _manifest_files,
     _partition_values,
     _read_manifest,
@@ -369,7 +370,7 @@ def compact_store(
     else:
         all_stats = dict(manifest.get("file_stats") or {})
     groups = []
-    for key, flist in sorted(buckets.items()):
+    for key, flist in sorted(buckets.items(), key=_bucket_sort_key):
         name = f"{_GROUPS_DIR}/{_uuid.uuid4().hex}.json"
         ordered = sorted(flist)
         fstats = {f: all_stats[f] for f in ordered if f in all_stats}
@@ -426,7 +427,24 @@ def _resolve_manifest(options: dict) -> dict:
     versions = store.versions() if store else list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshot at {path}")
-    v = int(options.get("version", versions[-1]))
+    as_of = options.get("as_of")
+    if as_of is not None:
+        # AS OF TIMESTAMP through the connector (option value is a
+        # string: epoch seconds or ISO-8601) — same resolution as
+        # read_snapshot(as_of=...)
+        if "version" in options:
+            raise ValueError(
+                "tps_snapshot: version and as_of are mutually exclusive"
+            )
+        from tile_processor_spark.sources.snapshots import resolve_as_of
+
+        try:
+            ts = float(as_of)
+        except (TypeError, ValueError):
+            ts = str(as_of)
+        v = resolve_as_of(path, ts, dict(options) if store else None)
+    else:
+        v = int(options.get("version", versions[-1]))
     if v not in versions:
         raise FileNotFoundError(f"version {v} not in {versions} at {path}")
     manifest = store.manifest(v) if store else _read_manifest(path, v)
@@ -492,6 +510,14 @@ class SnapshotReader(DataSourceReader):
             self._manifest, self._filter, self._where or None,
             open_json=loader,
         )
+        only = self._options.get("only_files")
+        if only is not None:
+            # internal plan option (delete_snapshot's touched-subset
+            # read): restrict to an explicit subset of the version's
+            # files, named in manifest space — never a way to read
+            # files outside the pinned manifest
+            wanted = set(json.loads(only))
+            files = [f for f in files if f in wanted]
         base = self._manifest["base"]
         if store:
             root = self._manifest["root"]

@@ -144,3 +144,9 @@ def test_engine_snapshot_roundtrip(spark, tmp_path):
     assert eng.commit_snapshot(df.limit(4), tbl) == 2
     assert eng.read_table_snapshot(tbl).count() == 4
     assert eng.read_table_snapshot(tbl, version=1).count() == 10
+    # round 16: row-level DELETE + AS-OF time travel through the facade
+    import time
+
+    assert eng.delete_from_snapshot(tbl, [("k", ">=", 2)]) == 3
+    assert eng.read_table_snapshot(tbl).count() == 2
+    assert eng.read_table_snapshot(tbl, as_of=time.time()).count() == 2

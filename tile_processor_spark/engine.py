@@ -276,15 +276,30 @@ class Engine:
         table_path: str,
         version: int | None = None,
         partition_filter: dict[str, object] | None = None,
+        as_of=None,
     ) -> DataFrame:
         """Read a committed snapshot version (default latest) — time
-        travel for corpus/dimension reproducibility. ``partition_filter``
-        prunes files at the manifest (partitioned versions only)."""
+        travel for corpus/dimension reproducibility, by version number
+        or AS-OF timestamp (``as_of``: epoch / datetime / ISO string).
+        ``partition_filter`` prunes files at the manifest (partitioned
+        versions only)."""
         from tile_processor_spark.sources.snapshots import read_snapshot
 
         return read_snapshot(
-            self.spark, table_path, version, partition_filter=partition_filter
+            self.spark, table_path, version,
+            partition_filter=partition_filter, as_of=as_of,
         )
+
+    def delete_from_snapshot(
+        self, table_path: str, where: list[tuple]
+    ) -> int:
+        """Row-level DELETE on a snapshot table (``DELETE FROM t WHERE
+        ...``): copy-on-write, stats-pruned (untouched files carry by
+        reference), read-version conflict-detected — the GDPR/
+        compliance primitive (sources/snapshots.py delete_snapshot)."""
+        from tile_processor_spark.sources.snapshots import delete_snapshot
+
+        return delete_snapshot(self.spark, table_path, where)
 
     # --- capability registry ----------------------------------------------
 

@@ -62,23 +62,21 @@ def register(
 #: depositing this round's own file mid-round cannot retroactively
 #: invalidate the committed window (round-9 lifecycle bug). Bump this
 #: and regenerate the window together at each round start.
-_STAGED_FOR_ROUND: int = 15
+_STAGED_FOR_ROUND: int = 16
 
 #: rows whose CODE was re-planned since the previous staging commit —
 #: DERIVED MECHANICALLY (tools/gate_rotation.py derive_changed: git
-#: diff d5a4452..worktree -> modules -> reverse-import closure, with
+#: diff 64aad3c..worktree -> modules -> reverse-import closure, with
 #: per-NAME granularity inside a row's own module: changed lines
 #: attribute to their owning top-level node and resolve through the
-#: module's internal reference graph). Round 15: partitioned
-#: s3-native appends + stream-sink scheme inheritance
-#: (s3_snapshot_write.py), the vacuum_store root guard
-#: (snapshot_datasource.py), the sidecar retention window + cache
-#: ownership check (dedup_bloom.py), and the gate module's assert
-#: hygiene + the NEW snapshot_s3_partitioned_append row mark the
-#: snapshot family (10 rows).
+#: module's internal reference graph). Round 16: read-version conflict
+#: detection + row-level DELETE + AS-OF time travel (snapshots.py,
+#: s3_snapshot_write.py, snapshot_datasource.py) and the THREE new
+#: gate rows mark the snapshot family (13 rows).
 #: To restage: python tools/gate_rotation.py --since <staging commit>
 #: (find it via: git log -S"_STAGED_FOR_ROUND: int = <N>").
 _ROUND_CHANGED: tuple[str, ...] = (
+    "snapshot_s3_partitioned_append",
     "snapshot_s3_write_read",
     "snapshot_datasource_read",
     "snapshot_merge_upsert_state",
@@ -88,17 +86,24 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "snapshot_partition_pruned_read",
     "snapshot_incremental_dedup",
     "snapshot_where_pruned_read",
-    "snapshot_s3_partitioned_append",
+    "snapshot_delete_where",
+    "snapshot_delete_diff",
+    "snapshot_as_of_read",
 )
 
-# Round-15 window: q1 (flagship), the never-gated partitioned-append
-# row first among the changed set, the rest of the changed snapshot
-# family, then the ENTIRE r9 staleness tail (33 rows:
-# ann/cc/dedup-eval/sampling/q15-q17/text families) and six r10 rows
-# to fill — after this round no row's evidence is older than r10
-# (the r14 verdict's ask, item 2).
+# Round-16 window: q1 (flagship), the three never-gated DELETE/AS-OF
+# rows, then the rest of the changed snapshot family (the conflict-
+# detection re-plan touched every snapshot row), then the ENTIRE r10
+# staleness tail (34 rows: the spatial family, ann_kmeans_fit,
+# ann_ivf_recall, sketch cms/kmv, text_html_strip/pii_redact/
+# url_domains, events/stats families) and two r11 rows to fill —
+# after this round no row's evidence is older than r11 (the r15
+# verdict's ask, item 4).
 _GATE_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
+    "snapshot_delete_where",
+    "snapshot_delete_diff",
+    "snapshot_as_of_read",
     "snapshot_s3_partitioned_append",
     "snapshot_s3_write_read",
     "snapshot_datasource_read",
@@ -109,45 +114,42 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "snapshot_partition_pruned_read",
     "snapshot_incremental_dedup",
     "snapshot_where_pruned_read",
-    "window_rank_family",
-    "grouping_sets_order_stats",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q17_small_quantity_revenue",
-    "q20_substantial_suppliers",
-    "q21_waiting_suppliers",
-    "lateral_top_order_per_customer",
-    "lineitem_weighted_median",
-    "dedup_simhash",
-    "ann_lsh_buckets",
-    "dedup_ngram_jaccard_sampled",
-    "ann_ivf_search",
-    "text_chunk_windows",
-    "dedup_connected_components",
-    "dedup_keep_canonical",
-    "sample_stratified",
-    "sample_per_group_topk",
-    "sample_split_assign",
-    "embedding_dim_stats",
-    "curate_quality_by_cluster",
-    "text_repetition_stats",
-    "text_top_terms",
-    "embedding_normalize",
-    "corpus_shard_assign",
-    "text_doc_frequency_score",
-    "dedup_connected_components_star",
-    "sample_temperature_mixture",
-    "corpus_curation_manifest",
-    "ann_pq_adc_recall",
-    "spatial_tin_simplify",
-    "spatial_zorder_keys",
-    "dedup_minhash_recall_sampled",
-    "window_range_frame_spend",
-    "scd2_snapshot_values",
-    "sessionize_gap_ids",
-    "islands_active_days",
-    "price_band_assign",
-    "argmax_order_per_customer",
+    "stats_second_moments",
+    "median_disc_by_priority",
+    "weekly_revenue_wow",
+    "mode_priority_by_status",
+    "events_first_touch",
+    "multiset_except_intersect",
+    "cumulative_distinct_users",
+    "revenue_share_by_nation",
+    "leave_one_out_customer_mean",
+    "dq_column_profile",
+    "text_pii_redact",
+    "text_html_strip",
+    "text_url_domains",
+    "ann_kmeans_fit",
+    "spatial_point_in_tile_join",
+    "spatial_within_extent",
+    "spatial_tiles_intersecting_extent",
+    "spatial_dissolve_union_area",
+    "spatial_match_elevation_versions",
+    "spatial_version_not_boundary",
+    "spatial_versions",
+    "spatial_version_boundary",
+    "spatial_alpha_shape",
+    "spatial_knn_tile_center",
+    "events_rolling_zscore",
+    "events_pivot_hourly",
+    "events_unpivot_hourly",
+    "events_click_purchase_outer",
+    "events_value_histogram",
+    "sketch_count_min",
+    "sketch_cms_point_queries",
+    "sketch_kmv_distinct",
+    "ann_ivf_recall",
+    "events_seasonal_hourly",
+    "q6_revenue_forecast",
+    "q10_returned_items",
 )
 
 

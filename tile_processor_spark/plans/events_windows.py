@@ -22,6 +22,7 @@ from pyspark.sql.window import Window as W
 
 from tile_processor_spark.plans.registry import register
 from tile_processor_spark.sources.tables import load_table
+from tile_processor_spark.plans.relational import _cents, _sum_scaled
 
 US = 1_000_000  # microseconds per second
 
@@ -53,7 +54,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            _sum_scaled(_cents(F.col("value")), 2, "total_value"),
         )
         .select(
             F.unix_micros(F.col("win.start")).alias("win_start_us"),
@@ -94,7 +95,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            _sum_scaled(_cents(F.col("value")), 2, "total_value"),
         )
         .select(
             F.unix_micros(F.col("win.start")).alias("win_start_us"),
@@ -143,7 +144,7 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            _sum_scaled(_cents(F.col("value")), 2, "total_value"),
         )
         .select(
             "user_id",
@@ -427,7 +428,8 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
+        (F.sum(_cents(F.col("value")).cast("decimal(18,0)"))
+         * F.lit(0.01).cast("decimal(3,2)")).alias("sv"),
     )
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),

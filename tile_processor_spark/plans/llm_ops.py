@@ -292,6 +292,15 @@ def _pair_jaccard_udf(text1: pd.Series, text2: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# Deterministic in value, but marked non-deterministic so the optimizer
+# may not clone the evaluation below a pushed filter: the plain form of
+# `withColumn("jaccard", udf).filter(jaccard >= t)` plans TWO
+# ArrowEvalPython nodes (one under the pushed filter, one re-deriving
+# the projected column), charging every candidate pair a second exact
+# shingle-set pass. One node, same values.
+_pair_jaccard_once = _pair_jaccard_udf.asNondeterministic()
+
+
 _MINHASH_ORACLE = f"""
     WITH words AS (
       SELECT doc_id, {SQL_TOKENS} AS w FROM documents
@@ -517,7 +526,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = (
         cand.join(t1, "d1")
         .join(t2, "d2")
-        .withColumn("jaccard", _pair_jaccard_udf(F.col("text1"), F.col("text2")))
+        .withColumn("jaccard", _pair_jaccard_once(F.col("text1"), F.col("text2")))
         .filter(F.col("jaccard") >= MINHASH_EMIT_THRESHOLD)
     )
     return verified.select("d1", "d2", "jaccard")

@@ -31,6 +31,44 @@ def dsum(col, alias):
     return F.sum(col.cast("decimal(18,4)")).cast("double").alias(alias)
 
 
+def _cents(col):
+    """Exact 2-dp money column (the TPC-H star's DECIMAL(m,2) domain,
+    carried as double by the generator) → ×100-scaled long.
+
+    ``floor(x·100 + 0.5)`` is whole-stage-codegen double/long math where
+    a decimal cast allocates a BigDecimal per row; for a non-negative
+    value whose true magnitude is an exact 2-dp decimal (oracle-pinned
+    for every money/measure column this touches) it recovers exactly the
+    same integer the HALF_UP decimal cast produces — the double carries
+    the 2-dp rational to within ~1e-9·ulp, which can never cross the
+    half-cent boundary."""
+    return F.floor(col * 100 + F.lit(0.5))
+
+
+def _sum_scaled(col_c, frac_digits: int, alias: str):
+    """Exact order-independent sum of a 10^frac_digits-scaled long
+    column, returned as the same double the dsum() decimal formulation
+    yields: the per-row values are integers (pure long math in codegen),
+    only the 6-or-so GROUP results pay a decimal rescale. decimal(18,0)
+    per-row / decimal(28,0) accumulator keep Spark's compact-long
+    decimal representation through the partial and final aggregates;
+    headroom to 10²⁸ covers ~10¹⁶ rows at the largest per-row scale."""
+    scale = F.lit(10**-frac_digits).cast(f"decimal({frac_digits + 1},{frac_digits})")
+    return (
+        (F.sum(col_c.cast("decimal(18,0)")) * scale).cast("double").alias(alias)
+    )
+
+
+def _revenue_c():
+    """×10⁴-scaled exact revenue term l_extendedprice·(1−l_discount) —
+    the long-codegen twin of dsum(p·(1−d)): both resolve to the same
+    exact 4-dp rational per row (see _cents), so the scaled sum casts to
+    the identical double."""
+    return _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
@@ -67,19 +105,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tags=("headline", "agg"),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same exact rationals as the decimal formulation (and the oracle),
+    # computed in scaled-long codegen instead of per-row BigDecimal:
+    # price/discount/tax are exact 2-dp, so disc_price = p_c·(100−d_c)
+    # (×10⁴) and charge = disc_price_c·(100+t_c) (×10⁶) are exact
+    # integers; only the 6 group results touch decimal (guide §1.2:
+    # per-task work, after the plan shape is already one exchange).
     li = _t(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(3,2)")
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc_price = price * (one - F.col("l_discount").cast("decimal(3,2)"))
-    charge = disc_price * (one + F.col("l_tax").cast("decimal(3,2)"))
+    price_c = _cents(F.col("l_extendedprice"))
+    disc_price_c = price_c * (F.lit(100) - _cents(F.col("l_discount")))
+    charge_c = disc_price_c * (F.lit(100) + _cents(F.col("l_tax")))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(F.col("l_quantity"), "sum_qty"),
-            dsum(F.col("l_extendedprice"), "sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            _sum_scaled(_cents(F.col("l_quantity")), 2, "sum_qty"),
+            _sum_scaled(price_c, 2, "sum_base_price"),
+            _sum_scaled(disc_price_c, 4, "sum_disc_price"),
+            _sum_scaled(charge_c, 6, "sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -115,7 +158,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(_sum_scaled(_revenue_c(), 4, "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -166,7 +209,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(_sum_scaled(_revenue_c(), 4, "revenue"))
     )
 
 
@@ -193,7 +236,11 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         ).agg(
-            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            _sum_scaled(
+                _cents(F.col("l_extendedprice")) * _cents(F.col("l_discount")),
+                4,
+                "revenue",
+            ),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -257,7 +304,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(_sum_scaled(_revenue_c(), 4, "revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)

@@ -386,12 +386,20 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
     ).localCheckpoint()
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    corpus = toks.agg(
-        F.count_distinct("doc_id").cast("long").alias("n"),
-        F.count(F.lit(1)).cast("long").alias("sumdl"),
-    )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    df = toks.groupBy("term").agg(F.count_distinct("doc_id").cast("long").alias("df"))
+    # corpus/df are DERIVED from dl/tf instead of re-aggregating the raw
+    # token stream: n = |dl| (one row per doc), sumdl = Σdl, and a term's
+    # doc frequency = its tf row count (tf is one row per (doc, term)).
+    # Catalyst's ReuseExchange shares the dl/tf shuffles with the main
+    # branches, so the token checkpoint is scanned twice, not four times,
+    # and the two COUNT(DISTINCT) re-shuffles of the full stream become
+    # tiny rollups of already-aggregated frames — exactly the same
+    # values, exact integer counts either way.
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sumdl"),
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     qterms = df.orderBy("df", "term").limit(5).select("term", "df")
     dec = "decimal(38,0)"
     scored = (

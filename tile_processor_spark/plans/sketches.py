@@ -226,6 +226,15 @@ def hll_registers(
     Mergeable across batches/shards/groups by groupBy(idx).max(m): max
     is idempotent and commutative, so HLL union is replay-safe for free
     (the property ``streaming/hll.py`` builds on)."""
+    return _hll_rho(keys, key_col, keep).groupBy(*keep, "idx").agg(
+        F.max("rho").cast("long").alias("m")
+    )
+
+
+def _hll_rho(keys: DataFrame, key_col: str, keep: tuple = ()) -> DataFrame:
+    """(*keep, idx, rho): the shared HLL hash/idx/rho kernel — one row
+    per input key (pre-aggregation), so callers can fold extra per-cell
+    statistics into the same groupBy pass."""
     hashed = keys.select(
         *keep, hash32(F.concat(F.lit("hll#"), F.col(key_col))).alias("h")
     )
@@ -235,14 +244,13 @@ def hll_registers(
         (F.col("h") / rem_space).cast("long").alias("idx"),
         (F.col("h") % rem_space).alias("rem"),
     )
-    rho = split.select(
+    return split.select(
         *keep,
         "idx",
         F.when(F.col("rem") == 0, F.lit(HLL_REM_BITS + 1))
         .otherwise(F.lit(HLL_REM_BITS + 1) - F.length(F.bin(F.col("rem"))))
         .alias("rho"),
     )
-    return rho.groupBy(*keep, "idx").agg(F.max("rho").cast("long").alias("m"))
 
 
 def hll_dense_registers(spark: SparkSession, regs: DataFrame) -> DataFrame:
@@ -310,24 +318,36 @@ def hll_dense_registers(spark: SparkSession, regs: DataFrame) -> DataFrame:
     tags=("llm", "sketch", "headline"),
 )
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single pass over the vocabulary: each distinct word is exactly one
+    # row of the rho kernel, so the register groupBy can carry the exact
+    # distinct count as a per-cell COUNT(*) folded into the same
+    # aggregation — true_distinct = Σ c over cells. This removes the
+    # second corpus scan + distinct shuffle the separate true_cnt branch
+    # paid, and the dense-fill join now feeds both statistics. Values
+    # are identical: max/count over the same rows, summed exactly.
     w = _words(spark, sf_dir).distinct()
-    regs = hll_dense_registers(spark, hll_registers(w, "word"))
-    agg = regs.agg(
+    cells = _hll_rho(w, "word").groupBy("idx").agg(
+        F.max("rho").cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    all_idx = spark.range(HLL_M).withColumnRenamed("id", "idx")
+    dense = all_idx.join(cells, "idx", "left").select(
+        "idx",
+        F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("m"),
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+    )
+    est = F.lit(HLL_ALPHA_M2) / F.col("sum_inv")
+    return dense.agg(
         F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("sum_inv"),
         F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("n_zero"),
-    )
-    true_cnt = w.agg(F.count(F.lit(1)).cast("long").alias("true_distinct"))
-    est = F.lit(HLL_ALPHA_M2) / F.col("sum_inv")
-    return (
-        agg.crossJoin(F.broadcast(true_cnt))
-        .select(
-            F.lit(HLL_M).cast("long").alias("m"),
-            "n_zero",
-            F.col("sum_inv").cast("double").alias("sum_inv"),
-            est.alias("est_raw"),
-            "true_distinct",
-            (est / F.col("true_distinct") - 1.0).alias("rel_err"),
-        )
+        F.sum("c").cast("long").alias("true_distinct"),
+    ).select(
+        F.lit(HLL_M).cast("long").alias("m"),
+        "n_zero",
+        F.col("sum_inv").cast("double").alias("sum_inv"),
+        est.alias("est_raw"),
+        "true_distinct",
+        (est / F.col("true_distinct") - 1.0).alias("rel_err"),
     )
 
 

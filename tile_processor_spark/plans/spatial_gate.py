@@ -35,7 +35,11 @@ from tile_processor_spark.plans.registry import register
 from tile_processor_spark.plans.relational import dsum
 from tile_processor_spark.sources.tables import load_table
 from tile_processor_spark.spatial import kernel, wkb
-from tile_processor_spark.spatial.join import bbox_join, points_in_polygons
+from tile_processor_spark.spatial.join import (
+    bbox_join,
+    points_in_polygons,
+    st_contains_point_ring,
+)
 from tile_processor_spark.spatial.udfs import st_contains_point, st_intersects, st_rect
 
 # --- shared synthetic-geometry definitions (Spark + SQL must agree) -------
@@ -152,7 +156,7 @@ def elevation_tiles(spark: SparkSession) -> DataFrame:
 def spatial_point_in_tile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = synthetic_points(spark, sf_dir)
     grid = tile_grid(spark)
-    joined = points_in_polygons(pts, grid, cell_size=80.0)
+    joined = points_in_polygons(pts, grid, cell_size=80.0, rects=True)
     return joined.select("pk", "tile_id")
 
 
@@ -177,10 +181,10 @@ def spatial_within_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     x0, y0, x1, y1 = PENTAGON_BBOX
     inside = pts.filter(
         (F.col("x") >= x0) & (F.col("x") <= x1) & (F.col("y") >= y0) & (F.col("y") <= y1)
-    ).filter(st_contains_point(F.lit(PENTAGON_WKB), F.col("x"), F.col("y")))
+    ).filter(st_contains_point_ring(PENTAGON, F.col("x"), F.col("y")))
     grid = tile_grid(spark)
     return (
-        points_in_polygons(inside, grid, cell_size=80.0)
+        points_in_polygons(inside, grid, cell_size=80.0, rects=True)
         .select("tile_id")
         .distinct()
     )
@@ -627,7 +631,7 @@ def spatial_version_boundary_region(spark: SparkSession, sf_dir: str) -> DataFra
 def spatial_percentile_heights(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = synthetic_points(spark, sf_dir)
     grid = tile_grid(spark)
-    joined = points_in_polygons(pts, grid, cell_size=80.0)
+    joined = points_in_polygons(pts, grid, cell_size=80.0, rects=True)
     return joined.groupBy("tile_id").agg(
         F.expr("percentile(z, 0.95)").alias("roof_h"),
         F.expr("percentile(z, 0.10)").alias("ground_h"),
@@ -654,7 +658,7 @@ def spatial_percentile_heights_approx(
     DuckDB oracle; docs/SCALE.md notes which variant to run at scale."""
     pts = synthetic_points(spark, sf_dir)
     grid = tile_grid(spark)
-    joined = points_in_polygons(pts, grid, cell_size=80.0)
+    joined = points_in_polygons(pts, grid, cell_size=80.0, rects=True)
     return joined.groupBy("tile_id").agg(
         F.percentile_approx("z", 0.95, accuracy).alias("roof_h"),
         F.percentile_approx("z", 0.10, accuracy).alias("ground_h"),
@@ -692,7 +696,7 @@ def spatial_percentile_heights_approx_gate(
 ) -> DataFrame:
     approx = spatial_percentile_heights_approx(spark, sf_dir)
     pts = points_in_polygons(
-        synthetic_points(spark, sf_dir), tile_grid(spark), cell_size=80.0
+        synthetic_points(spark, sf_dir), tile_grid(spark), cell_size=80.0, rects=True
     ).select("tile_id", "z")
     # Per-tile rank envelope: the order statistics one below / one above
     # the interpolation bracket of each target quantile. The window is

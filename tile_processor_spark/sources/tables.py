@@ -56,6 +56,16 @@ _INGEST_MAX_ROW_GROUPS = 3
 _INGEST_CACHE: dict[tuple[str, str], str] = {}
 _INGEST_LOCK = threading.Lock()
 
+# (app_id, path, size, mtime_ns) -> the resolved DataFrame. A bench/gate
+# session calls load_table for the same table once per query; each call
+# re-paid driver-side work (file listing + footer schema read + py4j
+# round trips) to rebuild an identical immutable plan. Caching the PLAN
+# is not result caching: execution still scans the parquet files every
+# action. Keyed by (size, mtime) like _INGEST_CACHE so a driver-side
+# regeneration of the source is never served a stale plan, and by
+# applicationId so no frame outlives (or crosses) its session.
+_DF_CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
+
 
 def _ingest_root() -> str | None:
     if os.environ.get("SPARK_GRAFT_NO_INGEST"):
@@ -159,9 +169,24 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        dkey = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(path),
+            st.st_size,
+            st.st_mtime_ns,
+        )
+    except OSError:
+        dkey = None
+    if dkey is not None and dkey in _DF_CACHE:
+        return _DF_CACHE[dkey]
     if name != "events":
         laid = _parallel_layout(spark, name, path)
-        return laid if laid is not None else spark.read.parquet(path)
+        out = laid if laid is not None else spark.read.parquet(path)
+        if dkey is not None:
+            _DF_CACHE[dkey] = out
+        return out
     # The driver has regenerated events.parquet with different physical
     # ts encodings across rounds; normalize to TIMESTAMP (LTZ) whatever
     # the on-disk flavor so downstream `unix_micros` / `window()` /
@@ -198,7 +223,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # the scratch copy stores the NORMALIZED frame (plain TIMESTAMP
     # micros), so cached reads need neither the nanos conf nor the cast
     laid = _parallel_layout(spark, "events", path, df=df)
-    return laid if laid is not None else df
+    out = laid if laid is not None else df
+    if dkey is not None:
+        _DF_CACHE[dkey] = out
+    return out
 
 
 def table_row_count(name: str, sf_dir: str = DEFAULT_SF_DIR) -> int:

@@ -41,12 +41,24 @@ def points_in_polygons(
     y: str = "y",
     geom: str = "geom",
     exact: bool = True,
+    rects: bool = False,
 ) -> DataFrame:
     """Inner-join points to the polygons containing them.
 
     ``polys`` must carry ``geom`` (WKB) and bbox columns xmin/ymin/xmax/ymax.
     Result: all point columns + all polygon columns (bbox/helper cols
     dropped). Each point joins in exactly its own cell, so no dedup pass.
+
+    ``rects=True`` declares every polygon an axis-aligned rectangle whose
+    ring IS its bbox (``st_rect`` output — tile indexes). For such rings
+    the even-odd ray cast reduces ALGEBRAICALLY to the half-open box test
+    ``xmin <= x < xmax AND ymin <= y < ymax`` (horizontal edges never
+    cross the ray; the two vertical edges cross iff ymin <= y < ymax and
+    contribute hits (x < xmax), (x < xmin), whose XOR is xmin <= x < xmax
+    — identical for every input, boundaries included), so the exact
+    refine runs as whole-stage-codegen comparisons and the geometry
+    column is never shipped to a Python worker. Non-rect geometry keeps
+    the general WKB kernel path.
     """
     p = points.withColumn("_cx", _cell(F.col(x), cell_size)).withColumn(
         "_cy", _cell(F.col(y), cell_size)
@@ -55,6 +67,14 @@ def points_in_polygons(
         polys.withColumn("_cx", F.explode(_cells_seq(F.col("xmin"), F.col("xmax"), cell_size)))
         .withColumn("_cy", F.explode(_cells_seq(F.col("ymin"), F.col("ymax"), cell_size)))
     )
+    if rects and exact:
+        joined = p.join(g, ["_cx", "_cy"]).filter(
+            (F.col(x) >= F.col("xmin"))
+            & (F.col(x) < F.col("xmax"))
+            & (F.col(y) >= F.col("ymin"))
+            & (F.col(y) < F.col("ymax"))
+        )
+        return joined.drop("_cx", "_cy", "xmin", "ymin", "xmax", "ymax")
     joined = p.join(g, ["_cx", "_cy"]).filter(
         (F.col(x) >= F.col("xmin"))
         & (F.col(x) <= F.col("xmax"))
@@ -64,6 +84,37 @@ def points_in_polygons(
     if exact:
         joined = joined.filter(st_contains_point(F.col(geom), F.col(x), F.col(y)))
     return joined.drop("_cx", "_cy", "xmin", "ymin", "xmax", "ymax")
+
+
+def st_contains_point_ring(ring, x: Column, y: Column) -> Column:
+    """Even-odd ray cast against a LITERAL ring (vertex list, open or
+    closed), compiled to Catalyst expressions: the same float64
+    operations in the same order as ``kernel.points_in_ring`` —
+    ``crosses = (y1 > y) != (y2 > y)``, ``x_at = x1 + (y - y1)·(x2 - x1)
+    / (y2 - y1)``, odd hit parity — so whole-stage codegen produces
+    bit-identical booleans to the Python kernel for every input, while
+    the extent literal never crosses the JVM↔Python boundary. Horizontal
+    edges are skipped at compile time (the kernel's ``np.inf`` divisor
+    makes their hit test False). Use for fixed extent polygons; dynamic
+    geometry keeps the WKB kernel UDF."""
+    pts = [(float(px), float(py)) for px, py in ring]
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    terms = []
+    for a in range(len(pts)):
+        x1, y1 = pts[a]
+        x2, y2 = pts[(a + 1) % len(pts)]
+        if y1 == y2:
+            continue
+        crosses = (F.lit(y1) > y) != (F.lit(y2) > y)
+        x_at = F.lit(x1) + (y - F.lit(y1)) * F.lit(x2 - x1) / F.lit(y2 - y1)
+        terms.append((crosses & (x < x_at)).cast("int"))
+    if not terms:
+        return F.lit(False)
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total % 2 == F.lit(1)
 
 
 def region_relate_join(

@@ -76,7 +76,7 @@ def _sub_vectors(e: DataFrame) -> DataFrame:
     return (
         e.select("vec_id", F.explode(subs).alias("x"))
         .select("vec_id", F.col("x.sub").alias("sub"), F.col("x.qs").alias("qs"))
-        .withColumn("q2", dot_col(F.col("qs"), F.col("qs")))
+        .withColumn("q2", dot_col(F.col("qs"), F.col("qs"), dim=SUB_DIM))
     )
 
 
@@ -87,7 +87,7 @@ def _pq_assign(sv: DataFrame, codebook: DataFrame) -> DataFrame:
     ties to the smallest c_id."""
     scored = (
         sv.join(F.broadcast(codebook), "sub")
-        .withColumn("qs_dot_s", dot_col(F.col("qs"), F.col("sv")))
+        .withColumn("qs_dot_s", dot_col(F.col("qs"), F.col("sv"), dim=SUB_DIM))
         .withColumn(
             "d2",
             (
@@ -142,7 +142,7 @@ def pq_fit(e: DataFrame) -> tuple[DataFrame, DataFrame]:
         "sub",
         F.col("vec_id").alias("c_id"),
         F.col("qs").alias("sv"),
-        dot_col(F.col("qs"), F.col("qs")).alias("s2"),
+        dot_col(F.col("qs"), F.col("qs"), dim=SUB_DIM).alias("s2"),
         F.lit(1).cast("long").alias("n"),
     )
     codebook = seeds.localCheckpoint()
@@ -402,7 +402,7 @@ def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (classic PQ trick) — M_SUB × PQ_K entries per query, broadcastable.
     dtab = (
         qsub.join(F.broadcast(codebook), "sub")
-        .withColumn("qs_dot_s", dot_col(F.col("qqs"), F.col("sv")))
+        .withColumn("qs_dot_s", dot_col(F.col("qqs"), F.col("sv"), dim=SUB_DIM))
         .select(
             "q_id",
             "sub",
@@ -418,20 +418,55 @@ def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # ADC lookup without the (q_id, vec_id)-keyed shuffle the pivot
+    # formulation paid: codes collapse once to one row per vector (a
+    # sub→code map, |corpus| rows, partial-aggregated map-side), the
+    # per-query distance tables collapse to one map per query
+    # ("sub#code"→term, M_SUB × PQ_K entries — broadcast), and the
+    # approximate distance is eight map lookups summed in the SAME fixed
+    # left-associative t0..t7 order as before. The exchange that carried
+    # |corpus| × |queries| joined rows into the pivot now carries only
+    # the |corpus| wide-code rows; the per-pair work is map-side.
+    wide = codes.groupBy("vec_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct(F.col("sub"), F.col("c_id"))))
+        ).alias("code_by_sub")
+    )
+    dtabw = dtab.groupBy("q_id").agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.concat_ws(
+                            "#", F.col("sub").cast("string"), F.col("c_id").cast("string")
+                        ).alias("k"),
+                        F.col("term"),
+                    )
+                )
+            )
+        ).alias("terms")
+    ).limit(
+        # structural row cap, same pattern as the exact-top-k control:
+        # the stride/cap query filter already bounds dtabw to
+        # BRUTE_QUERY_CAP rows; the GlobalLimit makes the broadcast
+        # provably bounded for the plan-invariant sweep
+        BRUTE_QUERY_CAP
+    )
+    term_cols = [
+        F.element_at(
+            F.col("terms"),
+            F.concat_ws(
+                "#",
+                F.lit(s).cast("string"),
+                F.element_at(F.col("code_by_sub"), F.lit(s)).cast("string"),
+            ),
+        )
+        for s in range(M_SUB)
+    ]
     scored = (
-        codes.join(F.broadcast(dtab), ["sub", "c_id"])
+        wide.crossJoin(F.broadcast(dtabw))
         .filter(F.col("vec_id") != F.col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("sub") == s, F.col("term"))).alias(f"t{s}")
-                for s in range(M_SUB)
-            ]
-        )
-        .withColumn(
-            "adist",
-            reduce(lambda a, b: a + b, [F.col(f"t{s}") for s in range(M_SUB)]),
-        )
+        .withColumn("adist", reduce(lambda a, b: a + b, term_cols))
     )
     w = W.partitionBy("q_id").orderBy("adist", "vec_id")
     adctop = (

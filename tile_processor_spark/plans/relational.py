@@ -264,10 +264,21 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
     )
-    li = _t(spark, sf_dir, "lineitem")
+    # EXISTS(l_shipdate > o_orderdate) ⟺ max(l_shipdate) per order >
+    # o_orderdate, so aggregate lineitem to one (orderkey, max shipdate)
+    # row BEFORE the join (guide §2.3 "aggregate before you shuffle"):
+    # the partial aggregate collapses the probe side map-side, the
+    # exchange carries one narrow row per order instead of every line
+    # item, and the semi join degenerates to an equi-join + filter.
+    li_max = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("_max_ship"))
+    )
     semi = orders.join(
-        li,
-        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        li_max,
+        (orders.o_orderkey == li_max.l_orderkey)
+        & (li_max._max_ship > orders.o_orderdate),
         "left_semi",
     )
     return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))

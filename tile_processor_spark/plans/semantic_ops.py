@@ -302,7 +302,8 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    toks, sizes = shingle_tokens(d)
+    # checkpoint: 6 reads of the shingle-UDF output in one plan otherwise
+    toks, sizes = shingle_tokens(d, checkpoint=True)
     return (
         shingle_pair_stats(toks, sizes)
         .withColumn(
@@ -612,7 +613,8 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    toks, sizes = shingle_tokens(d)
+    # checkpoint: 6 reads of the shingle-UDF output in one plan otherwise
+    toks, sizes = shingle_tokens(d, checkpoint=True)
     pairs = shingle_pair_stats(toks, sizes).select(
         "n_common", (F.col("n1") + F.col("n2") - F.col("n_common")).alias("un")
     )

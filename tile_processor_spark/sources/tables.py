@@ -64,7 +64,7 @@ _INGEST_LOCK = threading.Lock()
 # action. Keyed by (size, mtime) like _INGEST_CACHE so a driver-side
 # regeneration of the source is never served a stale plan, and by
 # applicationId so no frame outlives (or crosses) its session.
-_DF_CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
+_DF_CACHE: dict[tuple[str, str, int, int, bool], DataFrame] = {}
 
 
 def _ingest_root() -> str | None:
@@ -176,6 +176,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             os.path.abspath(path),
             st.st_size,
             st.st_mtime_ns,
+            # the ingest kill switch changes which PHYSICAL layout this
+            # function returns; a frame cached with ingest on must not be
+            # served after the switch flips mid-session (and vice versa)
+            bool(os.environ.get("SPARK_GRAFT_NO_INGEST")),
         )
     except OSError:
         dkey = None

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from tile_processor_spark.plans.llm_ops import dot_col, quantized_col, EMB_DIM
+from tile_processor_spark.plans.llm_ops import dot_col, quantized_col
 from tile_processor_spark.plans.registry import register
 from tile_processor_spark.sources.tables import load_table
 
@@ -49,9 +49,9 @@ def _assign_nearest(e: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, q, c_id): each vector's nearest centroid under the exact
     rational distance, ties to the smallest centroid id."""
     scored = (
-        e.withColumn("q2", dot_col(F.col("q"), F.col("q"), dim=EMB_DIM))
+        e.withColumn("q2", dot_col(F.col("q"), F.col("q")))
         .crossJoin(F.broadcast(centroids))
-        .withColumn("qs", dot_col(F.col("q"), F.col("sv"), dim=EMB_DIM))
+        .withColumn("qs", dot_col(F.col("q"), F.col("sv")))
         .withColumn(
             # Numerator in DECIMAL(38,0): n²·|q|² reaches ~2^86 for a
             # million-vector cluster of 2^20-quantized 64-dim embeddings —
@@ -101,7 +101,7 @@ def kmeans_fit(e: DataFrame, k: int = K_CLUSTERS, iters: int = KMEANS_ITERS) -> 
         .select(
             F.col("vec_id").alias("c_id"),
             F.col("q").alias("sv"),
-            dot_col(F.col("q"), F.col("q"), dim=EMB_DIM).alias("s2"),
+            dot_col(F.col("q"), F.col("q")).alias("s2"),
             F.lit(1).cast("long").alias("n"),
         )
     )

@@ -76,7 +76,7 @@ def _sub_vectors(e: DataFrame) -> DataFrame:
     return (
         e.select("vec_id", F.explode(subs).alias("x"))
         .select("vec_id", F.col("x.sub").alias("sub"), F.col("x.qs").alias("qs"))
-        .withColumn("q2", dot_col(F.col("qs"), F.col("qs"), dim=SUB_DIM))
+        .withColumn("q2", dot_col(F.col("qs"), F.col("qs")))
     )
 
 
@@ -87,7 +87,7 @@ def _pq_assign(sv: DataFrame, codebook: DataFrame) -> DataFrame:
     ties to the smallest c_id."""
     scored = (
         sv.join(F.broadcast(codebook), "sub")
-        .withColumn("qs_dot_s", dot_col(F.col("qs"), F.col("sv"), dim=SUB_DIM))
+        .withColumn("qs_dot_s", dot_col(F.col("qs"), F.col("sv")))
         .withColumn(
             "d2",
             (
@@ -142,7 +142,7 @@ def pq_fit(e: DataFrame) -> tuple[DataFrame, DataFrame]:
         "sub",
         F.col("vec_id").alias("c_id"),
         F.col("qs").alias("sv"),
-        dot_col(F.col("qs"), F.col("qs"), dim=SUB_DIM).alias("s2"),
+        dot_col(F.col("qs"), F.col("qs")).alias("s2"),
         F.lit(1).cast("long").alias("n"),
     )
     codebook = seeds.localCheckpoint()
@@ -402,7 +402,7 @@ def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (classic PQ trick) — M_SUB × PQ_K entries per query, broadcastable.
     dtab = (
         qsub.join(F.broadcast(codebook), "sub")
-        .withColumn("qs_dot_s", dot_col(F.col("qqs"), F.col("sv"), dim=SUB_DIM))
+        .withColumn("qs_dot_s", dot_col(F.col("qqs"), F.col("sv")))
         .select(
             "q_id",
             "sub",

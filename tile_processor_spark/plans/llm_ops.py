@@ -102,22 +102,18 @@ def quantized_col(emb: Column) -> Column:
 EMB_DIM = 64  # embedding dimensionality (pinned by the generator schema)
 
 
-def dot_col(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Exact integer dot product of two equal-length long arrays.
+def dot_col(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two equal-length long arrays, as one
+    zip_with/aggregate expression.
 
-    With ``dim`` (a statically known vector length) the sum unrolls into
-    a flat element_at/multiply/add expression that whole-stage codegen
-    compiles; the zip_with/aggregate higher-order form evaluates its
-    lambdas INTERPRETED per element, which dominates the brute-force
-    scorers' per-task CPU (guide §1.2 step 2). Values are identical:
-    same long products, same left-to-right accumulation (and integer
-    addition is order-free anyway). Callers with dynamic lengths keep
-    the higher-order form."""
-    if dim is not None:
-        total = F.lit(0).cast("long")
-        for i in range(1, dim + 1):
-            total = total + F.element_at(a, i) * F.element_at(b, i)
-        return total
+    Deliberately NOT unrolled into a flat Σ element_at(a,i)·element_at(b,i)
+    chain: that variant was measured 3× SLOWER at dim=64 (cosine_topk
+    steady-state 2.5 s vs 0.86 s, ivf_search 1.9 s vs 0.79 s, noop-sink
+    min-of-3 on a calm host) and neutral at dim=8. With 2·dim column
+    references, projection collapse re-derives the upstream quantization
+    transform per reference instead of once per row, and the 64-deep Add
+    chain defeats whole-stage codegen's subexpression elimination. The
+    single higher-order expression evaluates each input array once."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
@@ -628,7 +624,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", quantized_col(F.col("embedding")).alias("q"))
-    e = e.withColumn("norm", dot_col(F.col("q"), F.col("q"), dim=EMB_DIM))
+    e = e.withColumn("norm", dot_col(F.col("q"), F.col("q")))
     queries = (
         e.filter(
             (F.col("vec_id") % BRUTE_QUERY_STRIDE == 0)
@@ -645,7 +641,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pairs = e.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
-    scored = pairs.withColumn("dot", dot_col(F.col("q"), F.col("qv"), dim=EMB_DIM)).withColumn(
+    scored = pairs.withColumn("dot", dot_col(F.col("q"), F.col("qv"))).withColumn(
         "cosine",
         F.col("dot").cast("double") / (F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("norm").cast("double"))),
     )
@@ -1093,7 +1089,7 @@ LSH_EMB_BANDS = 4
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", quantized_col(F.col("embedding")).alias("q"))
-    e = e.withColumn("n2", dot_col(F.col("q"), F.col("q"), dim=EMB_DIM))
+    e = e.withColumn("n2", dot_col(F.col("q"), F.col("q")))
     band_cols = []
     for band in range(LSH_EMB_BANDS):
         bkey = F.lit(0).cast("long")
@@ -1122,7 +1118,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(e1, "v1")
         .join(e2, "v2")
-        .withColumn("dot", dot_col(F.col("q1"), F.col("q2"), dim=EMB_DIM))
+        .withColumn("dot", dot_col(F.col("q1"), F.col("q2")))
         .withColumn(
             "cosine",
             F.col("dot").cast("double")
@@ -1188,9 +1184,9 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = e.groupBy(F.col("label").alias("c_label")).agg(F.count(F.lit(1)).alias("n"))
     centroids = cent.join(cn, "c_label")
     scored = (
-        e.withColumn("q2", dot_col(F.col("q"), F.col("q"), dim=EMB_DIM))
+        e.withColumn("q2", dot_col(F.col("q"), F.col("q")))
         .crossJoin(F.broadcast(centroids))
-        .withColumn("qs", dot_col(F.col("q"), F.col("sv"), dim=EMB_DIM))
+        .withColumn("qs", dot_col(F.col("q"), F.col("sv")))
         .withColumn(
             "d2",
             (F.col("n") * F.col("n") * F.col("q2") - 2 * F.col("n") * F.col("qs") + F.col("s2"))
@@ -1242,9 +1238,9 @@ def _ivf_routing_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = e.groupBy(F.col("label").alias("c_label")).agg(F.count(F.lit(1)).alias("n"))
     centroids = cent.join(cn, "c_label")
     scored = (
-        e.withColumn("q2", dot_col(F.col("q"), F.col("q"), dim=EMB_DIM))
+        e.withColumn("q2", dot_col(F.col("q"), F.col("q")))
         .crossJoin(F.broadcast(centroids))
-        .withColumn("qs", dot_col(F.col("q"), F.col("sv"), dim=EMB_DIM))
+        .withColumn("qs", dot_col(F.col("q"), F.col("sv")))
         .withColumn(
             "d2",
             (F.col("n") * F.col("n") * F.col("q2") - 2 * F.col("n") * F.col("qs") + F.col("s2"))
@@ -1367,18 +1363,18 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("q").alias("qvec"),
-            dot_col(F.col("q"), F.col("q"), dim=EMB_DIM).alias("nq"),
+            dot_col(F.col("q"), F.col("q")).alias("nq"),
         )
     )
     vv = e.select(
         "vec_id",
         F.col("q").alias("vvec"),
-        dot_col(F.col("q"), F.col("q"), dim=EMB_DIM).alias("nv"),
+        dot_col(F.col("q"), F.col("q")).alias("nv"),
     )
     pairs = (
         cand.join(F.broadcast(qv), "q_id")
         .join(vv, "vec_id")
-        .withColumn("dot", dot_col(F.col("qvec"), F.col("vvec"), dim=EMB_DIM))
+        .withColumn("dot", dot_col(F.col("qvec"), F.col("vvec")))
         .withColumn(
             "cosine",
             F.col("dot").cast("double")

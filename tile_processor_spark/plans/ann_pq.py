@@ -418,55 +418,32 @@ def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # ADC lookup without the (q_id, vec_id)-keyed shuffle the pivot
-    # formulation paid: codes collapse once to one row per vector (a
-    # sub→code map, |corpus| rows, partial-aggregated map-side), the
-    # per-query distance tables collapse to one map per query
-    # ("sub#code"→term, M_SUB × PQ_K entries — broadcast), and the
-    # approximate distance is eight map lookups summed in the SAME fixed
-    # left-associative t0..t7 order as before. The exchange that carried
-    # |corpus| × |queries| joined rows into the pivot now carries only
-    # the |corpus| wide-code rows; the per-pair work is map-side.
-    wide = codes.groupBy("vec_id").agg(
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct(F.col("sub"), F.col("c_id"))))
-        ).alias("code_by_sub")
-    )
-    dtabw = dtab.groupBy("q_id").agg(
-        F.map_from_entries(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.concat_ws(
-                            "#", F.col("sub").cast("string"), F.col("c_id").cast("string")
-                        ).alias("k"),
-                        F.col("term"),
-                    )
-                )
-            )
-        ).alias("terms")
-    ).limit(
-        # structural row cap, same pattern as the exact-top-k control:
-        # the stride/cap query filter already bounds dtabw to
-        # BRUTE_QUERY_CAP rows; the GlobalLimit makes the broadcast
-        # provably bounded for the plan-invariant sweep
-        BRUTE_QUERY_CAP
-    )
-    term_cols = [
-        F.element_at(
-            F.col("terms"),
-            F.concat_ws(
-                "#",
-                F.lit(s).cast("string"),
-                F.element_at(F.col("code_by_sub"), F.lit(s)).cast("string"),
-            ),
-        )
-        for s in range(M_SUB)
-    ]
+    # ADC via the (q_id, vec_id) pivot aggregate, deliberately KEPT over
+    # two map-lookup reformulations that were measured slower on the
+    # interleaved A/B (round 16): collapsing codes to a per-vector
+    # sub→code map and each query's table to a broadcast lookup map
+    # moved the per-pair work map-side but cost +15% with string
+    # "sub#c_id" keys (16 string allocations per scored pair) and +44%
+    # with struct keys (ObjectHashAggregate map building + per-pair map
+    # probing), vs this form's partial-aggregated pivot (warm minima
+    # 1.53 / 1.89 vs 1.31 s, fresh JVM per variant, noop sink). The
+    # pivot's Exchange carries (q_id, vec_id)-grain partial rows — at
+    # production scale the ADC scoring composes with ann_ivf_search's
+    # candidate pruning, so the pair grain is candidate-bound there.
     scored = (
-        wide.crossJoin(F.broadcast(dtabw))
+        codes.join(F.broadcast(dtab), ["sub", "c_id"])
         .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("adist", reduce(lambda a, b: a + b, term_cols))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("sub") == s, F.col("term"))).alias(f"t{s}")
+                for s in range(M_SUB)
+            ]
+        )
+        .withColumn(
+            "adist",
+            reduce(lambda a, b: a + b, [F.col(f"t{s}") for s in range(M_SUB)]),
+        )
     )
     w = W.partitionBy("q_id").orderBy("adist", "vec_id")
     adctop = (

@@ -267,9 +267,9 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXISTS(l_shipdate > o_orderdate) ⟺ max(l_shipdate) per order >
     # o_orderdate, so aggregate lineitem to one (orderkey, max shipdate)
     # row BEFORE the join (guide §2.3 "aggregate before you shuffle"):
-    # the partial aggregate collapses the probe side map-side, the
-    # exchange carries one narrow row per order instead of every line
-    # item, and the semi join degenerates to an equi-join + filter.
+    # the partial aggregate collapses map-side, so the semi join's build
+    # (or, at cluster scale, its exchange) carries one narrow row per
+    # order instead of every line item.
     li_max = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")

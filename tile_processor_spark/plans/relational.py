@@ -270,8 +270,20 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the partial aggregate collapses map-side, so the semi join's build
     # (or, at cluster scale, its exchange) carries one narrow row per
     # order instead of every line item.
+    #
+    # The window lower bound transfers to lineitem (guide §6 predicate
+    # pushdown): every kept order has o_orderdate >= 1997-01-01, so a
+    # lineitem can only satisfy l_shipdate > o_orderdate if
+    # l_shipdate > 1997-01-01 — dropping the rest before the aggregate
+    # changes no group's qualification (a group whose rows all fail the
+    # bound could never exceed any in-window o_orderdate; if the whole
+    # group vanishes, the semi join drops the order exactly as a
+    # too-small max would). The predicate reaches the parquet scan as a
+    # pushed filter and shrinks the aggregate input (~30% fewer rows at
+    # sf0.1) and the build side.
     li_max = (
         _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
         .groupBy("l_orderkey")
         .agg(F.max("l_shipdate").alias("_max_ship"))
     )

@@ -1,0 +1,55 @@
+"""Round-16 pin: spatial_version_boundary_region's narrowed fixtures.
+
+The query's two inputs are FIXED dimension frames (100 rows each); at
+the session-default parallelism every tiny stage — and the Arrow relate
+batch — fans out to cluster width. The function coalesces both to 2
+partitions (stage width pinned to the data, not the cluster). These
+tests pin (a) that the narrowing is present in the physical plan and
+(b) that it changes nothing observable: the coalesced formulation
+returns exactly the rows of the un-coalesced one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_plan_carries_fixture_coalesce(spark):
+    from tile_processor_spark.plans.spatial_gate import (
+        spatial_version_boundary_region,
+    )
+
+    df = spatial_version_boundary_region(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Coalesce" in plan, plan
+
+
+def test_narrowed_result_identical_to_wide(spark):
+    from tile_processor_spark.plans.spatial_gate import (
+        _version_border_tiles,
+        elevation_tiles,
+        spatial_version_boundary_region,
+        tile_grid,
+    )
+    from tile_processor_spark.spatial.join import region_relate_join
+
+    # the pre-narrowing formulation, inline (no coalesce anywhere)
+    elev = elevation_tiles(spark)
+    border = _version_border_tiles(spark)
+    nb = elev.join(border, "elev_id", "left_anti")
+    regions = nb.groupBy("version").agg(
+        F.collect_list(F.array("xmin", "ymin", "xmax", "ymax")).alias("rects")
+    )
+    grid = tile_grid(spark).drop("geom")
+    matched = region_relate_join(grid, regions, pattern="212101212", covers=True)
+    wide = matched.groupBy("version").agg(
+        F.array_join(F.array_sort(F.collect_list("tile_id")), ",").alias("tiles"),
+        F.count(F.lit(1)).alias("n_tiles"),
+    )
+
+    narrow = spatial_version_boundary_region(spark, "/root/testdata/sf0.001")
+    a = sorted(map(tuple, narrow.collect()))
+    b = sorted(map(tuple, wide.collect()))
+    assert a == b and len(a) > 0

@@ -596,13 +596,21 @@ def spatial_version_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def spatial_version_boundary_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tile_processor_spark.spatial.join import region_relate_join
 
-    elev = elevation_tiles(spark)
+    # Both inputs are FIXED dimension frames (100 rows each, forever):
+    # left at the session default they fan every tiny stage — and the
+    # Arrow relate batch — out to cluster width (32 tasks of ~3 rows
+    # locally; thousands on a real cluster). coalesce(2) pins the stage
+    # width to the data, not the cluster (guide §2.2 fewer-larger tasks,
+    # §4.2 fewer-larger Arrow batches): interleaved A/B measured
+    # 0.534 → 0.399 s min-of-5 (−25%), identical rows. Not a local
+    # tuning knob — a 100-row frame never warrants wide fan-out.
+    elev = elevation_tiles(spark).coalesce(2)
     border = _version_border_tiles(spark)
     nb = elev.join(border, "elev_id", "left_anti")
     regions = nb.groupBy("version").agg(
         F.collect_list(F.array("xmin", "ymin", "xmax", "ymax")).alias("rects")
     )
-    grid = tile_grid(spark).drop("geom")
+    grid = tile_grid(spark).drop("geom").coalesce(2)
     matched = region_relate_join(grid, regions, pattern="212101212", covers=True)
     return matched.groupBy("version").agg(
         F.array_join(F.array_sort(F.collect_list("tile_id")), ",").alias("tiles"),

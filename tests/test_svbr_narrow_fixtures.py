@@ -14,19 +14,24 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
-def test_plan_carries_fixture_coalesce(spark):
+def test_plan_carries_fixture_coalesce(spark, tmp_path):
     from tile_processor_spark.plans.spatial_gate import (
         spatial_version_boundary_region,
     )
 
-    df = spatial_version_boundary_region(spark, "/root/testdata/sf0.001")
+    # sf_dir is unused by this plan (both inputs are fixed literal
+    # frames); pass a dummy path so the test carries no machine layout
+    df = spatial_version_boundary_region(spark, str(tmp_path))
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    assert "Coalesce" in plan, plan
+    # BOTH fixture frames must stay narrowed: one Coalesce on the grid
+    # side feeding the Arrow relate pass, one on the elev side before
+    # the groupBy Exchange — a single surviving node is a regression
+    assert plan.count("Coalesce") >= 2, plan
 
 
-def test_narrowed_result_identical_to_wide(spark):
+def test_narrowed_result_identical_to_wide(spark, tmp_path):
     from tile_processor_spark.plans.spatial_gate import (
         _version_border_tiles,
         elevation_tiles,
@@ -49,7 +54,8 @@ def test_narrowed_result_identical_to_wide(spark):
         F.count(F.lit(1)).alias("n_tiles"),
     )
 
-    narrow = spatial_version_boundary_region(spark, "/root/testdata/sf0.001")
+    # sf_dir unused by the plan (see above)
+    narrow = spatial_version_boundary_region(spark, str(tmp_path))
     a = sorted(map(tuple, narrow.collect()))
     b = sorted(map(tuple, wide.collect()))
     assert a == b and len(a) > 0

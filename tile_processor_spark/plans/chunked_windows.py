@@ -266,6 +266,15 @@ def banded_running_sums(
     totals = b.groupBy(*keys, cell_name).agg(
         *[F.sum(col).alias(f"_ct_{col}") for col in sums]
     )
+    if not keys:
+        # The cross-cell window below is unpartitioned, so its input
+        # must land on one partition anyway (the cell series is
+        # bounded-grain by the cell_name contract). coalesce(1) merges
+        # the aggregate's output partitions in place instead of paying
+        # a separate SinglePartition Exchange + stage (guide §2.4): a
+        # 1-partition child satisfies the window's AllTuples
+        # requirement directly.
+        totals = totals.coalesce(1)
     woff = (
         W.partitionBy(*keys)
         .orderBy(cell_name)

@@ -530,9 +530,13 @@ def incremental_screened_candidates(
     tags=("llm", "dedup", "headline"),
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # No repartition on the text table: it feeds the two BROADCAST
+    # builds below, so a repartition exchange sat uselessly inside each
+    # BroadcastExchange (shuffle the rows, then collect them all anyway
+    # — 2 Exchanges + 64 tasks for nothing; round-17 plan diff). The
+    # Python-heavy signature pass has its own spread inside
+    # _minhash_signatures_cached, which is where parallelism matters.
+    d = _docs(spark, sf_dir)
     sh = _minhash_signatures_cached(spark, sf_dir)
     cand = minhash_estimate_filter(minhash_candidates(minhash_bands(sh)), sh)
     t1 = d.select(F.col("doc_id").alias("d1"), F.col("text").alias("text1"))

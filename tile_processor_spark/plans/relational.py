@@ -69,8 +69,30 @@ def _revenue_c():
     )
 
 
+def dsum_c2(col, alias):
+    """Scaled-long twin of ``dsum`` for a single exact-2-dp non-negative
+    money/measure column (the ``_cents`` domain): per-row ×100 long in
+    codegen instead of a per-row BigDecimal, one decimal rescale per
+    group result — bit-identical double out (round-16 §1 proof,
+    tests/test_scaled_long_money.py)."""
+    return _sum_scaled(_cents(col), 2, alias)
+
+
+def dsum_rev(alias):
+    """Scaled-long twin of ``dsum(l_extendedprice·(1−l_discount))`` —
+    the TPC-H revenue term (see ``_revenue_c``)."""
+    return _sum_scaled(_revenue_c(), 4, alias)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
+
+
+#: q4's order window LOWER bound — shared by the orders filter AND the
+#: transferred lineitem shipdate bound (the bound-transfer argument in
+#: q4_order_priority is only valid while the two stay equal; see
+#: tests/test_q4_shipdate_bound.py).
+Q4_WIN_LO = "1997-01-01"
 
 
 # ---------------------------------------------------------------------------
@@ -261,38 +283,53 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit(Q4_WIN_LO).cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
     )
-    # EXISTS(l_shipdate > o_orderdate) ⟺ max(l_shipdate) per order >
-    # o_orderdate, so aggregate lineitem to one (orderkey, max shipdate)
-    # row BEFORE the join (guide §2.3 "aggregate before you shuffle"):
-    # the partial aggregate collapses map-side, so the semi join's build
-    # (or, at cluster scale, its exchange) carries one narrow row per
-    # order instead of every line item.
-    #
     # The window lower bound transfers to lineitem (guide §6 predicate
-    # pushdown): every kept order has o_orderdate >= 1997-01-01, so a
+    # pushdown): every kept order has o_orderdate >= Q4_WIN_LO, so a
     # lineitem can only satisfy l_shipdate > o_orderdate if
-    # l_shipdate > 1997-01-01 — dropping the rest before the aggregate
-    # changes no group's qualification (a group whose rows all fail the
-    # bound could never exceed any in-window o_orderdate; if the whole
-    # group vanishes, the semi join drops the order exactly as a
-    # too-small max would). The predicate reaches the parquet scan as a
-    # pushed filter and shrinks the aggregate input (~30% fewer rows at
-    # sf0.1) and the build side.
-    li_max = (
+    # l_shipdate > Q4_WIN_LO — dropping the rest changes no order's
+    # qualification (a lineitem failing the bound could never exceed
+    # any in-window o_orderdate). The predicate reaches the parquet
+    # scan as a pushed filter (~30% fewer rows at sf0.1).
+    li = (
         _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
-        .groupBy("l_orderkey")
-        .agg(F.max("l_shipdate").alias("_max_ship"))
+        .filter(F.col("l_shipdate") > F.lit(Q4_WIN_LO).cast("timestamp"))
+        .select("l_orderkey", "l_shipdate")
     )
-    semi = orders.join(
-        li_max,
-        (orders.o_orderkey == li_max.l_orderkey)
-        & (li_max._max_ship > orders.o_orderdate),
-        "left_semi",
+    # Cost-based shape gate (round 17; guide §2.3/§3.1): when the
+    # filtered 2-column lineitem projection is small enough to
+    # broadcast (the engine's own estimate vs its own broadcast
+    # threshold — the same decision the planner makes), join it
+    # DIRECTLY as the semi-join build: one pass, no extra Exchange
+    # (round 16 measured the always-pre-aggregate form +33% at local
+    # scale, where the pre-agg's per-orderkey Exchange costs more than
+    # the smaller broadcast saves). When it is too big to broadcast —
+    # every real cluster scale — pre-aggregate first:
+    # EXISTS(l_shipdate > o_orderdate) ⟺ max(l_shipdate) per order >
+    # o_orderdate, so the map-side partial max collapses lineitem to
+    # one narrow row per order before the shuffled join, strictly
+    # fewer shuffled bytes (guide §2.3 "aggregate before you shuffle").
+    est = int(str(li._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    thr = int(
+        spark._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold()
     )
+    if 0 < est <= thr:
+        semi = orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+    else:
+        li_max = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("_max_ship"))
+        semi = orders.join(
+            li_max,
+            (orders.o_orderkey == li_max.l_orderkey)
+            & (li_max._max_ship > orders.o_orderdate),
+            "left_semi",
+        )
     return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from tile_processor_spark.plans.registry import register
-from tile_processor_spark.plans.relational import dsum
+from tile_processor_spark.plans.relational import _cents, dsum, dsum_c2, dsum_rev
 from tile_processor_spark.sources.tables import load_table
 
 
@@ -53,7 +53,9 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 48)
     supp = _t(spark, sf_dir, "supplier")
     offers = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("best_price")
+        # min needs no decimal detour: double conversion of exact-2-dp
+        # rationals is monotone, so min(double) IS the decimal min's double
+        F.min(F.col("l_extendedprice")).alias("best_price")
     )
     best = offers.groupBy("l_partkey").agg(F.min("best_price").alias("min_price"))
     return (
@@ -111,7 +113,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
-    ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    ).agg(dsum_rev("revenue"))
 
 
 @register(
@@ -149,17 +151,22 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select(
             F.year("o_orderdate").cast("int").alias("o_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            .cast("decimal(18,4)")
+            # ×10⁴ scaled-long revenue (see relational._revenue_c): the
+            # conditional and total sums stay exact integers; ONE
+            # decimal rescale per sum recovers the identical doubles
+            (_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))))
+            .cast("decimal(18,0)")
             .alias("volume"),
             "n_name",
         )
     )
-    zero = F.lit(0).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,0)")
+    scale4 = F.lit(0.0001).cast("decimal(5,4)")
     return volumes.groupBy("o_year").agg(
         (
-            F.sum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(zero)).cast("double")
-            / F.sum(vol).cast("double")
+            (F.sum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(zero)) * scale4)
+            .cast("double")
+            / (F.sum(vol) * scale4).cast("double")
         ).alias("mkt_share")
     )
 
@@ -192,7 +199,7 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "amount"))
+        .agg(dsum_rev("amount"))
     )
 
 
@@ -247,12 +254,16 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     part = _t(spark, sf_dir, "part")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    zero = F.lit(0).cast("decimal(18,4)")
+    rev = (_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))).cast(
+        "decimal(18,0)"
+    )
+    zero = F.lit(0).cast("decimal(18,0)")
+    scale4 = F.lit(0.0001).cast("decimal(5,4)")
     return li.join(part, li.l_partkey == part.p_partkey).agg(
         (
-            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
-            / F.sum(rev).cast("double")
+            (F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)) * scale4)
+            .cast("double")
+            / (F.sum(rev) * scale4).cast("double")
         ).alias("promo_share"),
         F.count(F.lit(1)).alias("n_items"),
     )
@@ -281,8 +292,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sq"))
-        .filter(F.col("sq") > 160)
+        # scaled-long HAVING: sum of ×100-long quantities, compared at
+        # the same scale (exact integers — identical qualification set)
+        .agg(F.sum(_cents(F.col("l_quantity")).cast("decimal(18,0)")).alias("sq"))
+        .filter(F.col("sq") > 160 * 100)
         .select("l_orderkey")
     )
     return (
@@ -290,7 +303,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, orders.o_orderkey == li.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey")
-        .agg(dsum(F.col("l_quantity"), "total_qty"))
+        .agg(dsum_c2(F.col("l_quantity"), "total_qty"))
     )
 
 
@@ -322,7 +335,7 @@ def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & sz.between(20, 45) & (q >= 20) & (q <= 40))
     )
     return j.filter(cond).agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        dsum_rev("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -392,7 +405,10 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("odate_us"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double").alias("running_total"),
+        (
+            F.sum(_cents(F.col("o_totalprice")).cast("decimal(18,0)")).over(w)
+            * F.lit(0.01).cast("decimal(3,2)")
+        ).cast("double").alias("running_total"),
     )
 
 
@@ -443,7 +459,7 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("int").alias("yr"), "o_orderstatus"
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        dsum(F.col("o_totalprice"), "total"),
+        dsum_c2(F.col("o_totalprice"), "total"),
     )
 
 

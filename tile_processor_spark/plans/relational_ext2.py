@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tile_processor_spark.plans.registry import register
-from tile_processor_spark.plans.relational import dsum
+from tile_processor_spark.plans.relational import _cents, dsum, dsum_c2, dsum_rev
 from tile_processor_spark.sources.tables import load_table
 
 
@@ -66,9 +66,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("l_partkey")
         .agg(
-            F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)")).alias(
-                "val"
-            )
+            # ×10⁴ scaled-long product sum (exact: 2-dp price × 2-dp
+            # quantity); same rationals as the decimal(18,4) form
+            F.sum(
+                (_cents(F.col("l_extendedprice")) * _cents(F.col("l_quantity")))
+                .cast("decimal(18,0)")
+            ).alias("val_c")
         )
         # The aggregate feeds both the row side and the scalar total;
         # without persisting it, Catalyst plans the whole lineitem join
@@ -78,11 +81,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the DataFrame is dropped instead of leaking across queries.
         .localCheckpoint()
     )
-    total = vp.agg(F.sum("val").cast("double").alias("total"))
+    scale4 = F.lit(0.0001).cast("decimal(5,4)")
+    total = vp.agg((F.sum("val_c") * scale4).cast("double").alias("total"))
     return (
         vp.crossJoin(F.broadcast(total))
-        .filter(F.col("val").cast("double") > F.col("total") * 0.001)
-        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+        .filter((F.col("val_c") * scale4).cast("double") > F.col("total") * 0.001)
+        .select("l_partkey", (F.col("val_c") * scale4).cast("double").alias("part_value"))
     )
 
 
@@ -154,7 +158,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier")
     revenue = li.groupBy("l_suppkey").agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+        dsum_rev("total_revenue")
     ).localCheckpoint()  # feeds both the scalar max and the join — scan
     # lineitem once; checkpoint blocks are GC-reclaimed, unlike cache()
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
@@ -236,7 +240,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
     avg_qty = li.groupBy(F.col("l_partkey").alias("ap")).agg(
         (
-            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+            (F.sum(_cents(F.col("l_quantity")).cast("decimal(18,0)"))
+             * F.lit(0.01).cast("decimal(3,2)")).cast("double")
             / F.count(F.lit(1))
         ).alias("aq")
     )
@@ -245,9 +250,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(avg_qty, F.col("l_partkey") == F.col("ap"))
         .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
         .agg(
-            (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 7.0).alias(
-                "avg_yearly"
-            ),
+            (
+                (F.sum(_cents(F.col("l_extendedprice")).cast("decimal(18,0)"))
+                 * F.lit(0.01).cast("decimal(3,2)")).cast("double") / 7.0
+            ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -286,7 +292,7 @@ def q20_substantial_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     supp = _t(spark, sf_dir, "supplier")
-    qty = li.groupBy("l_suppkey", "l_partkey").agg(dsum(F.col("l_quantity"), "sq"))
+    qty = li.groupBy("l_suppkey", "l_partkey").agg(dsum_c2(F.col("l_quantity"), "sq"))
     qualifying = (
         qty.join(part, qty.l_partkey == part.p_partkey)
         .filter(F.col("sq") > 50)
@@ -324,7 +330,7 @@ def cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("c_mktsegment", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice"), "total"),
+            dsum_c2(F.col("o_totalprice"), "total"),
         )
     )
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from tile_processor_spark.plans.relational import _cents, _revenue_c
 from tile_processor_spark.plans.registry import register
 from tile_processor_spark.sources.tables import load_table
 
@@ -158,7 +159,10 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.max(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")))
         ).alias("recency_days"),
         F.count(F.lit(1)).cast("long").alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        (
+            F.sum(_cents(F.col("o_totalprice")).cast("decimal(18,0)"))
+            * F.lit(0.01).cast("decimal(3,2)")
+        )
         .cast("double")
         .alias("monetary"),
     ).localCheckpoint()  # feeds three rankings + the final join
@@ -513,11 +517,8 @@ def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "s_suppkey")
         .agg(
             F.floor(
-                F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                        "decimal(18,4)"
-                    )
-                )
+                F.sum(_revenue_c().cast("decimal(18,0)"))
+                * F.lit(0.0001).cast("decimal(5,4)")
             )
             .cast("decimal(18,0)")
             .alias("rev_u")

@@ -380,22 +380,27 @@ BM25_SCALE = 1_000_000_000  # floor(1e9 * rational) keeps per-term scores exact
 )
 def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
-    # four statistics branches (dl / corpus / tf / df) hang off the
-    # token stream; checkpoint it once instead of re-tokenizing the
-    # corpus per branch (4 scans -> 1)
-    toks = d.select(
-        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
-    ).localCheckpoint()
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    # corpus/df are DERIVED from dl/tf instead of re-aggregating the raw
-    # token stream: n = |dl| (one row per doc), sumdl = Σdl, and a term's
-    # doc frequency = its tf row count (tf is one row per (doc, term)).
-    # Catalyst's ReuseExchange shares the dl/tf shuffles with the main
-    # branches, so the token checkpoint is scanned twice, not four times,
-    # and the two COUNT(DISTINCT) re-shuffles of the full stream become
-    # tiny rollups of already-aggregated frames — exactly the same
-    # values, exact integer counts either way.
+    toks = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    # The checkpoint moves UP one level, from the raw token stream to
+    # the (doc_id, term) aggregate (guide §2.3 "aggregate before you
+    # shuffle"): the map-side partial count collapses fully inside the
+    # tokenize stage (a doc's tokens live in one input split), so the
+    # materialized frame is |tf| rows instead of every token, and every
+    # downstream statistic derives from it — dl = Σ tf per doc,
+    # df(term) = tf row count per term, n = |dl|, sumdl = Σ dl — the
+    # same exact integer counts the four raw-stream aggregations
+    # produced, without re-scanning tokens per branch (plan: 6 shuffle
+    # Exchanges → 4; round-17 same-JVM interleave of four equivalent
+    # formulations measured this one fastest, 0.74 vs 0.84 s; the
+    # grouping-sets single-shuffle variant measured SLOWER, 1.02 s —
+    # the Expand doubles the partial-aggregate input; recorded so it is
+    # not re-attempted).
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     corpus = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("dl").cast("long").alias("sumdl"),
@@ -403,9 +408,14 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     qterms = df.orderBy("df", "term").limit(5).select("term", "df")
     dec = "decimal(38,0)"
+    # qterms are the 5 RAREST terms (ascending df), so the tf rows that
+    # survive the qterm join are df-bound by construction — the hit
+    # set, not the per-doc dl table, is what broadcasts; dl stays the
+    # streaming side (the previous shape shuffle-joined the full tf
+    # against dl doc-wise).
+    hits = tf.join(F.broadcast(qterms), "term")
     scored = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(dl, "doc_id")
+        dl.join(F.broadcast(hits), "doc_id")
         .crossJoin(F.broadcast(corpus))
         .select(
             "doc_id",

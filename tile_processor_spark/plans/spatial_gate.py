@@ -104,9 +104,24 @@ def synthetic_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: constructed-plan cache for the two constant fixture frames, keyed by
+#: applicationId (same pattern as sources.tables.load_table's resolved-
+#: DataFrame cache): the frames are pure literals, so re-running the
+#: builder per query invocation only re-pays py4j round trips and
+#: analyzer passes — measured ~40-80 ms per spatial query in the
+#: round-17 construction profile. NOT result caching: the cached object
+#: is a lazy plan (or an unbound Column expression); every action still
+#: computes the rows.
+_FIXTURE_CACHE: dict[tuple[str, str], object] = {}
+
+
 def tile_grid(spark: SparkSession) -> DataFrame:
     """10×10 tile index with real WKB geometry + bbox columns. Tiny and
     broadcastable — exactly the reference's tile-index table."""
+    key = (spark.sparkContext.applicationId, "tile_grid")
+    hit = _FIXTURE_CACHE.get(key)
+    if hit is not None:
+        return hit
     g = spark.range(100).select(
         (F.col("id") % 10).alias("i"),
         F.expr("id div 10").alias("j"),
@@ -120,10 +135,16 @@ def tile_grid(spark: SparkSession) -> DataFrame:
         (F.col("i") * 100 + 100).cast("double").alias("xmax"),
         (F.col("j") * 100 + 100).cast("double").alias("ymax"),
     )
-    return g.withColumn("geom", st_rect("xmin", "ymin", "xmax", "ymax"))
+    out = g.withColumn("geom", st_rect("xmin", "ymin", "xmax", "ymax"))
+    _FIXTURE_CACHE[key] = out
+    return out
 
 
 def elevation_tiles(spark: SparkSession) -> DataFrame:
+    key = (spark.sparkContext.applicationId, "elevation_tiles")
+    hit = _FIXTURE_CACHE.get(key)
+    if hit is not None:
+        return hit
     e = spark.range(100).select(
         F.col("id").alias("elev_id"),
         ((F.col("id") % 10) * 100 - 10).cast("double").alias("xmin"),
@@ -132,6 +153,7 @@ def elevation_tiles(spark: SparkSession) -> DataFrame:
         (F.expr("id div 10") * 100 + 110).cast("double").alias("ymax"),
         F.when(F.col("id") % 10 < 5, 2).otherwise(3).alias("version"),
     )
+    _FIXTURE_CACHE[key] = e
     return e
 
 
@@ -179,9 +201,17 @@ def spatial_point_in_tile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def spatial_within_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = synthetic_points(spark, sf_dir)
     x0, y0, x1, y1 = PENTAGON_BBOX
+    # the compiled ray-cast predicate is a constant expression tree
+    # (~40 py4j round trips to build); construct it once per process —
+    # a Column is an unbound expression, reusable across plans
+    key = (spark.sparkContext.applicationId, "pentagon_ray_cast")
+    ray = _FIXTURE_CACHE.get(key)
+    if ray is None:
+        ray = st_contains_point_ring(PENTAGON, F.col("x"), F.col("y"))
+        _FIXTURE_CACHE[key] = ray
     inside = pts.filter(
         (F.col("x") >= x0) & (F.col("x") <= x1) & (F.col("y") >= y0) & (F.col("y") <= y1)
-    ).filter(st_contains_point_ring(PENTAGON, F.col("x"), F.col("y")))
+    ).filter(ray)
     grid = tile_grid(spark)
     return (
         points_in_polygons(inside, grid, cell_size=80.0, rects=True)

@@ -108,26 +108,35 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Ties among equal (t, k) rows are safe: a row's own kind bit only
     # feeds the prefix the OTHER kind reads. Self satisfies the first
     # count and never the second, hence the -1.
+    # One scan emits both boundary rows per session via explode (round
+    # 17, guide §2.2 "fewer, larger tasks"): the former two-branch union
+    # scanned the session checkpoint twice — same rows, double the scan
+    # tasks per pass, and the day-totals aggregate below re-scanned the
+    # union again (4 scans total; now 2).
     bounds = sess.select(
-        F.col("start_us").alias("t"),
-        F.lit(0).alias("k"),
-        F.lit(1).alias("i_s"),
-        F.lit(0).alias("i_e"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_us").alias("t"),
+                    F.lit(0).alias("k"),
+                    F.lit(1).alias("i_s"),
+                    F.lit(0).alias("i_e"),
+                ),
+                F.struct(
+                    F.col("end_us").alias("t"),
+                    F.lit(2).alias("k"),
+                    F.lit(0).alias("i_s"),
+                    F.lit(1).alias("i_e"),
+                ),
+            )
+        ).alias("_b"),
         "user_id",
         "session_seq",
         "start_us",
         "end_us",
-    ).unionByName(
-        sess.select(
-            F.col("end_us").alias("t"),
-            F.lit(2).alias("k"),
-            F.lit(0).alias("i_s"),
-            F.lit(1).alias("i_e"),
-            "user_id",
-            "session_seq",
-            "start_us",
-            "end_us",
-        )
+    ).select(
+        "_b.t", "_b.k", "_b.i_s", "_b.i_e",
+        "user_id", "session_seq", "start_us", "end_us",
     )
     summed = banded_running_sums(
         bounds,
@@ -1049,9 +1058,16 @@ def _session_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     +1 at each session start, -1 just past each session end (closed
     intervals, matching events_interval_overlap's convention)."""
     sess = _sessions(spark, sf_dir)
-    return sess.select(F.col("start_us").alias("t_us"), F.lit(1).alias("d")).unionByName(
-        sess.select((F.col("end_us") + 1).alias("t_us"), F.lit(-1).alias("d"))
-    )
+    # explode instead of a two-branch union: one scan of the session
+    # checkpoint per consumer pass instead of two (guide §2.2)
+    return sess.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("start_us").alias("t_us"), F.lit(1).alias("d")),
+                F.struct((F.col("end_us") + 1).alias("t_us"), F.lit(-1).alias("d")),
+            )
+        ).alias("_b")
+    ).select("_b.t_us", "_b.d")
 
 
 def _sweep_hourly(swept: DataFrame) -> DataFrame:
@@ -1087,7 +1103,10 @@ def _sweep_partitioned_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     local = deltas.withColumn("local_run", F.sum("d").over(wday))
-    day_tot = deltas.groupBy("day").agg(F.sum("d").alias("day_sum"))
+    # the unpartitioned offsets window needs its (bounded, day-grain)
+    # input on one partition anyway: coalesce(1) the day totals in
+    # place instead of paying a SinglePartition Exchange (guide §2.4)
+    day_tot = deltas.groupBy("day").agg(F.sum("d").alias("day_sum")).coalesce(1)
     # pass 2: exclusive cumulative offsets over the tiny day series
     wdays = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
     offsets = day_tot.withColumn(
@@ -1096,7 +1115,22 @@ def _sweep_partitioned_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     swept = local.join(F.broadcast(offsets), "day").withColumn(
         "active", F.col("day_offset") + F.col("local_run")
     )
-    return _sweep_hourly(swept)
+    # Group by (day, hour_idx) instead of hour_idx alone: day is
+    # functionally determined by hour_idx (DAY_US = 24·HOUR_US and
+    # t_us ≥ 0, so day = hour_idx div 24) — identical groups — but the
+    # probe side is already hash-partitioned by day from the pass-1
+    # window, and hashpartitioning(day) satisfies clustering on
+    # {day, hour_idx}, so the final aggregate runs WITHOUT its own
+    # Exchange (guide §2.4 "two operations keyed the same way share
+    # one exchange").
+    return (
+        swept.groupBy("day", (F.col("t_us") / HOUR_US).cast("long").alias("hour_idx"))
+        .agg(
+            F.max("active").cast("long").alias("max_active"),
+            F.count(F.lit(1)).cast("long").alias("n_changes"),
+        )
+        .select("hour_idx", "max_active", "n_changes")
+    )
 
 
 @register(

@@ -135,29 +135,48 @@ def region_relate_join(
     sized (one row per version) → broadcast nested-loop, then one
     Arrow-batched pandas-UDF pass for the exact matrix.
     """
-    from tile_processor_spark.spatial import kernel
-
-    @F.pandas_udf("boolean")
-    def _relate(
-        rects: pd.Series, xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series
-    ) -> pd.Series:
-        out = []
-        for rl, x0, y0, x1, y1 in zip(rects, xmin, ymin, xmax, ymax):
-            arr = (
-                np.stack([np.asarray(r, dtype=np.float64) for r in rl])
-                if len(rl)
-                else np.empty((0, 4))
-            )
-            m = kernel.rect_union_de9im(arr, (x0, y0, x1, y1))
-            ok = kernel.relate_pattern(m, pattern)
-            if covers:
-                ok = ok or (m[6] == "F" and m[7] == "F")  # ST_Covers
-            out.append(ok)
-        return pd.Series(out)
-
     return tiles.crossJoin(F.broadcast(regions)).filter(
-        _relate("rects", "xmin", "ymin", "xmax", "ymax")
+        _relate_udf(pattern, covers)("rects", "xmin", "ymin", "xmax", "ymax")
     )
+
+
+#: per-(pattern, covers) DE-9IM relate UDFs — building a pandas_udf is a
+#: driver-side py4j + cloudpickle round trip, so construct each variant
+#: once per process instead of once per query invocation (guide §5 "the
+#: driver should do almost no data work"; measured in the round-17
+#: construction profile)
+_RELATE_UDFS: dict = {}
+
+
+def _relate_udf(pattern: str, covers: bool):
+    key = (pattern, covers)
+    if key not in _RELATE_UDFS:
+        from tile_processor_spark.spatial import kernel
+
+        @F.pandas_udf("boolean")
+        def _relate(
+            rects: pd.Series,
+            xmin: pd.Series,
+            ymin: pd.Series,
+            xmax: pd.Series,
+            ymax: pd.Series,
+        ) -> pd.Series:
+            out = []
+            for rl, x0, y0, x1, y1 in zip(rects, xmin, ymin, xmax, ymax):
+                arr = (
+                    np.stack([np.asarray(r, dtype=np.float64) for r in rl])
+                    if len(rl)
+                    else np.empty((0, 4))
+                )
+                m = kernel.rect_union_de9im(arr, (x0, y0, x1, y1))
+                ok = kernel.relate_pattern(m, pattern)
+                if covers:
+                    ok = ok or (m[6] == "F" and m[7] == "F")  # ST_Covers
+                out.append(ok)
+            return pd.Series(out)
+
+        _RELATE_UDFS[key] = _relate
+    return _RELATE_UDFS[key]
 
 
 def bbox_join(

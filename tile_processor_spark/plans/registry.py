@@ -62,58 +62,19 @@ def register(
 #: depositing this round's own file mid-round cannot retroactively
 #: invalidate the committed window (round-9 lifecycle bug). Bump this
 #: and regenerate the window together at each round start.
-_STAGED_FOR_ROUND: int = 16
+_STAGED_FOR_ROUND: int = 17
 
 #: rows whose CODE was re-planned since the previous staging commit —
 #: DERIVED MECHANICALLY (tools/gate_rotation.py derive_changed: git
-#: diff 64aad3c..worktree -> modules -> reverse-import closure, with
-#: per-NAME granularity inside a row's own module: changed lines
-#: attribute to their owning top-level node and resolve through the
-#: module's internal reference graph). Round 16: read-version conflict
-#: detection + row-level DELETE + AS-OF time travel (snapshots.py,
-#: s3_snapshot_write.py, snapshot_datasource.py) and the THREE new
-#: gate rows mark the snapshot family (13 rows).
+#: diff 93b52a6..worktree -> modules -> reverse-import closure, with
+#: per-NAME granularity inside a row's own module). Round 17 touched
+#: shared kernels (relational's scaled-long helpers, chunked_windows'
+#: banded sums, llm_ops, spatial fixtures), so the closure marks 157
+#: rows — conservative by design.
 #: To restage: python tools/gate_rotation.py --since <staging commit>
 #: (find it via: git log -S"_STAGED_FOR_ROUND: int = <N>").
 _ROUND_CHANGED: tuple[str, ...] = (
-    "snapshot_s3_partitioned_append",
-    "snapshot_s3_write_read",
-    "snapshot_datasource_read",
-    "snapshot_merge_upsert_state",
-    "snapshot_time_travel_diff",
-    "snapshot_schema_evolution_state",
-    "snapshot_schema_evolution_diff",
-    "snapshot_partition_pruned_read",
-    "snapshot_incremental_dedup",
-    "snapshot_where_pruned_read",
-    "snapshot_delete_where",
-    "snapshot_delete_diff",
-    "snapshot_as_of_read",
-)
-
-# Round-16 window: q1 (flagship), the three never-gated DELETE/AS-OF
-# rows, then the rest of the changed snapshot family (the conflict-
-# detection re-plan touched every snapshot row), then the ENTIRE r10
-# staleness tail (34 rows: the spatial family, ann_kmeans_fit,
-# ann_ivf_recall, sketch cms/kmv, text_html_strip/pii_redact/
-# url_domains, events/stats families) and two r11 rows to fill —
-# after this round no row's evidence is older than r11 (the r15
-# verdict's ask, item 4).
-_GATE_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
-    "snapshot_delete_where",
-    "snapshot_delete_diff",
-    "snapshot_as_of_read",
-    "snapshot_s3_partitioned_append",
-    "snapshot_s3_write_read",
-    "snapshot_datasource_read",
-    "snapshot_merge_upsert_state",
-    "snapshot_time_travel_diff",
-    "snapshot_schema_evolution_state",
-    "snapshot_schema_evolution_diff",
-    "snapshot_partition_pruned_read",
-    "snapshot_incremental_dedup",
-    "snapshot_where_pruned_read",
     "stats_second_moments",
     "median_disc_by_priority",
     "weekly_revenue_wow",
@@ -124,10 +85,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "revenue_share_by_nation",
     "leave_one_out_customer_mean",
     "dq_column_profile",
-    "text_pii_redact",
-    "text_html_strip",
-    "text_url_domains",
-    "ann_kmeans_fit",
     "spatial_point_in_tile_join",
     "spatial_within_extent",
     "spatial_tiles_intersecting_extent",
@@ -143,13 +100,195 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_unpivot_hourly",
     "events_click_purchase_outer",
     "events_value_histogram",
-    "sketch_count_min",
-    "sketch_cms_point_queries",
-    "sketch_kmv_distinct",
     "ann_ivf_recall",
     "events_seasonal_hourly",
     "q6_revenue_forecast",
     "q10_returned_items",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q4_order_priority",
+    "distinct_projection",
+    "isin_filter",
+    "anti_join_missing",
+    "semi_join_intersection",
+    "array_agg_group",
+    "priority_dedup_ties",
+    "topk_per_group",
+    "regexp_extract_ids",
+    "union_dedup",
+    "null_guard_filter",
+    "groupby_month_rollup",
+    "q2_min_price_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q12_priority_by_status",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q22_idle_customers",
+    "window_running_sum",
+    "window_order_gaps",
+    "rollup_order_stats",
+    "window_rank_family",
+    "grouping_sets_order_stats",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q20_substantial_suppliers",
+    "cube_segment_priority",
+    "q21_waiting_suppliers",
+    "lateral_top_order_per_customer",
+    "window_range_frame_spend",
+    "scd2_snapshot_values",
+    "sessionize_gap_ids",
+    "islands_active_days",
+    "price_band_assign",
+    "argmax_order_per_customer",
+    "lineitem_weighted_median",
+    "rolling_7d_distinct_users",
+    "order_quantity_array_hof",
+    "events_mad_by_type",
+    "window_nth_value",
+    "skyline_orders_2d",
+    "dq_referential_integrity",
+    "basket_brand_pairs",
+    "customer_rfm_segments",
+    "pareto_abc_parts",
+    "dq_key_skew",
+    "orders_cohort_ltv",
+    "nation_revenue_hhi",
+    "dedup_minhash_pairs",
+    "embedding_cosine_topk",
+    "ann_ivf_search",
+    "dedup_connected_components",
+    "dedup_keep_canonical",
+    "sample_stratified",
+    "sample_per_group_topk",
+    "sample_split_assign",
+    "embedding_dim_stats",
+    "curate_quality_by_cluster",
+    "text_repetition_stats",
+    "decontaminate_overlap",
+    "pack_sequences",
+    "text_top_terms",
+    "embedding_normalize",
+    "corpus_shard_assign",
+    "text_doc_frequency_score",
+    "dedup_connected_components_star",
+    "sample_temperature_mixture",
+    "corpus_curation_manifest",
+    "sample_weighted_priority",
+    "ann_pq_codes",
+    "ann_pq_adc_recall",
+    "spatial_version_boundary_region",
+    "spatial_percentile_heights",
+    "spatial_percentile_heights_approx",
+    "spatial_rasterize",
+    "tile_file_index",
+    "spatial_tin_simplify",
+    "spatial_las_class_mapping",
+    "spatial_zorder_keys",
+    "spatial_raster_smooth",
+    "spatial_region_labeling",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    "events_asof_join",
+    "events_json_props",
+    "events_daily_profile",
+    "events_band_join",
+    "events_hypertable_rollup",
+    "events_gapfill_locf",
+    "events_ohlc_hourly",
+    "events_asof_forward",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_props_variant",
+    "spatial_quadtree_rollup",
+    "dedup_semantic_clusters",
+    "text_bigram_model_score",
+    "embedding_whiten",
+    "dedup_containment_pairs",
+    "text_bm25_scores",
+    "dedup_jaccard_prefix_filtered",
+    "dedup_jaccard_prefix_filtered_sampled",
+    "dedup_threshold_curve",
+    "events_interval_overlap",
+    "events_regression_slope",
+    "events_cusum_drift",
+    "events_markov_transitions",
+    "orders_percentile_cont",
+    "lineitem_corr_matrix",
+    "events_twap_hourly",
+    "events_rolling_median",
+    "events_ewma_approx",
+    "events_anomaly_intervals",
+    "events_sequence_match",
+    "events_active_sessions_sweep",
+    "events_sweep_partitioned",
+    "events_type_runs",
+    "events_winsorized_stats",
+)
+
+# Round-17 window: q1 (flagship), then the round's changed rows
+# stalest-evidence-first (the optimization touched shared kernels, so
+# the changed set is wide; the window picks the 49 with the oldest
+# driver evidence — r11/r12 tails — which both re-gates this round's
+# re-planned queries and keeps refreshing the staleness tail).
+_GATE_PRIORITY: tuple[str, ...] = (
+    "q1_pricing_summary",
+    "order_quantity_array_hof",
+    "window_nth_value",
+    "skyline_orders_2d",
+    "dq_referential_integrity",
+    "embedding_cosine_topk",
+    "sample_weighted_priority",
+    "ann_pq_codes",
+    "spatial_version_boundary_region",
+    "spatial_percentile_heights",
+    "spatial_rasterize",
+    "tile_file_index",
+    "spatial_las_class_mapping",
+    "spatial_raster_smooth",
+    "spatial_region_labeling",
+    "events_props_variant",
+    "spatial_quadtree_rollup",
+    "events_regression_slope",
+    "events_markov_transitions",
+    "orders_percentile_cont",
+    "lineitem_corr_matrix",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q4_order_priority",
+    "basket_brand_pairs",
+    "customer_rfm_segments",
+    "pareto_abc_parts",
+    "dq_key_skew",
+    "orders_cohort_ltv",
+    "nation_revenue_hhi",
+    "events_tumbling_window",
+    "events_asof_join",
+    "dedup_semantic_clusters",
+    "text_bigram_model_score",
+    "embedding_whiten",
+    "dedup_containment_pairs",
+    "text_bm25_scores",
+    "dedup_jaccard_prefix_filtered",
+    "dedup_jaccard_prefix_filtered_sampled",
+    "dedup_threshold_curve",
+    "events_sequence_match",
+    "events_active_sessions_sweep",
+    "events_sweep_partitioned",
+    "events_type_runs",
+    "distinct_projection",
+    "isin_filter",
+    "anti_join_missing",
+    "array_agg_group",
+    "priority_dedup_ties",
+    "null_guard_filter",
 )
 
 
